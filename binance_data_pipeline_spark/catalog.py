@@ -1,0 +1,77 @@
+"""Parquet table catalog helpers.
+
+Stand-in for both the reference's S3 bronze layout (Hive-partitioned
+``date=/hour=`` keys, ``producer/kafka_to_s3_bronze.py:49-54``) and its
+BigQuery warehouse tables. Tables here are partitioned Parquet directories;
+registering them as temp views gives the SQL surface, and Spark's partition
+pruning replaces BigQuery's parameterized-predicate scan reduction
+(``producer/build_fact_fee_tax.py:23-37``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: Canonical driver test tables (TESTDATA.md).
+TESTDATA_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver parquet table. Column pruning and filter pushdown
+    reach the scan because nothing materializes in between.
+
+    The ``events`` table is written with TIMESTAMP(NANOS) which Spark's
+    parquet reader rejects; we read nanos as LongType (session conf) and
+    rebuild a proper TimestampType via integer division to microseconds
+    (``ts div 1000`` — never float division, which would lose precision on
+    ~1.7e18 nanosecond values). Still fully pushdown-friendly: the cast is
+    a projection over the scan.
+    """
+    if name == "events":
+        # must be set before the scan's schema inference
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") != "timestamp":
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def register_testdata(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
+    """Register the driver tables as temp views (idempotent)."""
+    for name in tables:
+        path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.exists(path):
+            spark.read.parquet(path).createOrReplaceTempView(name)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    mode: str = "append",
+) -> None:
+    """Write a partitioned Parquet table (snappy by session default).
+
+    Mirrors the reference's bronze layout (date=/hour= Hive keys) but derives
+    the partition per-row via ``partitionBy`` — strictly more correct than the
+    reference's first-record-of-batch approximation
+    (``producer/kafka_to_s3_bronze.py:63-64``).
+    """
+    writer = df.write.mode(mode)
+    if partition_cols:
+        writer = writer.partitionBy(*partition_cols)
+    writer.parquet(path)

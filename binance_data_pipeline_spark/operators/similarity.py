@@ -1,0 +1,157 @@
+"""Embedding similarity search over array<float> columns.
+
+Two tiers, as a 100 TB pipeline needs:
+
+- ``cosine_topk_brute``: exact brute-force top-k — the correctness baseline.
+  Dot products via zip_with/aggregate (JVM higher-order functions, no
+  Python). Cost is O(|queries|·|corpus|); usable when one side is small
+  enough to broadcast (the usual "few queries against a big corpus" shape:
+  broadcast queries, scan corpus once, per-partition top-k then global
+  top-k — no full shuffle of the corpus).
+- ``ann_lsh_topk``: approximate path — random-hyperplane (SimHash-style)
+  signatures over the embedding, candidates from signature-prefix buckets,
+  exact cosine re-rank on candidates only. Deterministic (fixed hyperplane
+  constants), no MLlib model state, single bucket shuffle.
+
+North-star extension; the reference has no vector operations.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk_brute(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    The query side is broadcast (small); the corpus is scanned once. The
+    rank window partitions by query id, so the shuffle moves only
+    (query, candidate, sim) triples — k-prunable by AQE at scale; excludes
+    self-matches. Deterministic tie-break on neighbor id.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
+# Fixed pseudo-random hyperplane generator — deterministic across runs,
+# no RNG at plan-build time (splitmix64-expanded constants).
+def _hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    state = 0x243F6A8885A308D3
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state + 0x9E3779B97F4A7C15) % (1 << 64)
+            z = state
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) % (1 << 64)
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) % (1 << 64)
+            z = z ^ (z >> 31)
+            # map to [-1, 1)
+            row.append((z / float(1 << 63)) - 1.0)
+        planes.append(row)
+    return planes
+
+
+def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Random-projection bit signature: sign(plane · vec) per hyperplane,
+    folded to a BIGINT. Map-side only."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(x) for x in p])
+        bits.append(
+            F.when(_dot(vec, plane) > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out.bitwiseXOR(b)
+    return out
+
+
+def ann_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k: `n_tables` independent random-projection tables,
+    candidates = ids sharing a full signature in any table, exact cosine
+    re-rank of candidates. Recall is tunable via (n_planes, n_tables).
+
+    Scale shape: signatures are map-side; the candidate join shuffles on
+    (table_id, signature) buckets — bucket sizes bound the work, never
+    |corpus|². Re-rank touches only candidates.
+    """
+    all_planes = _hyperplanes(n_planes * n_tables, dim)
+    sig_arrays = F.array(
+        *[
+            rp_signature(F.col("v"), all_planes[t * n_planes : (t + 1) * n_planes])
+            for t in range(n_tables)
+        ]
+    )
+
+    def signed(df: DataFrame, role: str) -> DataFrame:
+        return (
+            df.select(F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias("v"))
+            .select(f"{role}_id", F.col("v").alias(f"{role}_v"), F.posexplode(sig_arrays).alias("tbl", "sig"))
+        )
+
+    qs = signed(queries, "query")
+    cs = signed(corpus, "neighbor")
+    cands = (
+        qs.join(cs, ["tbl", "sig"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "query_v", "neighbor_v")
+        .distinct()
+    )
+    scored = cands.withColumn("sim", F.round(cosine(F.col("query_v"), F.col("neighbor_v")), 4))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )

@@ -1,0 +1,104 @@
+"""Text analysis operators for the documents table — token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All hot-path logic is built-in `pyspark.sql.functions` (JVM codegen,
+higher-order array functions) — no Python UDFs. At 100 TB these are pure
+map-side operators: no shuffle, fully pipelined with the parquet scan.
+
+North-star extension beyond the reference (which has no text processing;
+its only string ops are lower/concat, producer/binance_ws_to_kafka.py:65).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the heuristic language guesser.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "y", "que", "los"],
+    "fr": ["le", "la", "et", "les", "des", "une"],
+}
+
+#: Priority order for deterministic argmax tie-breaking.
+_LANG_PRIORITY = ["en", "de", "es", "fr"]
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    return F.split(F.trim(F.lower(col)), r"\s+")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count (BIGINT for cross-engine schema parity)."""
+    return F.size(tokens(col)).cast("long")
+
+
+def char_count(col: Column | str) -> Column:
+    return F.length(col).cast("long")
+
+
+def punct_ratio(col: Column | str) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"[.,!?;:]", "")
+    return (F.length(c) - F.length(stripped)) / F.length(c)
+
+
+def stopword_hits(col: Column | str, words: list[str]) -> Column:
+    """Number of tokens (with multiplicity) in `words` — higher-order
+    filter, no explode, no shuffle."""
+    lit_words = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(col), lambda t: F.array_contains(lit_words, t))).cast("long")
+
+
+def lang_guess(col: Column | str) -> Column:
+    """Heuristic language ID: argmax of per-language stopword hit counts,
+    tie-broken by _LANG_PRIORITY order."""
+    scores = {lang: stopword_hits(col, ws) for lang, ws in STOPWORDS.items()}
+    s = {lang: scores[lang] for lang in _LANG_PRIORITY}
+    return (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["es"]) & (s["en"] >= s["fr"]), "en")
+        .when((s["de"] >= s["es"]) & (s["de"] >= s["fr"]), "de")
+        .when(s["es"] >= s["fr"], "es")
+        .otherwise("fr")
+    )
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality score: length band + low punctuation +
+    reasonable mean token length. Deterministic arithmetic only."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(c)
+    n_char = char_count(c)
+    mean_tok_len = n_char / n_tok
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), 1.0).otherwise(0.0)
+    punct_ok = F.when(punct_ratio(c) < 0.1, 1.0).otherwise(0.0)
+    tok_len_ok = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 12.0), 1.0).otherwise(0.0)
+    return (len_ok + punct_ok + tok_len_ok) / 3.0
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Exact-dup fingerprint: md5 of the raw text."""
+    return F.md5(col)
+
+
+def fingerprint_normalized(col: Column | str) -> Column:
+    """Near-exact fingerprint: md5 of whitespace-normalized lowercase text
+    (catches trivial formatting dups)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.regexp_replace(F.trim(F.lower(c)), r"\s+", " "))
+
+
+def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Attach the full feature set — one map-side pass."""
+    return (
+        df.withColumn("n_tokens", token_count(text_col))
+        .withColumn("n_chars_engine", char_count(text_col))
+        .withColumn("punct_ratio", punct_ratio(text_col))
+        .withColumn("quality", quality_score(text_col))
+        .withColumn("lang_guess", lang_guess(text_col))
+        .withColumn("fingerprint", fingerprint_md5(text_col))
+    )

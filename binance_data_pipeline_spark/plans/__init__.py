@@ -1,0 +1,30 @@
+"""Query catalog.
+
+Each submodule exposes ``QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]``
+and ``ORACLE: dict[str, str]`` (DuckDB-runnable ANSI SQL over the same parquet
+views). ``all_queries()`` / ``all_oracle_sql()`` merge them for
+``__spark_entry__``.
+
+Float policy: any column produced by an order-sensitive float aggregation
+(sum/avg over doubles) is rounded to 4 decimals on BOTH sides so the driver's
+value-hash is immune to summation-order ulp differences between Spark and
+DuckDB. Per-row arithmetic is IEEE-deterministic and left unrounded.
+"""
+
+from __future__ import annotations
+
+from . import northstar, pipeline, relational
+
+
+def all_queries():
+    merged = {}
+    for mod in (relational, pipeline, northstar):
+        merged.update(mod.QUERIES)
+    return merged
+
+
+def all_oracle_sql():
+    merged = {}
+    for mod in (relational, pipeline, northstar):
+        merged.update(mod.ORACLE)
+    return merged

@@ -1,0 +1,233 @@
+"""North-star queries: text analysis, dedup, similarity search over the
+``documents`` and ``embeddings`` tables.
+
+Oracle-checked where DuckDB can express the same semantics; the LSH-family
+operators (MinHash banding, SimHash blocking, random-projection ANN) are
+Spark-only entries → the driver records rows-only checks, and tests/ pin
+their behavior against exact recomputation at small scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as T
+from ..operators.text import STOPWORDS
+
+
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per document, rolled up per (lang, source) — the
+    basic corpus-stats pass of a training-data pipeline. Map-side feature +
+    one small shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_tokens", T.token_count("text"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )
+
+
+def q_doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length/punctuation/token-shape heuristics per doc,
+    aggregated per lang."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "lang",
+        T.token_count("text").alias("n_tokens"),
+        T.punct_ratio("text").alias("pr"),
+        T.quality_score("text").alias("q"),
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("pr"), 4).alias("avg_punct_ratio"),
+        F.round(F.avg("q"), 4).alias("avg_quality"),
+        F.round(F.min("q"), 4).alias("min_quality"),
+    )
+
+
+def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language-ID (stopword argmax) vs the labeled lang —
+    confusion counts."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("lang_guess", T.lang_guess("text"))
+        .groupBy("lang", "lang_guess")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dup detection via md5 fingerprint: clusters with >1 doc,
+    smallest doc_id as the canonical keeper."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("fp", T.fingerprint_md5("text"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("n_dups") > 1)
+    )
+
+
+def q_embed_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-3 cosine neighbors for the first 10 vectors (brute-force
+    baseline; broadcast queries × corpus scan)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk_brute(e.where(F.col("vec_id") < 10), e, k=3)
+
+
+def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via random-hyperplane LSH + exact re-rank
+    (Spark-only: rows-only driver check; tests measure recall vs brute)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.ann_lsh_topk(e.where(F.col("vec_id") < 10), e, k=3)
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs verified by exact shingle Jaccard
+    (Spark-only: banding order is engine-specific; tests verify against a
+    direct pairwise Jaccard at sf0.001)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_near_dups(d, threshold=0.5)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures,
+    prefix-blocked). Spark-only."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_near_dups(d)
+
+
+def q_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram Jaccard for a fixed probe set of doc pairs
+    (doc_id < 20 × doc_id < 20) — oracle-checkable pairwise similarity."""
+    d = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    sh = d.select(F.col("doc_id").alias("id"), D.shingles("text", 3).alias("sh"))
+    l = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    r = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
+
+
+_SW = {lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in STOPWORDS.items()}
+
+QUERIES = {
+    "doc_token_stats": q_doc_token_stats,
+    "doc_quality": q_doc_quality,
+    "doc_lang_id": q_doc_lang_id,
+    "doc_exact_dups": q_doc_exact_dups,
+    "embed_knn_brute": q_embed_knn_brute,
+    "embed_ann_lsh": q_embed_ann_lsh,
+    "minhash_near_dups": q_minhash_near_dups,
+    "simhash_near_dups": q_simhash_near_dups,
+    "ngram_jaccard_sample": q_ngram_jaccard_sample,
+}
+
+
+ORACLE = {
+    "doc_token_stats": r"""
+        WITH t AS (
+            SELECT lang, source,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
+            FROM documents)
+        SELECT lang, source, count(*) AS n_docs,
+               sum(n_tokens)::BIGINT AS total_tokens,
+               round(avg(n_tokens), 4) AS avg_tokens,
+               max(n_tokens) AS max_tokens
+        FROM t GROUP BY lang, source
+    """,
+    "doc_quality": r"""
+        WITH t AS (
+            SELECT lang,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_tokens,
+                   length(text)::BIGINT AS n_chars,
+                   (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE
+                       / length(text) AS pr
+            FROM documents),
+        s AS (
+            SELECT lang, pr,
+                   ((CASE WHEN n_tokens >= 10 AND n_tokens <= 100000 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN pr < 0.1 THEN 1.0 ELSE 0.0 END)
+                    + (CASE WHEN n_chars::DOUBLE / n_tokens >= 2.0
+                            AND n_chars::DOUBLE / n_tokens <= 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS q
+            FROM t)
+        SELECT lang, count(*) AS n_docs,
+               round(avg(pr), 4) AS avg_punct_ratio,
+               round(avg(q), 4) AS avg_quality,
+               round(min(q), 4) AS min_quality
+        FROM s GROUP BY lang
+    """,
+    "doc_lang_id": rf"""
+        WITH toks AS (
+            SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+            FROM documents),
+        scores AS (
+            SELECT lang,
+                   len(list_filter(tk, t -> list_contains([{_SW['en']}], t)))::BIGINT AS s_en,
+                   len(list_filter(tk, t -> list_contains([{_SW['de']}], t)))::BIGINT AS s_de,
+                   len(list_filter(tk, t -> list_contains([{_SW['es']}], t)))::BIGINT AS s_es,
+                   len(list_filter(tk, t -> list_contains([{_SW['fr']}], t)))::BIGINT AS s_fr
+            FROM toks)
+        SELECT lang,
+               CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_guess,
+               count(*) AS n
+        FROM scores GROUP BY 1, 2
+    """,
+    "doc_exact_dups": """
+        SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
+        FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+    "embed_knn_brute": """
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id < 10),
+             c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+             scored AS (
+                SELECT query_id, neighbor_id,
+                       round(list_cosine_similarity(qv, cv), 4) AS sim
+                FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+             ranked AS (
+                SELECT query_id, neighbor_id, sim,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY sim DESC, neighbor_id) AS rk
+                FROM scored)
+        SELECT query_id, neighbor_id, sim, rk::BIGINT AS rk FROM ranked WHERE rk <= 3
+    """,
+    "ngram_jaccard_sample": r"""
+        WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+                   FROM documents WHERE doc_id < 20),
+        sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(
+                       range(1, greatest(len(tk) - 2, 1) + 1),
+                       i -> array_to_string(tk[i:i+2], ' '))) AS s
+            FROM d)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round(len(list_intersect(a.s, b.s))::DOUBLE
+                     / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    """,
+    # embed_ann_lsh / minhash_near_dups / simhash_near_dups: intentionally no
+    # oracle (LSH banding internals aren't SQL-expressible at parity);
+    # rows-only driver check + recall tests in tests/.
+}

@@ -1,0 +1,590 @@
+"""General relational operator surface — joins, aggregations, windows,
+sorts/limits, set ops, scalar functions.
+
+The reference's only relational operators are a hash group-by-sum
+(``producer/build_fact_fee_tax.py:51-53``), one left join (``:55-60``), and
+rename/cast projections (``dbt_project/models/staging/stg_binance_trades.sql``).
+A user switching engines still needs the full surface (SURVEY.md §2.3-§2.7),
+so this module demonstrates it on the driver's TPC-H-ish corpus, every query
+hash-checked against the DuckDB oracle.
+
+Scale notes per query are inline — broadcast hints for dims, single shuffles
+for aggregations (partial/map-side combine is automatic), window specs that
+partition on high-cardinality keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+
+# --------------------------------------------------------------------------
+# Aggregations (SURVEY §2.4: A1-A3 generalized)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: filter → hash-agg with map-side
+    combine. One shuffle on (l_returnflag, l_linestatus) — 6 groups, so the
+    reduce side is trivially small at any scale; all math is JVM codegen.
+    Generalizes A1 (groupby-sum, build_fact_fee_tax.py:51-53)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-12-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 4
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6-style: pure scan-filter-agg, no groupBy. The predicate and
+    the 3-column projection push into the parquet scan (PushedFilters /
+    ReadSchema); a 100 TB scan touches only 3 columns."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 4).alias("revenue"))
+    )
+
+
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) per group — Spark expands to a two-phase agg
+    automatically (partial distinct on (group, key) then final count)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (status, priority) — subtotals + grand total in one
+    pass (Spark expands grouping sets; single shuffle)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("sum_price"))
+    )
+
+
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over the two lineitem flags."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 4).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Joins (SURVEY §2.3: J1 generalized to the full join surface)
+# --------------------------------------------------------------------------
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join. Join order matters at scale: lineitem
+    (largest) joins orders on the shuffle-heavy side; nation/region are
+    broadcast (tiny dims — same pattern as the fee/tax rules join J1,
+    build_fact_fee_tax.py:55-60, just deeper)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+def q_mktsegment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ orders ⋈ lineitem rollup to market segment."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI: customers that have ≥1 order. Semi-join avoids
+    materializing the multiplicity of the right side — at scale this is a
+    shuffle on the join key only, no fan-out."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    sat = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+    return sat.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers_with_orders"),
+        F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI: customers with no orders (NOT EXISTS)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    lonely = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return lonely.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+
+
+def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER of per-nation customer counts vs supplier counts; nulls
+    from either side coalesced to 0. Both sides pre-aggregate before the
+    join, so the outer join runs on nation-cardinality inputs."""
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    cn = c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(F.count(F.lit(1)).alias("n_cust"))
+    sn = s.groupBy(F.col("s_nationkey").alias("nationkey")).agg(F.count(F.lit(1)).alias("n_supp"))
+    return (
+        cn.join(sn, "nationkey", "full_outer")
+        .select(
+            "nationkey",
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+def q_order_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders having ≥1 lineitem shipped late, counted per
+    priority, via a semi-join (EXISTS)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    # a lineitem exists for the order (any lineitem — the synthetic data has
+    # no commit/receipt dates, so the EXISTS itself is the exercised shape)
+    return (
+        o.join(li.select("l_orderkey").distinct(), o.o_orderkey == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sorts / limits / top-k / set ops (SURVEY §2.6)
+# --------------------------------------------------------------------------
+
+def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 orders by revenue. ORDER BY + LIMIT compiles to
+    TakeOrderedAndProject — each partition keeps its local top-10, the driver
+    merges; no full sort at any scale. Tie-broken on o_orderkey for
+    determinism."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+    return (
+        o.join(rev, o.o_orderkey == rev.l_orderkey)
+        .select("o_orderkey", "o_orderdate", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION in one result: tag each set-op output and
+    union the counts. Set ops shuffle on the full row — kept to key columns
+    only (column pruning keeps the exchange narrow)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select(F.col("c_custkey").alias("k"))
+    with_orders = o.select(F.col("o_custkey").alias("k")).distinct()
+    both = building.intersect(with_orders).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("building_and_orders").alias("which"), "n"
+    )
+    only_building = building.exceptAll(building.intersect(with_orders)).agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("building_no_orders").alias("which"), "n")
+    union_n = building.union(with_orders).distinct().agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("building_union_orders").alias("which"), "n"
+    )
+    return both.unionByName(only_building).unionByName(union_n)
+
+
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (vertical concat) — the reference's pd.concat across
+    symbols (airflow/dags/ingest_binance_last_3_days.py:127-137) →
+    unionByName, then one aggregation over the combined set."""
+    c = load_table(spark, sf_dir, "customer")
+    hi = c.where(F.col("c_acctbal") > 5000).select("c_mktsegment", "c_acctbal")
+    lo = c.where(F.col("c_acctbal") < 0).select("c_mktsegment", "c_acctbal")
+    return (
+        hi.unionByName(lo)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 4).alias("sum_bal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions (SURVEY §2.5 — absent in reference, required surface)
+# --------------------------------------------------------------------------
+
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price: row_number over a per-key window.
+    Partitioned by o_custkey (high cardinality → even distribution); a rank
+    filter right after the window lets Spark's WindowGroupLimit push the
+    top-k into the sort."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) revenue per customer ordered by date — frame
+    ROWS UNBOUNDED PRECEDING..CURRENT."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas: lag/lead on event time and value. The basis of
+    trade-to-trade analytics (price change, inter-arrival time) the
+    north-star needs."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("value_delta"),
+        (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))).alias("secs_since_prev"),
+        F.lead("event_type", 1).over(w).alias("next_event_type"),
+    )
+
+
+def q_window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute rolling sum per user via RANGE frame on epoch seconds —
+    event-time rolling aggregation without a self-join."""
+    e = load_table(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts").alias("epoch_s")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-300, Window.currentRow)
+    )
+    return (
+        e.select("user_id", "event_id", epoch, "value")
+        .withColumn("rolling_5m_sum", F.round(F.sum("value").over(w), 4))
+        .select("user_id", "event_id", "rolling_5m_sum")
+    )
+
+
+def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile over part price within brand."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_retailprice").desc(), F.col("p_partkey"))
+    return p.select(
+        "p_brand",
+        "p_partkey",
+        F.rank().over(w).cast("long").alias("price_rank"),
+        F.dense_rank().over(w).cast("long").alias("price_dense_rank"),
+        F.ntile(4).over(w).cast("long").alias("price_quartile"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar functions (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math scalar surface (F3-F14): lower/upper/concat/
+    substring/lpad/replace/length + date extraction + arithmetic, all
+    JVM-side codegen (no UDFs)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("name_lower"),
+        F.upper("p_brand").alias("brand_upper"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.substring("p_name", 1, 5).alias("name_prefix"),
+        F.lpad(F.col("p_partkey").cast("string"), 10, "0").alias("key_padded"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.round(F.col("p_retailprice") * 1.1, 4).alias("price_with_markup"),
+        (F.col("p_size") % 7).alias("size_mod_7"),
+    )
+
+
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface (F5-F8, F13-F14): truncation, extraction,
+    arithmetic, formatting — over the orders date column."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).cast("long").alias("age_days"),
+    )
+
+
+def q_case_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN + coalesce/nullif/null-safe logic (F12 generalized)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") < 0, "overdrawn")
+        .when(F.col("c_acctbal") < 1000, "low")
+        .when(F.col("c_acctbal") < 5000, "mid")
+        .otherwise("high")
+        .alias("balance_band"),
+        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("segment_or_other"),
+        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 4).alias("nonneg_bal"),
+    )
+
+
+QUERIES = {
+    "pricing_summary": q_pricing_summary,
+    "forecast_revenue": q_forecast_revenue,
+    "distinct_agg": q_distinct_agg,
+    "rollup_orders": q_rollup,
+    "cube_lineitem": q_cube,
+    "revenue_by_nation": q_revenue_by_nation,
+    "mktsegment_revenue": q_mktsegment_revenue,
+    "semi_join": q_semi_join,
+    "anti_join": q_anti_join,
+    "full_outer_join": q_full_outer_join,
+    "order_priority_exists": q_order_priority_exists,
+    "top_orders": q_top_orders,
+    "set_ops": q_set_ops,
+    "union_all": q_union_all,
+    "window_topk_per_group": q_window_topk_per_group,
+    "window_running_sum": q_window_running_sum,
+    "window_lag_lead": q_window_lag_lead,
+    "window_range_rolling": q_window_range_rolling,
+    "window_rank_dense": q_window_rank_dense,
+    "scalar_functions": q_scalar_functions,
+    "date_functions": q_date_functions,
+    "case_null_handling": q_case_null_handling,
+}
+
+
+ORACLE = {
+    "pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty,
+               round(sum(l_extendedprice), 4) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_extendedprice), 4) AS avg_price,
+               round(avg(l_discount), 4) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-12-01'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    "forecast_revenue": """
+        SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue
+        FROM lineitem
+        WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    "distinct_agg": """
+        SELECT o_orderpriority,
+               count(DISTINCT o_custkey) AS n_customers,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 4) AS sum_price
+        FROM orders GROUP BY o_orderpriority
+    """,
+    "rollup_orders": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+               round(sum(o_totalprice), 4) AS sum_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+    "cube_lineitem": """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 4) AS sum_qty, count(*) AS n
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "revenue_by_nation": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        GROUP BY n_name
+    """,
+    "mktsegment_revenue": """
+        SELECT c_mktsegment,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(DISTINCT o_orderkey) AS n_orders
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        GROUP BY c_mktsegment
+    """,
+    "semi_join": """
+        SELECT c_mktsegment,
+               count(*) AS n_customers_with_orders,
+               round(sum(c_acctbal), 4) AS sum_acctbal
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "anti_join": """
+        SELECT c_mktsegment, count(*) AS n_customers_without_orders
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_mktsegment
+    """,
+    "full_outer_join": """
+        SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
+               coalesce(n_cust, 0) AS n_cust,
+               coalesce(n_supp, 0) AS n_supp
+        FROM (SELECT c_nationkey AS nationkey, count(*) AS n_cust FROM customer GROUP BY 1) cn
+        FULL OUTER JOIN (SELECT s_nationkey AS nationkey, count(*) AS n_supp FROM supplier GROUP BY 1) sn
+          ON cn.nationkey = sn.nationkey
+    """,
+    "order_priority_exists": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority
+    """,
+    "top_orders": """
+        SELECT o_orderkey, o_orderdate, revenue
+        FROM orders
+        JOIN (SELECT l_orderkey,
+                     round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+              FROM lineitem GROUP BY l_orderkey) r
+          ON o_orderkey = r.l_orderkey
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "set_ops": """
+        WITH building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+             with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders)
+        SELECT 'building_and_orders' AS which,
+               (SELECT count(*) FROM (SELECT k FROM building INTERSECT SELECT k FROM with_orders)) AS n
+        UNION ALL
+        SELECT 'building_no_orders',
+               (SELECT count(*) FROM (SELECT k FROM building EXCEPT SELECT k FROM with_orders))
+        UNION ALL
+        SELECT 'building_union_orders',
+               (SELECT count(*) FROM (SELECT k FROM building UNION SELECT k FROM with_orders))
+    """,
+    "union_all": """
+        SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS sum_bal
+        FROM (
+            SELECT c_mktsegment, c_acctbal FROM customer WHERE c_acctbal > 5000
+            UNION ALL
+            SELECT c_mktsegment, c_acctbal FROM customer WHERE c_acctbal < 0
+        ) u GROUP BY c_mktsegment
+    """,
+    "window_topk_per_group": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+            FROM orders) t
+        WHERE rk <= 3
+    """,
+    "window_running_sum": """
+        SELECT o_custkey, o_orderkey,
+               round(sum(o_totalprice) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
+        FROM orders
+    """,
+    "window_lag_lead": """
+        SELECT user_id, event_id,
+               round(value - lag(value, 1) OVER w, 4) AS value_delta,
+               floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT AS secs_since_prev,
+               lead(event_type, 1) OVER w AS next_event_type
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    "window_range_rolling": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
+                   RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 4) AS rolling_5m_sum
+        FROM events
+    """,
+    "window_rank_dense": """
+        SELECT p_brand, p_partkey,
+               rank() OVER w AS price_rank,
+               dense_rank() OVER w AS price_dense_rank,
+               ntile(4) OVER w AS price_quartile
+        FROM part
+        WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+    """,
+    "scalar_functions": """
+        SELECT p_partkey,
+               lower(p_name) AS name_lower,
+               upper(p_brand) AS brand_upper,
+               concat_ws('|', p_brand, p_type) AS brand_type,
+               substr(p_name, 1, 5) AS name_prefix,
+               lpad(p_partkey::VARCHAR, 10, '0') AS key_padded,
+               length(p_name)::BIGINT AS name_len,
+               round(p_retailprice * 1.1, 4) AS price_with_markup,
+               p_size % 7 AS size_mod_7
+        FROM part
+    """,
+    "date_functions": """
+        SELECT o_orderkey,
+               o_orderdate::DATE AS order_date,
+               year(o_orderdate)::BIGINT AS order_year,
+               month(o_orderdate)::BIGINT AS order_month,
+               day(o_orderdate)::BIGINT AS order_day,
+               strftime(o_orderdate, '%Y-%m') AS order_ym,
+               o_orderdate::DATE + 30 AS due_date,
+               date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::BIGINT AS age_days
+        FROM orders
+    """,
+    "case_null_handling": """
+        SELECT c_custkey,
+               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
+                    WHEN c_acctbal < 1000 THEN 'low'
+                    WHEN c_acctbal < 5000 THEN 'mid'
+                    ELSE 'high' END AS balance_band,
+               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
+               round(greatest(c_acctbal, 0.0), 4) AS nonneg_bal
+        FROM customer
+    """,
+}

@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-aware defaults.
+
+Design notes (100 TB-minded even though tests run on ``local[32]``):
+
+- AQE is always on: runtime coalescing of shuffle partitions, skew-join
+  splitting, and dynamic join-strategy demotion are exactly the knobs that
+  keep a 1000-executor job healthy without hand-tuning per query.
+- ``spark.sql.shuffle.partitions`` defaults small locally (32) but is a
+  parameter — on a real cluster you set it ~2-3× total cores and let AQE
+  coalesce down.
+- Arrow is enabled for the Pandas-UDF paths (similarity / multimodal stubs);
+  everything in the hot relational path stays JVM-side.
+- Parquet remains snappy-compressed (the reference's at-rest format,
+  ``producer/kafka_to_s3_bronze.py:66``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "binance_data_pipeline_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (32) for local runs;
+    on a cluster, leave it unset and submit via spark-submit.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Small dims (fee/tax rules ~10 rows) must broadcast; default 10 MB
+        # threshold is fine, keep explicit for documentation.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,15 @@
+from __future__ import annotations
+
+import pytest
+
+from binance_data_pipeline_spark.session import get_spark
+
+SF_SMALL = "/root/testdata/sf0.001"
+SF_MED = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("bdp-tests", shuffle_partitions=8)
+    yield s
+    s.stop()
