@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced with a noop sink (full execution, no collect/IO skew);
+per-query wall time includes planning. A JVM warmup query runs first so
+codegen/JIT cost doesn't land on the first measured query.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from binance_data_pipeline_spark.plans import all_queries  # noqa: E402
+from binance_data_pipeline_spark.session import get_spark  # noqa: E402
+
+#: Headline set: one representative per operator family (SURVEY.md §2).
+HEADLINE = [
+    "pricing_summary",        # scan-heavy hash agg
+    "forecast_revenue",       # pushdown filter + scalar agg
+    "revenue_by_nation",      # multi-join with broadcast dims
+    "mktsegment_revenue",     # 3-way shuffle join + distinct agg
+    "top_orders",             # join + TakeOrderedAndProject
+    "window_topk_per_group",  # ranked window
+    "window_range_rolling",   # range-frame window
+    "stg_events_clean",       # projection/cast/JSON path
+    "fact_fee_tax",           # flagship §3.4 pipeline
+    "sessionize",             # window + agg sessionization
+    "ohlcv_hourly",           # bar aggregation
+    "dedup_exact",            # keyed dedup
+    "doc_token_stats",        # text features
+    "doc_exact_dups",         # fingerprint dedup
+    "minhash_near_dups",      # LSH near-dup pipeline
+    "simhash_near_dups",      # simhash near-dup pipeline
+    "embed_knn_brute",        # brute-force vector top-k
+    "embed_ann_lsh",          # LSH ANN vector top-k
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    spark = get_spark("bdp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    queries = all_queries()
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    # warmup: exercise parquet reader + codegen before measuring
+    force(queries["pricing_summary"](spark, sf_dir))
+
+    # Two passes, report per-query min: the container shows intermittent
+    # multi-second kernel-time stalls (host jitter) that would otherwise
+    # randomly dominate a single measurement.
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in HEADLINE:
+            t0 = time.time()
+            force(queries[name](spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            spark.catalog.clearCache()  # dedup ops cache; don't leak across queries
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -47,7 +47,19 @@ def get_spark(
         # Small dims (fee/tax rules ~10 rows) must broadcast; default 10 MB
         # threshold is fine, keep explicit for documentation.
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local-mode: driver heap hosts all executor threads — size for the
+        # 128 GiB box so multi-query sessions don't degrade into full-GC
+        # churn (measured: late-bench queries slowed 10-20× at 8g)
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.cleaner.periodicGC.interval", "60min")
+        # Long multi-query sessions generate a unique codegen class per
+        # plan; the JVM's default 240 MB code cache fills and HotSpot stops
+        # JIT-compiling → whole-stage "codegen" runs interpreted (measured
+        # 10-70× degradation late in a 18-query bench session).
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=2g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     if master is not None:
