@@ -114,17 +114,25 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 3,
-    n_planes: int = 16,
-    n_tables: int = 4,
+    n_planes: int = 4,
+    n_tables: int = 12,
     dim: int = 64,
 ) -> DataFrame:
     """Approximate top-k: `n_tables` independent random-projection tables,
-    candidates = ids sharing a full signature in any table, exact cosine
-    re-rank of candidates. Recall is tunable via (n_planes, n_tables).
+    candidates = ids sharing a table's full signature, exact cosine re-rank
+    of candidates only.
 
-    Scale shape: signatures are map-side; the candidate join shuffles on
-    (table_id, signature) buckets — bucket sizes bound the work, never
-    |corpus|². Re-rank touches only candidates.
+    Tuning: per-table collision probability for angle θ is (1-θ/π)^n_planes;
+    recall ≈ 1-(1-p)^n_tables. Short bands (4) + many tables (12) reach
+    ~85% recall even on weakly-clustered corpora (the driver's synthetic
+    embeddings have top-3 cosines of only ~0.3); for production embedding
+    spaces with tight clusters, raise n_planes to shrink buckets.
+
+    Scale shape: signatures are map-side and materialized once; the
+    candidate join shuffles (table, signature) buckets — bucket sizes bound
+    the work, never |corpus|²; dedup happens on bare id pairs (no vector
+    payload through the distinct); re-rank joins vectors back for
+    candidates only.
     """
     all_planes = _hyperplanes(n_planes * n_tables, dim)
     sig_arrays = F.array(
@@ -135,20 +143,27 @@ def ann_lsh_topk(
     )
 
     def signed(df: DataFrame, role: str) -> DataFrame:
-        return (
-            df.select(F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias("v"))
-            .select(f"{role}_id", F.col("v").alias(f"{role}_v"), F.posexplode(sig_arrays).alias("tbl", "sig"))
-        )
+        base = df.select(F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias("v"))
+        out = base.select(f"{role}_id", F.posexplode(sig_arrays).alias("tbl", "sig"))
+        # materialize: the generator would re-interpret the full plane-dot
+        # expression tree per exploded row otherwise (see dedup.py)
+        return out.localCheckpoint(eager=True)
 
     qs = signed(queries, "query")
     cs = signed(corpus, "neighbor")
     cands = (
         qs.join(cs, ["tbl", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", "query_v", "neighbor_v")
+        .select("query_id", "neighbor_id")
         .distinct()
     )
-    scored = cands.withColumn("sim", F.round(cosine(F.col("query_v"), F.col("neighbor_v")), 4))
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("query_v"))
+    cv = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("neighbor_v"))
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("sim", F.round(cosine(F.col("query_v"), F.col("neighbor_v")), 4))
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))

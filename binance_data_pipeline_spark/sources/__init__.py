@@ -1,0 +1,6 @@
+"""Ingest-side operators.
+
+json_envelope   parse/flatten the Binance combined-stream envelope (P1-P3)
+rest_backfill   REST fetch-grid batch source (S5), fetcher injected
+csv_rules       fee/tax rules dimension from CSV (S9)
+"""

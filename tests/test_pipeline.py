@@ -1,0 +1,185 @@
+"""End-to-end pipeline tests: envelope parse → bronze → staging →
+incremental fact → revenue fact, with the reference's exact edge semantics
+(malformed drop, coerce-to-null, late-data drop, unique_key dedup)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from datetime import date
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.operators.cleaning import (
+    bronze_to_staging,
+    raw_to_bronze,
+    staging_schema_check,
+)
+from binance_data_pipeline_spark.operators.incremental import incremental_append
+from binance_data_pipeline_spark.operators.revenue import build_fact_fee_tax, run as revenue_run
+from binance_data_pipeline_spark.quality import run_checks, trade_table_checks, unique
+from binance_data_pipeline_spark.sources.csv_rules import rules_from_rows
+from binance_data_pipeline_spark.sources.json_envelope import parse_envelope, to_kafka_payload
+
+import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def raw_df(spark):
+    return spark.createDataFrame([(v,) for v in FX.raw_ws_messages()], "value string")
+
+
+@pytest.fixture(scope="module")
+def bronze_df(spark):
+    wire = spark.createDataFrame(FX.bronze_rows())
+    return raw_to_bronze(wire)
+
+
+def test_envelope_parse_drops_noise(spark, raw_df):
+    flat = parse_envelope(raw_df)
+    assert flat.count() == FX.expected_trade_count()
+    # missing fields arrive as nulls, not errors
+    assert flat.where(F.col("quantity").isNull()).count() > 0
+    # all rows are trade events
+    assert flat.where(F.col("event_type") != "trade").count() == 0
+
+
+def test_kafka_payload_roundtrip(spark, raw_df):
+    flat = parse_envelope(raw_df)
+    payload = to_kafka_payload(flat)
+    assert payload.columns == ["key", "value"]
+    # key is the symbol; value round-trips through from_json
+    row = payload.first()
+    assert row["key"] in ("BTCUSDT", "ETHUSDT", "BNBUSDT")
+    assert '"event_type":"trade"' in row["value"]
+
+
+def test_raw_to_bronze_partition_cols(bronze_df):
+    # per-row partition derivation: event_date/hour match event_time per row
+    bad = bronze_df.where(
+        (F.to_date("event_time") != F.col("event_date"))
+        | (F.lpad(F.hour("event_time").cast("string"), 2, "0") != F.col("hour"))
+    )
+    assert bad.count() == 0
+
+
+def test_staging_coerce_to_null(bronze_df):
+    stg = bronze_to_staging(bronze_df)
+    staging_schema_check(stg)
+    # "n/a" prices → null doubles, not errors (pandas to_numeric parity)
+    assert stg.where(F.col("price").isNull()).count() == 10
+    assert dict(stg.dtypes)["price"] == "double"
+
+
+def test_quality_checks_flag_dupes(bronze_df):
+    results = run_checks(trade_table_checks(bronze_df))
+    by_name = {r.name: r for r in results}
+    assert not by_name["trade_id_unique"].passed  # fixture has dupes
+    assert by_name["trade_id_not_null"].passed
+
+
+def test_incremental_semantics(spark, bronze_df, tmp_path):
+    fact_path = str(tmp_path / "fact_trades")
+    stg = bronze_to_staging(bronze_df)
+
+    # first run: full load, dupes collapsed
+    n1 = incremental_append(spark, stg, fact_path)
+    fact = spark.read.parquet(fact_path)
+    assert n1 == fact.count()
+    assert unique(fact, "trade_id").count() == 0  # unique_key dedup held
+
+    # re-run with identical input: idempotent (everything <= hwm)
+    n2 = incremental_append(spark, stg, fact_path)
+    assert n2 == 0
+
+    # late row below the watermark: silently dropped (reference parity)
+    hwm_row = stg.agg(F.max("event_time").alias("m")).first()["m"]
+    late = spark.createDataFrame(
+        [("999999", "BTCUSDT", 1.0, 1.0)],
+        "trade_id string, symbol string, price double, quantity double",
+    ).select(
+        "trade_id", "symbol", "price", "quantity",
+        F.lit(hwm_row - F.expr("INTERVAL 10 DAYS")).cast("timestamp").alias("event_time"),
+        F.to_date(F.lit("2024-06-01")).alias("event_date"),
+    )
+    n3 = incremental_append(spark, late, fact_path)
+    assert n3 == 0  # dropped: documented late-data semantics (P8/ST5)
+
+    # keep-policy variant: the late row lands exactly once
+    n4 = incremental_append(spark, late, fact_path, late_policy="keep")
+    assert n4 == 1
+    n5 = incremental_append(spark, late, fact_path, late_policy="keep")
+    assert n5 == 0  # anti-join against existing keys
+
+    # total_notional_usd = price * quantity
+    f = spark.read.parquet(fact_path)
+    bad = f.where(
+        F.abs(F.col("total_notional_usd") - F.col("price") * F.col("quantity")) > 1e-9
+    )
+    assert bad.count() == 0
+
+
+def test_revenue_fact(spark, bronze_df, tmp_path):
+    stg = bronze_to_staging(bronze_df).where(F.col("price").isNotNull())
+    silver = (
+        stg.groupBy("event_date", "symbol")
+        .agg(F.sum(F.col("price") * F.col("quantity")).alias("traded_notional"))
+    )
+    rules = rules_from_rows(spark, FX.RULES_ROWS)
+    some_date = silver.select("event_date").orderBy("event_date").first()["event_date"]
+
+    fact = revenue_run(silver, rules, some_date, str(tmp_path / "fee_tax"))
+    rows = {r["symbol"]: r for r in fact.collect()}
+
+    # one row per symbol that traded that date
+    assert set(rows) <= {"BTCUSDT", "ETHUSDT", "BNBUSDT"}
+    # unmatched symbol gets defaults (J1 left-join null path)
+    if "BNBUSDT" in rows:
+        r = rows["BNBUSDT"]
+        assert r["region"] == "EU" and r["fee_rate_bps"] == 0.0 and r["total_revenue"] == 0.0
+    # fee arithmetic: notional * bps / 10000
+    r = rows["BTCUSDT"]
+    assert abs(r["fee_amount"] - r["traded_notional"] * 7.5 / 10000.0) < 1e-9
+    assert abs(r["total_revenue"] - (r["fee_amount"] + r["tax_amount"])) < 1e-12
+    # output written and partitioned
+    out = spark.read.parquet(str(tmp_path / "fee_tax"))
+    assert out.count() == fact.count()
+
+
+def test_build_fact_fee_tax_matches_duckdb(spark, bronze_df):
+    """Golden check of the §3.4 math against duckdb on the same slice."""
+    import duckdb
+
+    stg = bronze_to_staging(bronze_df).where(F.col("price").isNotNull())
+    silver = (
+        stg.groupBy("event_date", "symbol")
+        .agg(F.round(F.sum(F.col("price") * F.col("quantity")), 6).alias("traded_notional"))
+    )
+    rules = rules_from_rows(spark, FX.RULES_ROWS)
+    fact = build_fact_fee_tax(silver, rules).toPandas()
+
+    sil = silver.toPandas()
+    con = duckdb.connect()
+    con.register("silver", sil)
+    oracle = con.sql(
+        """
+        WITH rules(symbol, region, fee_rate_bps, tax_rate_bps) AS (
+            VALUES ('BTCUSDT','US',7.5,2.0), ('ETHUSDT','EU',5.0,1.0)
+        )
+        SELECT s.event_date, s.symbol,
+               coalesce(r.region, 'EU') AS region,
+               sum(s.traded_notional) AS traded_notional,
+               coalesce(r.fee_rate_bps, 0.0) AS fee_rate_bps,
+               coalesce(r.tax_rate_bps, 0.0) AS tax_rate_bps
+        FROM silver s LEFT JOIN rules r USING (symbol)
+        GROUP BY 1, 2, 3, 5, 6
+        """
+    ).df()
+    a = fact.sort_values(["event_date", "symbol"], ignore_index=True)
+    b = oracle.sort_values(["event_date", "symbol"], ignore_index=True)
+    assert len(a) == len(b)
+    assert (a["region"].values == b["region"].values).all()
+    assert (abs(a["traded_notional"].values - b["traded_notional"].values) < 1e-6).all()

@@ -1,0 +1,137 @@
+"""Streaming path tests: file-source ingest end-to-end (raw JSON → bronze
+partitioned parquet via a checkpointed streaming query), stream/batch parity
+of the shared transforms, and the windowed analytics (OHLCV/VWAP, session
+windows, watermark dedup)."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.operators.cleaning import bronze_to_staging, raw_to_bronze
+from binance_data_pipeline_spark.sources.json_envelope import parse_envelope
+from binance_data_pipeline_spark.streaming.analytics import (
+    dedup_within_watermark,
+    ohlcv_bars,
+    session_bursts,
+)
+from binance_data_pipeline_spark.streaming.ingest import (
+    read_raw_stream_from_files,
+    start_bronze_ingest,
+)
+
+import fixtures as FX
+
+
+@pytest.fixture(scope="module")
+def raw_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("raw_json")
+    msgs = FX.raw_ws_messages()
+    third = len(msgs) // 3
+    for i, chunk in enumerate([msgs[:third], msgs[third : 2 * third], msgs[2 * third :]]):
+        with open(d / f"part-{i}.jsonl", "w") as f:
+            f.write("\n".join(chunk))
+    return str(d)
+
+
+def test_streaming_ingest_end_to_end(spark, raw_dir, tmp_path):
+    out = str(tmp_path / "bronze")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_bronze_ingest(
+        read_raw_stream_from_files(spark, raw_dir), out, ckpt, available_now=True
+    )
+    q.awaitTermination(120)
+
+    bronze = spark.read.parquet(out)
+    # same row count as the batch path on the same input (stream/batch parity)
+    batch = raw_to_bronze(parse_envelope(spark.read.text(raw_dir)))
+    assert bronze.count() == batch.count() == FX.expected_trade_count()
+
+    # Hive-style event-time partitions exist (date=/hour= layout, per-row)
+    parts = {p for p in os.listdir(out) if p.startswith("event_date=")}
+    assert parts, "expected event_date= partition directories"
+    hour_dirs = os.listdir(os.path.join(out, sorted(parts)[0]))
+    assert any(h.startswith("hour=") for h in hour_dirs)
+
+    # restart with the same checkpoint: no new data → no duplicate rows
+    q2 = start_bronze_ingest(
+        read_raw_stream_from_files(spark, raw_dir), out, ckpt, available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out).count() == FX.expected_trade_count()
+
+
+def test_ohlcv_stream_matches_batch(spark, raw_dir, tmp_path):
+    """The same ohlcv_bars function on a stream (availableNow, complete agg)
+    must equal the batch result — the unification guarantee."""
+    staged_batch = bronze_to_staging(raw_to_bronze(parse_envelope(spark.read.text(raw_dir))))
+    batch_bars = ohlcv_bars(staged_batch, "5 minutes").orderBy("bar_start", "symbol").collect()
+
+    stream_staged = bronze_to_staging(
+        raw_to_bronze(parse_envelope(read_raw_stream_from_files(spark, raw_dir)))
+    )
+    q = (
+        ohlcv_bars(stream_staged, "5 minutes")
+        .writeStream.format("memory")
+        .queryName("bars_stream")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_bars = (
+        spark.table("bars_stream").orderBy("bar_start", "symbol").collect()
+    )
+    assert len(batch_bars) == len(stream_bars) > 0
+    for b, s in zip(batch_bars, stream_bars):
+        assert b["symbol"] == s["symbol"] and b["bar_start"] == s["bar_start"]
+        assert b["n_trades"] == s["n_trades"]
+        assert abs(b["vwap"] - s["vwap"]) < 1e-9
+        assert b["open"] == s["open"] and b["close"] == s["close"]
+
+
+def test_dedup_within_watermark_stream(spark, tmp_path):
+    rows = FX.bronze_rows(n=500)
+    src = tmp_path / "dupsrc"
+    src.mkdir()
+    import json
+
+    with open(src / "data.jsonl", "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    wire_schema = (
+        "trade_id long, symbol string, price string, quantity string, event_time long, "
+        "trade_time long, buyer_order_id long, seller_order_id long, "
+        "is_buyer_maker boolean, ingest_time long"
+    )
+    stream = spark.readStream.schema(wire_schema).json(str(src))
+    staged = bronze_to_staging(raw_to_bronze(stream))
+    q = (
+        dedup_within_watermark(staged)
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("dedup_stream")
+    n_unique = len({r["trade_id"] for r in rows})
+    assert got.count() == n_unique
+    assert got.groupBy("trade_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_session_bursts_batch(spark, raw_dir):
+    staged = bronze_to_staging(raw_to_bronze(parse_envelope(spark.read.text(raw_dir))))
+    sessions = session_bursts(staged, gap="30 seconds")
+    rows = sessions.collect()
+    assert rows, "expected at least one session"
+    # sessions are per-symbol, non-overlapping, end >= start
+    for r in rows:
+        assert r["session_end"] >= r["session_start"]
+        assert r["n_trades"] > 0
