@@ -13,18 +13,20 @@ DuckDB. Per-row arithmetic is IEEE-deterministic and left unrounded.
 
 from __future__ import annotations
 
-from . import northstar, pipeline, relational
+from . import advanced, northstar, pipeline, relational
+
+_MODULES = (relational, pipeline, advanced, northstar)
 
 
 def all_queries():
     merged = {}
-    for mod in (relational, pipeline, northstar):
+    for mod in _MODULES:
         merged.update(mod.QUERIES)
     return merged
 
 
 def all_oracle_sql():
     merged = {}
-    for mod in (relational, pipeline, northstar):
+    for mod in _MODULES:
         merged.update(mod.ORACLE)
     return merged

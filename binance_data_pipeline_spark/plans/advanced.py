@@ -1,0 +1,258 @@
+"""Advanced relational surface: as-of join, weighted windows/VWAP,
+grouping sets, exact percentiles, statistical aggregates, regexp, array
+functions, subqueries, conditional (pivot-style) aggregation.
+
+Everything here is oracle-checked against DuckDB. Queries use the same
+load-table plumbing as the rest of the catalog; two use ``spark.sql`` over
+temp views where the SQL form (GROUPING SETS, IN-subquery) is the idiomatic
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..operators.asof import asof_join
+
+
+def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the events stream: for each purchase, the user's most
+    recent click at or before it (trade×quote shape). Single window shuffle
+    — see operators/asof.py."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("value").alias("click_value")
+    )
+    out = asof_join(purchases, clicks, on="user_id", ts_col="ts", value_cols=["click_value"])
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.round("purchase_value", 4).alias("purchase_value"),
+        F.round("click_value_asof", 4).alias("last_click_value"),
+    )
+
+
+def q_vwap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average (VWAP shape): per (day, event_type), value weighted
+    by the JSON prop k — exercises weighted aggregation + JSON extraction in
+    one pass."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return (
+        e.select(F.to_date("ts").alias("day"), "event_type", "value", k.alias("w"))
+        .groupBy("day", "event_type")
+        .agg(
+            F.round(F.sum(F.col("value") * F.col("w")) / F.sum("w"), 4).alias("vwap"),
+            F.round(F.sum("w"), 4).alias("total_weight"),
+        )
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS ((status, priority), (status), ()) — finer control than
+    rollup/cube; one shuffle via Expand."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+        FROM orders_v
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles of order totals per status
+    (Spark `percentile` ≡ DuckDB `quantile_cont`, verified bit-equal)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+    )
+
+
+def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates: stddev/variance/correlation/covariance over
+    lineitem price vs discount."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
+    )
+
+
+def q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: extract, replace, match over part names."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"\s+", "_").alias("snake_name"),
+        F.col("p_name").rlike(r"^[aeiou]").alias("starts_with_vowel"),
+    )
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/vector scalar surface over embeddings: dimension, L2 norm,
+    element access, per-label rollup."""
+    e = load_table(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    per_vec = e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(norm, 4).alias("l2_norm"),
+        F.round(F.element_at("embedding", 1).cast("double"), 4).alias("first_component"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("dim").alias("dim"),
+        F.round(F.avg("l2_norm"), 4).alias("avg_norm"),
+        F.round(F.avg("first_component"), 4).alias("avg_first_component"),
+    )
+
+
+def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN subquery surface (decorrelated to semi/anti joins by
+    Catalyst — check the plan, not the syntax)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v2")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_big_spenders
+        FROM customer_v
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders_v2 WHERE o_totalprice > 300000)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: per priority, order totals split
+    by status into columns (sum-case — the shuffle-free pivot)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def status_sum(s: str):
+        return F.round(
+            F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(0.0)), 4
+        )
+
+    return o.groupBy("o_orderpriority").agg(
+        status_sum("O").alias("open_total"),
+        status_sum("F").alias("filled_total"),
+        status_sum("P").alias("partial_total"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+QUERIES = {
+    "asof_purchase_click": q_asof_purchase_click,
+    "vwap_daily": q_vwap_daily,
+    "grouping_sets": q_grouping_sets,
+    "percentiles": q_percentiles,
+    "stats_agg": q_stats_agg,
+    "regexp_functions": q_regexp,
+    "array_functions": q_array_functions,
+    "in_subquery": q_in_subquery,
+    "conditional_agg": q_conditional_agg,
+}
+
+
+ORACLE = {
+    "asof_purchase_click": """
+        WITH purchases AS (
+            SELECT user_id, event_id AS purchase_id, ts,
+                   round(value, 4) AS purchase_value
+            FROM events WHERE event_type = 'purchase'),
+        clicks AS (
+            SELECT user_id, ts, value AS click_value
+            FROM events WHERE event_type = 'click'),
+        matched AS (
+            SELECT p.user_id, p.purchase_id, p.purchase_value,
+                   (SELECT c.click_value FROM clicks c
+                    WHERE c.user_id = p.user_id AND c.ts <= p.ts
+                    ORDER BY c.ts DESC LIMIT 1) AS last_click
+            FROM purchases p)
+        SELECT user_id, purchase_id, purchase_value,
+               round(last_click, 4) AS last_click_value
+        FROM matched
+    """,
+    "vwap_daily": """
+        SELECT ts::DATE AS day, event_type,
+               round(sum(value * json_extract_string(props, '$.k')::DOUBLE)
+                     / sum(json_extract_string(props, '$.k')::DOUBLE), 4) AS vwap,
+               round(sum(json_extract_string(props, '$.k')::DOUBLE), 4) AS total_weight
+        FROM events GROUP BY 1, 2
+    """,
+    "grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    """,
+    "percentiles": """
+        SELECT o_orderstatus,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
+        FROM orders GROUP BY o_orderstatus
+    """,
+    "stats_agg": """
+        SELECT l_returnflag,
+               round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+               round(var_samp(l_discount), 6) AS disc_var,
+               round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+               round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar
+        FROM lineitem GROUP BY l_returnflag
+    """,
+    "regexp_functions": r"""
+        SELECT p_partkey,
+               regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+               regexp_replace(p_name, '\s+', '_', 'g') AS snake_name,
+               regexp_matches(p_name, '^[aeiou]') AS starts_with_vowel
+        FROM part
+    """,
+    "array_functions": """
+        WITH per_vec AS (
+            SELECT vec_id, label,
+                   len(embedding)::BIGINT AS dim,
+                   round(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))), 4) AS l2_norm,
+                   round(embedding[1]::DOUBLE, 4) AS first_component
+            FROM embeddings)
+        SELECT label, count(*) AS n, max(dim) AS dim,
+               round(avg(l2_norm), 4) AS avg_norm,
+               round(avg(first_component), 4) AS avg_first_component
+        FROM per_vec GROUP BY label
+    """,
+    "in_subquery": """
+        SELECT c_mktsegment, count(*) AS n_big_spenders
+        FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        GROUP BY c_mktsegment
+    """,
+    "conditional_agg": """
+        SELECT o_orderpriority,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 4) AS open_total,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4) AS filled_total,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 4) AS partial_total,
+               count(*) AS n
+        FROM orders GROUP BY o_orderpriority
+    """,
+}
