@@ -58,6 +58,18 @@ def register_testdata(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) 
             spark.read.parquet(path).createOrReplaceTempView(name)
 
 
+def append_with_schema_evolution(df: DataFrame, path: str) -> DataFrame:
+    """Append allowing field addition — the warehouse-sink semantics of the
+    reference's BigQuery loads (`autodetect` + `ALLOW_FIELD_ADDITION`,
+    airflow/dags/ingest_binance_last_3_days.py:92-96): new columns appear,
+    old rows read them as null. Returns the merged-schema view of the
+    table (read with mergeSchema=true; pin the merged schema in a catalog
+    for production reads so every scan doesn't pay footer-merging)."""
+    df.write.mode("append").parquet(path)
+    spark = df.sparkSession
+    return spark.read.option("mergeSchema", "true").parquet(path)
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

@@ -44,6 +44,71 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cosine_near_dup_pairs_brute(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Exact embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
+    O(n²) — the correctness baseline; the LSH variant below is the scale
+    path. Self-join halves the work via the id ordering."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
+def cosine_near_dup_pairs_lsh(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 12,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-dup dedup at scale: random-projection buckets generate
+    candidates (bounded by bucket size, never O(n²)), exact cosine verifies
+    ≥ threshold. Approximate in recall, exact in precision."""
+    all_planes = _hyperplanes(n_planes * n_tables, dim)
+    sig_arrays = F.array(
+        *[
+            rp_signature(F.col("v"), all_planes[t * n_planes : (t + 1) * n_planes])
+            for t in range(n_tables)
+        ]
+    )
+    signed = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .select("id", F.posexplode(sig_arrays).alias("tbl", "sig"))
+        .localCheckpoint(eager=True)
+    )
+    l, r = signed.alias("l"), signed.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.tbl") == F.col("r.tbl"))
+            & (F.col("l.sig") == F.col("r.sig"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    va = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b", "sim")
+    )
+
+
 def cosine_topk_brute(
     queries: DataFrame,
     corpus: DataFrame,

@@ -80,6 +80,30 @@ def quality_score(col: Column | str) -> Column:
     return (len_ok + punct_ok + tok_len_ok) / 3.0
 
 
+#: BPE-ish pre-tokenization pattern (word / digit / punctuation classes —
+#: the GPT-2 pre-tokenizer shape without lookaheads, so Java regex and RE2
+#: agree on counts).
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Token count under the BPE-ish pre-tokenizer — the unit a training
+    pipeline budgets by, vs. whitespace words."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), 0)).cast("long")
+
+
+def winnow_fingerprint(col: Column | str, n: int = 3, k: int = 4) -> Column:
+    """Rolling-hash document fingerprint (winnowing-style): the k smallest
+    md5 hashes of word n-gram shingles, joined to one string. Documents
+    sharing most shingles share the min-k set → near-exact dup key. md5 so
+    the DuckDB oracle can reproduce it byte-for-byte."""
+    toks = F.split(F.trim(F.lower(col)), r"\s+")
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1)))
+    hashes = F.transform(idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, n))))
+    return F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(hashes)), 1, k))
+
+
 def fingerprint_md5(col: Column | str) -> Column:
     """Exact-dup fingerprint: md5 of the raw text."""
     return F.md5(col)

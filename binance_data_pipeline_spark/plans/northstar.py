@@ -127,9 +127,58 @@ def q_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenizer counts vs whitespace counts — the token-budget
+    view of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "lang",
+            T.token_count("text").alias("ws_tokens"),
+            T.bpe_ish_token_count("text").alias("bpe_tokens"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.sum("ws_tokens").alias("total_ws_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.avg(F.col("bpe_tokens") / F.col("ws_tokens")), 4).alias("bpe_per_word"),
+        )
+    )
+
+
+def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling-hash fingerprints: docs sharing a min-k
+    shingle-hash set are near-exact dups — clusters with >1 doc."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", T.winnow_fingerprint("text").alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def q_embed_near_dups_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact O(n²) baseline (oracle-checked;
+    the LSH variant is the scale path)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs_brute(e, threshold=0.4)
+
+
+def q_embed_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via RP-LSH buckets + exact verify
+    (Spark-only: approximate recall; tests measure it vs brute)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_near_dup_pairs_lsh(e, threshold=0.4)
+
+
 _SW = {lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in STOPWORDS.items()}
 
 QUERIES = {
+    "doc_bpe_tokens": q_doc_bpe_tokens,
+    "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
+    "embed_near_dups_brute": q_embed_near_dups_brute,
+    "embed_near_dups_lsh": q_embed_near_dups_lsh,
     "doc_token_stats": q_doc_token_stats,
     "doc_quality": q_doc_quality,
     "doc_lang_id": q_doc_lang_id,
@@ -143,6 +192,39 @@ QUERIES = {
 
 
 ORACLE = {
+    "doc_bpe_tokens": r"""
+        WITH t AS (
+            SELECT lang,
+                   len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS ws_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
+            FROM documents)
+        SELECT lang,
+               sum(ws_tokens)::BIGINT AS total_ws_tokens,
+               sum(bpe_tokens)::BIGINT AS total_bpe_tokens,
+               round(avg(bpe_tokens::DOUBLE / ws_tokens), 4) AS bpe_per_word
+        FROM t GROUP BY lang
+    """,
+    "doc_winnow_fingerprint": r"""
+        WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
+                   FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   array_to_string(
+                       (list_sort(list_distinct(list_transform(
+                           range(1, greatest(len(tk) - 2, 1) + 1),
+                           i -> md5(array_to_string(tk[i:i+2], ' '))))))[1:4],
+                       '|') AS fp
+            FROM d)
+        SELECT fp, count(*) AS n_docs, min(doc_id) AS keeper_doc_id
+        FROM sh GROUP BY fp HAVING count(*) > 1
+    """,
+    "embed_near_dups_brute": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE round(list_cosine_similarity(a.v, b.v), 4) >= 0.4
+    """,
     "doc_token_stats": r"""
         WITH t AS (
             SELECT lang, source,

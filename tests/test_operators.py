@@ -176,3 +176,19 @@ def test_ann_recall_vs_brute(spark):
     }
     recall = len(ann & brute) / len(brute)
     assert recall >= 0.5, f"ANN recall {recall} too low"
+
+
+# ------------------------------------------------------ schema evolution
+
+def test_append_with_schema_evolution(spark, tmp_path):
+    from binance_data_pipeline_spark.catalog import append_with_schema_evolution
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame([(1, "a")], "id long, name string")
+    append_with_schema_evolution(v1, path)
+    # second batch adds a column (ALLOW_FIELD_ADDITION parity)
+    v2 = spark.createDataFrame([(2, "b", 9.5)], "id long, name string, score double")
+    merged = append_with_schema_evolution(v2, path)
+    assert set(merged.columns) == {"id", "name", "score"}
+    rows = {r["id"]: r for r in merged.collect()}
+    assert rows[1]["score"] is None and rows[2]["score"] == 9.5

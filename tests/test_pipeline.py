@@ -183,3 +183,32 @@ def test_build_fact_fee_tax_matches_duckdb(spark, bronze_df):
     assert len(a) == len(b)
     assert (a["region"].values == b["region"].values).all()
     assert (abs(a["traded_notional"].values - b["traded_notional"].values) < 1e-6).all()
+
+
+def test_daily_backfill_job_idempotent(spark, tmp_path):
+    """The daily DAG equivalent: run twice with the same logical date — the
+    second run must append nothing (HWM + unique_key dedup, ST5)."""
+    from datetime import date
+
+    from binance_data_pipeline_spark.jobs import daily_backfill_and_transform
+    from binance_data_pipeline_spark.sources.rest_backfill import fake_fetcher_from_events
+
+    bronze = str(tmp_path / "bronze")
+    fact = str(tmp_path / "fact")
+    fetcher = fake_fetcher_from_events(rows_per_cell=40)
+
+    r1 = daily_backfill_and_transform(
+        spark, date(2024, 6, 10), ["BTCUSDT", "ETHUSDT"], fetcher, bronze, fact
+    )
+    assert r1.rows_ingested == 6 * 40
+    assert r1.rows_appended > 0
+    assert r1.ok, [c.name for c in r1.checks if not c.passed]
+
+    # identical re-run: bronze doubles (append) but the fact is unchanged
+    r2 = daily_backfill_and_transform(
+        spark, date(2024, 6, 10), ["BTCUSDT", "ETHUSDT"], fetcher, bronze, fact
+    )
+    assert r2.rows_appended == 0
+    assert r2.ok
+    n_fact = spark.read.parquet(fact).count()
+    assert n_fact == r1.rows_appended

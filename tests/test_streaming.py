@@ -135,3 +135,47 @@ def test_session_bursts_batch(spark, raw_dir):
     for r in rows:
         assert r["session_end"] >= r["session_start"]
         assert r["n_trades"] > 0
+
+
+def test_running_vwap_stateful(spark, raw_dir):
+    """applyInPandasWithState custom operator: running VWAP must equal the
+    batch-computed VWAP after the stream drains."""
+    from binance_data_pipeline_spark.streaming.stateful import running_vwap
+
+    stream_staged = bronze_to_staging(
+        raw_to_bronze(parse_envelope(read_raw_stream_from_files(spark, raw_dir)))
+    ).where(F.col("price").isNotNull() & F.col("quantity").isNotNull())
+    q = (
+        running_vwap(stream_staged)
+        .writeStream.format("memory")
+        .queryName("vwap_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # take the LAST emitted row per symbol (update mode emits per batch)
+    got = {
+        r["symbol"]: r
+        for r in spark.table("vwap_state")
+        .withColumn("rn", F.row_number().over(
+            __import__("pyspark.sql.window", fromlist=["Window"]).Window
+            .partitionBy("symbol").orderBy(F.col("n_trades").desc())))
+        .where(F.col("rn") == 1)
+        .collect()
+    }
+    batch = bronze_to_staging(raw_to_bronze(parse_envelope(spark.read.text(raw_dir))))
+    batch = batch.where(F.col("price").isNotNull() & F.col("quantity").isNotNull())
+    exp = {
+        r["symbol"]: r
+        for r in batch.groupBy("symbol")
+        .agg(
+            (F.sum(F.col("price") * F.col("quantity")) / F.sum("quantity")).alias("vwap"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for sym in exp:
+        assert got[sym]["n_trades"] == exp[sym]["n"]
+        assert abs(got[sym]["running_vwap"] - exp[sym]["vwap"]) < 1e-6
