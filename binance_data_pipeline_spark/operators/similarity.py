@@ -22,6 +22,16 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread CPU-bound per-vector work across cores (a single small
+    parquet file arrives as one input split; no-op at real scale where
+    the file count provides parallelism)."""
+    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -53,7 +63,7 @@ def cosine_near_dup_pairs_brute(
     """Exact embedding near-dup pairs: all (a < b) with cosine ≥ threshold.
     O(n²) — the correctness baseline; the LSH variant below is the scale
     path. Self-join halves the work via the id ordering."""
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    a = _spread(df).select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
@@ -82,11 +92,13 @@ def cosine_near_dup_pairs_lsh(
             for t in range(n_tables)
         ]
     )
-    signed = (
-        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .select("id", F.posexplode(sig_arrays).alias("tbl", "sig"))
-        .localCheckpoint(eager=True)
+    sig_df = (
+        _spread(df)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .select("id", sig_arrays.alias("sigs"))
+        .localCheckpoint(eager=True)  # materialize before the generator
     )
+    signed = sig_df.select("id", F.posexplode("sigs").alias("tbl", "sig"))
     l, r = signed.alias("l"), signed.alias("r")
     cands = (
         l.join(
@@ -124,7 +136,7 @@ def cosine_topk_brute(
     self-matches. Deterministic tie-break on neighbor id.
     """
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    c = _spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     scored = (
         F.broadcast(q)
         .crossJoin(c)
@@ -208,11 +220,13 @@ def ann_lsh_topk(
     )
 
     def signed(df: DataFrame, role: str) -> DataFrame:
-        base = df.select(F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias("v"))
-        out = base.select(f"{role}_id", F.posexplode(sig_arrays).alias("tbl", "sig"))
-        # materialize: the generator would re-interpret the full plane-dot
-        # expression tree per exploded row otherwise (see dedup.py)
-        return out.localCheckpoint(eager=True)
+        base = _spread(df).select(F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias("v"))
+        # materialize the signature array BEFORE exploding: the generator
+        # re-interprets its input expression per output row, which would
+        # evaluate the full plane-dot tree n_tables× per vector (see
+        # dedup.py for the measured blowup)
+        sig_df = base.select(f"{role}_id", sig_arrays.alias("sigs")).localCheckpoint(eager=True)
+        return sig_df.select(f"{role}_id", F.posexplode("sigs").alias("tbl", "sig"))
 
     qs = signed(queries, "query")
     cs = signed(corpus, "neighbor")
