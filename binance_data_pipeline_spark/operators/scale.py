@@ -1,0 +1,97 @@
+"""Scale-path operators: approximate aggregates, small-file compaction,
+bucketed co-located joins, skew salting.
+
+These address the SURVEY §7.3 risk items and the optimizer techniques a
+100 TB deployment leans on beyond what Catalyst does automatically:
+
+- approx sketches trade exactness for one-pass/mergeable state (HLL,
+  quantile sketches) — the right default for monitoring rollups at scale.
+- compaction bounds the small-file blowup of 5 s streaming micro-batches
+  (kafka_to_s3_bronze.py writes one object per flush — at 200 events/s
+  that's ~17k objects/day/partition; the reference has no answer to this).
+- bucketing pre-shuffles fact tables on the join key at write time so
+  repeated joins run exchange-free.
+- salting splits hot keys before a skewed aggregation; AQE's skew-join
+  handles the join case, salting handles the agg case.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- sketches
+
+def approx_stats(df: DataFrame, group_cols: list[str], value_col: str, rsd: float = 0.05) -> DataFrame:
+    """One-pass approximate rollup: HLL distinct + quantile sketch.
+    Mergeable partial state → single shuffle, constant memory per group."""
+    return df.groupBy(*group_cols).agg(
+        F.approx_count_distinct(value_col, rsd=rsd).alias("approx_distinct"),
+        F.percentile_approx(value_col, [0.5, 0.95, 0.99], 10_000).alias("approx_quantiles"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# -------------------------------------------------------------- compaction
+
+def compact_partitions(
+    spark: SparkSession,
+    table_path: str,
+    partition_cols: list[str],
+    target_files_per_partition: int = 1,
+) -> int:
+    """Rewrite a partitioned parquet table with bounded files per partition
+    (the periodic compaction job for streaming sinks). Returns file count
+    after compaction. Overwrite is dynamic-partition-safe via a staged
+    rewrite (read-all → repartition by partition cols → overwrite)."""
+    df = spark.read.parquet(table_path)
+    compacted = df.repartition(target_files_per_partition, *[F.col(c) for c in partition_cols])
+    tmp = table_path.rstrip("/") + "__compact_tmp"
+    compacted.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
+    # atomic-ish swap (local/posix rename; object stores would use a
+    # manifest commit — out of scope for the parquet warehouse stand-in)
+    import shutil
+
+    shutil.rmtree(table_path)
+    shutil.move(tmp, table_path)
+    import glob
+    import os
+
+    return len(glob.glob(os.path.join(table_path, "**", "*.parquet"), recursive=True))
+
+
+# --------------------------------------------------------------- bucketing
+
+def write_bucketed(
+    df: DataFrame, table_name: str, bucket_col: str, n_buckets: int = 8, sort_col: str | None = None
+) -> None:
+    """Persist as a bucketed managed table: co-locates rows by join key at
+    write time, so subsequent equi-joins between tables bucketed on the
+    same key skip the exchange entirely (verified in tests)."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
+
+
+# ----------------------------------------------------------------- salting
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: list[str],
+    agg_exprs: list,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys: salt → partial agg on
+    (key, salt) → final agg on key. The partial phase spreads a hot key
+    over `salt_buckets` reducers; the final phase merges `salt_buckets`
+    rows per key. Only SUM/COUNT/MIN/MAX-decomposable aggregates belong
+    here (pass partials, e.g. sum twice, count-as-sum)."""
+    salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
+    partial = salted.groupBy(*group_cols, "__salt").agg(*agg_exprs)
+    # caller's agg_exprs must alias outputs; merge by summing the partials
+    merge_exprs = [
+        F.sum(c).alias(c) for c in partial.columns if c not in (*group_cols, "__salt")
+    ]
+    return partial.groupBy(*group_cols).agg(*merge_exprs)

@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis): parser robustness on arbitrary
+bytes, dedup/incremental invariants under random batch splits. Spark jobs
+are expensive per-example, so examples are kept few and batched."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.operators.cleaning import bronze_to_staging, raw_to_bronze
+from binance_data_pipeline_spark.operators.incremental import build_fact_increment
+from binance_data_pipeline_spark.sources.json_envelope import parse_envelope
+
+import fixtures as FX
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.one_of(
+            st.text(max_size=50),  # garbage
+            st.builds(
+                lambda i, p: json.dumps(
+                    {"stream": "x@trade", "data": {"e": "trade", "E": 1718000000000 + i,
+                     "s": "BTCUSDT", "t": i, "p": p, "q": "1.0", "T": 1718000000000,
+                     "m": True, "M": False}}
+                ),
+                st.integers(min_value=0, max_value=10**6),
+                st.text(max_size=10),  # arbitrary price strings
+            ),
+        ),
+        min_size=0,
+        max_size=30,
+    )
+)
+def test_parse_envelope_never_throws(spark, messages):
+    """Arbitrary input: parser must not raise, must only emit trade rows,
+    and count(valid) <= count(input)."""
+    if not messages:
+        return
+    df = spark.createDataFrame([(m,) for m in messages], "value string")
+    out = parse_envelope(df)
+    rows = out.collect()
+    assert len(rows) <= len(messages)
+    assert all(r["event_type"] == "trade" for r in rows)
+    # downstream cleaning also robust (arbitrary price strings → null, not error)
+    staged = bronze_to_staging(raw_to_bronze(out))
+    staged.collect()
+
+
+def test_incremental_split_invariance(spark):
+    """Processing a batch whole vs in two time-ordered halves yields the
+    same fact row-set (determinism of the HWM + dedup pipeline)."""
+    wire = spark.createDataFrame(FX.bronze_rows(n=400))
+    stg = bronze_to_staging(raw_to_bronze(wire))
+
+    whole = build_fact_increment(stg, hwm=None).select("trade_id").collect()
+
+    mid = stg.agg(F.expr("percentile(unix_millis(event_time), 0.5)")).first()[0]
+    first = stg.where(F.unix_millis("event_time") <= mid)
+    second = stg.where(F.unix_millis("event_time") > mid)
+    hwm1 = first.agg(F.max("event_time")).first()[0]
+    part1 = build_fact_increment(first, hwm=None).select("trade_id").collect()
+    part2 = build_fact_increment(second, hwm=hwm1).select("trade_id").collect()
+
+    whole_ids = sorted(r["trade_id"] for r in whole)
+    split_ids = sorted(r["trade_id"] for r in part1 + part2)
+    # keys that straddle the split (dupes across halves) may appear twice in
+    # the split run — exactly the reference's semantics (dedup is per-run;
+    # cross-run dupes rely on the HWM filter). Compare distinct key sets.
+    assert sorted(set(whole_ids)) == sorted(set(split_ids))

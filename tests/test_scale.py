@@ -1,0 +1,92 @@
+"""Scale-path operator tests: approximate sketches (error-bounded vs
+exact), compaction, bucketed exchange-free joins, salted aggregation."""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.catalog import load_table
+from binance_data_pipeline_spark.operators.scale import (
+    approx_stats,
+    compact_partitions,
+    salted_agg,
+    write_bucketed,
+)
+
+
+def test_approx_stats_error_bounded(spark):
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    got = approx_stats(e, ["event_type"], "user_id", rsd=0.05).collect()
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type").agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in got:
+        err = abs(r["approx_distinct"] - exact[r["event_type"]]) / exact[r["event_type"]]
+        assert err < 0.15, f"{r['event_type']}: {err}"
+        assert len(r["approx_quantiles"]) == 3
+
+
+def test_compact_partitions(spark, tmp_path):
+    path = str(tmp_path / "many_files")
+    df = spark.range(2000).select(
+        "id", (F.col("id") % 3).cast("string").alias("part")
+    )
+    # deliberately fragment: 20 files per partition
+    df.repartition(60).write.partitionBy("part").parquet(path)
+    before = len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+    assert before > 10
+    after = compact_partitions(spark, path, ["part"], target_files_per_partition=1)
+    assert after <= 3  # one file per partition value
+    assert spark.read.parquet(path).count() == 2000
+
+
+def test_bucketed_join_no_shuffle_exchange(spark, tmp_path):
+    """Two tables bucketed on the join key join WITHOUT a shuffle exchange
+    (broadcast disabled so the sort-merge path — the 100 TB case where
+    neither side broadcasts — is what's planned)."""
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    write_bucketed(o, "orders_b", "o_orderkey", 4)
+    write_bucketed(li, "lineitem_b", "l_orderkey", 4)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("orders_b").join(
+            spark.table("lineitem_b"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange hashpartitioning" not in plan, (
+            f"bucketed join must not shuffle:\n{plan}"
+        )
+        assert "SortMergeJoin" in plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+
+
+def test_salted_agg_matches_plain(spark):
+    e = load_table(spark, "/root/testdata/sf0.01", "events")
+    plain = {
+        (r["event_type"],): (round(r["s"], 4), r["c"])
+        for r in e.groupBy("event_type")
+        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    salted = {
+        (r["event_type"],): (round(r["s"], 4), r["c"])
+        for r in salted_agg(
+            e,
+            ["event_type"],
+            [F.sum("value").alias("s"), F.count(F.lit(1)).alias("c")],
+        ).collect()
+    }
+    assert plain == salted
