@@ -91,6 +91,16 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ann_lsh_topk(e.where(F.col("vec_id") < 10), e, k=3)
 
 
+def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via IVF coarse quantizer (deterministic k-means
+    cells, nprobe probing, exact re-rank). Spark-only: rows-only check;
+    recall vs brute tested in tests/test_operators.py."""
+    from ..operators.ivf import ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return ivf_topk(e.where(F.col("vec_id") < 10), e, k=3, n_centroids=16, nprobe=4)
+
+
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs verified by exact shingle Jaccard
     (Spark-only: banding order is engine-specific; tests verify against a
@@ -185,6 +195,7 @@ QUERIES = {
     "doc_exact_dups": q_doc_exact_dups,
     "embed_knn_brute": q_embed_knn_brute,
     "embed_ann_lsh": q_embed_ann_lsh,
+    "embed_ann_ivf": q_embed_ann_ivf,
     "minhash_near_dups": q_minhash_near_dups,
     "simhash_near_dups": q_simhash_near_dups,
     "ngram_jaccard_sample": q_ngram_jaccard_sample,

@@ -192,3 +192,26 @@ def test_append_with_schema_evolution(spark, tmp_path):
     assert set(merged.columns) == {"id", "name", "score"}
     rows = {r["id"]: r for r in merged.collect()}
     assert rows[1]["score"] is None and rows[2]["score"] == 9.5
+
+
+# --------------------------------------------------------------- IVF ANN
+
+def test_ivf_recall_vs_brute(spark):
+    from binance_data_pipeline_spark.operators.ivf import ivf_topk
+
+    e = load_table(spark, SF, "embeddings")
+    queries = e.where(F.col("vec_id") < 20)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_brute(queries, e, k=3).collect()
+    }
+    ivf = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(queries, e, k=3, n_centroids=16, nprobe=6).collect()
+    }
+    recall = len(ivf & brute) / len(brute)
+    assert recall >= 0.4, f"IVF recall {recall} too low"
+    # every query produced k results (cells were non-empty)
+    from collections import Counter
+    per_q = Counter(q for q, _ in ivf)
+    assert all(v == 3 for v in per_q.values())
