@@ -44,6 +44,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # must be set before the scan's schema inference
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # ts is rebuilt via timestamp_micros (TZ-aware); pin the session to
+        # UTC so to_date/date_trunc agree with the TZ-naive oracle even if
+        # the caller's session uses a different zone
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") != "timestamp":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))

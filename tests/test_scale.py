@@ -51,8 +51,15 @@ def test_bucketed_join_no_shuffle_exchange(spark, tmp_path):
     """Two tables bucketed on the join key join WITHOUT a shuffle exchange
     (broadcast disabled so the sort-merge path — the 100 TB case where
     neither side broadcasts — is what's planned)."""
+    import shutil
+
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    # a previous session's metastore is gone but its warehouse dirs remain;
+    # saveAsTable refuses to reuse an existing location
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("orders_b", "lineitem_b"):
+        shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
     o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
     write_bucketed(o, "orders_b", "o_orderkey", 4)
