@@ -161,7 +161,71 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (listagg/string_agg) — nation names per
+    region, deterministically ordered."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.expr("listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)").alias("nations"),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... HAVING — customers whose lifetime order total exceeds a
+    threshold (TPC-H Q11 shape)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("lifetime_value"), F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("lifetime_value") > 1_000_000)
+    )
+
+
+def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: customers above their own market
+    segment's average balance (Catalyst decorrelates to a join)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_corr")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_above_avg
+        FROM customer_corr c1
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_corr c2
+                           WHERE c2.c_mktsegment = c1.c_mktsegment)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: lineitem fact against part + supplier dims (both
+    broadcast), rolled up by brand × supplier nation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("p_brand", F.col("n_name").alias("supplier_nation"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+        )
+    )
+
+
 QUERIES = {
+    "string_agg": q_string_agg,
+    "having_filter": q_having,
+    "correlated_scalar_subquery": q_correlated_scalar_subquery,
+    "star_join": q_star_join,
     "asof_purchase_click": q_asof_purchase_click,
     "vwap_daily": q_vwap_daily,
     "grouping_sets": q_grouping_sets,
@@ -175,6 +239,37 @@ QUERIES = {
 
 
 ORACLE = {
+    "string_agg": """
+        SELECT r_name,
+               string_agg(n_name, ',' ORDER BY n_name) AS nations,
+               count(*) AS n_nations
+        FROM nation JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    "having_filter": """
+        SELECT o_custkey,
+               round(sum(o_totalprice), 4) AS lifetime_value,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+        HAVING round(sum(o_totalprice), 4) > 1000000
+    """,
+    "correlated_scalar_subquery": """
+        SELECT c_mktsegment, count(*) AS n_above_avg
+        FROM customer c1
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
+                           WHERE c2.c_mktsegment = c1.c_mktsegment)
+        GROUP BY c_mktsegment
+    """,
+    "star_join": """
+        SELECT p_brand, n_name AS supplier_nation,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+               count(*) AS n_lineitems
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY p_brand, n_name
+    """,
     "asof_purchase_click": """
         WITH purchases AS (
             SELECT user_id, event_id AS purchase_id, ts,
