@@ -104,6 +104,80 @@ def extract_features(
     )
 
 
+#: resizer(payload, mime, w, h) -> bytes of the resized image
+Resizer = Callable[[bytes, str, int, int], bytes]
+
+RESIZED_SCHEMA = "media_id long, mime string, width int, height int, payload binary"
+FRAMES_SCHEMA = "media_id long, frame_idx int, frame_ts_ms long, frame binary"
+
+
+def resize_stub(payload: bytes, mime: str, w: int, h: int) -> bytes:
+    raise NotImplementedError(
+        "image resize requires an imaging library not present in this "
+        "environment; inject a real Resizer"
+    )
+
+
+def fake_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
+    """Offline stand-in: deterministic truncation/padding to w*h bytes —
+    keeps the shape contract testable without PIL."""
+    target = max(w * h, 1)
+    return (payload * (target // max(len(payload), 1) + 1))[:target]
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int, resizer: Resizer = resize_stub
+) -> DataFrame:
+    """Resize pass over image rows: Arrow-batched, only image-kind rows
+    enter the UDF (the filter prunes before the Python boundary)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                raw = bytes(row.payload) if row.payload is not None else b""
+                out.append(
+                    {
+                        "media_id": row.media_id,
+                        "mime": row.mime,
+                        "width": width,
+                        "height": height,
+                        "payload": resizer(raw, row.mime, width, height),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["media_id", "mime", "width", "height", "payload"])
+
+    return (
+        media.where(F.col("kind") == "image")
+        .select("media_id", "mime", "payload")
+        .mapInPandas(run, RESIZED_SCHEMA)
+    )
+
+
+def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Frame sampling for video rows: emits one row per sampled timestamp.
+
+    The timestamp grid is computed JVM-side (sequence over duration);
+    actual frame extraction is the stubbed decode step — here each frame
+    row carries the source payload reference; a real decoder would replace
+    it with the decoded frame bytes in the downstream extract_features
+    pass. The Spark-side shape (explode to frame rows, frame_idx/ts
+    schema) is the real contract."""
+    grid = media.where(F.col("kind") == "video").select(
+        "media_id",
+        "payload",
+        F.posexplode(
+            F.sequence(F.lit(0), F.greatest((F.col("duration_ms") / every_ms).cast("long") - 1, F.lit(0)))
+        ).alias("frame_idx", "tick"),
+    )
+    return grid.select(
+        "media_id",
+        F.col("frame_idx").cast("int").alias("frame_idx"),
+        (F.col("tick") * every_ms).cast("long").alias("frame_ts_ms"),
+        F.col("payload").alias("frame"),
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Shape/duration rollup from the typed metadata columns only — the
     projection excludes `payload`, so column pruning keeps the bytes out of

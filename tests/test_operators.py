@@ -215,3 +215,27 @@ def test_ivf_recall_vs_brute(spark):
     from collections import Counter
     per_q = Counter(q for q, _ in ivf)
     assert all(v == 3 for v in per_q.values())
+
+
+def test_resize_and_frame_sample(media_df, spark):
+    from binance_data_pipeline_spark.operators.multimodal import (
+        fake_resizer,
+        resize_images,
+        resize_stub,
+        sample_frames,
+    )
+    import pytest as _pytest
+
+    resized = resize_images(media_df, 8, 8, fake_resizer).collect()
+    assert len(resized) == 20  # only image rows enter the UDF
+    assert all(len(r["payload"]) == 64 for r in resized)
+
+    with _pytest.raises(Exception):
+        resize_images(media_df, 8, 8, resize_stub).collect()
+
+    video = spark.createDataFrame(
+        [(500, "video", "video/mp4", b"\x00\x01", None, None, 3500)],
+        "media_id long, kind string, mime string, payload binary, width int, height int, duration_ms long",
+    )
+    frames = sample_frames(video, every_ms=1000).collect()
+    assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000]
