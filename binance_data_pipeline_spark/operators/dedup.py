@@ -117,7 +117,9 @@ def _spread(df: DataFrame) -> DataFrame:
     """Ensure CPU-bound per-doc work is spread across cores. A single small
     parquet file arrives as one input split; at real scale the file count
     provides parallelism and this is a no-op."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # cap at 64: a vanilla session's 200 default would fragment small
+    # inputs into tiny tasks whose scheduling overhead exceeds the work
+    target = min(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 64)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

@@ -60,6 +60,46 @@ def build_fact_increment(
     )
 
 
+def merge_upsert(
+    spark: SparkSession,
+    increment: DataFrame,
+    fact_path: str,
+    unique_key: str = "trade_id",
+    ts_col: str = "event_time",
+    partition_col: str = "event_date",
+) -> int:
+    """True MERGE semantics: incoming rows REPLACE existing rows with the
+    same key (latest ts wins) — what the dbt/BigQuery merge actually does
+    for matched keys, vs. the append path's insert-only behavior.
+
+    Parquet has no row-level update, so this rewrites exactly the
+    partitions the increment touches: read those partitions, union, keep
+    the newest row per key, dynamic-partition-overwrite them back. At scale
+    the rewrite cost is proportional to touched partitions (days), not the
+    table. Returns rows written.
+    """
+    if not os.path.exists(fact_path):
+        out = exact_dedup_latest(increment, unique_key, ts_col)
+        n = out.count()
+        out.write.mode("overwrite").partitionBy(partition_col).parquet(fact_path)
+        return n
+    touched = [r[0] for r in increment.select(partition_col).distinct().collect()]
+    existing = spark.read.parquet(fact_path).where(F.col(partition_col).isin(touched))
+    merged = exact_dedup_latest(
+        existing.unionByName(increment, allowMissingColumns=True), unique_key, ts_col
+    )
+    n = merged.count()
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    merged.write.mode("overwrite").partitionBy(partition_col).parquet(fact_path)
+    return n
+
+
+def exact_dedup_latest(df: DataFrame, key: str, ts_col: str) -> DataFrame:
+    """Newest row per key (ts desc, key tiebreak) — the MERGE winner rule."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc(), F.col(key))
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
 def incremental_append(
     spark: SparkSession,
     staging: DataFrame,

@@ -26,7 +26,9 @@ def _spread(df: DataFrame) -> DataFrame:
     """Spread CPU-bound per-vector work across cores (a single small
     parquet file arrives as one input split; no-op at real scale where
     the file count provides parallelism)."""
-    target = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # cap at 64: a vanilla session's 200 default would fragment small
+    # inputs into tiny tasks whose scheduling overhead exceeds the work
+    target = min(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 64)
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

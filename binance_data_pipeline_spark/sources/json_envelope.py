@@ -66,6 +66,42 @@ def parse_envelope(raw: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
+def parse_flat_record(raw: DataFrame, value_col: str = "value") -> DataFrame:
+    """Flat Kafka-record JSON → wire-typed columns (P3).
+
+    This is the *bronze consumer's* parse (kafka_to_s3_bronze.py:30-46): the
+    producer already flattened the envelope, so Kafka carries flat records
+    with snake_case keys; missing keys → null (dict .get parity). Together
+    with ``parse_envelope`` (the producer-side P1/P2) this closes the loop:
+    envelope → to_kafka_payload → parse_flat_record ≡ parse_envelope.
+    """
+    fields = raw.select(
+        F.json_tuple(
+            F.col(value_col),
+            "event_type", "event_time", "symbol", "trade_id", "price", "quantity",
+            "buyer_order_id", "seller_order_id", "trade_time", "is_buyer_maker",
+            "ignore", "ingest_time",
+        ).alias(
+            "event_type", "ev", "symbol", "tid", "price", "quantity",
+            "b", "a", "tt", "m", "ign", "it",
+        )
+    )
+    return fields.where(F.col("event_type").isNotNull()).select(
+        "event_type",
+        F.col("ev").cast("long").alias("event_time"),
+        "symbol",
+        F.col("tid").cast("long").alias("trade_id"),
+        "price",
+        "quantity",
+        F.col("b").cast("long").alias("buyer_order_id"),
+        F.col("a").cast("long").alias("seller_order_id"),
+        F.col("tt").cast("long").alias("trade_time"),
+        F.col("m").cast("boolean").alias("is_buyer_maker"),
+        F.col("ign").cast("boolean").alias("ignore"),
+        F.col("it").cast("long").alias("ingest_time"),
+    )
+
+
 def to_kafka_payload(df: DataFrame) -> DataFrame:
     """Flat records → (key, value) Kafka-shaped payload: key = symbol,
     value = compact JSON (S2, binance_ws_to_kafka.py:36-43). Usable with

@@ -212,3 +212,57 @@ def test_daily_backfill_job_idempotent(spark, tmp_path):
     assert r2.ok
     n_fact = spark.read.parquet(fact).count()
     assert n_fact == r1.rows_appended
+
+
+def test_kafka_roundtrip_closes_loop(spark, raw_df):
+    """envelope → to_kafka_payload → parse_flat_record must equal the
+    direct parse (the producer→Kafka→bronze-consumer loop, §3.1)."""
+    from binance_data_pipeline_spark.sources.json_envelope import parse_flat_record
+
+    direct = parse_envelope(raw_df)
+    via_kafka = parse_flat_record(
+        to_kafka_payload(direct).select(F.col("value"))
+    )
+    a = sorted(direct.select("trade_id", "symbol", "price", "event_time").collect())
+    b = sorted(via_kafka.select("trade_id", "symbol", "price", "event_time").collect())
+    assert a == b
+
+
+def test_merge_upsert_updates_matched_keys(spark, tmp_path):
+    """MERGE semantics: a re-sent key with newer data replaces the old row;
+    untouched partitions stay intact."""
+    from binance_data_pipeline_spark.operators.incremental import merge_upsert
+
+    path = str(tmp_path / "merge_fact")
+    base = spark.createDataFrame(
+        [
+            ("t1", "BTCUSDT", 100.0, "2024-06-10 10:00:00", "2024-06-10"),
+            ("t2", "ETHUSDT", 200.0, "2024-06-10 11:00:00", "2024-06-10"),
+            ("t3", "BTCUSDT", 300.0, "2024-06-11 10:00:00", "2024-06-11"),
+        ],
+        "trade_id string, symbol string, price double, event_time string, event_date string",
+    ).select(
+        "trade_id", "symbol", "price",
+        F.col("event_time").cast("timestamp").alias("event_time"),
+        F.col("event_date").cast("date").alias("event_date"),
+    )
+    merge_upsert(spark, base, path)
+    assert spark.read.parquet(path).count() == 3
+
+    # update t1 (same key, newer ts, new price); add t4; day 2024-06-11 untouched
+    upd = spark.createDataFrame(
+        [
+            ("t1", "BTCUSDT", 150.0, "2024-06-10 12:00:00", "2024-06-10"),
+            ("t4", "BNBUSDT", 50.0, "2024-06-10 13:00:00", "2024-06-10"),
+        ],
+        "trade_id string, symbol string, price double, event_time string, event_date string",
+    ).select(
+        "trade_id", "symbol", "price",
+        F.col("event_time").cast("timestamp").alias("event_time"),
+        F.col("event_date").cast("date").alias("event_date"),
+    )
+    merge_upsert(spark, upd, path)
+    rows = {r["trade_id"]: r for r in spark.read.parquet(path).collect()}
+    assert len(rows) == 4
+    assert rows["t1"]["price"] == 150.0  # replaced, not duplicated
+    assert rows["t3"]["price"] == 300.0  # untouched partition preserved
