@@ -1,0 +1,106 @@
+"""CLI entry points: `python -m binance_data_pipeline_spark <job> ...`
+
+The operational surface a user of the reference pipeline would drive via
+Airflow tasks, as plain commands:
+
+  ingest     streaming bronze ingest from a JSON-lines directory (or Kafka)
+  backfill   daily REST backfill + incremental transform (offline fetcher
+             unless --kafka-ish endpoints are wired in production)
+  transform  hourly staging -> incremental fact -> quality gate
+  revenue    fee/tax revenue fact for a date (§3.4)
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from datetime import date
+
+from .session import get_spark
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="binance_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("ingest", help="streaming bronze ingest")
+    pi.add_argument("--source", required=True, help="JSON-lines dir or kafka:<bootstrap>/<topic>")
+    pi.add_argument("--out", required=True)
+    pi.add_argument("--checkpoint", required=True)
+    pi.add_argument("--drain", action="store_true", help="availableNow: drain and stop")
+
+    pb = sub.add_parser("backfill", help="daily REST backfill + transform")
+    pb.add_argument("--date", required=True)
+    pb.add_argument("--symbols", default="BTCUSDT,ETHUSDT")
+    pb.add_argument("--bronze", required=True)
+    pb.add_argument("--fact", required=True)
+
+    pt = sub.add_parser("transform", help="hourly staging -> fact -> test")
+    pt.add_argument("--bronze", required=True)
+    pt.add_argument("--fact", required=True)
+
+    pr = sub.add_parser("revenue", help="fee/tax revenue fact for a date")
+    pr.add_argument("--date", required=True)
+    pr.add_argument("--silver", required=True)
+    pr.add_argument("--rules-csv", required=True)
+    pr.add_argument("--out", required=True)
+
+    args = p.parse_args(argv)
+    spark = get_spark(f"bdp-{args.cmd}")
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.cmd == "ingest":
+        from .streaming.ingest import (
+            read_raw_stream_from_files,
+            read_raw_stream_from_kafka,
+            start_bronze_ingest,
+        )
+
+        if args.source.startswith("kafka:"):
+            rest = args.source[len("kafka:"):]
+            bootstrap, topic = rest.rsplit("/", 1)
+            raw = read_raw_stream_from_kafka(spark, bootstrap, topic)
+        else:
+            raw = read_raw_stream_from_files(spark, args.source)
+        q = start_bronze_ingest(raw, args.out, args.checkpoint, available_now=args.drain)
+        q.awaitTermination()
+        return 0
+
+    if args.cmd == "backfill":
+        from .jobs import daily_backfill_and_transform
+        from .sources.rest_backfill import fake_fetcher_from_events
+
+        report = daily_backfill_and_transform(
+            spark,
+            date.fromisoformat(args.date),
+            args.symbols.split(","),
+            fake_fetcher_from_events(),  # swap for a requests-based fetcher in production
+            args.bronze,
+            args.fact,
+        )
+        print(f"ingested={report.rows_ingested} appended={report.rows_appended} ok={report.ok}")
+        return 0 if report.ok else 1
+
+    if args.cmd == "transform":
+        from .jobs import hourly_transform
+
+        report = hourly_transform(spark, args.bronze, args.fact)
+        print(f"appended={report.rows_appended} ok={report.ok}")
+        return 0 if report.ok else 1
+
+    if args.cmd == "revenue":
+        from .operators.revenue import run as revenue_run
+        from .sources.csv_rules import read_rules
+
+        silver = spark.read.parquet(args.silver)
+        fact = revenue_run(
+            silver, read_rules(spark, args.rules_csv), date.fromisoformat(args.date), args.out
+        )
+        print(f"rows={fact.count()}")
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
