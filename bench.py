@@ -42,6 +42,10 @@ HEADLINE = [
     "simhash_near_dups",      # simhash near-dup pipeline
     "embed_knn_brute",        # brute-force vector top-k
     "embed_ann_lsh",          # LSH ANN vector top-k
+    "embed_ann_ivf",          # IVF ANN vector top-k
+    "star_join",              # multi-broadcast star join
+    "asof_purchase_click",    # as-of join
+    "vwap_daily",             # weighted agg + JSON extraction
 ]
 
 

@@ -221,7 +221,58 @@ def q_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment filter → 3-way join → per-order revenue,
+    top-10 by revenue with date tiebreak."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        c.where(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .where(F.col("o_orderdate") < F.lit("1998-01-01"))
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: customers ranked by revenue lost to returned items
+    (returnflag = 'R'), top-20."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li.where(F.col("l_returnflag") == "R"), o.o_orderkey == li.l_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("lost_revenue"))
+        .orderBy(F.col("lost_revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide → long): per-priority status totals melted back to
+    (priority, status, total) rows via stack()."""
+    wide = q_conditional_agg(spark, sf_dir)
+    return wide.select(
+        "o_orderpriority",
+        F.expr(
+            "stack(3, 'O', open_total, 'F', filled_total, 'P', partial_total) AS (status, total)"
+        ),
+    ).where(F.col("total") > 0)
+
+
 QUERIES = {
+    "shipping_priority": q_shipping_priority,
+    "returned_items": q_returned_items,
+    "unpivot_stack": q_unpivot,
     "string_agg": q_string_agg,
     "having_filter": q_having,
     "correlated_scalar_subquery": q_correlated_scalar_subquery,
@@ -239,6 +290,41 @@ QUERIES = {
 
 
 ORACLE = {
+    "shipping_priority": """
+        SELECT o_orderkey, o_orderdate::DATE AS order_date,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+        GROUP BY o_orderkey, o_orderdate::DATE
+        ORDER BY revenue DESC, o_orderkey
+        LIMIT 10
+    """,
+    "returned_items": """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 4) AS lost_revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey AND l_returnflag = 'R'
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY lost_revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "unpivot_stack": """
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 4) AS open_total,
+                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4) AS filled_total,
+                   round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 4) AS partial_total
+            FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, status, total FROM (
+            SELECT o_orderpriority, 'O' AS status, open_total AS total FROM wide
+            UNION ALL SELECT o_orderpriority, 'F', filled_total FROM wide
+            UNION ALL SELECT o_orderpriority, 'P', partial_total FROM wide)
+        WHERE total > 0
+    """,
     "string_agg": """
         SELECT r_name,
                string_agg(n_name, ',' ORDER BY n_name) AS nations,
