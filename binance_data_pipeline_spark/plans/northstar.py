@@ -98,7 +98,8 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ivf import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    return ivf_topk(e.where(F.col("vec_id") < 10), e, k=3, n_centroids=16, nprobe=4)
+    # one Lloyd iteration: cells are coarse anyway; halves the train jobs
+    return ivf_topk(e.where(F.col("vec_id") < 10), e, k=3, n_centroids=16, nprobe=4, iterations=1)
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

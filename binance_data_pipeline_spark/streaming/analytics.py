@@ -15,6 +15,14 @@ aggregations over the trade stream.
 State sizing at scale: watermark bounds state to (symbols × windows within
 the lateness horizon); symbol cardinality is small (thousands), so state
 stays tiny even at 100 TB/day throughput.
+
+Late-data note (verified empirically): Spark drops too-late rows
+*best-effort* — a row far below the watermark may still be aggregated and
+immediately emitted as its own finalized window (it can never merge into an
+already-finalized window; append mode emits each window exactly once).
+Downstream consumers that need strict exclusion should filter bars against
+their own cutoff, exactly as the reference's batch HWM filter does
+(fact_trades.sql:25-27).
 """
 
 from __future__ import annotations

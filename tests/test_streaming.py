@@ -179,3 +179,55 @@ def test_running_vwap_stateful(spark, raw_dir):
     for sym in exp:
         assert got[sym]["n_trades"] == exp[sym]["n"]
         assert abs(got[sym]["running_vwap"] - exp[sym]["vwap"]) < 1e-6
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """ST5 streaming-side: with a watermark, rows arriving far behind the
+    stream's max event time are excluded from finalized windows. File 1
+    advances the watermark; file 2 carries an hours-late row."""
+    import json as _json
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    base_ms = 1_718_000_000_000
+    on_time = [
+        {"trade_id": i, "symbol": "BTCUSDT", "price": "100.0", "quantity": "1.0",
+         "event_time": base_ms + i * 60_000} for i in range(60)
+    ]
+    with open(src / "a_batch1.jsonl", "w") as f:
+        for r in on_time:
+            f.write(_json.dumps(r) + "\n")
+    late = {"trade_id": 999, "symbol": "BTCUSDT", "price": "100.0", "quantity": "1.0",
+            "event_time": base_ms - 4 * 3600 * 1000}  # 4h before everything
+    with open(src / "b_batch2.jsonl", "w") as f:
+        f.write(_json.dumps(late) + "\n")
+
+    wire_schema = "trade_id long, symbol string, price string, quantity string, event_time long"
+    stream = (
+        spark.readStream.schema(wire_schema)
+        .option("maxFilesPerTrigger", 1)  # two ordered micro-batches
+        .json(str(src))
+    )
+    staged = bronze_to_staging(raw_to_bronze(stream))
+    bars = ohlcv_bars(staged, window_size="10 minutes", watermark="30 minutes")
+    q = (
+        bars.writeStream.format("memory")
+        .queryName("late_bars")
+        .outputMode("append")       # append emits only FINALIZED windows
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("late_bars").collect()
+    assert got, "expected finalized windows"
+    # Guarantees under test (Spark drops too-late data best-effort, so we
+    # assert the hard contracts, not the best-effort drop):
+    # 1. append mode emits each finalized window exactly once
+    starts = [r["bar_start"] for r in got]
+    assert len(starts) == len(set(starts)), "finalized windows must be unique"
+    # 2. the late row can never MERGE into an already-finalized window —
+    #    every on-time 10-minute bar holds only on-time trades
+    on_time_bars = [r for r in got if r["bar_start"].year == 2024 and r["bar_start"].hour >= 6]
+    assert sum(r["n_trades"] for r in on_time_bars) <= 60
+    # 3. watermark advanced past batch 1 (state was finalized, not retained)
+    assert len(on_time_bars) >= 3
