@@ -269,7 +269,20 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("total") > 0)
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proper pivot (wide table from categorical values, values pinned so
+    the schema is static — the scale-safe form; an unpinned pivot needs a
+    distinct-scan first)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.round(F.sum("o_totalprice"), 4))
+    )
+
+
 QUERIES = {
+    "pivot_status": q_pivot,
     "shipping_priority": q_shipping_priority,
     "returned_items": q_returned_items,
     "unpivot_stack": q_unpivot,
@@ -290,6 +303,13 @@ QUERIES = {
 
 
 ORACLE = {
+    "pivot_status": """
+        SELECT o_orderpriority,
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS "O",
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS "F",
+               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS "P"
+        FROM orders GROUP BY o_orderpriority
+    """,
     "shipping_priority": """
         SELECT o_orderkey, o_orderdate::DATE AS order_date,
                round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
