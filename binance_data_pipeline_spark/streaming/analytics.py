@@ -88,6 +88,45 @@ def dedup_within_watermark(
     return df.dropDuplicates([key])
 
 
+def stream_asof_quotes(
+    trades: DataFrame,
+    quotes: DataFrame,
+    max_quote_age: str = "5 minutes",
+    watermark: str = DEFAULT_WATERMARK,
+) -> DataFrame:
+    """Stream-stream interval join: each trade matched to quotes at most
+    `max_quote_age` older, same symbol — the streaming approximation of the
+    as-of join (batch exact version: operators/asof.py).
+
+    Both sides carry watermarks so the join state is bounded: Spark retains
+    quote rows only within (watermark + interval). Emits one row per
+    (trade, qualifying quote); downstream picks the newest via a window or
+    max_by per trade for true as-of semantics.
+
+    trades: (symbol, trade_ts, price, quantity); quotes: (symbol, quote_ts,
+    bid, ask).
+    """
+    t = trades.withWatermark("trade_ts", watermark) if trades.isStreaming else trades
+    q = quotes.withWatermark("quote_ts", watermark) if quotes.isStreaming else quotes
+    return t.alias("t").join(
+        q.alias("q"),
+        F.expr(
+            f"""
+            t.symbol = q.symbol AND
+            q.quote_ts <= t.trade_ts AND
+            q.quote_ts >= t.trade_ts - INTERVAL {max_quote_age}
+            """
+        ),
+    ).select(
+        F.col("t.symbol").alias("symbol"),
+        F.col("t.trade_ts").alias("trade_ts"),
+        F.col("t.price").alias("price"),
+        F.col("q.quote_ts").alias("quote_ts"),
+        F.col("q.bid").alias("bid"),
+        F.col("q.ask").alias("ask"),
+    )
+
+
 def session_bursts(
     staged: DataFrame,
     gap: str = "30 seconds",

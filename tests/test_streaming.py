@@ -231,3 +231,84 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     assert sum(r["n_trades"] for r in on_time_bars) <= 60
     # 3. watermark advanced past batch 1 (state was finalized, not retained)
     assert len(on_time_bars) >= 3
+
+
+def test_dual_write_stream(spark, raw_dir, tmp_path):
+    """foreachBatch dual sink: every batch lands in BOTH the lake path and
+    the warehouse table; checkpoint restart writes nothing new."""
+    from binance_data_pipeline_spark.streaming.ingest import bronze_stream
+    from binance_data_pipeline_spark.streaming.sinks import dual_write_stream
+
+    spark.sql("DROP TABLE IF EXISTS bronze_wh")
+    import shutil
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(os.path.join(wh, "bronze_wh"), ignore_errors=True)
+
+    lake = str(tmp_path / "lake")
+    q = dual_write_stream(
+        bronze_stream(read_raw_stream_from_files(spark, raw_dir)),
+        lake_path=lake,
+        warehouse_table="bronze_wh",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        partition_cols=["event_date", "hour"],
+        available_now=True,
+    )
+    q.awaitTermination(120)
+    n = FX.expected_trade_count()
+    assert spark.read.parquet(lake).count() == n
+    assert spark.table("bronze_wh").count() == n
+
+    # restart from the same checkpoint: no duplicate appends to either sink
+    q2 = dual_write_stream(
+        bronze_stream(read_raw_stream_from_files(spark, raw_dir)),
+        lake_path=lake,
+        warehouse_table="bronze_wh",
+        checkpoint_path=str(tmp_path / "ckpt"),
+        partition_cols=["event_date", "hour"],
+        available_now=True,
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(lake).count() == n
+    assert spark.table("bronze_wh").count() == n
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Stream-stream interval join with watermarks on both sides: trades
+    match only quotes within the 5-minute lookback, per symbol."""
+    import json as _json
+    from binance_data_pipeline_spark.streaming.analytics import stream_asof_quotes
+
+    base = 1_718_100_000_000
+    tdir = tmp_path / "trades"; tdir.mkdir()
+    qdir = tmp_path / "quotes"; qdir.mkdir()
+    with open(tdir / "t.jsonl", "w") as f:
+        for i in range(10):
+            f.write(_json.dumps({"symbol": "BTCUSDT", "trade_ms": base + i * 60_000,
+                                 "price": 100.0 + i, "quantity": 1.0}) + "\n")
+    with open(qdir / "q.jsonl", "w") as f:
+        # one quote 2 minutes before trade 5; one ancient quote (never matches)
+        f.write(_json.dumps({"symbol": "BTCUSDT", "quote_ms": base + 3 * 60_000,
+                             "bid": 99.0, "ask": 101.0}) + "\n")
+        f.write(_json.dumps({"symbol": "BTCUSDT", "quote_ms": base - 3_600_000,
+                             "bid": 1.0, "ask": 2.0}) + "\n")
+
+    trades = (
+        spark.readStream.schema("symbol string, trade_ms long, price double, quantity double")
+        .json(str(tdir))
+        .select("symbol", F.timestamp_millis("trade_ms").alias("trade_ts"), "price", "quantity")
+    )
+    quotes = (
+        spark.readStream.schema("symbol string, quote_ms long, bid double, ask double")
+        .json(str(qdir))
+        .select("symbol", F.timestamp_millis("quote_ms").alias("quote_ts"), "bid", "ask")
+    )
+    joined = stream_asof_quotes(trades, quotes, max_quote_age="5 minutes")
+    q = (
+        joined.writeStream.format("memory").queryName("ss_join")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("ss_join").collect()
+    # quote at +3min matches trades at minutes 3..8 (within 5-min lookback)
+    assert {r["price"] for r in got} == {103.0, 104.0, 105.0, 106.0, 107.0, 108.0}
+    assert all(r["bid"] == 99.0 for r in got)  # ancient quote never matched
