@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .similarity import _spread
 from .text import tokens
 
 
@@ -66,9 +67,17 @@ def token_hashes(col: Column | str) -> Column:
 def hashed_shingles(hash_array: Column, n: int = 3) -> Column:
     """n-gram shingle hashes from a *materialized* token-hash array —
     O(len) per doc: each shingle hash combines n consecutive token hashes
-    via hash(). Distinct set, ready for minhash or Jaccard."""
+    via hash(). Distinct set, ready for minhash or Jaccard.
+
+    Docs with fewer than n tokens yield an EMPTY set (no full n-gram
+    exists). The index sequence is built only when size >= n — CASE WHEN
+    branches evaluate lazily per row, so short docs never touch
+    element_at past the array end (Spark 4 ANSI mode would fault with
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT otherwise)."""
     m = F.size(hash_array)
-    idx = F.sequence(F.lit(1), F.greatest(m - (n - 1), F.lit(1)))
+    idx = F.when(m >= n, F.sequence(F.lit(1), m - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
     return F.array_distinct(
         F.transform(
             idx,
@@ -113,18 +122,6 @@ def _minhash_from_hashes(hash_col: Column, num_perm: int) -> Column:
     )
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Ensure CPU-bound per-doc work is spread across cores. A single small
-    parquet file arrives as one input split; at real scale the file count
-    provides parallelism and this is a no-op."""
-    # cap at 64: a vanilla session's 200 default would fragment small
-    # inputs into tiny tasks whose scheduling overhead exceeds the work
-    target = min(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 64)
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
-
-
 def _materialize(df: DataFrame) -> DataFrame:
     """Eager materialization barrier for small intermediates reused by
     several plan branches (self-joins). Preferred over .cache(): a lazy
@@ -139,9 +136,15 @@ def shingle_table(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """Materialized (id, shingle-hash set) table — cached because every
-    downstream stage (signatures, Jaccard verify) reuses it."""
+    downstream stage (signatures, Jaccard verify) reuses it.
+
+    Docs shorter than n tokens have no shingles and are excluded: they can
+    never clear a Jaccard threshold, and keeping them would put every
+    short doc into one degenerate LSH bucket (an O(shorts²) candidate
+    blow-up at scale)."""
     toks = _spread(df).select(F.col(id_col).alias("id"), token_hashes(text_col).alias("th"))
-    return _materialize(toks.select("id", hashed_shingles(F.col("th"), n).alias("sh")))
+    sh = toks.select("id", hashed_shingles(F.col("th"), n).alias("sh"))
+    return _materialize(sh.where(F.size("sh") > 0))
 
 
 def minhash_candidate_pairs(

@@ -49,12 +49,23 @@ def compact_partitions(
     compacted = df.repartition(target_files_per_partition, *[F.col(c) for c in partition_cols])
     tmp = table_path.rstrip("/") + "__compact_tmp"
     compacted.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
-    # atomic-ish swap (local/posix rename; object stores would use a
-    # manifest commit — out of scope for the parquet warehouse stand-in)
+    # Promote-then-delete: move the old table ASIDE first (posix rename),
+    # promote the compacted copy, delete the old copy last. A crash at any
+    # point leaves either the old or the new complete table at table_path —
+    # never neither. Object-store deployments need a manifest commit
+    # (Iceberg/Delta-style) instead of renames; out of scope for the
+    # parquet-warehouse stand-in.
     import shutil
 
-    shutil.rmtree(table_path)
-    shutil.move(tmp, table_path)
+    old = table_path.rstrip("/") + "__compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    shutil.move(table_path, old)
+    try:
+        shutil.move(tmp, table_path)
+    except BaseException:
+        shutil.move(old, table_path)  # roll back: restore the original
+        raise
+    shutil.rmtree(old)
     import glob
     import os
 
@@ -80,18 +91,42 @@ def write_bucketed(
 def salted_agg(
     df: DataFrame,
     group_cols: list[str],
-    agg_exprs: list,
+    aggs: dict,
     salt_buckets: int = 16,
 ) -> DataFrame:
     """Two-phase aggregation for skewed keys: salt → partial agg on
     (key, salt) → final agg on key. The partial phase spreads a hot key
     over `salt_buckets` reducers; the final phase merges `salt_buckets`
-    rows per key. Only SUM/COUNT/MIN/MAX-decomposable aggregates belong
-    here (pass partials, e.g. sum twice, count-as-sum)."""
+    rows per key.
+
+    `aggs` maps output name → (partial_expr, merge_fn), where merge_fn is
+    applied to the partial column in the final phase — each aggregate
+    declares its own merge, so non-decomposable uses can't silently merge
+    wrong (the old list API summed every partial, which corrupted
+    MIN/MAX)::
+
+        salted_agg(df, ["k"], {
+            "total": (F.sum("x"), F.sum),          # sum of sums
+            "n":     (F.count(F.lit(1)), F.sum),   # count merges as sum
+            "hi":    (F.max("x"), F.max),          # max of maxes
+        })
+
+    AVG and other non-decomposable aggregates must be expressed as
+    decomposable partials (sum + count, divide after).
+    """
+    if not isinstance(aggs, dict):
+        raise TypeError(
+            "salted_agg takes aggs as {name: (partial_expr, merge_fn)}; "
+            "a bare expression list cannot declare per-column merges "
+            "(summing MIN/MAX partials silently corrupts results)"
+        )
+    for name, pair in aggs.items():
+        if not (isinstance(pair, tuple) and len(pair) == 2 and callable(pair[1])):
+            raise TypeError(f"aggs[{name!r}] must be (partial_expr, merge_fn)")
     salted = df.withColumn("__salt", F.pmod(F.spark_partition_id() + F.monotonically_increasing_id(), F.lit(salt_buckets)))
-    partial = salted.groupBy(*group_cols, "__salt").agg(*agg_exprs)
-    # caller's agg_exprs must alias outputs; merge by summing the partials
-    merge_exprs = [
-        F.sum(c).alias(c) for c in partial.columns if c not in (*group_cols, "__salt")
-    ]
-    return partial.groupBy(*group_cols).agg(*merge_exprs)
+    partial = salted.groupBy(*group_cols, "__salt").agg(
+        *[expr.alias(name) for name, (expr, _) in aggs.items()]
+    )
+    return partial.groupBy(*group_cols).agg(
+        *[merge(name).alias(name) for name, (_, merge) in aggs.items()]
+    )

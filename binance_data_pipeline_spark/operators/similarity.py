@@ -25,11 +25,19 @@ from pyspark.sql import functions as F
 def _spread(df: DataFrame) -> DataFrame:
     """Spread CPU-bound per-vector work across cores (a single small
     parquet file arrives as one input split; no-op at real scale where
-    the file count provides parallelism)."""
+    the file count provides parallelism).
+
+    Decision keys off `inputFiles()` (a logical-plan walk) rather than
+    `df.rdd.getNumPartitions()`, which forces a plan→RDD conversion per
+    call. Non-file sources (in-memory test frames) are left untouched."""
     # cap at 64: a vanilla session's 200 default would fragment small
     # inputs into tiny tasks whose scheduling overhead exceeds the work
     target = min(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")), 64)
-    if df.rdd.getNumPartitions() < target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # exotic plan without file provenance
+        n_files = 0
+    if 0 < n_files < target:
         return df.repartition(target)
     return df
 

@@ -108,7 +108,11 @@ def fake_fetcher_from_events(rows_per_cell: int = 50) -> Fetcher:
     aggTrades per grid cell, seeded by (symbol, start_ms). No network."""
 
     def fetch(symbol: str, start_ms: int, end_ms: int, limit: int) -> list[dict]:
-        seed = hash((symbol, start_ms)) & 0x7FFFFFFF
+        # stable across processes/executors: builtin hash() of str is
+        # PYTHONHASHSEED-randomized per interpreter, crc32 is not
+        import zlib
+
+        seed = zlib.crc32(f"{symbol}:{start_ms}".encode()) & 0x7FFFFFFF
         out = []
         for i in range(min(rows_per_cell, limit)):
             x = (seed + i * 2654435761) % (1 << 31)

@@ -163,6 +163,26 @@ def test_minhash_recall_vs_exact(spark):
     assert got <= truth | got  # all returned pairs passed exact-jaccard verify
 
 
+def test_minhash_short_docs_no_ansi_fault(spark):
+    """Docs with fewer than n tokens must flow through the whole MinHash
+    pipeline without INVALID_ARRAY_INDEX_IN_ELEMENT_AT (Spark 4 ANSI
+    default): they have no full n-gram, so they yield an empty shingle set
+    and are excluded from candidates — while real dups are still found."""
+    rows = [
+        (1, "ab"),                     # 1 token  < n
+        (2, "one two"),                # 2 tokens < n
+        (3, ""),                       # empty text
+        (4, "the quick brown fox jumps over the lazy dog"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 4
+    ]
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    sh = {r["id"]: r["sh"] for r in D.shingle_table(d).collect()}
+    assert set(sh) == {4, 5}, "short docs must be excluded from the shingle table"
+    pairs = D.minhash_near_dups(d, threshold=0.6).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(4, 5)}
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+
+
 def test_ann_recall_vs_brute(spark):
     e = load_table(spark, SF, "embeddings")
     queries = e.where(F.col("vec_id") < 20)

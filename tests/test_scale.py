@@ -83,17 +83,39 @@ def test_bucketed_join_no_shuffle_exchange(spark, tmp_path):
 def test_salted_agg_matches_plain(spark):
     e = load_table(spark, "/root/testdata/sf0.01", "events")
     plain = {
-        (r["event_type"],): (round(r["s"], 4), r["c"])
+        (r["event_type"],): (round(r["s"], 4), r["c"], round(r["mn"], 4), round(r["mx"], 4))
         for r in e.groupBy("event_type")
-        .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.sum("value").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
         .collect()
     }
     salted = {
-        (r["event_type"],): (round(r["s"], 4), r["c"])
+        (r["event_type"],): (round(r["s"], 4), r["c"], round(r["mn"], 4), round(r["mx"], 4))
         for r in salted_agg(
             e,
             ["event_type"],
-            [F.sum("value").alias("s"), F.count(F.lit(1)).alias("c")],
+            {
+                "s": (F.sum("value"), F.sum),
+                "c": (F.count(F.lit(1)), F.sum),
+                "mn": (F.min("value"), F.min),
+                "mx": (F.max("value"), F.max),
+            },
         ).collect()
     }
     assert plain == salted
+
+
+def test_salted_agg_rejects_mergeless_exprs(spark):
+    """The old list API silently summed MIN/MAX partials — wrong results
+    with no error. The dict API makes that misuse fail loudly."""
+    import pytest
+
+    e = load_table(spark, "/root/testdata/sf0.001", "events")
+    with pytest.raises(TypeError, match="merge"):
+        salted_agg(e, ["event_type"], [F.min("value").alias("mn")])
+    with pytest.raises(TypeError, match="merge_fn"):
+        salted_agg(e, ["event_type"], {"mn": F.min("value")})
