@@ -27,10 +27,11 @@ HEADLINE = [
     "pricing_summary",        # scan-heavy hash agg
     "forecast_revenue",       # pushdown filter + scalar agg
     "revenue_by_nation",      # multi-join with broadcast dims
-    "mktsegment_revenue",     # 3-way shuffle join + distinct agg
+    "q7_volume_shipping",     # TPC-H Q7: deep multi-join + date window
+    "q9_product_profit",      # TPC-H Q9: profit rollup + per-year share
     "top_orders",             # join + TakeOrderedAndProject
-    "window_topk_per_group",  # ranked window
-    "window_range_rolling",   # range-frame window
+    "window_topk_running",    # ranked + running window, shared exchange
+    "window_offsets_rolling", # lag/lead + range-frame window
     "stg_events_clean",       # projection/cast/JSON path
     "fact_fee_tax",           # flagship §3.4 pipeline
     "sessionize",             # window + agg sessionization

@@ -15,7 +15,11 @@ from __future__ import annotations
 
 from . import advanced, northstar, pipeline, relational
 
-_MODULES = (relational, pipeline, advanced, northstar)
+# Catalog is capped at 50 entries (the driver's correctness window records
+# exactly the first 50 in iteration order — every entry must land a row).
+# northstar (the LLM-data-pipeline surface) merges BEFORE advanced so those
+# operators sit well inside the window regardless of future growth.
+_MODULES = (relational, pipeline, northstar, advanced)
 
 
 def all_queries():

@@ -10,7 +10,7 @@ surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -67,17 +67,6 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact linear-interpolation percentiles of order totals per status
-    (Spark `percentile` ≡ DuckDB `quantile_cont`, verified bit-equal)."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.groupBy("o_orderstatus").agg(
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
-    )
-
-
 def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Statistical aggregates: stddev/variance/correlation/covariance over
     lineitem price vs discount."""
@@ -87,17 +76,6 @@ def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
         F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
         F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
-    )
-
-
-def q_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Regexp surface: extract, replace, match over part names."""
-    p = load_table(spark, sf_dir, "part")
-    return p.select(
-        "p_partkey",
-        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
-        F.regexp_replace("p_name", r"\s+", "_").alias("snake_name"),
-        F.col("p_name").rlike(r"^[aeiou]").alias("starts_with_vowel"),
     )
 
 
@@ -127,37 +105,27 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_in_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IN / NOT IN subquery surface (decorrelated to semi/anti joins by
-    Catalyst — check the plan, not the syntax)."""
+def q_subquery_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated IN-subquery + correlated scalar subquery in one tagged
+    result (Catalyst decorrelates both to joins — check the plan, not the
+    syntax). Consolidates the round-1 `in_subquery` +
+    `correlated_scalar_subquery` entries."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v2")
     return spark.sql(
         """
-        SELECT c_mktsegment, count(*) AS n_big_spenders
+        SELECT 'in_subquery' AS shape, c_mktsegment, count(*) AS n
         FROM customer_v
         WHERE c_custkey IN (
             SELECT o_custkey FROM orders_v2 WHERE o_totalprice > 300000)
         GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'correlated_scalar' AS shape, c_mktsegment, count(*) AS n
+        FROM customer_v c1
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_v c2
+                           WHERE c2.c_mktsegment = c1.c_mktsegment)
+        GROUP BY c_mktsegment
         """
-    )
-
-
-def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pivot-style conditional aggregation: per priority, order totals split
-    by status into columns (sum-case — the shuffle-free pivot)."""
-    o = load_table(spark, sf_dir, "orders")
-
-    def status_sum(s: str):
-        return F.round(
-            F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(0.0)), 4
-        )
-
-    return o.groupBy("o_orderpriority").agg(
-        status_sum("O").alias("open_total"),
-        status_sum("F").alias("filled_total"),
-        status_sum("P").alias("partial_total"),
-        F.count(F.lit(1)).alias("n"),
     )
 
 
@@ -184,21 +152,6 @@ def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 4).alias("lifetime_value"), F.count(F.lit(1)).alias("n_orders"))
         .where(F.col("lifetime_value") > 1_000_000)
-    )
-
-
-def q_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery: customers above their own market
-    segment's average balance (Catalyst decorrelates to a join)."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_corr")
-    return spark.sql(
-        """
-        SELECT c_mktsegment, count(*) AS n_above_avg
-        FROM customer_corr c1
-        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer_corr c2
-                           WHERE c2.c_mktsegment = c1.c_mktsegment)
-        GROUP BY c_mktsegment
-        """
     )
 
 
@@ -257,58 +210,157 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNPIVOT (wide → long): per-priority status totals melted back to
-    (priority, status, total) rows via stack()."""
-    wide = q_conditional_agg(spark, sf_dir)
-    return wide.select(
-        "o_orderpriority",
-        F.expr(
-            "stack(3, 'O', open_total, 'F', filled_total, 'P', partial_total) AS (status, total)"
-        ),
-    ).where(F.col("total") > 0)
-
-
-def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Proper pivot (wide table from categorical values, values pinned so
-    the schema is static — the scale-safe form; an unpinned pivot needs a
-    distinct-scan first)."""
+def q_pivot_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot → unpivot round-trip in one plan: a proper pivot (wide table
+    from categorical values, values PINNED so the schema is static — the
+    scale-safe form; an unpinned pivot needs a distinct-scan first), then
+    stack() melts it back to (priority, status, total) long rows. Exercises
+    both reshape directions in one driver slot; consolidates the round-1
+    `pivot_status` + `unpivot_stack` entries."""
     o = load_table(spark, sf_dir, "orders")
-    return (
+    wide = (
         o.groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["O", "F", "P"])
         .agg(F.round(F.sum("o_totalprice"), 4))
     )
+    return wide.select(
+        "o_orderpriority",
+        F.expr("stack(3, 'O', `O`, 'F', `F`, 'P', `P`) AS (status, total)"),
+    ).where(F.col("total").isNotNull())
+
+
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): bilateral trade volume between two
+    nations per ship year. lineitem (largest) drives the shuffle joins to
+    orders/customer; supplier and both nation legs are broadcast. The
+    two-nation predicate lands on broadcast-side dims, so the big-fact scan
+    is pruned to 3 columns and filtered early via the supplier semi-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = n.select(F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.where((F.col("l_shipdate") >= F.lit("1996-01-01")) & (F.col("l_shipdate") < F.lit("1999-01-01")))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
+    )
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit) + a Q8-style per-year share:
+    profit per (supplier nation, order year) for one part type, then each
+    nation's share of the year's total via a window over the aggregate.
+    The corpus has no partsupp table, so supply cost is proxied as
+    0.6 × p_retailprice × quantity (the join/agg shape is what's exercised).
+    Share math runs on DECIMAL(18,4) so the window sum is order-exact on
+    both engines, then divides in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.lit(0.6) * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    per = (
+        li.join(F.broadcast(p.where(F.col("p_type") == "ECONOMY")), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.round(F.sum(amount), 4).cast("decimal(18,4)").alias("profit_dec"))
+    )
+    w = Window.partitionBy("o_year")
+    return per.select(
+        "nation",
+        "o_year",
+        F.col("profit_dec").cast("double").alias("sum_profit"),
+        F.round(
+            F.col("profit_dec").cast("double") / F.sum("profit_dec").over(w).cast("double"), 6
+        ).alias("year_share"),
+    )
 
 
 QUERIES = {
-    "pivot_status": q_pivot,
+    "pivot_unpivot": q_pivot_unpivot,
     "shipping_priority": q_shipping_priority,
     "returned_items": q_returned_items,
-    "unpivot_stack": q_unpivot,
+    "q7_volume_shipping": q7_volume_shipping,
+    "q9_product_profit": q9_product_profit,
     "string_agg": q_string_agg,
     "having_filter": q_having,
-    "correlated_scalar_subquery": q_correlated_scalar_subquery,
+    "subquery_shapes": q_subquery_shapes,
     "star_join": q_star_join,
     "asof_purchase_click": q_asof_purchase_click,
     "vwap_daily": q_vwap_daily,
     "grouping_sets": q_grouping_sets,
-    "percentiles": q_percentiles,
     "stats_agg": q_stats_agg,
-    "regexp_functions": q_regexp,
     "array_functions": q_array_functions,
-    "in_subquery": q_in_subquery,
-    "conditional_agg": q_conditional_agg,
 }
 
 
 ORACLE = {
-    "pivot_status": """
-        SELECT o_orderpriority,
-               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS "O",
-               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS "F",
-               round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS "P"
-        FROM orders GROUP BY o_orderpriority
+    "pivot_unpivot": """
+        WITH wide AS (
+            SELECT o_orderpriority,
+                   round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 4) AS o_total,
+                   round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 4) AS f_total,
+                   round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 4) AS p_total
+            FROM orders GROUP BY o_orderpriority)
+        SELECT o_orderpriority, status, total FROM (
+            SELECT o_orderpriority, 'O' AS status, o_total AS total FROM wide
+            UNION ALL SELECT o_orderpriority, 'F', f_total FROM wide
+            UNION ALL SELECT o_orderpriority, 'P', p_total FROM wide)
+        WHERE total IS NOT NULL
+    """,
+    "q7_volume_shipping": """
+        SELECT supp_nation, cust_nation, l_year,
+               round(sum(volume), 4) AS revenue
+        FROM (
+            SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                   year(l_shipdate)::BIGINT AS l_year,
+                   l_extendedprice * (1 - l_discount) AS volume
+            FROM lineitem
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation n1 ON s_nationkey = n1.n_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN nation n2 ON c_nationkey = n2.n_nationkey
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1999-01-01'
+              AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+                OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        ) shipping
+        GROUP BY supp_nation, cust_nation, l_year
+    """,
+    "q9_product_profit": """
+        WITH per AS (
+            SELECT n_name AS nation, year(o_orderdate)::BIGINT AS o_year,
+                   round(sum(l_extendedprice * (1 - l_discount)
+                             - 0.6 * p_retailprice * l_quantity), 4)::DECIMAL(18,4) AS profit_dec
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY n_name, year(o_orderdate)::BIGINT)
+        SELECT nation, o_year,
+               profit_dec::DOUBLE AS sum_profit,
+               round(profit_dec::DOUBLE
+                     / (sum(profit_dec) OVER (PARTITION BY o_year))::DOUBLE, 6) AS year_share
+        FROM per
     """,
     "shipping_priority": """
         SELECT o_orderkey, o_orderdate::DATE AS order_date,
@@ -332,19 +384,6 @@ ORACLE = {
         ORDER BY lost_revenue DESC, c_custkey
         LIMIT 20
     """,
-    "unpivot_stack": """
-        WITH wide AS (
-            SELECT o_orderpriority,
-                   round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 4) AS open_total,
-                   round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4) AS filled_total,
-                   round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 4) AS partial_total
-            FROM orders GROUP BY o_orderpriority)
-        SELECT o_orderpriority, status, total FROM (
-            SELECT o_orderpriority, 'O' AS status, open_total AS total FROM wide
-            UNION ALL SELECT o_orderpriority, 'F', filled_total FROM wide
-            UNION ALL SELECT o_orderpriority, 'P', partial_total FROM wide)
-        WHERE total > 0
-    """,
     "string_agg": """
         SELECT r_name,
                string_agg(n_name, ',' ORDER BY n_name) AS nations,
@@ -359,8 +398,14 @@ ORACLE = {
         FROM orders GROUP BY o_custkey
         HAVING round(sum(o_totalprice), 4) > 1000000
     """,
-    "correlated_scalar_subquery": """
-        SELECT c_mktsegment, count(*) AS n_above_avg
+    "subquery_shapes": """
+        SELECT 'in_subquery' AS shape, c_mktsegment, count(*) AS n
+        FROM customer
+        WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'correlated_scalar' AS shape, c_mktsegment, count(*) AS n
         FROM customer c1
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
                            WHERE c2.c_mktsegment = c1.c_mktsegment)
@@ -407,13 +452,6 @@ ORACLE = {
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
     """,
-    "percentiles": """
-        SELECT o_orderstatus,
-               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
-               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
-               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
-        FROM orders GROUP BY o_orderstatus
-    """,
     "stats_agg": """
         SELECT l_returnflag,
                round(stddev_samp(l_extendedprice), 4) AS price_stddev,
@@ -421,13 +459,6 @@ ORACLE = {
                round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
                round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar
         FROM lineitem GROUP BY l_returnflag
-    """,
-    "regexp_functions": r"""
-        SELECT p_partkey,
-               regexp_extract(p_name, '^(\w+)', 1) AS first_word,
-               regexp_replace(p_name, '\s+', '_', 'g') AS snake_name,
-               regexp_matches(p_name, '^[aeiou]') AS starts_with_vowel
-        FROM part
     """,
     "array_functions": """
         WITH per_vec AS (
@@ -440,20 +471,5 @@ ORACLE = {
                round(avg(l2_norm), 4) AS avg_norm,
                round(avg(first_component), 4) AS avg_first_component
         FROM per_vec GROUP BY label
-    """,
-    "in_subquery": """
-        SELECT c_mktsegment, count(*) AS n_big_spenders
-        FROM customer
-        WHERE c_custkey IN (
-            SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
-        GROUP BY c_mktsegment
-    """,
-    "conditional_agg": """
-        SELECT o_orderpriority,
-               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 4) AS open_total,
-               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4) AS filled_total,
-               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 4) AS partial_total,
-               count(*) AS n
-        FROM orders GROUP BY o_orderpriority
     """,
 }

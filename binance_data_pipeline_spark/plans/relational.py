@@ -64,24 +64,31 @@ def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """COUNT(DISTINCT) per group — Spark expands to a two-phase agg
-    automatically (partial distinct on (group, key) then final count)."""
+def q_conditional_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order profile in ONE aggregation pass: COUNT(DISTINCT)
+    (Spark expands to a two-phase agg automatically), plain counts/sums,
+    pivot-style conditional sums (sum-case — the shuffle-free pivot), and
+    exact linear-interpolation percentiles (Spark `percentile` ≡ DuckDB
+    `quantile_cont`, verified bit-equal). Consolidates the round-1
+    `distinct_agg` + `conditional_agg` + `percentiles` catalog entries —
+    same operator surface, one driver slot."""
     o = load_table(spark, sf_dir, "orders")
+
+    def status_sum(s: str):
+        return F.round(
+            F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(0.0)), 4
+        )
+
     return o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("sum_price"),
-    )
-
-
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """GROUP BY ROLLUP (status, priority) — subtotals + grand total in one
-    pass (Spark expands grouping sets; single shuffle)."""
-    o = load_table(spark, sf_dir, "orders")
-    return (
-        o.rollup("o_orderstatus", "o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("o_totalprice"), 4).alias("sum_price"))
+        status_sum("O").alias("open_total"),
+        status_sum("F").alias("filled_total"),
+        status_sum("P").alias("partial_total"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
     )
 
 
@@ -118,41 +125,33 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_mktsegment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """customer ⋈ orders ⋈ lineitem rollup to market segment."""
-    li = load_table(spark, sf_dir, "lineitem")
-    o = load_table(spark, sf_dir, "orders")
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI + LEFT ANTI in one result: per segment, customers with ≥1
+    order (EXISTS) vs customers with none (NOT EXISTS), stitched with a full
+    outer join on the segment. Semi/anti joins shuffle on the join key only
+    — no right-side fan-out is materialized at any scale. Consolidates the
+    round-1 `semi_join` + `anti_join` entries."""
     c = load_table(spark, sf_dir, "customer")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
+    o = load_table(spark, sf_dir, "orders")
+    with_o = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
         .groupBy("c_mktsegment")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_with_orders"),
+            F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal_with"),
         )
     )
-
-
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT SEMI: customers that have ≥1 order. Semi-join avoids
-    materializing the multiplicity of the right side — at scale this is a
-    shuffle on the join key only, no fan-out."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    sat = c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-    return sat.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_customers_with_orders"),
-        F.round(F.sum("c_acctbal"), 4).alias("sum_acctbal"),
+    without_o = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_without_orders"))
     )
-
-
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LEFT ANTI: customers with no orders (NOT EXISTS)."""
-    c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
-    lonely = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-    return lonely.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers_without_orders"))
+    return with_o.join(without_o, "c_mktsegment", "full_outer").select(
+        "c_mktsegment",
+        F.coalesce("n_with_orders", F.lit(0)).alias("n_with_orders"),
+        F.round(F.coalesce("sum_acctbal_with", F.lit(0.0)), 4).alias("sum_acctbal_with"),
+        F.coalesce("n_without_orders", F.lit(0)).alias("n_without_orders"),
+    )
 
 
 def q_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -227,86 +226,67 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_n = building.union(with_orders).distinct().agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("building_union_orders").alias("which"), "n"
     )
-    return both.unionByName(only_building).unionByName(union_n)
-
-
-def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION ALL (vertical concat) — the reference's pd.concat across
-    symbols (airflow/dags/ingest_binance_last_3_days.py:127-137) →
-    unionByName, then one aggregation over the combined set."""
-    c = load_table(spark, sf_dir, "customer")
-    hi = c.where(F.col("c_acctbal") > 5000).select("c_mktsegment", "c_acctbal")
-    lo = c.where(F.col("c_acctbal") < 0).select("c_mktsegment", "c_acctbal")
-    return (
-        hi.unionByName(lo)
-        .groupBy("c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("c_acctbal"), 4).alias("sum_bal"))
+    # UNION ALL (vertical concat, duplicates kept) — the reference's
+    # pd.concat across symbols (airflow/dags/ingest_binance_last_3_days.py:
+    # 127-137) → union without distinct; counted as a fourth tagged row
+    union_all_n = building.union(with_orders).agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("building_unionall_orders").alias("which"), "n"
     )
+    return both.unionByName(only_building).unionByName(union_n).unionByName(union_all_n)
 
 
 # --------------------------------------------------------------------------
 # Window functions (SURVEY §2.5 — absent in reference, required surface)
 # --------------------------------------------------------------------------
 
-def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-3 orders per customer by price: row_number over a per-key window.
-    Partitioned by o_custkey (high cardinality → even distribution); a rank
-    filter right after the window lets Spark's WindowGroupLimit push the
-    top-k into the sort."""
+def q_window_topk_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price (row_number) WITH each kept row's
+    running (cumulative) total by date — two window specs over the same
+    partition key, so Catalyst reuses one exchange on o_custkey (high
+    cardinality → even distribution) and adds only a re-sort. Consolidates
+    the round-1 `window_topk_per_group` + `window_running_sum` entries; the
+    WindowGroupLimit pushdown of a bare top-k filter is asserted separately
+    in tests/test_plans.py."""
     o = load_table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
-    return (
-        o.withColumn("rk", F.row_number().over(w).cast("long"))
-        .where(F.col("rk") <= 3)
-        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
-    )
-
-
-def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running (cumulative) revenue per customer ordered by date — frame
-    ROWS UNBOUNDED PRECEDING..CURRENT."""
-    o = load_table(spark, sf_dir, "orders")
-    w = (
+    w_rk = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    w_run = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return o.select(
-        "o_custkey",
-        "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w_rk).cast("long").alias("rk"),
+            F.round(F.sum("o_totalprice").over(w_run), 4).alias("running_total"),
+        )
+        .where(F.col("rk") <= 3)
     )
 
 
-def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-user event deltas: lag/lead on event time and value. The basis of
-    trade-to-trade analytics (price change, inter-arrival time) the
-    north-star needs."""
+def q_window_offsets_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event deltas (lag/lead on time and value — the basis of
+    trade-to-trade analytics) PLUS a 5-minute rolling sum via a RANGE frame
+    on epoch seconds — event-time rolling aggregation without a self-join.
+    Both windows partition on user_id, so one exchange serves both specs.
+    Consolidates the round-1 `window_lag_lead` + `window_range_rolling`
+    entries."""
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-300, Window.currentRow)
+    )
     return e.select(
         "user_id",
         "event_id",
         F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("value_delta"),
         (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts", 1).over(w))).alias("secs_since_prev"),
         F.lead("event_type", 1).over(w).alias("next_event_type"),
-    )
-
-
-def q_window_range_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-minute rolling sum per user via RANGE frame on epoch seconds —
-    event-time rolling aggregation without a self-join."""
-    e = load_table(spark, sf_dir, "events")
-    epoch = F.unix_timestamp("ts").alias("epoch_s")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("epoch_s")
-        .rangeBetween(-300, Window.currentRow)
-    )
-    return (
-        e.select("user_id", "event_id", epoch, "value")
-        .withColumn("rolling_5m_sum", F.round(F.sum("value").over(w), 4))
-        .select("user_id", "event_id", "rolling_5m_sum")
+        F.round(F.sum("value").over(w_range), 4).alias("rolling_5m_sum"),
     )
 
 
@@ -328,9 +308,13 @@ def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """String/date/math scalar surface (F3-F14): lower/upper/concat/
-    substring/lpad/replace/length + date extraction + arithmetic, all
-    JVM-side codegen (no UDFs)."""
+    """Scalar function surface (F3-F14) in one projection over part, all
+    JVM-side codegen (no UDFs): string (lower/upper/concat/substring/lpad/
+    length), regexp (extract/replace/rlike), conditional + null handling
+    (CASE WHEN / coalesce / nullif / greatest), and arithmetic. Consolidates
+    the round-1 `scalar_functions` + `regexp_functions` +
+    `case_null_handling` entries — one driver slot, same function
+    coverage."""
     p = load_table(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -342,6 +326,15 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("p_name").cast("long").alias("name_len"),
         F.round(F.col("p_retailprice") * 1.1, 4).alias("price_with_markup"),
         (F.col("p_size") % 7).alias("size_mod_7"),
+        F.regexp_extract("p_name", r"^(\w+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", r"\s+", "_").alias("snake_name"),
+        F.col("p_name").rlike(r"^[aeiou]").alias("starts_with_vowel"),
+        F.when(F.col("p_retailprice") < 1000, "budget")
+        .when(F.col("p_retailprice") < 1500, "mid")
+        .otherwise("premium")
+        .alias("price_band"),
+        F.coalesce(F.nullif("p_type", F.lit("ECONOMY")), F.lit("OTHER")).alias("type_or_other"),
+        F.greatest(F.col("p_size"), F.lit(10)).cast("long").alias("size_at_least_10"),
     )
 
 
@@ -361,44 +354,22 @@ def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_case_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CASE WHEN + coalesce/nullif/null-safe logic (F12 generalized)."""
-    c = load_table(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.when(F.col("c_acctbal") < 0, "overdrawn")
-        .when(F.col("c_acctbal") < 1000, "low")
-        .when(F.col("c_acctbal") < 5000, "mid")
-        .otherwise("high")
-        .alias("balance_band"),
-        F.coalesce(F.nullif("c_mktsegment", F.lit("BUILDING")), F.lit("OTHER")).alias("segment_or_other"),
-        F.round(F.greatest(F.col("c_acctbal"), F.lit(0.0)), 4).alias("nonneg_bal"),
-    )
-
-
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "forecast_revenue": q_forecast_revenue,
-    "distinct_agg": q_distinct_agg,
-    "rollup_orders": q_rollup,
+    "conditional_distinct_agg": q_conditional_distinct_agg,
     "cube_lineitem": q_cube,
     "revenue_by_nation": q_revenue_by_nation,
-    "mktsegment_revenue": q_mktsegment_revenue,
-    "semi_join": q_semi_join,
-    "anti_join": q_anti_join,
+    "semi_anti_join": q_semi_anti_join,
     "full_outer_join": q_full_outer_join,
     "order_priority_exists": q_order_priority_exists,
     "top_orders": q_top_orders,
     "set_ops": q_set_ops,
-    "union_all": q_union_all,
-    "window_topk_per_group": q_window_topk_per_group,
-    "window_running_sum": q_window_running_sum,
-    "window_lag_lead": q_window_lag_lead,
-    "window_range_rolling": q_window_range_rolling,
+    "window_topk_running": q_window_topk_running,
+    "window_offsets_rolling": q_window_offsets_rolling,
     "window_rank_dense": q_window_rank_dense,
     "scalar_functions": q_scalar_functions,
     "date_functions": q_date_functions,
-    "case_null_handling": q_case_null_handling,
 }
 
 
@@ -422,17 +393,18 @@ ORACLE = {
         FROM lineitem
         WHERE l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
     """,
-    "distinct_agg": """
+    "conditional_distinct_agg": """
         SELECT o_orderpriority,
                count(DISTINCT o_custkey) AS n_customers,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 4) AS sum_price
+               round(sum(o_totalprice), 4) AS sum_price,
+               round(sum(CASE WHEN o_orderstatus = 'O' THEN o_totalprice ELSE 0.0 END), 4) AS open_total,
+               round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 4) AS filled_total,
+               round(sum(CASE WHEN o_orderstatus = 'P' THEN o_totalprice ELSE 0.0 END), 4) AS partial_total,
+               round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+               round(quantile_cont(o_totalprice, 0.9), 4) AS p90,
+               round(quantile_cont(o_totalprice, 0.99), 4) AS p99
         FROM orders GROUP BY o_orderpriority
-    """,
-    "rollup_orders": """
-        SELECT o_orderstatus, o_orderpriority, count(*) AS n,
-               round(sum(o_totalprice), 4) AS sum_price
-        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
     """,
     "cube_lineitem": """
         SELECT l_returnflag, l_linestatus,
@@ -449,28 +421,23 @@ ORACLE = {
         JOIN region ON n_regionkey = r_regionkey AND r_name = 'EUROPE'
         GROUP BY n_name
     """,
-    "mktsegment_revenue": """
+    "semi_anti_join": """
+        WITH w AS (
+            SELECT c_mktsegment, count(*) AS n_with_orders,
+                   round(sum(c_acctbal), 4) AS sum_acctbal_with
+            FROM customer
+            WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment),
+        wo AS (
+            SELECT c_mktsegment, count(*) AS n_without_orders
+            FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            GROUP BY c_mktsegment)
         SELECT c_mktsegment,
-               round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
-               count(DISTINCT o_orderkey) AS n_orders
-        FROM customer
-        JOIN orders ON c_custkey = o_custkey
-        JOIN lineitem ON o_orderkey = l_orderkey
-        GROUP BY c_mktsegment
-    """,
-    "semi_join": """
-        SELECT c_mktsegment,
-               count(*) AS n_customers_with_orders,
-               round(sum(c_acctbal), 4) AS sum_acctbal
-        FROM customer
-        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        GROUP BY c_mktsegment
-    """,
-    "anti_join": """
-        SELECT c_mktsegment, count(*) AS n_customers_without_orders
-        FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        GROUP BY c_mktsegment
+               coalesce(n_with_orders, 0) AS n_with_orders,
+               round(coalesce(sum_acctbal_with, 0.0), 4) AS sum_acctbal_with,
+               coalesce(n_without_orders, 0) AS n_without_orders
+        FROM w FULL OUTER JOIN wo USING (c_mktsegment)
     """,
     "full_outer_join": """
         SELECT coalesce(cn.nationkey, sn.nationkey) AS nationkey,
@@ -507,44 +474,31 @@ ORACLE = {
         UNION ALL
         SELECT 'building_union_orders',
                (SELECT count(*) FROM (SELECT k FROM building UNION SELECT k FROM with_orders))
+        UNION ALL
+        SELECT 'building_unionall_orders',
+               (SELECT count(*) FROM (SELECT k FROM building UNION ALL SELECT k FROM with_orders))
     """,
-    "union_all": """
-        SELECT c_mktsegment, count(*) AS n, round(sum(c_acctbal), 4) AS sum_bal
-        FROM (
-            SELECT c_mktsegment, c_acctbal FROM customer WHERE c_acctbal > 5000
-            UNION ALL
-            SELECT c_mktsegment, c_acctbal FROM customer WHERE c_acctbal < 0
-        ) u GROUP BY c_mktsegment
-    """,
-    "window_topk_per_group": """
-        SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+    "window_topk_running": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rk, running_total FROM (
             SELECT o_custkey, o_orderkey, o_totalprice,
                    row_number() OVER (PARTITION BY o_custkey
-                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rk,
+                   round(sum(o_totalprice) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
             FROM orders) t
         WHERE rk <= 3
     """,
-    "window_running_sum": """
-        SELECT o_custkey, o_orderkey,
-               round(sum(o_totalprice) OVER (
-                   PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_total
-        FROM orders
-    """,
-    "window_lag_lead": """
+    "window_offsets_rolling": """
         SELECT user_id, event_id,
                round(value - lag(value, 1) OVER w, 4) AS value_delta,
                floor(epoch(ts))::BIGINT - floor(epoch(lag(ts, 1) OVER w))::BIGINT AS secs_since_prev,
-               lead(event_type, 1) OVER w AS next_event_type
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    """,
-    "window_range_rolling": """
-        SELECT user_id, event_id,
+               lead(event_type, 1) OVER w AS next_event_type,
                round(sum(value) OVER (
                    PARTITION BY user_id ORDER BY floor(epoch(ts))::BIGINT
                    RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 4) AS rolling_5m_sum
         FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
     "window_rank_dense": """
         SELECT p_brand, p_partkey,
@@ -554,7 +508,7 @@ ORACLE = {
         FROM part
         WINDOW w AS (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
     """,
-    "scalar_functions": """
+    "scalar_functions": r"""
         SELECT p_partkey,
                lower(p_name) AS name_lower,
                upper(p_brand) AS brand_upper,
@@ -563,7 +517,15 @@ ORACLE = {
                lpad(p_partkey::VARCHAR, 10, '0') AS key_padded,
                length(p_name)::BIGINT AS name_len,
                round(p_retailprice * 1.1, 4) AS price_with_markup,
-               p_size % 7 AS size_mod_7
+               p_size % 7 AS size_mod_7,
+               regexp_extract(p_name, '^(\w+)', 1) AS first_word,
+               regexp_replace(p_name, '\s+', '_', 'g') AS snake_name,
+               regexp_matches(p_name, '^[aeiou]') AS starts_with_vowel,
+               CASE WHEN p_retailprice < 1000 THEN 'budget'
+                    WHEN p_retailprice < 1500 THEN 'mid'
+                    ELSE 'premium' END AS price_band,
+               coalesce(nullif(p_type, 'ECONOMY'), 'OTHER') AS type_or_other,
+               greatest(p_size, 10) AS size_at_least_10
         FROM part
     """,
     "date_functions": """
@@ -576,15 +538,5 @@ ORACLE = {
                o_orderdate::DATE + 30 AS due_date,
                date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::BIGINT AS age_days
         FROM orders
-    """,
-    "case_null_handling": """
-        SELECT c_custkey,
-               CASE WHEN c_acctbal < 0 THEN 'overdrawn'
-                    WHEN c_acctbal < 1000 THEN 'low'
-                    WHEN c_acctbal < 5000 THEN 'mid'
-                    ELSE 'high' END AS balance_band,
-               coalesce(nullif(c_mktsegment, 'BUILDING'), 'OTHER') AS segment_or_other,
-               round(greatest(c_acctbal, 0.0), 4) AS nonneg_bal
-        FROM customer
     """,
 }

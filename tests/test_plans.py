@@ -85,6 +85,41 @@ def test_partition_pruning_on_partitioned_fact(spark, tmp_path):
     assert back.count() == 200
 
 
+def test_catalog_fits_driver_window(spark):
+    """The driver's correctness run records exactly the first 50 catalog
+    entries — round 1 shipped 60 and the 10 LLM-pipeline tail queries got
+    no rows. The catalog must stay ≤50 so EVERY entry lands a driver row."""
+    from binance_data_pipeline_spark.plans import all_oracle_sql, all_queries
+
+    q = all_queries()
+    assert len(q) <= 50, f"catalog has {len(q)} entries; driver records only 50"
+    assert set(all_oracle_sql()) <= set(q)
+
+
+def test_bare_topk_window_group_limit(spark):
+    """A rank filter immediately after a row_number window compiles to
+    WindowGroupLimit (per-partition top-k pushed into the sort). The catalog
+    entry window_topk_running adds a second window spec which defeats the
+    rewrite, so the optimization is pinned here on the bare shape."""
+    from pyspark.sql import Window
+
+    o = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    df = o.withColumn("rk", F.row_number().over(w)).where(F.col("rk") <= 3)
+    assert "WindowGroupLimit" in plan_of(df), plan_of(df)
+
+
+def test_topk_running_shares_one_exchange(spark):
+    """Both window specs in window_topk_running partition on o_custkey —
+    the plan must shuffle once (one Exchange), re-sorting in place for the
+    second spec rather than re-partitioning."""
+    from binance_data_pipeline_spark.plans.relational import q_window_topk_running
+
+    plan = plan_of(q_window_topk_running(spark, SF_SMALL))
+    n_exchange = plan.count("Exchange hashpartitioning")
+    assert n_exchange == 1, f"expected 1 exchange, got {n_exchange}:\n{plan}"
+
+
 def test_whole_stage_codegen_active(spark):
     """AQE hides codegen subtrees until runtime; disabling it for the
     explain exposes them (runtime behavior itself verified by the 1e9-row
