@@ -1,24 +1,35 @@
 """IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
 scale path alongside the RP-LSH variant (similarity.py).
 
-Build: deterministic k-means over the corpus — seeds are the k lowest-id
-vectors (reproducible, no RNG), refined by a few Lloyd iterations executed
-as DataFrame jobs (assign = broadcast-centroid argmin via min_by; update =
-per-dimension mean via posexplode + groupBy). Centroids land on the driver
-(k × dim floats — tiny) and are re-broadcast as literals.
+Build (once): deterministic k-means over a SAMPLE of the corpus — seeds are
+the k lowest-id vectors (reproducible, no RNG), refined by Lloyd iterations
+executed as DataFrame jobs (assign = broadcast-centroid argmin via min_by;
+update = per-dimension mean via posexplode + groupBy). The sample is an
+id-hash filter (``xxhash64(id) % m == 0``) so it is deterministic under any
+partitioning and never scans more than once. Centroids land on the driver
+(k × dim floats — tiny) and are persisted with the cell-assigned corpus:
 
-Query: probe the `nprobe` nearest centroid cells per query, exact cosine
-re-rank within the probed cells. Candidates ∝ nprobe/k of the corpus —
-the classic recall/cost dial.
+    {index_path}/centroids.parquet          (cid, vec)
+    {index_path}/cells.parquet/cell_id=N/   (neighbor_id, cv)
 
-At 100 TB: the assignment pass is one broadcast-join scan; cell lists are
-just a `cell_id` column (partition or Z-order by it for locality); Lloyd
-iterations run on a sample rather than the full corpus.
+Query (many): read centroids (k rows), pick the ``nprobe`` nearest cells
+per query, join against the cell-partitioned corpus, exact cosine re-rank
+inside the probed cells. Candidates ∝ nprobe/k of the corpus — the classic
+recall/cost dial.
+
+At 100 TB: build is one sampled-train pass + one assignment scan, amortized
+over every subsequent query batch; ``cells.parquet`` is partitioned by
+cell_id, so the probe join prunes unprobed cells at the file-listing level
+(static ``isin`` pruning here; dynamic partition pruning on a broadcast
+probe side in a real warehouse). No full-corpus work ever runs in the query
+path.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .similarity import _spread, cosine
@@ -35,18 +46,22 @@ def _centroid_array_col(centroids: list[tuple[int, list[float]]]) -> Column:
 
 
 def _assign(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
-    """(id, vec, cell_id): nearest centroid by cosine, via min_by over an
-    exploded centroid literal — one scan, no shuffle."""
+    """(id, vec, cell_id): nearest centroid by cosine as a PURE MAP — the
+    per-row argmax runs inside one transform/array_max expression (struct
+    ordering compares sim first), so assignment is a single scan with no
+    explode fan-out and no shuffle. At 100 TB this is the difference
+    between a map stage and a 16×-row exchange."""
     cents = _centroid_array_col(centroids)
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.explode(cents).alias("c")
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    best = F.array_max(
+        F.transform(
+            cents,
+            lambda c: F.struct(
+                cosine(F.col("v"), c["vec"]).alias("sim"), c["cid"].alias("cid")
+            ),
+        )
     )
-    scored = exploded.select(
-        "id", "v", F.col("c.cid").alias("cid"), cosine(F.col("v"), F.col("c.vec")).alias("sim")
-    )
-    return scored.groupBy("id").agg(
-        F.max_by("cid", "sim").alias("cell_id"), F.first("v").alias("v")
-    )
+    return base.select("id", F.col("v"), best["cid"].alias("cell_id"))
 
 
 def train_centroids(
@@ -55,9 +70,13 @@ def train_centroids(
     vec_col: str = "embedding",
     k: int = 16,
     iterations: int = 2,
+    sample_target: int | None = 4096,
 ) -> list[tuple[int, list[float]]]:
-    """Deterministic k-means: seed with the k lowest-id vectors, refine
-    with Lloyd iterations (per-dimension mean via posexplode)."""
+    """Deterministic k-means: seed with the k lowest-id vectors, refine with
+    Lloyd iterations over a deterministic id-hash sample of ~``sample_target``
+    vectors (pass None to train on the full corpus). Lloyd on a sample is the
+    standard scale posture: centroid quality degrades negligibly while the
+    per-iteration cost drops from O(corpus) to O(sample)."""
     seeds = (
         corpus.orderBy(id_col)
         .limit(k)
@@ -65,7 +84,15 @@ def train_centroids(
         .collect()
     )
     centroids = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)]
-    base = _spread(corpus).select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    base = corpus.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
+    if sample_target is not None:
+        n = corpus.count()
+        m = max(1, n // sample_target)
+        if m > 1:
+            # id-hash filter: deterministic under any partitioning/ordering,
+            # unlike df.sample() whose draw depends on split boundaries
+            base = base.where(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+    base = _spread(base)
     for _ in range(iterations):
         assigned = _assign(base, id_col, vec_col, centroids)
         dim_means = (
@@ -88,6 +115,76 @@ def train_centroids(
     return centroids
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iterations: int = 2,
+    sample_target: int | None = 4096,
+) -> None:
+    """Build-once: train centroids on a sample, assign EVERY corpus vector
+    to its cell (one broadcast-argmin scan), persist both. ``cells.parquet``
+    is partitioned by cell_id so queries read only probed cells."""
+    spark = corpus.sparkSession
+    centroids = train_centroids(corpus, id_col, vec_col, n_centroids, iterations, sample_target)
+    spark.createDataFrame(
+        [(cid, vec) for cid, vec in centroids], "cid INT, vec ARRAY<DOUBLE>"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "centroids.parquet"))
+    cells = _assign(_spread(corpus), id_col, vec_col, centroids).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("cell_id")
+    )
+    # cluster rows by cell before the partitioned write: one file per cell
+    # instead of (tasks × cells) tiny files
+    cells.repartition(n_centroids, "cell_id").write.mode("overwrite").partitionBy(
+        "cell_id"
+    ).parquet(os.path.join(index_path, "cells.parquet"))
+
+
+def ivf_query(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a persisted IVF index: nprobe nearest cells per query (against
+    the k-row centroid table — driver-side literal, no shuffle), then an
+    equi-join on cell_id against the partitioned cell table (only probed
+    cell partitions are listed/read) and an exact cosine re-rank."""
+    cent_rows = spark.read.parquet(os.path.join(index_path, "centroids.parquet")).collect()
+    centroids = [(r["cid"], [float(x) for x in r["vec"]]) for r in cent_rows]
+    cents = _centroid_array_col(centroids)
+
+    q_exploded = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.explode(cents).alias("c")
+    ).select(
+        "query_id", "qv", F.col("c.cid").alias("cell_id"), cosine(F.col("qv"), F.col("c.vec")).alias("csim")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cell_id"))
+    q_cells = (
+        q_exploded.withColumn("rk", F.row_number().over(wq))
+        .where(F.col("rk") <= nprobe)
+        .select("query_id", "qv", "cell_id")
+    )
+
+    cells = spark.read.parquet(os.path.join(index_path, "cells.parquet"))
+    scored = (
+        cells.join(F.broadcast(q_cells), "cell_id")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rk")
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -97,16 +194,28 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     iterations: int = 2,
+    index_path: str | None = None,
+    sample_target: int | None = 4096,
 ) -> DataFrame:
-    """IVF ANN top-k: train coarse centroids, assign corpus to cells, probe
-    the nprobe nearest cells per query, exact cosine re-rank inside them."""
-    centroids = train_centroids(corpus, id_col, vec_col, n_centroids, iterations)
+    """IVF ANN top-k. With ``index_path``: build the persisted index there
+    IF missing, then serve from it — repeat calls never retrain (the
+    build-once/query-many contract). Without: one-shot in-memory build
+    (sampled train + assignment barrier) for ad-hoc use."""
+    spark = corpus.sparkSession
+    if index_path is not None:
+        success = os.path.join(index_path, "cells.parquet", "_SUCCESS")
+        if not os.path.exists(success):
+            build_ivf_index(
+                corpus, index_path, id_col, vec_col, n_centroids, iterations, sample_target
+            )
+        return ivf_query(spark, index_path, queries, id_col, vec_col, k, nprobe)
+
+    centroids = train_centroids(corpus, id_col, vec_col, n_centroids, iterations, sample_target)
     corpus_cells = _assign(
         _spread(corpus), id_col, vec_col, centroids
     ).select(F.col("id").alias("neighbor_id"), F.col("cell_id"), F.col("v").alias("cv"))
     corpus_cells = corpus_cells.localCheckpoint(eager=True)
 
-    # query → nprobe nearest cells
     cents = _centroid_array_col(centroids)
     q_exploded = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), F.explode(cents).alias("c")

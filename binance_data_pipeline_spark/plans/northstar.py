@@ -9,6 +9,8 @@ their behavior against exact recomputation at small scale.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,14 +94,24 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 via IVF coarse quantizer (deterministic k-means
-    cells, nprobe probing, exact re-rank). Spark-only: rows-only check;
-    recall vs brute tested in tests/test_operators.py."""
+    """Approximate top-3 via IVF coarse quantizer (deterministic sampled
+    k-means cells, nprobe probing, exact re-rank). The index is persisted
+    per (sf_dir, params) and built only IF missing — repeat calls serve
+    from the cell-partitioned parquet with no retrain (build-once/
+    query-many). Spark-only: rows-only check; recall vs brute tested in
+    tests/test_operators.py."""
+    import hashlib
+    import tempfile
+
     from ..operators.ivf import ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    # one Lloyd iteration: cells are coarse anyway; halves the train jobs
-    return ivf_topk(e.where(F.col("vec_id") < 10), e, k=3, n_centroids=16, nprobe=4, iterations=1)
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|k16|probe4|it2".encode()).hexdigest()[:16]
+    index_path = os.path.join(tempfile.gettempdir(), f"bdp_ivf_{key}")
+    return ivf_topk(
+        e.where(F.col("vec_id") < 10), e, k=3, n_centroids=16, nprobe=4, iterations=2,
+        index_path=index_path,
+    )
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

