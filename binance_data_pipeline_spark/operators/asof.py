@@ -15,16 +15,42 @@ One shuffle total (the window partition), versus a join+groupBy+re-join
 on ties → "at or before" semantics (a quote exactly at the trade time
 matches).
 
-At scale: partitions by the join key (symbol — bounded cardinality but
-heavy rows); for very hot keys add a coarse time-bucket to the partition
-key (bucketed as-of) — each bucket then needs the previous bucket's last
-quote broadcast, which is the standard two-phase as-of at 100 TB.
+Scale path (``bucket_seconds``): partitioning by the key alone puts a
+whole symbol's history in ONE task — fatal for bounded-cardinality keys
+(a handful of hot symbols) at 100×. The bucketed two-phase form adds a
+coarse time bucket to the window partition key, so a hot key splits into
+(key × bucket) tasks:
+
+  phase 1: carry within (key, bucket) — the same union-and-carry, just a
+           narrower window partition
+  phase 2: per-(key, bucket) last right value → tiny bucket-level table
+           (keys × buckets rows); a second window over BUCKETS per key,
+           shifted one bucket back, yields each bucket's carry-in (the
+           last quote from any earlier bucket)
+  phase 3: join the carry-in back on (key, bucket);
+           result = coalesce(within-bucket carry, carry-in)
+
+Both forms produce identical results (equality is pinned in
+tests/test_operators.py); the bucketed one trades two cheap bucket-level
+ops for bounded task size.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _bucket_expr(df: DataFrame, ts_col: str, bucket_seconds: int) -> Column:
+    """Coarse time bucket; timestamps go through epoch seconds, numeric
+    time axes divide directly."""
+    dt = df.schema[ts_col].dataType
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        sec = F.unix_timestamp(F.col(ts_col))
+    else:
+        sec = F.col(ts_col)
+    return F.floor(sec / F.lit(bucket_seconds))
 
 
 def asof_join(
@@ -34,10 +60,16 @@ def asof_join(
     ts_col: str,
     value_cols: list[str],
     suffix: str = "_asof",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """For each `left` row: latest `right` row with right.ts <= left.ts,
     same `on` key. Carried columns get `suffix`; rows with no prior right
-    row carry nulls (left-outer semantics)."""
+    row carry nulls (left-outer semantics).
+
+    ``bucket_seconds=None`` → single window partitioned by the key
+    (fine for high-cardinality keys). Set it (e.g. 86400 for daily) for
+    bounded-cardinality keys so no single task owns a whole key's
+    history."""
     lcols = left.columns
     tagged_left = left.select(
         *lcols, F.lit(1).alias("__side"), *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in value_cols]
@@ -51,17 +83,74 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
+
+    if bucket_seconds is None:
+        w = (
+            Window.partitionBy(on)
+            .orderBy(ts_col, "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = unioned.select(
+            *lcols,
+            "__side",
+            *[
+                F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+                for c in value_cols
+            ],
+        )
+        return carried.where(F.col("__side") == 1).drop("__side")
+
+    # ---- bucketed two-phase form ------------------------------------
+    unioned = unioned.withColumn("__asof_bucket", _bucket_expr(unioned, ts_col, bucket_seconds))
+
+    # phase 1: within-bucket carry (window partition = key × bucket)
     w = (
-        Window.partitionBy(on)
+        Window.partitionBy(on, "__asof_bucket")
         .orderBy(ts_col, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
         *lcols,
         "__side",
+        "__asof_bucket",
         *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__in_{c}")
             for c in value_cols
         ],
     )
-    return carried.where(F.col("__side") == 1).drop("__side")
+
+    # phase 2: per-bucket last right value (one row per key × bucket that
+    # has right rows), then a bucket-level window per key shifted one
+    # bucket back = each bucket's carry-in. The spine unions LEFT buckets
+    # too, so buckets with no right rows still receive a carry-in.
+    rights = unioned.where(F.col("__side") == 0)
+    bucket_last = rights.groupBy(on, "__asof_bucket").agg(
+        F.max_by(
+            F.struct(*[F.col(f"__r_{c}").alias(c) for c in value_cols]), F.col(ts_col)
+        ).alias("__last")
+    )
+    spine = unioned.select(on, "__asof_bucket").distinct()
+    wb = Window.partitionBy(on).orderBy("__asof_bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry_in = (
+        spine.join(bucket_last, [on, "__asof_bucket"], "left")
+        .select(
+            on,
+            "__asof_bucket",
+            F.last("__last", ignorenulls=True).over(wb).alias("__carry"),
+        )
+    )
+
+    # phase 3: stitch — within-bucket value wins, else the carry-in.
+    # carry_in is keys × buckets rows (tiny); broadcast keeps phase 3 a
+    # map-side join against the phase-1 output.
+    out = carried.join(F.broadcast(carry_in), [on, "__asof_bucket"], "left").select(
+        *lcols,
+        "__side",
+        *[
+            F.coalesce(F.col(f"__in_{c}"), F.col("__carry")[c]).alias(f"{c}{suffix}")
+            for c in value_cols
+        ],
+    )
+    return out.where(F.col("__side") == 1).drop("__side")

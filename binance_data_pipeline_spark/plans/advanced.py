@@ -19,8 +19,9 @@ from ..operators.asof import asof_join
 
 def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join on the events stream: for each purchase, the user's most
-    recent click at or before it (trade×quote shape). Single window shuffle
-    — see operators/asof.py."""
+    recent click at or before it (trade×quote shape). Runs the bucketed
+    two-phase form (daily buckets) so a hot key's history is split across
+    (key × bucket) tasks — see operators/asof.py."""
     e = load_table(spark, sf_dir, "events")
     purchases = e.where(F.col("event_type") == "purchase").select(
         "user_id", F.col("event_id").alias("purchase_id"), "ts", F.col("value").alias("purchase_value")
@@ -28,7 +29,10 @@ def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.where(F.col("event_type") == "click").select(
         "user_id", "ts", F.col("value").alias("click_value")
     )
-    out = asof_join(purchases, clicks, on="user_id", ts_col="ts", value_cols=["click_value"])
+    out = asof_join(
+        purchases, clicks, on="user_id", ts_col="ts", value_cols=["click_value"],
+        bucket_seconds=86_400,
+    )
     return out.select(
         "user_id",
         "purchase_id",

@@ -65,6 +65,35 @@ def test_asof_join_matches_pandas_merge_asof(spark):
     assert mism == 0, f"{mism} as-of mismatches"
 
 
+def test_asof_join_bucketed_matches_single_phase(spark):
+    """The bucketed two-phase form must be semantically identical to the
+    single-window form — including carry across empty buckets and
+    no-prior-quote nulls — while partitioning its big window on
+    (key, bucket) so a hot key never lands in one task."""
+    import random
+
+    rng = random.Random(7)
+    # one deliberately hot key with a long history + sparse quote buckets
+    trades = [("HOT", 1000 + rng.randrange(100_000), float(i)) for i in range(400)]
+    trades += [("S2", 1000 + rng.randrange(100_000), float(i)) for i in range(50)]
+    quotes = [("HOT", 1000 + rng.randrange(20_000), 100.0 + i) for i in range(60)]
+    quotes += [("S2", 90_000 + rng.randrange(5_000), 500.0 + i) for i in range(10)]
+    tdf = spark.createDataFrame(trades, "sym string, ts long, tval double")
+    qdf = spark.createDataFrame(quotes, "sym string, ts long, quote double")
+
+    plain = asof_join(tdf, qdf, on="sym", ts_col="ts", value_cols=["quote"])
+    bucketed = asof_join(
+        tdf, qdf, on="sym", ts_col="ts", value_cols=["quote"], bucket_seconds=5_000
+    )
+    key = lambda r: (r["sym"], r["ts"], r["tval"], r["quote_asof"])
+    assert sorted(map(key, plain.collect())) == sorted(map(key, bucketed.collect()))
+
+    # the heavy phase-1 window partitions on (key, bucket), not key alone
+    plan = bucketed._jdf.queryExecution().executedPlan().toString()
+    exchanges = [l for l in plan.splitlines() if "hashpartitioning" in l]
+    assert any("__asof_bucket" in l and "sym" in l for l in exchanges), plan
+
+
 # ----------------------------------------------------------- REST backfill
 
 def test_fetch_grid_shape(spark):
