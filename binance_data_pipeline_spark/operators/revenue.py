@@ -18,15 +18,22 @@ from datetime import date
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Reference parity (build_fact_fee_tax.py:65-73): event_date, symbol,
+# region, traded_notional, fee_revenue, tax_collected — names match the
+# reference exactly so downstream consumers can switch engines without a
+# schema migration. DELIBERATE EXTENSION beyond the reference: the applied
+# rates (fee_rate_bps, tax_rate_bps) and the combined total_revenue are
+# also emitted — the reference drops the rates after applying them, which
+# makes fee audits impossible downstream.
 FACT_COLUMNS = [
     "event_date",
     "symbol",
     "region",
     "traded_notional",
+    "fee_revenue",
+    "tax_collected",
     "fee_rate_bps",
     "tax_rate_bps",
-    "fee_amount",
-    "tax_amount",
     "total_revenue",
 ]
 
@@ -59,9 +66,9 @@ def build_fact_fee_tax(slice_df: DataFrame, rules: DataFrame) -> DataFrame:
             F.coalesce("fee_rate_bps", F.lit(0.0)).alias("fee_rate_bps"),
             F.coalesce("tax_rate_bps", F.lit(0.0)).alias("tax_rate_bps"),
         )
-        .withColumn("fee_amount", F.col("traded_notional") * F.col("fee_rate_bps") / 10000.0)
-        .withColumn("tax_amount", F.col("traded_notional") * F.col("tax_rate_bps") / 10000.0)
-        .withColumn("total_revenue", F.col("fee_amount") + F.col("tax_amount"))
+        .withColumn("fee_revenue", F.col("traded_notional") * F.col("fee_rate_bps") / 10000.0)
+        .withColumn("tax_collected", F.col("traded_notional") * F.col("tax_rate_bps") / 10000.0)
+        .withColumn("total_revenue", F.col("fee_revenue") + F.col("tax_collected"))
         .select(*FACT_COLUMNS)
     )
 

@@ -122,9 +122,9 @@ def q_fact_fee_tax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("fee_rate_bps", F.lit(0.0)).alias("fee_rate_bps"),
             F.coalesce("tax_rate_bps", F.lit(0.0)).alias("tax_rate_bps"),
         )
-        .withColumn("fee_amount", F.round(F.col("traded_notional") * F.col("fee_rate_bps") / 10000.0, 4))
-        .withColumn("tax_amount", F.round(F.col("traded_notional") * F.col("tax_rate_bps") / 10000.0, 4))
-        .withColumn("total_revenue", F.round(F.col("fee_amount") + F.col("tax_amount"), 4))
+        .withColumn("fee_revenue", F.round(F.col("traded_notional") * F.col("fee_rate_bps") / 10000.0, 4))
+        .withColumn("tax_collected", F.round(F.col("traded_notional") * F.col("tax_rate_bps") / 10000.0, 4))
+        .withColumn("total_revenue", F.round(F.col("fee_revenue") + F.col("tax_collected"), 4))
     )
 
 
@@ -252,8 +252,8 @@ ORACLE = {
             FROM daily d LEFT JOIN rules r USING (event_type)
         )
         SELECT *,
-               round(traded_notional * fee_rate_bps / 10000.0, 4) AS fee_amount,
-               round(traded_notional * tax_rate_bps / 10000.0, 4) AS tax_amount,
+               round(traded_notional * fee_rate_bps / 10000.0, 4) AS fee_revenue,
+               round(traded_notional * tax_rate_bps / 10000.0, 4) AS tax_collected,
                round(round(traded_notional * fee_rate_bps / 10000.0, 4)
                      + round(traded_notional * tax_rate_bps / 10000.0, 4), 4) AS total_revenue
         FROM joined

@@ -126,17 +126,22 @@ FACT_TRADES_SCHEMA = StructType(
     ]
 )
 
-# Revenue fact fact_trade_fee_tax (producer/build_fact_fee_tax.py:65-73).
+# Revenue fact fact_trade_fee_tax. First six fields match the reference
+# output exactly (build_fact_fee_tax.py:65-73: event_date, symbol, region,
+# traded_notional, fee_revenue, tax_collected); the trailing three
+# (fee_rate_bps, tax_rate_bps, total_revenue) are a deliberate, documented
+# extension — the applied rates and the combined total, which the
+# reference computes internally (:60-63) but does not persist.
 FACT_FEE_TAX_SCHEMA = StructType(
     [
         StructField("event_date", DateType()),
         StructField("symbol", StringType()),
         StructField("region", StringType()),
         StructField("traded_notional", DoubleType()),
+        StructField("fee_revenue", DoubleType()),
+        StructField("tax_collected", DoubleType()),
         StructField("fee_rate_bps", DoubleType()),
         StructField("tax_rate_bps", DoubleType()),
-        StructField("fee_amount", DoubleType()),
-        StructField("tax_amount", DoubleType()),
         StructField("total_revenue", DoubleType()),
     ]
 )

@@ -140,10 +140,15 @@ def test_revenue_fact(spark, bronze_df, tmp_path):
     if "BNBUSDT" in rows:
         r = rows["BNBUSDT"]
         assert r["region"] == "EU" and r["fee_rate_bps"] == 0.0 and r["total_revenue"] == 0.0
-    # fee arithmetic: notional * bps / 10000
+    # fee arithmetic: notional * bps / 10000 (reference-parity names:
+    # fee_revenue / tax_collected, build_fact_fee_tax.py:62-63)
     r = rows["BTCUSDT"]
-    assert abs(r["fee_amount"] - r["traded_notional"] * 7.5 / 10000.0) < 1e-9
-    assert abs(r["total_revenue"] - (r["fee_amount"] + r["tax_amount"])) < 1e-12
+    assert abs(r["fee_revenue"] - r["traded_notional"] * 7.5 / 10000.0) < 1e-9
+    assert abs(r["total_revenue"] - (r["fee_revenue"] + r["tax_collected"])) < 1e-12
+    # reference output columns are a strict prefix of ours (schema parity)
+    assert fact.columns[:6] == [
+        "event_date", "symbol", "region", "traded_notional", "fee_revenue", "tax_collected",
+    ]
     # output written and partitioned
     out = spark.read.parquet(str(tmp_path / "fee_tax"))
     assert out.count() == fact.count()
