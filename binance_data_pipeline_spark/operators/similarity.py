@@ -204,10 +204,17 @@ def ann_lsh_topk(
     n_planes: int = 4,
     n_tables: int = 12,
     dim: int = 64,
+    queries_within_corpus: bool = False,
 ) -> DataFrame:
     """Approximate top-k: `n_tables` independent random-projection tables,
     candidates = ids sharing a table's full signature, exact cosine re-rank
     of candidates only.
+
+    ``queries_within_corpus=True`` declares queries ⊆ corpus (same id
+    space): ONE signature table is computed over the corpus and the query
+    side is carved out of it by an id semi-join — halving the heavy
+    plane-projection pass (and its codegen compile) and dropping one
+    materialization barrier.
 
     Tuning: per-table collision probability for angle θ is (1-θ/π)^n_planes;
     recall ≈ 1-(1-p)^n_tables. Short bands (4) + many tables (12) reach
@@ -238,8 +245,16 @@ def ann_lsh_topk(
         sig_df = base.select(f"{role}_id", sig_arrays.alias("sigs")).localCheckpoint(eager=True)
         return sig_df.select(f"{role}_id", F.posexplode("sigs").alias("tbl", "sig"))
 
-    qs = signed(queries, "query")
-    cs = signed(corpus, "neighbor")
+    if queries_within_corpus:
+        corpus_sigs = signed(corpus, "neighbor")
+        q_ids = queries.select(F.col(id_col).alias("neighbor_id"))
+        qs = corpus_sigs.join(F.broadcast(q_ids), "neighbor_id", "left_semi").select(
+            F.col("neighbor_id").alias("query_id"), "tbl", "sig"
+        )
+        cs = corpus_sigs
+    else:
+        qs = signed(queries, "query")
+        cs = signed(corpus, "neighbor")
     cands = (
         qs.join(cs, ["tbl", "sig"])
         .where(F.col("query_id") != F.col("neighbor_id"))

@@ -88,9 +88,11 @@ def q_embed_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via random-hyperplane LSH + exact re-rank
-    (Spark-only: rows-only driver check; tests measure recall vs brute)."""
+    (Spark-only: rows-only driver check; tests measure recall vs brute).
+    Queries are corpus rows, so one shared signature table serves both
+    sides of the bucket join."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.ann_lsh_topk(e.where(F.col("vec_id") < 10), e, k=3)
+    return S.ann_lsh_topk(e.where(F.col("vec_id") < 10), e, k=3, queries_within_corpus=True)
 
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:

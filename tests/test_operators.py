@@ -225,6 +225,13 @@ def test_ann_recall_vs_brute(spark):
     }
     recall = len(ann & brute) / len(brute)
     assert recall >= 0.5, f"ANN recall {recall} too low"
+    # shared-signature path (queries ⊆ corpus): identical results — one
+    # signature table must change cost, never candidates
+    shared = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.ann_lsh_topk(queries, e, k=3, queries_within_corpus=True).collect()
+    }
+    assert shared == ann
 
 
 # ------------------------------------------------------ schema evolution
