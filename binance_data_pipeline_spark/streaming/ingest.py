@@ -50,24 +50,61 @@ def read_raw_stream_from_files(
     )
 
 
+# The exact record schema the Spark Kafka source emits (Structured
+# Streaming Kafka integration contract) — the loopback test builds batches
+# of this shape so the decode path is pinned without a broker.
+KAFKA_SOURCE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, "
+    "offset LONG, timestamp TIMESTAMP, timestampType INT"
+)
+
+
+def kafka_source_options(
+    bootstrap_servers: str,
+    topic: str = "binance_trades_raw",
+    starting_offsets: str = "earliest",
+) -> dict[str, str]:
+    """The consumer contract as data, testable without a broker:
+    earliest offsets like the reference's consumer (kafka_to_s3_bronze.py:22
+    auto.offset.reset=earliest), batch bound = the reference's 1000-message
+    flush (:78); offset tracking moves from manual commits to the
+    checkpoint (ST2)."""
+    return {
+        "kafka.bootstrap.servers": bootstrap_servers,
+        "subscribe": topic,
+        "startingOffsets": starting_offsets,
+        "maxOffsetsPerTrigger": str(MAX_OFFSETS_PER_TRIGGER),
+    }
+
+
+def kafka_records_to_raw(records: DataFrame) -> DataFrame:
+    """Kafka wire records → the one-string-column raw frame every
+    downstream transform consumes. UTF-8 decode of the binary value; keys/
+    offsets/partitions are transport metadata and intentionally dropped
+    (the envelope itself carries the identity — P1)."""
+    return records.selectExpr("CAST(value AS STRING) AS value")
+
+
 def read_raw_stream_from_kafka(
     spark: SparkSession,
     bootstrap_servers: str,
     topic: str = "binance_trades_raw",
     starting_offsets: str = "earliest",
 ) -> DataFrame:
-    """Kafka source (S3): earliest offsets like the reference's consumer
-    (kafka_to_s3_bronze.py:22 auto.offset.reset=earliest); offset tracking
-    moves from manual commits to the checkpoint (ST2)."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", bootstrap_servers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .option("maxOffsetsPerTrigger", MAX_OFFSETS_PER_TRIGGER)
-        .load()
-        .selectExpr("CAST(value AS STRING) AS value")
-    )
+    """Kafka source (S3). Runtime-untestable in this container (no broker,
+    no spark-sql-kafka jar), so the pieces are factored to be individually
+    pinned: `kafka_source_options` (the consumer contract) and
+    `kafka_records_to_raw` (the wire-schema decode) are both covered by
+    tests/test_kafka_contract.py against a mock of KAFKA_SOURCE_SCHEMA.
+
+    Manual harness (documented, not automated): start any Kafka broker,
+    `spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>`,
+    then `start_bronze_ingest(read_raw_stream_from_kafka(spark, "host:9092"), ...)`
+    and feed the topic with producer JSON envelopes."""
+    reader = spark.readStream.format("kafka")
+    for k, v in kafka_source_options(bootstrap_servers, topic, starting_offsets).items():
+        reader = reader.option(k, v)
+    return kafka_records_to_raw(reader.load())
 
 
 def bronze_stream(raw: DataFrame) -> DataFrame:

@@ -1,0 +1,118 @@
+"""Kafka-leg contract tests — no broker in the container, so the two
+halves of `read_raw_stream_from_kafka` are pinned independently:
+
+1. the consumer contract (`kafka_source_options`) — option names/values the
+   reference consumer guarantees (kafka_to_s3_bronze.py:20-27, 78-79)
+2. the wire-schema decode (`kafka_records_to_raw`) — a mock batch with the
+   EXACT record schema the Spark Kafka source emits, run through the same
+   transform chain the stream uses, end to end into bronze rows
+
+Together these cover everything but the socket: if a real broker delivers
+records of KAFKA_SOURCE_SCHEMA (it does — that schema is the Structured
+Streaming Kafka integration contract), the pipeline's behavior is the
+tested behavior. The manual broker harness is documented on
+`read_raw_stream_from_kafka`.
+"""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from datetime import datetime, timezone
+
+import fixtures as FX
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.streaming.ingest import (
+    KAFKA_SOURCE_SCHEMA,
+    MAX_OFFSETS_PER_TRIGGER,
+    MICRO_BATCH_INTERVAL,
+    bronze_stream,
+    kafka_records_to_raw,
+    kafka_source_options,
+)
+
+
+def test_kafka_consumer_contract_matches_reference():
+    """Option-for-option parity with the reference consumer: earliest
+    offsets (kafka_to_s3_bronze.py:22), the raw-trades topic (:20), and the
+    1000-msg / 5 s flush bounds (:78-79) expressed as Spark trigger
+    options."""
+    opts = kafka_source_options("broker-1:9092,broker-2:9092")
+    assert opts == {
+        "kafka.bootstrap.servers": "broker-1:9092,broker-2:9092",
+        "subscribe": "binance_trades_raw",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": "1000",
+    }
+    assert MAX_OFFSETS_PER_TRIGGER == 1000
+    assert MICRO_BATCH_INTERVAL == "5 seconds"
+    # override points the reference also exposes (topic, reset policy)
+    assert kafka_source_options("b:9092", topic="t2", starting_offsets="latest")[
+        "subscribe"
+    ] == "t2"
+    assert (
+        kafka_source_options("b:9092", starting_offsets="latest")["startingOffsets"]
+        == "latest"
+    )
+
+
+def _mock_kafka_batch(spark, payloads: list[str]):
+    """Batch DataFrame with the Kafka source's exact record schema: keyed
+    by symbol (like the producer's key= publish), monotone offsets, topic/
+    partition/timestamp metadata."""
+    ts = datetime(2024, 6, 10, 9, 0, 0, tzinfo=timezone.utc)
+    rows = [
+        (
+            f"key-{i % 3}".encode(),
+            p.encode("utf-8"),
+            "binance_trades_raw",
+            i % 3,
+            i // 3,
+            ts,
+            0,
+        )
+        for i, p in enumerate(payloads)
+    ]
+    return spark.createDataFrame(rows, KAFKA_SOURCE_SCHEMA)
+
+
+def test_kafka_wire_decode_to_bronze(spark):
+    """Mock Kafka records → kafka_records_to_raw → the SAME bronze
+    transform the stream runs: trades decode, noise drops, per-row
+    event-time partitions materialize. This is the full consumer body of
+    kafka_to_s3_bronze.py:49-107 minus the socket."""
+    msgs = FX.raw_ws_messages(n=400, seed=11)
+    records = _mock_kafka_batch(spark, msgs)
+
+    raw = kafka_records_to_raw(records)
+    assert raw.columns == ["value"]
+    assert dict(raw.dtypes)["value"] == "string"
+
+    bronze = bronze_stream(raw)
+    got = bronze.collect()
+    assert len(got) == FX.expected_trade_count(n=400, seed=11)
+    # per-row event-time partition columns present and populated (ST4)
+    assert {"event_date", "hour"} <= set(bronze.columns)
+    assert all(r["event_date"] is not None and r["hour"] is not None for r in got)
+    # symbol fidelity through the binary → string → envelope chain
+    assert {r["symbol"] for r in got} <= {"BTCUSDT", "ETHUSDT", "BNBUSDT"}
+
+
+def test_kafka_decode_survives_junk_bytes(spark):
+    """Non-UTF8 value bytes and empty payloads must degrade to dropped
+    rows, not job failure (at-scale streams always carry some garbage)."""
+    ts = datetime(2024, 6, 10, 9, 0, 0, tzinfo=timezone.utc)
+    good = FX.raw_ws_messages(n=10, seed=3)[0].encode()
+    rows = [
+        (None, b"\xff\xfe\x00junk", "t", 0, 0, ts, 0),
+        (None, b"", "t", 0, 1, ts, 0),
+        (None, None, "t", 0, 2, ts, 0),
+        (None, good, "t", 0, 3, ts, 0),
+    ]
+    records = spark.createDataFrame(rows, KAFKA_SOURCE_SCHEMA)
+    out = bronze_stream(kafka_records_to_raw(records)).collect()
+    assert len(out) == 1  # only the valid envelope survives
+    assert out[0]["symbol"] == "BTCUSDT"
