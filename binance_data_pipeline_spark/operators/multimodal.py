@@ -1,11 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque BINARY columns
 with typed metadata, processed in Arrow batches via mapInPandas.
 
-The Spark-side shape is real and tested — schema contract, Arrow batch
-flow, partition sizing — while the actual media decoding is stubbed
-(`decode_image` raises NotImplementedError unless a decoder is injected;
-the container has no image/audio libs). Swap `decoder=` with a PIL/ffmpeg
-adapter in production.
+Decode support is tiered:
+  - REAL, no dependencies: PPM (P6) images and PCM WAV audio decode with
+    numpy + the stdlib `wave` module — `baseline_decoder` /
+    `baseline_resizer` run the feature and resize paths end-to-end,
+    un-stubbed, on those formats (synthetic fixture builders included).
+  - STUBBED: compressed formats (PNG/JPEG/MP3/MP4) need PIL/libav, absent
+    in this container — `decode_stub` raises NotImplementedError; inject a
+    PIL/ffmpeg-backed Decoder in production. The Arrow-batch plumbing is
+    identical either way, so swapping decoders changes zero Spark code.
 
 Scale notes: binary payloads dominate row size → keep
 `spark.sql.files.maxPartitionBytes` small enough that an Arrow batch of
@@ -69,6 +73,165 @@ def deterministic_fake_decoder(dim: int = 8) -> Decoder:
         return [((h >> (8 * i)) & 0xFF) / 255.0 for i in range(dim)]
 
     return decode
+
+
+# ---------------------------------------------------------------------
+# Real no-dependency codecs: PPM (P6) images, PCM WAV audio
+# ---------------------------------------------------------------------
+
+PPM_MIME = "image/x-portable-pixmap"
+WAV_MIME = "audio/wav"
+
+
+def decode_ppm(payload: bytes):
+    """Parse a binary PPM (P6): returns (width, height, HxWx3 uint8 array).
+    Pure numpy — the whole format is a whitespace-delimited header plus raw
+    RGB bytes."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    # header = magic, width, height, maxval tokens (comments start with #)
+    tokens: list[bytes] = []
+    i = 2
+    while len(tokens) < 3 and i < len(payload):
+        c = payload[i : i + 1]
+        if c == b"#":
+            while i < len(payload) and payload[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(payload) and not payload[j : j + 1].isspace():
+                j += 1
+            tokens.append(payload[i:j])
+            i = j
+    i += 1  # single whitespace after maxval
+    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
+    return w, h, pixels.reshape(h, w, 3)
+
+
+def encode_ppm(pixels) -> bytes:
+    """HxWx3 uint8 array → binary PPM (P6) bytes."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def decode_wav(payload: bytes):
+    """Parse a PCM WAV via the stdlib `wave` module: returns
+    (framerate, channels, float samples in [-1, 1])."""
+    import io
+    import wave
+
+    import numpy as np
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        rate, channels, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
+    else:
+        raise ValueError(f"unsupported sample width {width}")
+    return rate, channels, samples
+
+
+def baseline_decoder(payload: bytes, mime: str) -> list[float]:
+    """Real feature extraction for the no-dependency formats (8-dim,
+    matching deterministic_fake_decoder's shape):
+
+    PPM  → [w, h, mean R, mean G, mean B, luminance std, edge energy, 1.0]
+    WAV  → [duration s, RMS, zero-crossing rate, peak, rate/48k, ch, 0, 2.0]
+
+    Other mimes raise NotImplementedError (they need PIL/libav)."""
+    import numpy as np
+
+    if mime == PPM_MIME:
+        w, h, px = decode_ppm(payload)
+        f = px.astype(np.float64)
+        lum = f.mean(axis=2)
+        # horizontal gradient magnitude as a cheap edge-energy proxy
+        edge = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
+        return [
+            float(w),
+            float(h),
+            float(f[:, :, 0].mean()),
+            float(f[:, :, 1].mean()),
+            float(f[:, :, 2].mean()),
+            float(lum.std()),
+            edge,
+            1.0,
+        ]
+    if mime == WAV_MIME:
+        rate, channels, s = decode_wav(payload)
+        n = len(s)
+        zcr = float((np.signbit(s[1:]) != np.signbit(s[:-1])).mean()) if n > 1 else 0.0
+        return [
+            n / (rate * channels) if rate else 0.0,
+            float(np.sqrt((s**2).mean())) if n else 0.0,
+            zcr,
+            float(np.abs(s).max()) if n else 0.0,
+            rate / 48000.0,
+            float(channels),
+            0.0,
+            2.0,
+        ]
+    raise NotImplementedError(
+        f"no dependency-free decoder for {mime}; inject a PIL/libav-backed Decoder"
+    )
+
+
+def baseline_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
+    """Real nearest-neighbor resize for PPM images; other formats need an
+    imaging library."""
+    import numpy as np
+
+    if mime != PPM_MIME:
+        raise NotImplementedError(f"no dependency-free resizer for {mime}")
+    src_w, src_h, px = decode_ppm(payload)
+    ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+    xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+    return encode_ppm(px[ys][:, xs])
+
+
+def synthetic_ppm(width: int = 32, height: int = 24, seed: int = 0) -> bytes:
+    """Deterministic synthetic PPM fixture (smooth gradient + seed-keyed
+    phase) — valid P6 bytes, no imaging library involved."""
+    import numpy as np
+
+    y, x = np.mgrid[0:height, 0:width]
+    r = ((x * 255) // max(width - 1, 1) + seed * 17) % 256
+    g = ((y * 255) // max(height - 1, 1) + seed * 29) % 256
+    b = ((x + y + seed) * 7) % 256
+    return encode_ppm(np.stack([r, g, b], axis=2).astype(np.uint8))
+
+
+def synthetic_wav(
+    duration_ms: int = 250, freq_hz: float = 440.0, rate: int = 8000, seed: int = 0
+) -> bytes:
+    """Deterministic 16-bit mono PCM WAV fixture (pure sine, seed-keyed
+    phase) via the stdlib `wave` writer."""
+    import io
+    import math
+    import wave
+
+    n = rate * duration_ms // 1000
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            v = int(32000 * math.sin(2 * math.pi * freq_hz * i / rate + seed))
+            frames += v.to_bytes(2, "little", signed=True)
+        wf.writeframes(bytes(frames))
+    return buf.getvalue()
 
 
 def extract_features(
