@@ -18,6 +18,7 @@ North-star extension; the reference has no vector operations.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -94,18 +95,13 @@ def cosine_near_dup_pairs_lsh(
 ) -> DataFrame:
     """Embedding near-dup dedup at scale: random-projection buckets generate
     candidates (bounded by bucket size, never O(n²)), exact cosine verifies
-    ≥ threshold. Approximate in recall, exact in precision."""
-    all_planes = _hyperplanes(n_planes * n_tables, dim)
-    sig_arrays = F.array(
-        *[
-            rp_signature(F.col("v"), all_planes[t * n_planes : (t + 1) * n_planes])
-            for t in range(n_tables)
-        ]
-    )
+    ≥ threshold. Approximate in recall, exact in precision. Signatures come
+    from the Arrow-batched matmul (see rp_signatures_batch)."""
+    sig_udf = rp_signatures_batch(n_planes, n_tables, dim)
     sig_df = (
         _spread(df)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .select("id", sig_arrays.alias("sigs"))
+        .select("id", sig_udf("v").alias("sigs"))
         .localCheckpoint(eager=True)  # materialize before the generator
     )
     signed = sig_df.select("id", F.posexplode("sigs").alias("tbl", "sig"))
@@ -195,6 +191,31 @@ def rp_signature(vec: Column, planes: list[list[float]]) -> Column:
     return out
 
 
+def rp_signatures_batch(n_planes: int, n_tables: int, dim: int):
+    """Arrow-batched signature computation: ONE numpy matmul per batch
+    ((batch × dim) @ (dim × planes)) replaces n_tables × n_planes
+    interpreted higher-order dot expressions per row. HOFs are
+    CodegenFallback in Spark — row-at-a-time interpreted eval — so for
+    dense vector math the vectorized Python boundary wins by an order of
+    magnitude; the planes are the same splitmix64 constants, so both
+    implementations yield identical signatures up to fp summation order."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    planes = np.array(_hyperplanes(n_planes * n_tables, dim))  # (P, dim)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def sigs(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])  # (B, dim)
+        bits = (x @ planes.T) > 0                                        # (B, P)
+        by_table = bits.reshape(len(x), n_tables, n_planes)
+        folded = (by_table * weights).sum(axis=2)                        # (B, T)
+        return pd.Series(list(folded))
+
+    return sigs
+
+
 def ann_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -228,21 +249,15 @@ def ann_lsh_topk(
     payload through the distinct); re-rank joins vectors back for
     candidates only.
     """
-    all_planes = _hyperplanes(n_planes * n_tables, dim)
-    sig_arrays = F.array(
-        *[
-            rp_signature(F.col("v"), all_planes[t * n_planes : (t + 1) * n_planes])
-            for t in range(n_tables)
-        ]
-    )
+    sig_udf = rp_signatures_batch(n_planes, n_tables, dim)
 
     def signed(df: DataFrame, role: str) -> DataFrame:
         base = _spread(df).select(F.col(id_col).alias(f"{role}_id"), F.col(vec_col).alias("v"))
         # materialize the signature array BEFORE exploding: the generator
-        # re-interprets its input expression per output row, which would
-        # evaluate the full plane-dot tree n_tables× per vector (see
-        # dedup.py for the measured blowup)
-        sig_df = base.select(f"{role}_id", sig_arrays.alias("sigs")).localCheckpoint(eager=True)
+        # would otherwise re-evaluate its input per output row; the barrier
+        # also lets the shared-signature path reuse one table from both
+        # sides of the bucket join
+        sig_df = base.select(f"{role}_id", sig_udf("v").alias("sigs")).localCheckpoint(eager=True)
         return sig_df.select(f"{role}_id", F.posexplode("sigs").alias("tbl", "sig"))
 
     if queries_within_corpus:
