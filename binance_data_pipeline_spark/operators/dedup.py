@@ -273,3 +273,113 @@ def simhash_near_dups(
         .where(F.col("hamming") <= max_hamming)
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "hamming")
     )
+
+
+# --------------------------------------------------------------------------
+# Corpus materialization: exact + near-dup clustering → canonical keepers
+# --------------------------------------------------------------------------
+
+def cluster_pairs(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
+    """Connected components over near-dup pairs (id_a, id_b) by iterative
+    min-label propagation: every node starts labeled with itself; each
+    round, a node adopts the smallest label among itself and its neighbors;
+    stop at fixpoint. Returns (id, cluster_id = smallest id in component).
+
+    Scale shape: each round is one groupBy over the (undirected) edge list
+    joined back to labels — shuffles are edge-sized, the label table is
+    node-sized, and the loop converges in O(log(diameter)) rounds for the
+    short chains near-dup graphs produce. Each round is checkpointed so
+    the plan doesn't grow with iterations (lineage reset, not recompute).
+    The driver-side loop carries only a changed-count per round."""
+    edges = _materialize(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = _materialize(
+        edges.select(F.col("src").alias("id")).distinct().select("id", F.col("id").alias("label"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = _materialize(
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "id")
+            .where(F.col("u.label") != F.col("l.label"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("cluster_id"))
+
+
+def dedup_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.85,
+    num_perm: int = 16,
+    bands: int = 8,
+) -> tuple[DataFrame, DataFrame]:
+    """The LLM-training-data job: materialize a deduplicated corpus.
+
+    1. EXACT pass: md5(text) fingerprint groups → smallest id survives
+       (one hash shuffle; at 100 TB this is the cheap pass that typically
+       removes the bulk of crawl duplicates).
+    2. NEAR pass on survivors: MinHash+LSH candidate pairs verified by
+       exact shingle Jaccard ≥ threshold (bucket joins, never O(n²)).
+    3. CLUSTER: connected components over the verified pairs; the smallest
+       id in each component is its canonical keeper.
+
+    Returns (kept_docs, mapping) where mapping is
+    (doc_id, kept_doc_id, reason ∈ {'kept', 'exact_dup', 'near_dup'}) —
+    the audit trail a removal pipeline must persist."""
+    ids = F.col(id_col)
+    fp = df.select(ids.alias("id"), F.md5(F.col(text_col)).alias("fp"))
+    keeper_by_fp = fp.groupBy("fp").agg(F.min("id").alias("exact_keeper"))
+    exact_map = _materialize(
+        fp.join(keeper_by_fp, "fp").select("id", "exact_keeper")
+    )
+    survivors = df.join(
+        exact_map.where(F.col("id") == F.col("exact_keeper")).select("id"),
+        ids == F.col("id"),
+        "left_semi",
+    )
+
+    near_pairs = minhash_near_dups(
+        survivors, id_col=id_col, text_col=text_col, threshold=threshold,
+        num_perm=num_perm, bands=bands,
+    ).select("id_a", "id_b")
+    clusters = cluster_pairs(near_pairs)
+
+    near_map = clusters.select(
+        F.col("id").alias("near_id"), F.col("cluster_id").alias("near_keeper")
+    )
+    mapping = (
+        exact_map.join(near_map, exact_map.exact_keeper == near_map.near_id, "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce("near_keeper", "exact_keeper").alias("kept_doc_id"),
+            F.when(F.col("id") == F.coalesce("near_keeper", "exact_keeper"), "kept")
+            .when(F.col("id") != F.col("exact_keeper"), "exact_dup")
+            .otherwise("near_dup")
+            .alias("reason"),
+        )
+    )
+    kept = df.join(
+        mapping.where(F.col("reason") == "kept").select(F.col("kept_doc_id").alias("__k")),
+        ids == F.col("__k"),
+        "left_semi",
+    )
+    return kept, mapping

@@ -286,6 +286,47 @@ def test_minhash_short_docs_no_ansi_fault(spark):
     assert all(r["jaccard"] == 1.0 for r in pairs)
 
 
+def test_dedup_corpus_end_to_end(spark):
+    """The corpus-materialization job: exact dups collapse by fingerprint,
+    near-dups cluster transitively (connected components over verified
+    pairs), smallest id per cluster survives, and the mapping is a complete
+    audit trail."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep dark woods tonight chasing rabbits"
+    )
+    near1 = base.replace("quick", "swift")          # near-dup of base
+    near2 = near1.replace("rabbits", "squirrels")   # near-dup of near1 (chain)
+    rows = [
+        (1, base),
+        (2, base),        # exact dup of 1
+        (3, near1),       # near-dup of 1
+        (4, near2),       # near-dup of 3 → same cluster as 1 transitively
+        (10, "completely different text about databases and distributed query engines running on clusters"),
+        (11, "completely different text about databases and distributed query engines running on clusters"),  # exact dup of 10
+        (20, "a short unique document with no counterpart anywhere in this corpus at all"),
+    ]
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    kept, mapping = D.dedup_corpus(d, threshold=0.5)
+
+    assert sorted(r["doc_id"] for r in kept.collect()) == [1, 10, 20]
+    m = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in mapping.collect()}
+    assert m[1] == (1, "kept") and m[10] == (10, "kept") and m[20] == (20, "kept")
+    assert m[2] == (1, "exact_dup") and m[11] == (10, "exact_dup")
+    assert m[3] == (1, "near_dup") and m[4] == (1, "near_dup")
+    assert len(m) == len(rows)  # every input doc is accounted for
+
+
+def test_cluster_pairs_transitive_chain(spark):
+    """Min-label propagation must close long chains (a-b, b-c, c-d → one
+    component) and keep disjoint components apart."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (12, 11)], "id_a INT, id_b INT"
+    )
+    got = {r["id"]: r["cluster_id"] for r in D.cluster_pairs(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
 def test_ann_recall_vs_brute(spark):
     e = load_table(spark, SF, "embeddings")
     queries = e.where(F.col("vec_id") < 20)
