@@ -78,3 +78,80 @@ def trade_table_checks(df: DataFrame) -> dict[str, DataFrame]:
         "trade_id_unique": unique(df, "trade_id"),
         "trade_id_not_null": not_null(df, "trade_id"),
     }
+
+
+# ---------------------------------------------------------------------
+# Declarative suites — the configured version of the reference's
+# installed-but-unconfigured Great Expectations intent (docker-compose.yml
+# mounts a GE project dir with no expectations in it). A suite is plain
+# data (dict or YAML), compiled to the same assertion-DataFrame contract
+# run_checks() already enforces.
+# ---------------------------------------------------------------------
+
+
+def row_count_between(df: DataFrame, lo: int | None = None, hi: int | None = None) -> DataFrame:
+    """Table-level expectation: violation row iff the count is out of
+    bounds (one count aggregate — metadata-only on parquet scans)."""
+    cond = F.lit(False)
+    if lo is not None:
+        cond = cond | (F.col("n") < lo)
+    if hi is not None:
+        cond = cond | (F.col("n") > hi)
+    return df.agg(F.count(F.lit(1)).alias("n")).where(cond)
+
+
+_EXPECTATIONS = {
+    "unique": unique,
+    "not_null": not_null,
+    "accepted_range": accepted_range,
+    "accepted_values": accepted_values,
+}
+
+
+def compile_suite(df: DataFrame, suite: dict) -> dict[str, DataFrame]:
+    """Config → checks. Suite shape (GE-style, engine-agnostic)::
+
+        columns:
+          trade_id: [unique, not_null]
+          price:    [{accepted_range: {lo: 0}}]
+          symbol:   [{accepted_values: {values: [BTCUSDT, ETHUSDT]}}]
+        row_count: {min: 1}
+
+    Unknown expectation names fail at compile time (a typo must not
+    silently skip a check)."""
+    checks: dict[str, DataFrame] = {}
+    for col, expectations in (suite.get("columns") or {}).items():
+        for exp in expectations:
+            if isinstance(exp, str):
+                name, kwargs = exp, {}
+            elif isinstance(exp, dict) and len(exp) == 1:
+                name, kwargs = next(iter(exp.items()))
+            else:
+                raise ValueError(f"malformed expectation for {col!r}: {exp!r}")
+            if name not in _EXPECTATIONS:
+                raise ValueError(
+                    f"unknown expectation {name!r} for {col!r}; "
+                    f"available: {sorted(_EXPECTATIONS)}"
+                )
+            checks[f"{col}_{name}"] = _EXPECTATIONS[name](df, col, **(kwargs or {}))
+    rc = suite.get("row_count")
+    if rc:
+        checks["row_count"] = row_count_between(df, rc.get("min"), rc.get("max"))
+    return checks
+
+
+def suite_from_yaml(text: str) -> dict:
+    """Parse a YAML suite document (see compile_suite for the shape)."""
+    import yaml
+
+    loaded = yaml.safe_load(text)
+    if not isinstance(loaded, dict):
+        raise ValueError("suite YAML must be a mapping")
+    return loaded
+
+
+def run_suite(
+    df: DataFrame, suite: dict, sample_rows: int = 5, fail_fast: bool = False
+) -> list[CheckResult]:
+    """compile + run in one call — the DAG-gate entry point."""
+    return run_checks(compile_suite(df, suite), sample_rows, fail_fast)

@@ -81,6 +81,43 @@ def test_quality_checks_flag_dupes(bronze_df):
     assert by_name["trade_id_not_null"].passed
 
 
+def test_declarative_suite_yaml_roundtrip(bronze_df):
+    """GE-style declarative suite: YAML → compile → run. Violations and
+    passes land exactly where the imperative checks put them, and typos
+    fail at compile time instead of silently skipping."""
+    import pytest
+
+    from binance_data_pipeline_spark.quality import run_suite, suite_from_yaml
+
+    suite = suite_from_yaml(
+        """
+        columns:
+          trade_id: [unique, not_null]
+          price:    [{accepted_range: {lo: 0}}]
+          symbol:   [{accepted_values: {values: [BTCUSDT, ETHUSDT, BNBUSDT]}}]
+        row_count: {min: 1}
+        """
+    )
+    # suites run on TYPED tables (staging), like the reference's dbt tests:
+    # range checks on a raw string column would be a schema bug, not a
+    # quality result
+    typed = bronze_to_staging(bronze_df)
+    by_name = {r.name: r for r in run_suite(typed, suite)}
+    assert set(by_name) == {
+        "trade_id_unique", "trade_id_not_null", "price_accepted_range",
+        "symbol_accepted_values", "row_count",
+    }
+    assert not by_name["trade_id_unique"].passed   # fixture plants dupes
+    assert by_name["trade_id_not_null"].passed
+    assert by_name["symbol_accepted_values"].passed
+    assert by_name["row_count"].passed
+
+    with pytest.raises(ValueError, match="unknown expectation"):
+        run_suite(typed, {"columns": {"trade_id": ["uniqe"]}})
+    with pytest.raises(AssertionError, match="row_count"):
+        run_suite(typed, {"row_count": {"min": 10**9}}, fail_fast=True)
+
+
 def test_incremental_semantics(spark, bronze_df, tmp_path):
     fact_path = str(tmp_path / "fact_trades")
     stg = bronze_to_staging(bronze_df)
