@@ -109,6 +109,57 @@ def test_salted_agg_matches_plain(spark):
     assert plain == salted
 
 
+def test_z_value_interleaves_bits(spark):
+    """Known Morton pattern: (x=0b11, y=0b01) with 2 bits → z = 0b0111
+    (x bits at even positions, y bits at odd)."""
+    from binance_data_pipeline_spark.operators.scale import z_value
+
+    df = spark.createDataFrame([(0b11, 0b01)], "x LONG, y LONG")
+    got = df.select(z_value(["x", "y"], bits=2).alias("z")).first()["z"]
+    assert got == 0b0111, bin(got)
+
+
+def test_zorder_write_gives_both_columns_locality(spark, tmp_path):
+    """The point of Z-ORDER: after clustering on (x, y), EVERY file covers
+    a small min-max range of BOTH columns (→ parquet stats prune files for
+    filters on either). A plain sort by x would leave y's per-file range at
+    ~the global range."""
+    import pyarrow.parquet as pq
+
+    from binance_data_pipeline_spark.operators.scale import zorder_write
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.hash(F.col("id")) % 10_000).alias("x"),
+        (F.hash(F.col("id") + 1_000_000) % 10_000).alias("y"),
+    )
+    path = str(tmp_path / "zordered")
+    zorder_write(df, path, ["x", "y"], bits=8, num_files=16)
+
+    import glob
+    files = glob.glob(f"{path}/*.parquet")
+    assert len(files) >= 8
+
+    def avg_range(col):
+        spans = []
+        for f in files:
+            md = pq.read_metadata(f)
+            mn = min(md.row_group(i).column(0 if col == "x" else 1).statistics.min
+                     for i in range(md.num_row_groups))
+            mx = max(md.row_group(i).column(0 if col == "x" else 1).statistics.max
+                     for i in range(md.num_row_groups))
+            spans.append(mx - mn)
+        return sum(spans) / len(spans)
+
+    global_span = 20_000  # hash % 10_000 spans ±10_000
+    # 16 files on a 2-D curve ≈ 4×4 tiles → per-file span ≈ 1/4 global;
+    # allow generous slack for tile boundary crossings
+    assert avg_range("x") < 0.55 * global_span
+    assert avg_range("y") < 0.55 * global_span
+    # round-trip: clustering must not change the data
+    assert spark.read.parquet(path).count() == n
+
+
 def test_salted_agg_rejects_mergeless_exprs(spark):
     """The old list API silently summed MIN/MAX partials — wrong results
     with no error. The dict API makes that misuse fail loudly."""
