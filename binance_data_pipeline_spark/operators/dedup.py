@@ -159,13 +159,23 @@ def minhash_candidate_pairs(
     num_perm: int = 16,
     bands: int = 4,
     shingle_df: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands, hash each band,
     bucket-join → candidate pairs (id_a < id_b, distinct).
 
     The only shuffle is the band-bucket exchange; pair blow-up is bounded by
-    bucket sizes, not corpus size. At 100 TB you'd additionally salt
-    oversized buckets and cap bucket width (skew guard).
+    bucket sizes, not corpus size.
+
+    ``max_bucket_size`` is the 100 TB skew guard: a bucket of width w emits
+    w²/2 candidate pairs, and real crawls always have a few degenerate
+    buckets (boilerplate, template pages) that would dominate the join.
+    Buckets wider than the cap are DROPPED from candidate generation — the
+    standard large-scale posture (datasketch/spark-dedup do the same): a
+    pair of genuinely similar docs agrees on many bands, so losing its
+    pathological bucket rarely loses the pair, and the verify stage never
+    sees the w² explosion. The bucket-size table this filters on is
+    aggregated (distinct buckets, not rows) and the filter is a semi-join.
     """
     rows_per_band = num_perm // bands
     sh = shingle_df if shingle_df is not None else shingle_table(df, id_col, text_col, n)
@@ -177,6 +187,14 @@ def minhash_candidate_pairs(
         ]
     )
     banded = sig_df.select("id", F.posexplode(band_hashes).alias("band_id", "bh"))
+    if max_bucket_size is not None:
+        ok_buckets = (
+            banded.groupBy("band_id", "bh")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .where(F.col("w") <= max_bucket_size)
+            .select("band_id", "bh")
+        )
+        banded = banded.join(ok_buckets, ["band_id", "bh"], "left_semi")
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -198,11 +216,16 @@ def minhash_near_dups(
     num_perm: int = 16,
     bands: int = 4,
     threshold: float = 0.6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify on the
-    (hashed) shingle sets → pairs with jaccard ≥ threshold."""
+    (hashed) shingle sets → pairs with jaccard ≥ threshold. See
+    minhash_candidate_pairs for the ``max_bucket_size`` skew guard."""
     sh = shingle_table(df, id_col, text_col, n)
-    cands = minhash_candidate_pairs(df, id_col, text_col, n, num_perm, bands, shingle_df=sh)
+    cands = minhash_candidate_pairs(
+        df, id_col, text_col, n, num_perm, bands, shingle_df=sh,
+        max_bucket_size=max_bucket_size,
+    )
     return (
         cands.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
         .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
@@ -286,11 +309,13 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
     stop at fixpoint. Returns (id, cluster_id = smallest id in component).
 
     Scale shape: each round is one groupBy over the (undirected) edge list
-    joined back to labels — shuffles are edge-sized, the label table is
-    node-sized, and the loop converges in O(log(diameter)) rounds for the
-    short chains near-dup graphs produce. Each round is checkpointed so
-    the plan doesn't grow with iterations (lineage reset, not recompute).
-    The driver-side loop carries only a changed-count per round."""
+    joined back to labels, PLUS a pointer-jumping shortcut (adopt your
+    label's label) — the shortcut halves remaining path lengths every
+    round, so convergence is O(log diameter), not O(diameter) (a chain of
+    2^15 nodes closes inside the default iteration budget). Shuffles are
+    edge-sized; the label table is node-sized. Each round is checkpointed
+    so the plan doesn't grow with iterations (lineage reset, not
+    recompute); the driver-side loop carries only a changed-count."""
     edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
@@ -305,11 +330,17 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
             .groupBy("src")
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(neighbor_min, labels.id == neighbor_min.src, "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+        )
+        # pointer jumping: also adopt the label of your label — halves the
+        # remaining distance to the component minimum every round
+        lab2 = stepped.select(F.col("id").alias("lid"), F.col("label").alias("llabel"))
         updated = _materialize(
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
+            stepped.join(lab2, stepped.label == lab2.lid, "left").select(
                 "id",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias("label"),
+                F.least(F.col("label"), F.coalesce(F.col("llabel"), F.col("label"))).alias("label"),
             )
         )
         changed = (

@@ -286,6 +286,25 @@ def test_minhash_short_docs_no_ansi_fault(spark):
     assert all(r["jaccard"] == 1.0 for r in pairs)
 
 
+def test_minhash_hot_bucket_cap(spark):
+    """The skew guard: a degenerate bucket (many docs sharing boilerplate)
+    must not explode candidate generation when capped — while a genuinely
+    near-identical pair still surfaces through its other, narrow buckets."""
+    boiler = "this page is part of the standard website template with navigation header footer and sidebar everywhere"
+    rows = [(i, boiler + f" unique tail {i} alpha beta gamma delta {i*7} epsilon") for i in range(40)]
+    twin = boiler + " a very distinctive document body that repeats almost verbatim in its twin somewhere"
+    rows += [(98, twin), (99, twin + " extra")]
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    uncapped = D.minhash_candidate_pairs(d, bands=8).count()
+    capped = D.minhash_candidate_pairs(d, bands=8, max_bucket_size=10).count()
+    assert capped < uncapped, (capped, uncapped)
+
+    pairs = {(r["id_a"], r["id_b"])
+             for r in D.minhash_near_dups(d, bands=8, threshold=0.7, max_bucket_size=10).collect()}
+    assert (98, 99) in pairs  # the real near-dup survives the cap
+
+
 def test_dedup_corpus_end_to_end(spark):
     """The corpus-materialization job: exact dups collapse by fingerprint,
     near-dups cluster transitively (connected components over verified
@@ -325,6 +344,16 @@ def test_cluster_pairs_transitive_chain(spark):
     )
     got = {r["id"]: r["cluster_id"] for r in D.cluster_pairs(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10}
+
+
+def test_cluster_pairs_long_chain_converges(spark):
+    """Pointer jumping must close a 60-node path well inside the default
+    iteration budget (plain 1-hop propagation would need 59 rounds)."""
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id_a INT, id_b INT"
+    )
+    got = {r["id"]: r["cluster_id"] for r in D.cluster_pairs(pairs, max_iter=10).collect()}
+    assert set(got.values()) == {0} and len(got) == 61
 
 
 def test_ann_recall_vs_brute(spark):

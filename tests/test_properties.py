@@ -74,3 +74,42 @@ def test_incremental_split_invariance(spark):
     # the split run — exactly the reference's semantics (dedup is per-run;
     # cross-run dupes rely on the HWM filter). Compare distinct key sets.
     assert sorted(set(whole_ids)) == sorted(set(split_ids))
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda p: p[0] != p[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cluster_pairs_matches_union_find(spark, edges):
+    """Connected components via min-label propagation must agree with a
+    plain union-find on arbitrary random edge lists (cluster id = smallest
+    node id in the component)."""
+    from binance_data_pipeline_spark.operators.dedup import cluster_pairs
+
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges], "id_a INT, id_b INT"
+    )
+    got = {r["id"]: r["cluster_id"] for r in cluster_pairs(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    want = {x: find(x) for x in parent}
+    assert got == want
