@@ -362,6 +362,7 @@ def dedup_corpus(
     threshold: float = 0.85,
     num_perm: int = 16,
     bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The LLM-training-data job: materialize a deduplicated corpus.
 
@@ -390,7 +391,7 @@ def dedup_corpus(
 
     near_pairs = minhash_near_dups(
         survivors, id_col=id_col, text_col=text_col, threshold=threshold,
-        num_perm=num_perm, bands=bands,
+        num_perm=num_perm, bands=bands, max_bucket_size=max_bucket_size,
     ).select("id_a", "id_b")
     clusters = cluster_pairs(near_pairs)
 
