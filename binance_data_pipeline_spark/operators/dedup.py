@@ -279,16 +279,30 @@ def simhash_near_dups(
     text_col: str = "text",
     max_hamming: int = 3,
     prefix_bits: int = 16,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on the top `prefix_bits` bits (an
     LSH-style band — near-identical docs share the prefix), then verify
     hamming distance ≤ max_hamming with bit_count(xor). One shuffle on the
-    prefix; no O(n²) join."""
+    prefix; no O(n²) join.
+
+    ``max_block_size`` is the same skew guard as MinHash's
+    ``max_bucket_size``: a prefix block of width w emits w²/2 join rows, so
+    degenerate blocks (boilerplate-dominated corpora hash many docs to one
+    prefix) are dropped from candidate generation when capped."""
     sh = _materialize(
         with_simhash(df, id_col, text_col).withColumn(
             "blk", F.shiftright("simhash", 64 - prefix_bits)
         )
     )
+    if max_block_size is not None:
+        ok = (
+            sh.groupBy("blk")
+            .agg(F.count(F.lit(1)).alias("w"))
+            .where(F.col("w") <= max_block_size)
+            .select("blk")
+        )
+        sh = sh.join(ok, "blk", "left_semi")
     l, r = sh.alias("l"), sh.alias("r")
     return (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
