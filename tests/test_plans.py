@@ -120,6 +120,17 @@ def test_topk_running_shares_one_exchange(spark):
     assert n_exchange == 1, f"expected 1 exchange, got {n_exchange}:\n{plan}"
 
 
+def test_q7_q9_broadcast_dims(spark):
+    """The deep TPC-H shapes must broadcast every dim leg (supplier, part,
+    nation×2) — lineitem↔orders is the only sort-merge-eligible pair."""
+    from binance_data_pipeline_spark.plans.advanced import q7_volume_shipping, q9_product_profit
+
+    p7 = plan_of(q7_volume_shipping(spark, SF_SMALL))
+    assert p7.count("BroadcastHashJoin") >= 3, p7
+    p9 = plan_of(q9_product_profit(spark, SF_SMALL))
+    assert p9.count("BroadcastHashJoin") >= 3, p9
+
+
 def test_whole_stage_codegen_active(spark):
     """AQE hides codegen subtrees until runtime; disabling it for the
     explain exposes them (runtime behavior itself verified by the 1e9-row
