@@ -23,11 +23,13 @@ coarse time bucket to the window partition key, so a hot key splits into
 
   phase 1: carry within (key, bucket) — the same union-and-carry, just a
            narrower window partition
-  phase 2: per-(key, bucket) last right value → tiny bucket-level table
-           (keys × buckets rows); a second window over BUCKETS per key,
-           shifted one bucket back, yields each bucket's carry-in (the
-           last quote from any earlier bucket)
-  phase 3: join the carry-in back on (key, bucket);
+  phase 2: per-(key, bucket) last NON-NULL value of each carried column
+           → small bucket-level table (≤ keys × buckets rows); a second
+           window over BUCKETS per key, shifted one bucket back, yields
+           each bucket's carry-in (the last quote from any earlier bucket)
+  phase 3: join the carry-in back on (key, bucket) — no broadcast hint;
+           AQE converts to broadcast at runtime only when the measured
+           carry-in size fits (keys × buckets can be huge at scale);
            result = coalesce(within-bucket carry, carry-in)
 
 Both forms produce identical results (equality is pinned in
@@ -119,15 +121,25 @@ def asof_join(
         ],
     )
 
-    # phase 2: per-bucket last right value (one row per key × bucket that
-    # has right rows), then a bucket-level window per key shifted one
-    # bucket back = each bucket's carry-in. The spine unions LEFT buckets
-    # too, so buckets with no right rows still receive a carry-in.
+    # phase 2: per-bucket last NON-NULL value of EACH column (one row per
+    # key × bucket that has right rows), then a bucket-level window per key
+    # shifted one bucket back = each bucket's carry-in. Per-column (not a
+    # single max_by over the whole value struct) so the bucketed form
+    # matches the single-window last(ignorenulls) semantics even when a
+    # right row is NULL in one value column but an earlier row has a value:
+    # max_by with a NULL-filtered ordering skips NULL-valued rows, so each
+    # column independently carries its own latest non-null. The spine
+    # unions LEFT buckets too, so buckets with no right rows still receive
+    # a carry-in.
     rights = unioned.where(F.col("__side") == 0)
     bucket_last = rights.groupBy(on, "__asof_bucket").agg(
-        F.max_by(
-            F.struct(*[F.col(f"__r_{c}").alias(c) for c in value_cols]), F.col(ts_col)
-        ).alias("__last")
+        *[
+            F.max_by(
+                F.col(f"__r_{c}"),
+                F.when(F.col(f"__r_{c}").isNotNull(), F.col(ts_col)),
+            ).alias(f"__last_{c}")
+            for c in value_cols
+        ]
     )
     spine = unioned.select(on, "__asof_bucket").distinct()
     wb = Window.partitionBy(on).orderBy("__asof_bucket").rowsBetween(
@@ -138,18 +150,26 @@ def asof_join(
         .select(
             on,
             "__asof_bucket",
-            F.last("__last", ignorenulls=True).over(wb).alias("__carry"),
+            *[
+                F.last(f"__last_{c}", ignorenulls=True).over(wb).alias(f"__carry_{c}")
+                for c in value_cols
+            ],
         )
     )
 
     # phase 3: stitch — within-bucket value wins, else the carry-in.
-    # carry_in is keys × buckets rows (tiny); broadcast keeps phase 3 a
-    # map-side join against the phase-1 output.
-    out = carried.join(F.broadcast(carry_in), [on, "__asof_bucket"], "left").select(
+    # carry_in is at most keys × buckets rows; usually tiny, but at
+    # 100× scale (1M keys × years of buckets) it can exceed any broadcast
+    # budget — so no unconditional broadcast hint here. AQE measures the
+    # shuffle output at runtime and converts to BroadcastHashJoin only
+    # when carry_in actually fits (spark.sql.adaptive.autoBroadcastJoin-
+    # Threshold), falling back to a shuffle join otherwise. That IS the
+    # size guard, measured rather than guessed.
+    out = carried.join(carry_in, [on, "__asof_bucket"], "left").select(
         *lcols,
         "__side",
         *[
-            F.coalesce(F.col(f"__in_{c}"), F.col("__carry")[c]).alias(f"{c}{suffix}")
+            F.coalesce(F.col(f"__in_{c}"), F.col(f"__carry_{c}")).alias(f"{c}{suffix}")
             for c in value_cols
         ],
     )

@@ -94,6 +94,86 @@ def test_asof_join_bucketed_matches_single_phase(spark):
     assert any("__asof_bucket" in l and "sym" in l for l in exchanges), plan
 
 
+def test_asof_join_bucketed_null_value_columns(spark):
+    """Per-column carry semantics: a right row NULL in one value column
+    must not mask an earlier non-null value of that column across a
+    bucket boundary — both forms carry each column independently with
+    last-non-null (the single-window form via last(ignorenulls), the
+    bucketed form via per-column NULL-filtered max_by in phase 2)."""
+    quotes = [
+        # bucket 0 (ts<5000): bid set, ask set
+        ("HOT", 1_000, 10.0, 11.0),
+        # bucket 0 later row: bid updated, ask NULL → ask must still carry 11.0
+        ("HOT", 2_000, 12.0, None),
+        # bucket 1: ask only → bid carries 12.0 from bucket 0
+        ("HOT", 6_000, None, 15.0),
+    ]
+    trades = [
+        ("HOT", 4_000, 1.0),   # within bucket 0, after the NULL-ask row
+        ("HOT", 11_000, 2.0),  # bucket 2: both columns come from carry-in
+        ("HOT", 500, 3.0),     # before any quote → nulls
+    ]
+    qdf = spark.createDataFrame(quotes, "sym string, ts long, bid double, ask double")
+    tdf = spark.createDataFrame(trades, "sym string, ts long, tval double")
+
+    plain = asof_join(tdf, qdf, on="sym", ts_col="ts", value_cols=["bid", "ask"])
+    bucketed = asof_join(
+        tdf, qdf, on="sym", ts_col="ts", value_cols=["bid", "ask"], bucket_seconds=5_000
+    )
+    key = lambda r: (r["sym"], r["ts"], r["tval"], r["bid_asof"], r["ask_asof"])
+    got_plain = sorted(map(key, plain.collect()))
+    got_bucketed = sorted(map(key, bucketed.collect()))
+    expected = sorted(
+        [
+            ("HOT", 500, 3.0, None, None),
+            ("HOT", 4_000, 1.0, 12.0, 11.0),   # ask survives the NULL row
+            ("HOT", 11_000, 2.0, 12.0, 15.0),  # per-column cross-bucket carry
+        ]
+    )
+    assert got_plain == expected
+    assert got_bucketed == expected
+
+
+def test_asof_bucketed_carry_join_is_size_guarded(spark):
+    """Phase 3 must not broadcast carry_in unconditionally: keys × buckets
+    rows OOM the driver at scale. With AQE's measured-size conversion a
+    small carry_in becomes a broadcast join at runtime; with the broadcast
+    budget disabled the same plan degrades gracefully to a shuffle join
+    instead of a forced broadcast."""
+    rows = [("S%d" % (i % 5), 1_000 * i, float(i)) for i in range(200)]
+    tdf = spark.createDataFrame(rows, "sym string, ts long, tval double")
+    qdf = spark.createDataFrame(
+        [("S%d" % (i % 5), 500 * i, 100.0 + i) for i in range(100)],
+        "sym string, ts long, quote double",
+    )
+
+    def final_plan(df):
+        df.collect()  # AQE finalizes join strategy at runtime
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    out = asof_join(tdf, qdf, on="sym", ts_col="ts", value_cols=["quote"], bucket_seconds=10_000)
+    assert "BroadcastHashJoin" in final_plan(out), "small carry_in should broadcast via AQE"
+
+    conf = spark.conf
+    prev_static = conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        out2 = asof_join(
+            tdf, qdf, on="sym", ts_col="ts", value_cols=["quote"], bucket_seconds=10_000
+        )
+        plan2 = final_plan(out2)
+        assert "BroadcastHashJoin" not in plan2, plan2
+        assert "SortMergeJoin" in plan2 or "ShuffledHashJoin" in plan2, plan2
+    finally:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", prev_static)
+        if prev_aqe is None:
+            conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+        else:
+            conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", prev_aqe)
+
+
 # ----------------------------------------------------------- REST backfill
 
 def test_fetch_grid_shape(spark):
