@@ -19,6 +19,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from binance_data_pipeline_spark.lifecycle import release_barriers  # noqa: E402
 from binance_data_pipeline_spark.plans import all_queries  # noqa: E402
 from binance_data_pipeline_spark.session import get_spark  # noqa: E402
 
@@ -76,7 +77,8 @@ def main() -> None:
             dt = round(time.time() - t0, 3)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
-            spark.catalog.clearCache()  # dedup ops cache; don't leak across queries
+            spark.catalog.clearCache()      # cached tables/DataFrames
+            release_barriers(spark)         # eager localCheckpoint blocks
 
     total = round(sum(timings.values()), 3)
     print(

@@ -90,15 +90,20 @@ def materialize_dedup_corpus(
     (doc_id → kept_doc_id + reason, the removal audit trail). Returns
     (kept_count, input_count). Mapping is written first so a crash between
     the writes never leaves kept docs unexplained."""
+    from .lifecycle import barrier_scope
     from .operators.dedup import dedup_corpus
 
     docs = spark.read.parquet(docs_path)
-    kept, mapping = dedup_corpus(
-        docs, id_col=id_col, text_col=text_col, threshold=threshold,
-        max_bucket_size=max_bucket_size,
-    )
-    mapping.write.mode("overwrite").parquet(f"{out_path.rstrip('/')}/mapping.parquet")
-    kept.write.mode("overwrite").parquet(f"{out_path.rstrip('/')}/corpus.parquet")
+    # barrier_scope: dedup's eager-checkpoint intermediates (shingle/
+    # signature/label tables) are released once both outputs are written,
+    # so a chained multi-corpus job doesn't accumulate executor storage.
+    with barrier_scope(spark):
+        kept, mapping = dedup_corpus(
+            docs, id_col=id_col, text_col=text_col, threshold=threshold,
+            max_bucket_size=max_bucket_size,
+        )
+        mapping.write.mode("overwrite").parquet(f"{out_path.rstrip('/')}/mapping.parquet")
+        kept.write.mode("overwrite").parquet(f"{out_path.rstrip('/')}/corpus.parquet")
     return (
         spark.read.parquet(f"{out_path.rstrip('/')}/corpus.parquet").count(),
         docs.count(),

@@ -170,3 +170,36 @@ def test_salted_agg_rejects_mergeless_exprs(spark):
         salted_agg(e, ["event_type"], [F.min("value").alias("mn")])
     with pytest.raises(TypeError, match="merge_fn"):
         salted_agg(e, ["event_type"], {"mn": F.min("value")})
+
+
+# ----------------------------------------------------------- lifecycle
+
+def test_release_barriers_frees_checkpoint_blocks(spark):
+    """Eager localCheckpoint barriers (dedup/similarity intermediates) pin
+    executor-storage blocks until released; release_barriers must free
+    every one of them once results are consumed — the between-queries
+    contract bench.py and job boundaries rely on."""
+    from binance_data_pipeline_spark.lifecycle import (
+        barrier_scope,
+        persistent_rdd_count,
+        release_barriers,
+    )
+
+    release_barriers(spark)  # clean slate (other tests may have persisted)
+    base = persistent_rdd_count(spark)
+
+    ck = spark.range(10_000).localCheckpoint(eager=True)
+    ck2 = spark.range(100).localCheckpoint(eager=True)
+    assert persistent_rdd_count(spark) >= base + 2
+    assert ck.count() == 10_000 and ck2.count() == 100  # consume
+
+    released = release_barriers(spark)
+    assert released >= 2
+    assert persistent_rdd_count(spark) == 0
+
+    # context-manager form: blocks created inside are gone on exit
+    with barrier_scope(spark):
+        inner = spark.range(500).localCheckpoint(eager=True)
+        assert inner.count() == 500
+        assert persistent_rdd_count(spark) >= 1
+    assert persistent_rdd_count(spark) == 0
