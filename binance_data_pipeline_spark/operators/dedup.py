@@ -10,17 +10,20 @@ Scale design (the whole point of these at 100 TB):
   materialization barriers (cache) separate the stages — Catalyst's
   CollapseProject would otherwise inline the shingle expression tree once
   per permutation (measured ~70× blowup at sf0.001).
-- SimHash: explode tokens → 64 per-bit vote SUM aggregates (whole-stage
-  codegen hash-agg; partial aggregation makes the shuffle carry one
-  64-int vector per doc per partition, not tokens).
+- SimHash: JVM token hashing, then ONE Arrow-batched popcount kernel per
+  batch for the 64-bit vote tally — map-only, no shuffle (the explode +
+  64-vote-agg formulation it replaced shuffled a 64-int vector per doc
+  per partition; signature parity is test-pinned).
 - n-gram Jaccard verifies candidate pairs only (array_intersect/union) —
   the classic LSH-then-verify two-phase shape.
 
-Everything is Catalyst-visible; no Python UDFs.
+Everything is Catalyst-visible; the single Python boundary is the
+Arrow-batched SimHash kernel (vectorized per batch, never per row).
 """
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -243,34 +246,83 @@ def minhash_near_dups(
 # SimHash
 # --------------------------------------------------------------------------
 
+def _simhash_batch_udf():
+    """Arrow-batched SimHash kernel: token xxhash64 arrays in (JVM-computed,
+    so hashes match the JVM formulation bit-for-bit), signed-64 signature
+    out. Per batch: one np.unpackbits over the little-endian byte view
+    (token × 64 bit matrix, uint8), np.add.reduceat per doc for the bit
+    sums, votes = 2·sums − count, bit set iff votes > 0. One vectorized
+    pass replaces 64 per-bit vote aggregates — and makes the whole operator
+    map-side (the explode + groupBy formulation shuffled a 64-int vector
+    per doc per partition). Docs are chunked so the bit matrix stays
+    ~64 MB regardless of Arrow batch size."""
+    import numpy as np
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    weights = np.uint64(1) << np.arange(64, dtype=np.uint64)
+
+    def doc_chunk(counts: "np.ndarray", budget: int = 1_000_000):
+        # yield (start_doc, end_doc) slices whose token totals stay small
+        start, running = 0, 0
+        for i, c in enumerate(counts):
+            if running + c > budget and i > start:
+                yield start, i
+                start, running = i, 0
+            running += int(c)
+        if start < len(counts):
+            yield start, len(counts)
+
+    @pandas_udf("long")
+    def sim(hashes: pd.Series) -> pd.Series:
+        arrays = [np.asarray(h, dtype=np.int64) for h in hashes]
+        counts = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=len(arrays))
+        out = np.zeros(len(arrays), dtype=np.int64)
+        for lo, hi in doc_chunk(counts):
+            seg_counts = counts[lo:hi]
+            nz = seg_counts > 0  # empty docs: votes all -0 → sig 0
+            if not nz.any():
+                continue
+            flat = np.concatenate([arrays[i] for i in range(lo, hi)])
+            bits = np.unpackbits(
+                flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            )  # (tokens, 64) uint8; little-endian byte view → column i is bit i
+            starts = np.zeros(len(seg_counts), dtype=np.int64)
+            starts[1:] = np.cumsum(seg_counts)[:-1]
+            sums = np.zeros((len(seg_counts), 64), dtype=np.int64)
+            # reduceat over nonempty docs only: an empty doc would make
+            # consecutive indices equal, which reduceat treats as a
+            # single-element slice instead of an empty sum
+            sums[nz] = np.add.reduceat(bits, starts[nz], axis=0, dtype=np.int64)
+            votes = 2 * sums - seg_counts[:, None]
+            sig_u = ((votes > 0) * weights).sum(axis=1, dtype=np.uint64)
+            out[lo:hi] = sig_u.view(np.int64)
+        return pd.Series(out)
+
+    return sim
+
+
 def with_simhash(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 64
 ) -> DataFrame:
-    """(id, simhash) via explode + 64 per-bit vote aggregates.
+    """(id, simhash): each token votes ±1 per bit of its xxhash64; bit i of
+    the signature is set iff the vote sum is positive.
 
-    Each token votes ±1 per bit of its xxhash64; the per-bit SUMs are
-    ordinary hash aggregates (whole-stage codegen, partial agg map-side →
-    the shuffle carries one 64-int vector per doc per partition). The naive
-    formulation — per-token 64-wide array zip_with — runs interpreted and
-    was ~50× slower at sf0.001.
-    """
-    tok = _spread(df).select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t"))
-    tok = tok.select("id", F.xxhash64("t").alias("h"))
-    votes = tok.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(bits)
-        ]
+    Hashing stays JVM-side (token_hashes → array<bigint>, whole-stage
+    codegen); the 64-bit vote tally runs as ONE Arrow-batched popcount
+    matmul per batch (see _simhash_batch_udf) — map-only, no shuffle. The
+    earlier explode + 64-vote-agg formulation produced identical signatures
+    (pinned by test_simhash_matches_vote_agg) but paid a doc-wide shuffle
+    and a 64-column aggregate; the per-token 64-wide array zip_with variant
+    runs interpreted and was ~50× slower still.
+
+    Docs with zero tokens are excluded (the vote-agg formulation had no
+    rows to aggregate for them; parity preserved)."""
+    if bits != 64:
+        raise ValueError("simhash is fixed at 64 bits (one BIGINT signature)")
+    th = _spread(df).select(F.col(id_col).alias("id"), token_hashes(text_col).alias("th"))
+    return th.where(F.size("th") > 0).select(
+        "id", _simhash_batch_udf()(F.col("th")).alias("simhash")
     )
-    sig = F.lit(0).cast("long")
-    for i in range(bits):
-        bit_val = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
-        sig = sig.bitwiseXOR(
-            F.when(F.col(f"v{i}") > 0, bit_val).otherwise(F.lit(0).cast("long"))
-        )
-    return votes.select("id", sig.alias("simhash"))
 
 
 def simhash_near_dups(

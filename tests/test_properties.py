@@ -113,3 +113,47 @@ def test_cluster_pairs_matches_union_find(spark, edges):
         union(a, b)
     want = {x: find(x) for x in parent}
     assert got == want
+
+
+def test_simhash_matches_vote_agg(spark):
+    """The Arrow-batched popcount kernel must produce BIT-IDENTICAL
+    signatures to the explode + 64 per-bit vote-aggregate formulation it
+    replaced (same JVM xxhash64 token hashes, same votes>0 rule, same
+    signed-64 fold), including sign-bit docs and multi-occurrence tokens."""
+    from binance_data_pipeline_spark.operators.dedup import with_simhash
+    from binance_data_pipeline_spark.operators.text import tokens
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "completely different content with unusual vocabulary"),
+        (4, "a"),                      # single token: sig == its hash bits
+        (5, ""),                       # empty text → one "" token (split semantics)
+        (6, "x " * 500),               # one token repeated: votes never tie
+        (7, "päivää 東京 emoji 🚀 mixed unicode tokens"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    got = {r["id"]: r["simhash"] for r in with_simhash(df).collect()}
+
+    # reference: the old vote-agg formulation, inlined
+    tok = df.select(F.col("doc_id").alias("id"), F.explode(tokens("text")).alias("t"))
+    tok = tok.select("id", F.xxhash64("t").alias("h"))
+    votes = tok.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        bit_val = F.lit(-(1 << 63) if i == 63 else (1 << i)).cast("long")
+        sig = sig.bitwiseXOR(F.when(F.col(f"v{i}") > 0, bit_val).otherwise(F.lit(0).cast("long")))
+    want = {r["id"]: r["sig"] for r in votes.select("id", sig.alias("sig")).collect()}
+
+    assert set(got) == set(want) == {1, 2, 3, 4, 5, 6, 7}
+    assert got == want
+
+    # map-only: the new form must plan NO exchange before the signature
+    plan = with_simhash(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
