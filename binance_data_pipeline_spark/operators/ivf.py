@@ -27,12 +27,60 @@ path.
 
 from __future__ import annotations
 
+import hashlib
 import os
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
 from .similarity import _spread, cosine
+
+
+# --------------------------------------------------------------------------
+# Index identity: fingerprint + filesystem helpers
+# --------------------------------------------------------------------------
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) via the JVM Hadoop FS API — works for any scheme
+    the cluster can reach (file://, hdfs://, s3a://...), unlike
+    os.path.exists which silently answers for the DRIVER's local disk."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration()), jpath
+
+
+def corpus_fingerprint(corpus: DataFrame, params: str, max_status_calls: int = 100) -> str:
+    """Identity of (corpus contents, build params): every input file NAME
+    plus size+mtime for the first ``max_status_calls`` of them (statuses go
+    through one driver RPC each — capped so a million-file corpus doesn't
+    stall the driver; regenerated data virtually always changes names or
+    the sampled statuses). An in-memory corpus has no input files — the
+    fingerprint then covers params only, i.e. no staleness protection
+    (documented build-once contract is for file-backed corpora)."""
+    spark = corpus.sparkSession
+    files = sorted(corpus.inputFiles())
+    parts = [params, str(len(files))]
+    for i, f in enumerate(files):
+        if i < max_status_calls:
+            fs, p = _hadoop_fs(spark, f)
+            st = fs.getFileStatus(p)
+            parts.append(f"{f}:{st.getLen()}:{st.getModificationTime()}")
+        else:
+            parts.append(f)
+    return hashlib.sha1("|".join(parts).encode()).hexdigest()
+
+
+def _read_index_fingerprint(spark: SparkSession, index_path: str) -> str | None:
+    """Fingerprint persisted beside the index, or None if absent/unreadable
+    (a half-written index has no meta — meta is written LAST, so it doubles
+    as the build's commit marker)."""
+    try:
+        rows = spark.read.parquet(os.path.join(index_path, "meta.parquet")).collect()
+    except AnalysisException:
+        return None
+    return rows[0]["fingerprint"] if rows else None
 
 
 def _centroid_array_col(centroids: list[tuple[int, list[float]]]) -> Column:
@@ -123,10 +171,15 @@ def build_ivf_index(
     n_centroids: int = 16,
     iterations: int = 2,
     sample_target: int | None = 4096,
+    fingerprint: str | None = None,
 ) -> None:
     """Build-once: train centroids on a sample, assign EVERY corpus vector
     to its cell (one broadcast-argmin scan), persist both. ``cells.parquet``
-    is partitioned by cell_id so queries read only probed cells."""
+    is partitioned by cell_id so queries read only probed cells.
+
+    ``fingerprint`` (corpus identity, see corpus_fingerprint) is persisted
+    LAST in ``meta.parquet`` — readers treat an index without matching meta
+    as absent, so a crash mid-build can never serve a half-written index."""
     spark = corpus.sparkSession
     centroids = train_centroids(corpus, id_col, vec_col, n_centroids, iterations, sample_target)
     spark.createDataFrame(
@@ -140,6 +193,10 @@ def build_ivf_index(
     cells.repartition(n_centroids, "cell_id").write.mode("overwrite").partitionBy(
         "cell_id"
     ).parquet(os.path.join(index_path, "cells.parquet"))
+    if fingerprint is not None:
+        spark.createDataFrame(
+            [(fingerprint,)], "fingerprint STRING"
+        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
 
 
 def ivf_query(
@@ -198,16 +255,44 @@ def ivf_topk(
     sample_target: int | None = 4096,
 ) -> DataFrame:
     """IVF ANN top-k. With ``index_path``: build the persisted index there
-    IF missing, then serve from it — repeat calls never retrain (the
-    build-once/query-many contract). Without: one-shot in-memory build
-    (sampled train + assignment barrier) for ad-hoc use."""
+    IF missing or STALE, then serve from it — repeat calls over unchanged
+    data never retrain (the build-once/query-many contract). Without:
+    one-shot in-memory build (sampled train + assignment barrier) for
+    ad-hoc use.
+
+    Staleness/atomicity: the index carries a fingerprint of the corpus
+    input files (names + size + mtime) and build params; a mismatch — data
+    regenerated in place, params changed, or a half-written index from a
+    crashed build (meta is written last) — triggers a rebuild. The rebuild
+    lands in a unique temp dir and is renamed into place via the Hadoop FS
+    API (scheme-agnostic), so two concurrent builders can't interleave
+    writes; the loser of the rename race validates and serves the winner's
+    index. Readers mid-swap of a STALE index may transiently miss the dir
+    (standard non-transactional-table caveat; same-data rebuilds never
+    swap)."""
     spark = corpus.sparkSession
     if index_path is not None:
-        success = os.path.join(index_path, "cells.parquet", "_SUCCESS")
-        if not os.path.exists(success):
+        params = f"k{n_centroids}|it{iterations}|s{sample_target}|{id_col}|{vec_col}"
+        want = corpus_fingerprint(corpus, params)
+        if _read_index_fingerprint(spark, index_path) != want:
+            tmp = f"{index_path}__build_{uuid.uuid4().hex[:8]}"
             build_ivf_index(
-                corpus, index_path, id_col, vec_col, n_centroids, iterations, sample_target
+                corpus, tmp, id_col, vec_col, n_centroids, iterations, sample_target,
+                fingerprint=want,
             )
+            fs, dest = _hadoop_fs(spark, index_path)
+            _, tmp_p = _hadoop_fs(spark, tmp)
+            if fs.exists(dest):
+                fs.delete(dest, True)  # stale (or uncommitted) index
+            if not fs.rename(tmp_p, dest):
+                # concurrent builder won the race — use theirs if it's the
+                # same corpus, otherwise surface the conflict
+                fs.delete(tmp_p, True)
+                if _read_index_fingerprint(spark, index_path) != want:
+                    raise RuntimeError(
+                        f"IVF index at {index_path} was concurrently replaced "
+                        "with a different corpus fingerprint"
+                    )
         return ivf_query(spark, index_path, queries, id_col, vec_col, k, nprobe)
 
     centroids = train_centroids(corpus, id_col, vec_col, n_centroids, iterations, sample_target)

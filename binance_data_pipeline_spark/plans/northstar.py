@@ -98,9 +98,12 @@ def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via IVF coarse quantizer (deterministic sampled
     k-means cells, nprobe probing, exact re-rank). The index is persisted
-    per (sf_dir, params) and built only IF missing — repeat calls serve
-    from the cell-partitioned parquet with no retrain (build-once/
-    query-many). Spark-only: rows-only check; recall vs brute tested in
+    per (sf_dir, params) and built only IF missing or stale — ivf_topk
+    fingerprints the corpus input files (names+size+mtime), so testdata
+    regenerated at the same path forces a rebuild instead of serving a
+    stale index; repeat calls over unchanged data serve from the
+    cell-partitioned parquet with no retrain (build-once/query-many).
+    Spark-only: rows-only check; recall vs brute tested in
     tests/test_operators.py."""
     import hashlib
     import tempfile

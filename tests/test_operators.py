@@ -547,6 +547,49 @@ def test_ivf_persisted_index_no_retrain(spark, tmp_path):
     assert first == third
 
 
+def test_ivf_index_rebuilds_on_data_change(spark, tmp_path):
+    """Staleness contract: the persisted index fingerprints its corpus
+    input files, so (a) repeat calls over unchanged data serve the index
+    without rebuilding, and (b) regenerating the corpus parquet AT THE
+    SAME PATH forces a rebuild — the old path-keyed _SUCCESS check would
+    silently serve neighbors from the dead data."""
+    import os as _os
+
+    from binance_data_pipeline_spark.operators.ivf import ivf_topk
+
+    data = str(tmp_path / "emb.parquet")
+    # v1: distinct vectors → no perfect-similarity neighbors
+    v1 = [(i, [float(i + 1), float((i * 7) % 5 + 1), 1.0, 0.5]) for i in range(20)]
+    spark.createDataFrame(v1, "vec_id long, embedding array<double>").write.mode(
+        "overwrite"
+    ).parquet(data)
+    corpus = spark.read.parquet(data)
+    queries = corpus.where(F.col("vec_id") < 2)
+    idx = str(tmp_path / "idx")
+
+    r1 = ivf_topk(queries, corpus, k=2, n_centroids=2, nprobe=2, index_path=idx).collect()
+    assert r1 and all(r["sim"] < 1.0 for r in r1)
+    meta_marker = _os.path.join(idx, "meta.parquet", "_SUCCESS")
+    built_at = _os.path.getmtime(meta_marker)
+
+    # unchanged data → second call must NOT rebuild
+    r2 = ivf_topk(queries, corpus, k=2, n_centroids=2, nprobe=2, index_path=idx).collect()
+    assert _os.path.getmtime(meta_marker) == built_at
+    assert sorted(map(tuple, r1)) == sorted(map(tuple, r2))
+
+    # regenerate IN PLACE: all vectors identical → every true neighbor has
+    # sim == 1.0, impossible under v1 — proves results come from new data
+    v2 = [(i, [1.0, 2.0, 3.0, 4.0]) for i in range(20)]
+    spark.createDataFrame(v2, "vec_id long, embedding array<double>").write.mode(
+        "overwrite"
+    ).parquet(data)
+    corpus2 = spark.read.parquet(data)
+    queries2 = corpus2.where(F.col("vec_id") < 2)
+    r3 = ivf_topk(queries2, corpus2, k=2, n_centroids=2, nprobe=2, index_path=idx).collect()
+    assert r3 and all(r["sim"] == 1.0 for r in r3), r3
+    assert _os.path.getmtime(meta_marker) > built_at  # rebuilt
+
+
 def test_resize_and_frame_sample(media_df, spark):
     from binance_data_pipeline_spark.operators.multimodal import (
         fake_resizer,
