@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
@@ -68,14 +69,24 @@ def q_doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_doc_exact_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact-dup detection via md5 fingerprint: clusters with >1 doc,
-    smallest doc_id as the canonical keeper."""
+    """Exact-dup dedup DECISION table: every doc mapped to the canonical
+    keeper (smallest doc_id) of its normalized-fingerprint cluster, with
+    cluster width and an is_dup flag. One row per doc — the shape a
+    downstream corpus writer consumes (keep where doc_id = keeper), and
+    non-degenerate at every SF (the earlier clusters-only form returned 0
+    rows at small SFs where the synthetic corpus has no exact dups, which
+    made its oracle match vacuous). fingerprint_normalized catches
+    formatting-only dups (case/whitespace) on top of byte-exact ones."""
     d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("fp")
     return (
-        d.withColumn("fp", T.fingerprint_md5("text"))
-        .groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_dups"), F.min("doc_id").alias("keeper_doc_id"))
-        .where(F.col("n_dups") > 1)
+        d.withColumn("fp", T.fingerprint_normalized("text"))
+        .select(
+            "doc_id",
+            F.min("doc_id").over(w).alias("keeper_doc_id"),
+            F.count(F.lit(1)).over(w).cast("long").alias("cluster_size"),
+        )
+        .withColumn("is_dup", F.col("doc_id") != F.col("keeper_doc_id"))
     )
 
 
@@ -306,8 +317,15 @@ ORACLE = {
         FROM scores GROUP BY 1, 2
     """,
     "doc_exact_dups": """
-        SELECT md5(text) AS fp, count(*) AS n_dups, min(doc_id) AS keeper_doc_id
-        FROM documents GROUP BY 1 HAVING count(*) > 1
+        WITH fps AS (
+            SELECT doc_id,
+                   md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+            FROM documents)
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY fp) AS keeper_doc_id,
+               (count(*) OVER (PARTITION BY fp))::BIGINT AS cluster_size,
+               doc_id <> min(doc_id) OVER (PARTITION BY fp) AS is_dup
+        FROM fps
     """,
     "embed_knn_brute": """
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
