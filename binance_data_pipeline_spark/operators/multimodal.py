@@ -6,15 +6,27 @@ Decode support is tiered:
     numpy + the stdlib `wave` module — `baseline_decoder` /
     `baseline_resizer` run the feature and resize paths end-to-end,
     un-stubbed, on those formats (synthetic fixture builders included).
-  - STUBBED: compressed formats (PNG/JPEG/MP3/MP4) need PIL/libav, absent
-    in this container — `decode_stub` raises NotImplementedError; inject a
-    PIL/ffmpeg-backed Decoder in production. The Arrow-batch plumbing is
-    identical either way, so swapping decoders changes zero Spark code.
+  - AUTO-DETECTED: `default_decoder()` / `default_resizer()` probe for PIL
+    once at construction and route compressed images (PNG/JPEG/...)
+    through it when importable — decoding to RGB and reusing the SAME
+    `_rgb_features`, so identical pixels give identical vectors in either
+    container format.
+  - STUBBED: without PIL (this container), compressed formats fall back to
+    `decode_stub`'s NotImplementedError; audio/video beyond PCM WAV needs
+    libav — inject a real Decoder in production. The Arrow-batch plumbing
+    is identical either way, so swapping decoders changes zero Spark code.
 
 Scale notes: binary payloads dominate row size → keep
 `spark.sql.files.maxPartitionBytes` small enough that an Arrow batch of
 rows fits executor memory; metadata-only transforms must select AWAY the
 binary column first (column pruning drops the bytes at the scan).
+
+Deployment note: decoder closures reference module-level functions, which
+cloudpickle serializes BY REFERENCE — executors must be able to import
+this package (ship it via `spark-submit --py-files` / pip install /
+PYTHONPATH, the standard posture for any PySpark library). The relational
+catalog has no such dependency: its few Python kernels close only over
+locals and numpy, so they deserialize anywhere.
 """
 
 from __future__ import annotations
@@ -141,32 +153,43 @@ def decode_wav(payload: bytes):
     return rate, channels, samples
 
 
+def _rgb_features(px) -> list[float]:
+    """8-dim image features from an HxWx3 uint8 array — shared by the PPM
+    baseline and the PIL-backed decoder, so the same pixels produce the
+    same vector regardless of container format:
+    [w, h, mean R, mean G, mean B, luminance std, edge energy, 1.0]."""
+    import numpy as np
+
+    h, w, _ = px.shape
+    f = px.astype(np.float64)
+    lum = f.mean(axis=2)
+    # horizontal gradient magnitude as a cheap edge-energy proxy
+    edge = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
+    return [
+        float(w),
+        float(h),
+        float(f[:, :, 0].mean()),
+        float(f[:, :, 1].mean()),
+        float(f[:, :, 2].mean()),
+        float(lum.std()),
+        edge,
+        1.0,
+    ]
+
+
 def baseline_decoder(payload: bytes, mime: str) -> list[float]:
     """Real feature extraction for the no-dependency formats (8-dim,
     matching deterministic_fake_decoder's shape):
 
-    PPM  → [w, h, mean R, mean G, mean B, luminance std, edge energy, 1.0]
+    PPM  → _rgb_features (see above)
     WAV  → [duration s, RMS, zero-crossing rate, peak, rate/48k, ch, 0, 2.0]
 
     Other mimes raise NotImplementedError (they need PIL/libav)."""
     import numpy as np
 
     if mime == PPM_MIME:
-        w, h, px = decode_ppm(payload)
-        f = px.astype(np.float64)
-        lum = f.mean(axis=2)
-        # horizontal gradient magnitude as a cheap edge-energy proxy
-        edge = float(np.abs(np.diff(lum, axis=1)).mean()) if w > 1 else 0.0
-        return [
-            float(w),
-            float(h),
-            float(f[:, :, 0].mean()),
-            float(f[:, :, 1].mean()),
-            float(f[:, :, 2].mean()),
-            float(lum.std()),
-            edge,
-            1.0,
-        ]
+        _, _, px = decode_ppm(payload)
+        return _rgb_features(px)
     if mime == WAV_MIME:
         rate, channels, s = decode_wav(payload)
         n = len(s)
@@ -197,6 +220,85 @@ def baseline_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
     ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
     xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
     return encode_ppm(px[ys][:, xs])
+
+
+def pil_decoder() -> Decoder:
+    """PIL-backed decoder for compressed images (PNG/JPEG/WebP/...): decode
+    to RGB, then the SAME _rgb_features as the PPM baseline — identical
+    pixels give identical vectors whatever the container format. WAV still
+    routes through the stdlib codec. Raises ImportError when PIL is absent
+    (callers use default_decoder for graceful fallback)."""
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    def decode(payload: bytes, mime: str) -> list[float]:
+        if mime == WAV_MIME:
+            return baseline_decoder(payload, mime)
+        if mime == PPM_MIME:
+            return baseline_decoder(payload, mime)
+        img = Image.open(io.BytesIO(payload)).convert("RGB")
+        return _rgb_features(np.asarray(img, dtype=np.uint8))
+
+    return decode
+
+
+def pil_resizer() -> Resizer:
+    """PIL-backed resize for compressed images, re-encoded in the source
+    format; PPM keeps the dependency-free path. Raises ImportError when
+    PIL is absent."""
+    import io
+
+    from PIL import Image
+
+    def resize(payload: bytes, mime: str, w: int, h: int) -> bytes:
+        if mime == PPM_MIME:
+            return baseline_resizer(payload, mime, w, h)
+        img = Image.open(io.BytesIO(payload))
+        fmt = img.format  # preserve source container (PNG/JPEG/...)
+        out = io.BytesIO()
+        img.resize((w, h)).save(out, format=fmt)
+        return out.getvalue()
+
+    return resize
+
+
+def default_decoder() -> Decoder:
+    """Auto-detected decoder: dependency-free PPM/WAV always; compressed
+    images through PIL WHEN importable, else the documented
+    NotImplementedError stub. Probe once at construction, not per row."""
+    try:
+        compressed = pil_decoder()
+    except ImportError:
+        compressed = None
+
+    def decode(payload: bytes, mime: str) -> list[float]:
+        if mime in (PPM_MIME, WAV_MIME):
+            return baseline_decoder(payload, mime)
+        if compressed is not None and mime.startswith("image/"):
+            return compressed(payload, mime)
+        return decode_stub(payload, mime)
+
+    return decode
+
+
+def default_resizer() -> Resizer:
+    """Auto-detected resizer: PPM always; compressed images through PIL
+    when importable, else the stub."""
+    try:
+        compressed = pil_resizer()
+    except ImportError:
+        compressed = None
+
+    def resize(payload: bytes, mime: str, w: int, h: int) -> bytes:
+        if mime == PPM_MIME:
+            return baseline_resizer(payload, mime, w, h)
+        if compressed is not None and mime.startswith("image/"):
+            return compressed(payload, mime, w, h)
+        return resize_stub(payload, mime, w, h)
+
+    return resize
 
 
 def synthetic_ppm(width: int = 32, height: int = 24, seed: int = 0) -> bytes:

@@ -304,6 +304,82 @@ def test_decode_stub_raises(media_df):
     assert "NotImplementedError" in str(exc_info.value) or "media decoding" in str(exc_info.value)
 
 
+def test_default_decoder_autodetect(spark, monkeypatch):
+    """default_decoder routes by capability: dependency-free formats always
+    decode; compressed images use PIL WHEN importable and fall back to the
+    documented NotImplementedError stub otherwise. Runs the genuinely
+    available branch for this environment, then injects a fake PIL module
+    to exercise the real PIL glue (open → convert("RGB") → _rgb_features)
+    and pin feature parity: same pixels, same vector, either container."""
+    import importlib.util
+    import sys
+    import types
+
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators import multimodal as M
+
+    ppm = M.synthetic_ppm(16, 12, seed=3)
+    wav = M.synthetic_wav(100, 330.0)
+
+    dec = M.default_decoder()
+    want_img = M.baseline_decoder(ppm, M.PPM_MIME)
+    assert dec(ppm, M.PPM_MIME) == want_img
+    assert dec(wav, M.WAV_MIME) == M.baseline_decoder(wav, M.WAV_MIME)
+
+    if importlib.util.find_spec("PIL") is None:
+        # this container: compressed images must hit the documented stub
+        with pytest.raises(NotImplementedError):
+            dec(ppm, "image/png")
+        with pytest.raises(NotImplementedError):
+            M.default_resizer()(b"x", "image/png", 4, 4)
+    else:  # environment with a real PIL: the real decode path runs
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        _, _, px = M.decode_ppm(ppm)
+        Image.fromarray(px).save(buf, format="PNG")
+        assert dec(buf.getvalue(), "image/png") == want_img
+
+    # fake-PIL injection: prove the PIL glue itself (any environment)
+    class _FakeImg:
+        format = "PNG"
+
+        def __init__(self, px):
+            self._px = px
+
+        def convert(self, mode):
+            assert mode == "RGB"
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self._px.astype(dtype) if dtype is not None else self._px
+
+        def resize(self, wh):
+            w, h = wh
+            src_h, src_w, _ = self._px.shape
+            ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
+            xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
+            return _FakeImg(self._px[ys][:, xs])
+
+        def save(self, out, format=None):
+            out.write(M.encode_ppm(self._px))
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(
+        open=lambda fh: _FakeImg(M.decode_ppm(fh.read())[2])
+    )
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+    dec_pil = M.default_decoder()
+    # PNG-mime payload routed through "PIL": same pixels → same features
+    assert dec_pil(ppm, "image/png") == want_img
+    resized = M.default_resizer()(ppm, "image/png", 8, 6)
+    assert M.decode_ppm(resized)[:2] == (8, 6)
+
+
 def test_media_stats_prunes_payload(media_df, spark, tmp_path):
     # pruning is a property of the scan: write to parquet, read back, and
     # assert the physical scan's ReadSchema excludes the binary payload
