@@ -418,6 +418,20 @@ def cluster_pairs(pairs: DataFrame, max_iter: int = 15) -> DataFrame:
         labels = updated
         if changed == 0:
             break
+    else:
+        # exhausted max_iter before the fixpoint: remaining components are
+        # SPLIT, so keepers/audit mappings downstream would be silently
+        # wrong. Pointer jumping makes this need diameter > ~2^max_iter,
+        # but when it happens it must be observable, not silent.
+        import warnings
+
+        warnings.warn(
+            f"cluster_pairs did not converge within max_iter={max_iter} "
+            f"({changed} labels still changing); components may be split — "
+            "raise max_iter",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels.select("id", F.col("label").alias("cluster_id"))
 
 

@@ -45,19 +45,29 @@ def compact_partitions(
     (the periodic compaction job for streaming sinks). Returns file count
     after compaction. Overwrite is dynamic-partition-safe via a staged
     rewrite (read-all → repartition by partition cols → overwrite)."""
+    import os
+    import shutil
+
+    old = table_path.rstrip("/") + "__compact_old"
+    # crash recovery: a previous run hard-killed between its two renames
+    # leaves the data parked at __compact_old with table_path absent —
+    # restore it before doing anything else
+    if not os.path.exists(table_path) and os.path.exists(old):
+        shutil.move(old, table_path)
+
     df = spark.read.parquet(table_path)
     compacted = df.repartition(target_files_per_partition, *[F.col(c) for c in partition_cols])
     tmp = table_path.rstrip("/") + "__compact_tmp"
     compacted.write.mode("overwrite").partitionBy(*partition_cols).parquet(tmp)
     # Promote-then-delete: move the old table ASIDE first (posix rename),
-    # promote the compacted copy, delete the old copy last. A crash at any
-    # point leaves either the old or the new complete table at table_path —
-    # never neither. Object-store deployments need a manifest commit
-    # (Iceberg/Delta-style) instead of renames; out of scope for the
-    # parquet-warehouse stand-in.
-    import shutil
-
-    old = table_path.rstrip("/") + "__compact_old"
+    # promote the compacted copy, delete the old copy last. An IN-PROCESS
+    # failure at any point leaves either the old or the new complete table
+    # at table_path (the except below rolls back); a HARD crash (kill,
+    # power loss) between the two renames leaves table_path briefly absent
+    # with the data intact at __compact_old — recovered by the restore
+    # step above on the next invocation. Object-store deployments need a
+    # manifest commit (Iceberg/Delta-style) instead of renames; out of
+    # scope for the parquet-warehouse stand-in.
     shutil.rmtree(old, ignore_errors=True)
     shutil.move(table_path, old)
     try:
@@ -67,7 +77,6 @@ def compact_partitions(
         raise
     shutil.rmtree(old)
     import glob
-    import os
 
     return len(glob.glob(os.path.join(table_path, "**", "*.parquet"), recursive=True))
 
@@ -155,36 +164,86 @@ def zorder_write(
     cols: list[str],
     bits: int = 8,
     num_files: int = 16,
+    quantize: str = "minmax",
 ) -> None:
     """Write `df` clustered along a Z-curve over `cols`: each column is
-    min-max quantized to 2^bits cells (one tiny agg for the bounds), the
-    cell ids are bit-interleaved, and the data is range-partitioned + sorted
-    by the Z-value before writing.
+    quantized to ≤2^bits cells, the cell ids are bit-interleaved, and the
+    data is range-partitioned + sorted by the Z-value before writing.
 
     Why: a sort on ONE column gives tight parquet min/max stats (→ row-group
     /file pruning) for that column only; the Z-curve gives *every* listed
     column locality ∝ 2^(-bits/ndims) per file, so selective filters on ANY
-    of them prune files. This is the standard lakehouse Z-ORDER; uniform
-    quantization is skew-sensitive — for heavy skew, rank-quantize first
-    (percent_rank or width_bucket on approx quantiles).
+    of them prune files. This is the standard lakehouse Z-ORDER.
 
-    Scale shape: one bounds agg (scan), one range exchange, local sorts —
-    no driver data movement beyond the 2×ndims bound values."""
-    bounds = df.agg(
-        *[F.min(c).alias(f"__min_{c}") for c in cols],
-        *[F.max(c).alias(f"__max_{c}") for c in cols],
-    ).first()
+    ``quantize``:
+      - "minmax": uniform cells between the column min/max (one tiny agg).
+        Skew-sensitive — a heavy-hitter value squeezes everything else
+        into few cells.
+      - "rank": cells are approximate QUANTILES (equal row mass per cell),
+        so skewed columns still spread across the curve. Boundaries come
+        from one approxQuantile pass per column; each row's cell is a
+        count of boundaries ≤ value over the (≤2^bits-element) literal
+        boundary array — an interpreted HOF per row, fine for a write-time
+        batch job; keep ``bits`` ≤ 8. NULLs land in cell 0 either way.
+
+    Degenerate inputs (empty df, all-NULL z-column, or a constant column
+    under "rank") fall back to a plain unclustered write with a warning —
+    the table still lands complete at ``path`` with overwrite semantics.
+
+    Scale shape: one bounds/quantile agg (scan), one range exchange, local
+    sorts — no driver data movement beyond ≤ndims×2^bits boundary values."""
+    import warnings
+
     cells = []
     n_cells = (1 << bits) - 1
-    for c in cols:
-        lo, hi = float(bounds[f"__min_{c}"]), float(bounds[f"__max_{c}"])
-        span = (hi - lo) or 1.0
-        cells.append(
-            F.least(
-                F.lit(n_cells),
-                F.floor((F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_cells).cast("long"),
-            )
+    if quantize == "minmax":
+        bounds = df.agg(
+            *[F.min(c).alias(f"__min_{c}") for c in cols],
+            *[F.max(c).alias(f"__max_{c}") for c in cols],
+        ).first()
+        degenerate = bounds is None or any(
+            bounds[f"__min_{c}"] is None or bounds[f"__max_{c}"] is None for c in cols
         )
+        if not degenerate:
+            for c in cols:
+                lo, hi = float(bounds[f"__min_{c}"]), float(bounds[f"__max_{c}"])
+                span = (hi - lo) or 1.0
+                cells.append(
+                    F.least(
+                        F.lit(n_cells),
+                        F.greatest(
+                            F.lit(0),
+                            F.floor(
+                                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * n_cells
+                            ).cast("long"),
+                        ),
+                    )
+                )
+    elif quantize == "rank":
+        qs = [i / (n_cells + 1) for i in range(1, n_cells + 1)]
+        degenerate = False
+        for c in cols:
+            boundaries = df.where(F.col(c).isNotNull()).stat.approxQuantile(c, qs, 0.001)
+            uniq = sorted(set(boundaries))
+            if len(uniq) < 2:  # empty, all-NULL, or constant column
+                degenerate = True
+                break
+            arr = F.array(*[F.lit(float(b)) for b in uniq])
+            v = F.col(c).cast("double")
+            cells.append(F.size(F.filter(arr, lambda b: b <= v)).cast("long"))
+    else:
+        raise ValueError(f"quantize must be 'minmax' or 'rank', got {quantize!r}")
+
+    if degenerate:
+        warnings.warn(
+            f"zorder_write({cols}): degenerate input (empty/all-NULL/constant "
+            "z-column) — writing unclustered",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        df.repartition(num_files).write.mode("overwrite").parquet(path)
+        return
+
     zed = df.withColumn("__z", z_value(cells, bits))
     (
         zed.repartitionByRange(num_files, "__z")

@@ -157,3 +157,27 @@ def test_simhash_matches_vote_agg(spark):
     # map-only: the new form must plan NO exchange before the signature
     plan = with_simhash(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_cluster_pairs_warns_on_non_convergence(spark):
+    """Exhausting max_iter before the label fixpoint must emit a
+    RuntimeWarning (split components corrupt the dedup audit trail
+    silently otherwise); a converged run must NOT warn."""
+    import warnings
+
+    from binance_data_pipeline_spark.operators.dedup import cluster_pairs
+
+    # a path graph long enough that 1 iteration cannot converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        cluster_pairs(pairs, max_iter=1).collect()
+    assert any("did not converge" in str(w.message) for w in caught), caught
+
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        labels = cluster_pairs(pairs, max_iter=15).collect()
+    assert not any("did not converge" in str(w.message) for w in caught)
+    assert {r["cluster_id"] for r in labels} == {0}  # one component, min id

@@ -203,3 +203,103 @@ def test_release_barriers_frees_checkpoint_blocks(spark):
         assert inner.count() == 500
         assert persistent_rdd_count(spark) >= 1
     assert persistent_rdd_count(spark) == 0
+
+
+def test_compact_recovers_from_crash_between_renames(spark, tmp_path):
+    """A hard crash between 'set old aside' and 'promote tmp' leaves
+    table_path absent with data parked at __compact_old; the next
+    invocation must restore it and complete the compaction."""
+    import shutil
+
+    path = str(tmp_path / "t")
+    spark.range(100).select(
+        F.col("id"), (F.col("id") % 3).alias("p")
+    ).repartition(4).write.partitionBy("p").parquet(path)
+
+    # simulate the crashed state
+    shutil.move(path, path + "__compact_old")
+    assert not os.path.exists(path)
+
+    n_files = compact_partitions(spark, path, ["p"], target_files_per_partition=1)
+    assert n_files == 3  # one file per partition
+    assert spark.read.parquet(path).count() == 100
+    assert not os.path.exists(path + "__compact_old")
+
+
+def test_zorder_degenerate_inputs_fall_back(spark, tmp_path):
+    """Empty input and all-NULL z-columns must not TypeError on
+    float(None): both fall back to a plain complete overwrite write."""
+    import warnings as W
+
+    from binance_data_pipeline_spark.operators.scale import zorder_write
+
+    empty = spark.range(0).select(F.col("id").alias("x"), F.col("id").alias("y"))
+    p1 = str(tmp_path / "empty")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        zorder_write(empty, p1, ["x", "y"])
+    assert any("degenerate" in str(w.message) for w in caught)
+    assert spark.read.parquet(p1).count() == 0
+
+    allnull = spark.range(50).select(
+        F.col("id").alias("x"), F.lit(None).cast("long").alias("y")
+    )
+    p2 = str(tmp_path / "allnull")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        zorder_write(allnull, p2, ["x", "y"])
+    assert any("degenerate" in str(w.message) for w in caught)
+    assert spark.read.parquet(p2).count() == 50
+
+    # rank mode on a CONSTANT column is equally degenerate
+    const = spark.range(50).select(F.col("id").alias("x"), F.lit(7).alias("y"))
+    p3 = str(tmp_path / "const")
+    with W.catch_warnings(record=True) as caught:
+        W.simplefilter("always")
+        zorder_write(const, p3, ["x", "y"], quantize="rank")
+    assert any("degenerate" in str(w.message) for w in caught)
+    assert spark.read.parquet(p3).count() == 50
+
+
+def test_zorder_rank_quantization_beats_minmax_on_skew(spark, tmp_path):
+    """Skewed column: 95% of y mass sits in [0, 10] while outliers reach
+    1e6. Min-max quantization throws the whole bulk into one cell, so
+    parquet footer stats can't prune a selective filter on the bulk
+    region; rank quantization (equal-mass cells) spreads it. Measured as:
+    #files whose [min,max] admits y BETWEEN 3 AND 4 — rank must prune
+    strictly more files."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from binance_data_pipeline_spark.operators.scale import zorder_write
+
+    n = 20_000
+    df = spark.range(n).select(
+        (F.hash("id") % 10_000).alias("x"),
+        F.when(F.col("id") % 20 != 0, F.pmod(F.hash(F.col("id") + 7), F.lit(11)))
+        .otherwise(F.pmod(F.hash(F.col("id") + 13), F.lit(1_000_000)))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def overlapping_files(path, lo, hi):
+        hits = 0
+        for f in glob.glob(f"{path}/*.parquet"):
+            md = pq.read_metadata(f)
+            ycol = md.schema.names.index("y")
+            mn = min(md.row_group(g).column(ycol).statistics.min for g in range(md.num_row_groups))
+            mx = max(md.row_group(g).column(ycol).statistics.max for g in range(md.num_row_groups))
+            if mx >= lo and mn <= hi:
+                hits += 1
+        return hits
+
+    p_mm = str(tmp_path / "mm")
+    p_rk = str(tmp_path / "rk")
+    zorder_write(df, p_mm, ["x", "y"], bits=6, num_files=16, quantize="minmax")
+    zorder_write(df, p_rk, ["x", "y"], bits=6, num_files=16, quantize="rank")
+
+    assert spark.read.parquet(p_rk).count() == n
+    mm_hits = overlapping_files(p_mm, 3, 4)
+    rk_hits = overlapping_files(p_rk, 3, 4)
+    assert rk_hits < mm_hits, (rk_hits, mm_hits)
