@@ -1,0 +1,127 @@
+"""Incremental dedup: arriving batches dedupe against persisted state
+without recomputing admitted docs' signatures; existing keepers are
+sticky; the streaming wrapper appends corpus + audit mapping per batch."""
+
+from __future__ import annotations
+
+import glob
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.operators.incremental_dedup import (
+    dedup_batch,
+    streaming_dedup_corpus,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches from "
+    "the warm windowsill and the birds sing in the garden outside the house"
+)
+NEAR = BASE.replace("garden", "meadow")          # one-token edit: near-dup
+OTHER = (
+    "completely unrelated text about distributed query engines shuffling "
+    "partitioned columnar data across executor nodes with adaptive plans"
+)
+OTHER_NEAR = OTHER.replace("adaptive", "runtime")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_batch_incremental_semantics(spark, tmp_path):
+    state = str(tmp_path / "state")
+
+    # ---- batch 1: two distinct docs + an internal near-dup -----------
+    b1 = _docs(spark, [(1, BASE), (2, OTHER), (3, NEAR)])
+    kept1, map1 = dedup_batch(b1, state, threshold=0.5)
+    m1 = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in map1.collect()}
+    assert m1 == {1: (1, "kept"), 2: (2, "kept"), 3: (1, "near_dup")}
+    assert {r["doc_id"] for r in kept1.collect()} == {1, 2}
+
+    sig_files_after_b1 = sorted(glob.glob(f"{state}/shingles.parquet/part-*"))
+    assert sig_files_after_b1  # state exists
+
+    # ---- batch 2: exact dup of 1, near-dup of 1, near-dup of 2,
+    #               fresh doc, and an exact dup of the DROPPED doc 3 ----
+    b2 = _docs(
+        spark,
+        [
+            (10, BASE),                       # exact dup of existing keeper 1
+            (11, BASE.replace("birds", "bees")),  # near-dup of 1
+            (12, OTHER_NEAR),                 # near-dup of 2
+            (13, "some genuinely new content about parquet footer statistics "
+                 "pruning row groups during selective scans of wide tables"),
+            (14, NEAR),                       # exact text of dropped doc 3
+        ],
+    )
+    kept2, map2 = dedup_batch(b2, state, threshold=0.5)
+    m2 = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in map2.collect()}
+    assert m2[10] == (1, "exact_dup")     # existing fingerprint is sticky
+    assert m2[11] == (1, "near_dup")      # matches existing keeper 1
+    assert m2[12] == (2, "near_dup")      # matches existing keeper 2
+    assert m2[13] == (13, "kept")
+    # doc 3 was dropped as a near-dup of 1; its fingerprint maps to 1,
+    # so a later exact copy of it also resolves to keeper 1
+    assert m2[14] == (1, "exact_dup")
+    assert {r["doc_id"] for r in kept2.collect()} == {13}
+
+    # ---- no-recompute guarantee: batch-1 state files untouched -------
+    files_after_b2 = set(glob.glob(f"{state}/shingles.parquet/part-*"))
+    assert set(sig_files_after_b1) <= files_after_b2  # append-only: originals intact
+    stored_ids = {
+        r["id"] for r in spark.read.parquet(f"{state}/shingles.parquet").collect()
+    }
+    assert stored_ids == {1, 2, 13}  # kept docs only, appended once each
+
+
+def test_dedup_batch_within_batch_chain_absorbed_by_existing(spark, tmp_path):
+    """A within-batch near-dup CLUSTER where one member also matches an
+    existing keeper: the whole cluster maps to the existing keeper."""
+    state = str(tmp_path / "state")
+    kept1, map1 = dedup_batch(_docs(spark, [(5, BASE)]), state, threshold=0.5)
+    assert {r["doc_id"] for r in kept1.collect()} == {5}
+
+    b2 = _docs(spark, [(20, NEAR), (21, NEAR.replace("cat", "kitten"))])
+    kept2, map2 = dedup_batch(b2, state, threshold=0.5)
+    m2 = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in map2.collect()}
+    assert m2 == {20: (5, "near_dup"), 21: (5, "near_dup")}
+    assert kept2.count() == 0
+
+
+def test_streaming_dedup_corpus_end_to_end(spark, tmp_path):
+    """File-source stream → foreachBatch dedup: kept docs and the audit
+    mapping accumulate under out_path; near-dups of docs admitted in an
+    EARLIER micro-batch map to the earlier keeper."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    # seed the state with batch 1 via the batch API (same state contract)
+    dedup_batch(_docs(spark, [(1, BASE), (2, OTHER)]), state, threshold=0.5)
+
+    _docs(spark, [(30, NEAR), (31, "fresh streaming doc about watermarking "
+                                   "late events in session windows")]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = streaming_dedup_corpus(
+        stream, state, out, ckpt, threshold=0.5
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    mapping = spark.read.parquet(f"{out}/mapping.parquet")
+    m = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in mapping.collect()}
+    assert m[30] == (1, "near_dup")   # matched the batch-API-seeded keeper
+    assert m[31] == (31, "kept")
+    corpus = spark.read.parquet(f"{out}/corpus.parquet")
+    assert {r["doc_id"] for r in corpus.collect()} == {31}
+    assert "batch_id" in mapping.columns
