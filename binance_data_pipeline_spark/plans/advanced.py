@@ -297,7 +297,54 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each small part, the
+    EUROPE supplier(s) offering the minimum unit cost — the classic
+    correlated scalar subquery (min over the SAME joined relation,
+    correlated on p_partkey). Expressed Spark-first as a window min over
+    p_partkey + equality filter: the rewrite Catalyst applies to the
+    correlated form, costing one exchange on partkey instead of a
+    build-the-relation-twice self-join (the DuckDB oracle keeps the
+    literal correlated subquery, so the equivalence is what's verified).
+    This corpus has no partsupp table; unit cost derives per
+    (part, supplier) as min(l_extendedprice / l_quantity) over lineitem
+    (reference has no Q2 either — classic-shape coverage per SURVEY §2.3).
+    Dims broadcast; min-equality on doubles is safe because the window min
+    IS one of the compared values (no re-computation on either engine)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost")
+    )
+    eligible = (
+        costs.join(F.broadcast(p.where(F.col("p_size") <= 5)), costs.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), costs.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("min_cost", F.min("unit_cost").over(w))
+        .where(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_name",
+            F.col("n_name").alias("nation"),
+            "s_acctbal",
+            F.round("unit_cost", 4).alias("unit_cost"),
+        )
+    )
+
+
 QUERIES = {
+    "q2_min_cost_supplier": q2_min_cost_supplier,
     "pivot_unpivot": q_pivot_unpivot,
     "shipping_priority": q_shipping_priority,
     "returned_items": q_returned_items,
@@ -316,6 +363,25 @@ QUERIES = {
 
 
 ORACLE = {
+    "q2_min_cost_supplier": """
+        WITH costs AS (
+            SELECT l_partkey, l_suppkey,
+                   min(l_extendedprice / l_quantity) AS unit_cost
+            FROM lineitem GROUP BY 1, 2),
+        elig AS (
+            SELECT p.p_partkey, p.p_brand, s.s_name, n.n_name AS nation,
+                   s.s_acctbal, c.unit_cost
+            FROM costs c
+            JOIN part p ON c.l_partkey = p.p_partkey AND p.p_size <= 5
+            JOIN supplier s ON c.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE')
+        SELECT p_partkey, p_brand, s_name, nation, s_acctbal,
+               round(unit_cost, 4) AS unit_cost
+        FROM elig e
+        WHERE unit_cost = (SELECT min(e2.unit_cost) FROM elig e2
+                           WHERE e2.p_partkey = e.p_partkey)
+    """,
     "pivot_unpivot": """
         WITH wide AS (
             SELECT o_orderpriority,

@@ -23,18 +23,23 @@ from ..operators.text import STOPWORDS
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting per document, rolled up per (lang, source) — the
-    basic corpus-stats pass of a training-data pipeline. Map-side feature +
-    one small shuffle."""
+    """Token counting per document — whitespace AND BPE-ish pre-tokenizer
+    counts — rolled up per (lang, source): the token-budget view of the
+    corpus, one map-side feature pass + one small shuffle. (Absorbed the
+    former doc_bpe_tokens entry so the catalog slot could fund the Q2
+    min-cost-supplier shape; both token operators stay exercised.)"""
     d = load_table(spark, sf_dir, "documents")
     return (
         d.withColumn("n_tokens", T.token_count("text"))
+        .withColumn("bpe_tokens", T.bpe_ish_token_count("text"))
         .groupBy("lang", "source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
             F.max("n_tokens").alias("max_tokens"),
+            F.sum("bpe_tokens").alias("total_bpe_tokens"),
+            F.round(F.avg(F.col("bpe_tokens") / F.col("n_tokens")), 4).alias("bpe_per_word"),
         )
     )
 
@@ -166,25 +171,6 @@ def q_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_doc_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE-ish pre-tokenizer counts vs whitespace counts — the token-budget
-    view of the corpus."""
-    d = load_table(spark, sf_dir, "documents")
-    return (
-        d.select(
-            "lang",
-            T.token_count("text").alias("ws_tokens"),
-            T.bpe_ish_token_count("text").alias("bpe_tokens"),
-        )
-        .groupBy("lang")
-        .agg(
-            F.sum("ws_tokens").alias("total_ws_tokens"),
-            F.sum("bpe_tokens").alias("total_bpe_tokens"),
-            F.round(F.avg(F.col("bpe_tokens") / F.col("ws_tokens")), 4).alias("bpe_per_word"),
-        )
-    )
-
-
 def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprints: docs sharing a min-k
     shingle-hash set are near-exact dups — clusters with >1 doc."""
@@ -214,7 +200,6 @@ def q_embed_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SW = {lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in STOPWORDS.items()}
 
 QUERIES = {
-    "doc_bpe_tokens": q_doc_bpe_tokens,
     "doc_winnow_fingerprint": q_doc_winnow_fingerprint,
     "embed_near_dups_brute": q_embed_near_dups_brute,
     "embed_near_dups_lsh": q_embed_near_dups_lsh,
@@ -232,18 +217,6 @@ QUERIES = {
 
 
 ORACLE = {
-    "doc_bpe_tokens": r"""
-        WITH t AS (
-            SELECT lang,
-                   len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS ws_tokens,
-                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
-            FROM documents)
-        SELECT lang,
-               sum(ws_tokens)::BIGINT AS total_ws_tokens,
-               sum(bpe_tokens)::BIGINT AS total_bpe_tokens,
-               round(avg(bpe_tokens::DOUBLE / ws_tokens), 4) AS bpe_per_word
-        FROM t GROUP BY lang
-    """,
     "doc_winnow_fingerprint": r"""
         WITH d AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS tk
                    FROM documents),
@@ -268,12 +241,15 @@ ORACLE = {
     "doc_token_stats": r"""
         WITH t AS (
             SELECT lang, source,
-                   len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_tokens
+                   len(regexp_split_to_array(trim(lower(text)), '\s+'))::BIGINT AS n_tokens,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]'))::BIGINT AS bpe_tokens
             FROM documents)
         SELECT lang, source, count(*) AS n_docs,
                sum(n_tokens)::BIGINT AS total_tokens,
                round(avg(n_tokens), 4) AS avg_tokens,
-               max(n_tokens) AS max_tokens
+               max(n_tokens) AS max_tokens,
+               sum(bpe_tokens)::BIGINT AS total_bpe_tokens,
+               round(avg(bpe_tokens::DOUBLE / n_tokens), 4) AS bpe_per_word
         FROM t GROUP BY lang, source
     """,
     "doc_quality": r"""

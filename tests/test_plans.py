@@ -131,6 +131,19 @@ def test_q7_q9_broadcast_dims(spark):
     assert p9.count("BroadcastHashJoin") >= 3, p9
 
 
+def test_q2_broadcasts_dims_single_window_exchange(spark):
+    """Q2 shape: all four dim legs (part, supplier, nation, region)
+    broadcast, and the correlated-min rewrite costs ONE exchange on
+    p_partkey for the window — not a second build of the joined relation
+    (the self-join form would scan/join everything twice)."""
+    from binance_data_pipeline_spark.plans.advanced import q2_min_cost_supplier
+
+    plan = plan_of(q2_min_cost_supplier(spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Window") == 1, plan
+
+
 def test_whole_stage_codegen_active(spark):
     """AQE hides codegen subtrees until runtime; disabling it for the
     explain exposes them (runtime behavior itself verified by the 1e9-row
