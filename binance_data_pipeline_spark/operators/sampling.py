@@ -1,0 +1,112 @@
+"""Deterministic corpus sampling, mixing, and shuffling — the composition
+stage of a training-data pipeline (no reference equivalent; LLM-pipeline
+extension alongside dedup/text/similarity).
+
+Everything keys off xxhash64(id, seed) rather than Spark's RNG-based
+`sample`/`sampleBy`: a hash threshold gives the SAME row set under any
+partitioning, any executor count, and re-runs — reproducibility is the
+point for training corpora (`df.sample` draws per split boundary, so the
+selection changes when the file layout does). All map-side, no shuffle
+except the explicit one in `shuffle_deterministic`.
+
+Rates are approximate to ~1/sqrt(n·rate) like any Bernoulli sample, but
+the DRAW is exact: a row's fate depends only on (id, seed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: denominator for hash-threshold draws: uniform in [0, 1) with 2^31 grain
+_GRAIN = 1 << 31
+
+
+def _unit_hash(id_col: Column | str, seed: int) -> Column:
+    """Deterministic uniform draw in [0, 1) per (id, seed)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return F.pmod(F.xxhash64(c, F.lit(seed)), F.lit(_GRAIN)) / F.lit(float(_GRAIN))
+
+
+def hash_sample(df: DataFrame, id_col: str, rate: float, seed: int = 0) -> DataFrame:
+    """Keep ~rate of rows, deterministically per (id, seed). Same id, same
+    seed → same decision, regardless of partitioning or cluster size."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(_unit_hash(id_col, seed) < F.lit(rate))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum hash-threshold sampling: `rates` maps stratum value →
+    keep rate; unlisted strata keep `default_rate`. One map-side filter —
+    the rate lookup is a literal map, so no join and no shuffle (contrast
+    `df.sampleBy`, which is also per-stratum but RNG/partition-dependent)."""
+    for k, v in rates.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"rate for stratum {k!r} must be in [0, 1], got {v}")
+    rate_map = F.create_map(
+        *[x for k, v in rates.items() for x in (F.lit(k), F.lit(float(v)))]
+    )
+    rate = F.coalesce(rate_map[F.col(strata_col)], F.lit(float(default_rate)))
+    return df.where(_unit_hash(id_col, seed) < rate)
+
+
+def mix_corpora(
+    sources: dict[str, tuple[DataFrame, float]],
+    id_col: str,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted corpus mix: `sources` maps source name → (df, keep_rate);
+    each source is hash-sampled at its rate, tagged with a `mix_source`
+    column, and unioned by name. The standard way to re-weight domains
+    (code/web/books/...) into one training corpus; rates > 1.0 express
+    upsampling by integer repetition + fractional remainder (epoch-style:
+    rate 2.5 = every doc twice, half the docs a third time, chosen
+    deterministically per id; repeats carry `mix_epoch` 0..n so downstream
+    shuffling separates them)."""
+    legs = []
+    for name, (df, rate) in sources.items():
+        if rate < 0:
+            raise ValueError(f"rate for source {name!r} must be >= 0, got {rate}")
+        whole, frac = int(rate), rate - int(rate)
+        for epoch in range(whole):
+            legs.append(
+                df.withColumn("mix_source", F.lit(name)).withColumn(
+                    "mix_epoch", F.lit(epoch)
+                )
+            )
+        if frac > 0:
+            legs.append(
+                hash_sample(df, id_col, frac, seed=seed + whole).withColumn(
+                    "mix_source", F.lit(name)
+                ).withColumn("mix_epoch", F.lit(whole))
+            )
+    if not legs:
+        raise ValueError("mix_corpora needs at least one source with rate > 0")
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out
+
+
+def shuffle_deterministic(df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None) -> DataFrame:
+    """Global deterministic shuffle for training export: rows ordered by
+    xxhash64(id, seed) — repartitionByRange on the hash + in-partition
+    sort, so writing the partitions in order yields one reproducible
+    permutation of the corpus (changing `seed` gives an independent one).
+    One range exchange; no driver-side ordering."""
+    key = F.xxhash64(F.col(id_col), F.lit(seed))
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    return (
+        df.withColumn("__shuffle_key", key)
+        .repartitionByRange(int(parts), "__shuffle_key")
+        .sortWithinPartitions("__shuffle_key")
+        .drop("__shuffle_key")
+    )

@@ -126,3 +126,100 @@ def with_text_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("lang_guess", lang_guess(text_col))
         .withColumn("fingerprint", fingerprint_md5(text_col))
     )
+
+
+# --------------------------------------------------------------------------
+# PII redaction (training-data scrubbing) — all map-side regexp_replace,
+# whole-stage codegen; no reference equivalent (LLM-pipeline extension).
+# --------------------------------------------------------------------------
+
+#: redaction patterns, applied in order: pattern → replacement token.
+#: Email before URL (an address inside a mailto: URL should read EMAIL);
+#: IP before phone (dotted quads would otherwise half-match phone shapes).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"(?:https?://|www\.)[^\s]+", "<URL>"),
+    ("ip", r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (
+        "phone",
+        r"(?<![\d.])(?:\+?\d{1,3}[ .-]?)?(?:\(\d{2,4}\)[ .-]?)?\d{3,4}[ .-]\d{3,4}(?:[ .-]\d{2,4})?(?![\d.])",
+        "<PHONE>",
+    ),
+]
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Text with emails/URLs/IPs/phone-shaped spans replaced by typed
+    tokens. Pattern-based (the honest ceiling without an NER model);
+    applied in PII_PATTERNS order so earlier redactions shield their
+    spans from later patterns."""
+    c = F.col(col) if isinstance(col, str) else col
+    for _, pat, repl in PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_counts(col: Column | str) -> Column:
+    """struct of per-type match counts (email/url/ip/phone) — the audit
+    metric a scrubbing pass reports. Counts follow the same shielding
+    order as redact_pii (each pattern counts on the already-redacted
+    text, so an email inside a URL is counted once, as email)."""
+    c = F.col(col) if isinstance(col, str) else col
+    fields = []
+    for name, pat, repl in PII_PATTERNS:
+        fields.append(F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(name))
+        c = F.regexp_replace(c, pat, repl)
+    return F.struct(*fields)
+
+
+def redact_documents(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrubbing pass: text redacted in place + `pii` audit struct
+    appended. One map-side projection, no shuffle."""
+    return df.withColumn("pii", pii_counts(text_col)).withColumn(
+        text_col, redact_pii(text_col)
+    )
+
+
+# --------------------------------------------------------------------------
+# Document chunking (context-window packing prep)
+# --------------------------------------------------------------------------
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap_tokens: int = 32,
+) -> DataFrame:
+    """Split each doc into ~chunk_tokens whitespace-token windows with
+    overlap_tokens carried between consecutive chunks — the standard prep
+    for fixed-context training/embedding. Emits
+    (id, chunk_idx, chunk_text, n_tokens).
+
+    All JVM-side: tokens → F.sequence over chunk starts → posexplode →
+    slice + concat_ws per chunk. The tokenizer (one split) re-evaluates
+    per emitted chunk after CollapseProject — cheap enough here, unlike
+    the shingle pipeline's interpreted HOFs which demand a barrier before
+    their generator. Docs shorter than one chunk yield exactly one chunk.
+    Map-side only; no shuffle."""
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+    starts = F.sequence(
+        F.lit(1),
+        F.greatest(F.size("tk") - F.lit(chunk_tokens), F.lit(0)) + F.lit(1),
+        F.lit(step),
+    )
+    chunks = base.select(
+        "id",
+        F.col("tk"),
+        F.posexplode(starts).alias("chunk_idx", "start"),
+    )
+    piece = F.slice(F.col("tk"), F.col("start"), chunk_tokens)
+    return chunks.select(
+        "id",
+        "chunk_idx",
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )

@@ -1,0 +1,128 @@
+"""Corpus-composition operators: PII redaction, document chunking,
+deterministic sampling/mixing/shuffling."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.operators.sampling import (
+    hash_sample,
+    mix_corpora,
+    shuffle_deterministic,
+    stratified_sample,
+)
+from binance_data_pipeline_spark.operators.text import (
+    chunk_documents,
+    redact_documents,
+)
+
+
+# ------------------------------------------------------------ redaction
+
+def test_redact_pii_types_and_counts(spark):
+    rows = [
+        (1, "contact alice@example.com or visit https://example.com/x?q=1 now"),
+        (2, "server at 192.168.1.10 answered; call 555-123-4567 after lunch"),
+        (3, "mail bob.smith+tag@sub.domain.org and carol@x.io today"),
+        (4, "perfectly clean prose with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in redact_documents(df).collect()}
+
+    assert "<EMAIL>" in out[1]["text"] and "<URL>" in out[1]["text"]
+    assert "alice@example.com" not in out[1]["text"]
+    assert out[1]["pii"]["email"] == 1 and out[1]["pii"]["url"] == 1
+    assert "<IP>" in out[2]["text"] and "<PHONE>" in out[2]["text"]
+    assert out[2]["pii"]["ip"] == 1 and out[2]["pii"]["phone"] == 1
+    assert out[3]["pii"]["email"] == 2
+    assert out[4]["text"] == rows[3][1]  # untouched
+    assert all(v == 0 for v in out[4]["pii"].asDict().values())
+
+    # shielding order: the dotted quad must not double-count as phone
+    assert out[2]["pii"]["phone"] == 1
+
+
+# ------------------------------------------------------------- chunking
+
+def test_chunk_documents_windows_and_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(10))  # 10 tokens
+    df = spark.createDataFrame([(1, text), (2, "short doc")], "doc_id long, text string")
+    chunks = chunk_documents(df, chunk_tokens=4, overlap_tokens=1).collect()
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk_text"], r["n_tokens"]))
+    c1 = sorted(by_doc[1])
+    # step = 3, starts at tokens 1,4,7 (1-based); last window clamped
+    assert [c[1] for c in c1] == [
+        "w0 w1 w2 w3",
+        "w3 w4 w5 w6",
+        "w6 w7 w8 w9",
+    ]
+    assert all(c[2] == 4 for c in c1)
+    # short doc: exactly one chunk, all tokens
+    assert by_doc[2] == [(0, "short doc", 2)]
+
+    # overlap reconstruction: dropping the first overlap_tokens of every
+    # chunk after the first re-yields the original token stream
+    toks = c1[0][1].split()
+    for _, t, _ in c1[1:]:
+        toks += t.split()[1:]
+    assert toks == text.split()
+
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap_tokens=4)
+
+
+# ------------------------------------------------------------- sampling
+
+def test_hash_sample_deterministic_and_calibrated(spark):
+    df = spark.range(20_000).withColumnRenamed("id", "doc_id")
+    a = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3, seed=7).collect()}
+    b = {r["doc_id"] for r in hash_sample(df.repartition(13), "doc_id", 0.3, seed=7).collect()}
+    assert a == b  # partitioning-independent
+    assert abs(len(a) / 20_000 - 0.3) < 0.02
+    c = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.3, seed=8).collect()}
+    assert a != c  # seed changes the draw
+    # nested rates: a higher-rate draw at the same seed contains the lower
+    d = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.5, seed=7).collect()}
+    assert a <= d
+
+
+def test_stratified_sample_rates(spark):
+    df = spark.range(30_000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr")), (F.col("id") % 3 + 1).cast("int")).alias("lang"),
+    )
+    out = stratified_sample(df, "doc_id", "lang", {"en": 0.5, "de": 0.1}).groupBy("lang").count()
+    got = {r["lang"]: r["count"] for r in out.collect()}
+    assert abs(got["en"] / 10_000 - 0.5) < 0.03
+    assert abs(got["de"] / 10_000 - 0.1) < 0.03
+    assert "fr" not in got  # default_rate 0
+
+
+def test_mix_corpora_weights_and_upsampling(spark):
+    web = spark.range(10_000).withColumnRenamed("id", "doc_id").withColumn("src", F.lit("w"))
+    code = spark.range(4_000).withColumnRenamed("id", "doc_id").withColumn("src", F.lit("c"))
+    mixed = mix_corpora({"web": (web, 0.5), "code": (code, 2.5)}, "doc_id")
+    counts = {r["mix_source"]: r["count"] for r in mixed.groupBy("mix_source").count().collect()}
+    assert abs(counts["web"] / 10_000 - 0.5) < 0.03
+    # rate 2.5: two full epochs + ~half a third
+    assert abs(counts["code"] / 4_000 - 2.5) < 0.1
+    # repeats are distinguishable for downstream shuffling
+    epochs = {r["mix_epoch"] for r in mixed.where(F.col("mix_source") == "code").select("mix_epoch").distinct().collect()}
+    assert epochs == {0, 1, 2}
+
+
+def test_shuffle_deterministic_reproducible_permutation(spark):
+    df = spark.range(5_000).withColumnRenamed("id", "doc_id")
+    s1 = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=3, num_partitions=8).collect()]
+    s2 = [r["doc_id"] for r in shuffle_deterministic(df.repartition(17), "doc_id", seed=3, num_partitions=8).collect()]
+    assert s1 == s2                      # same permutation, any input layout
+    assert sorted(s1) == list(range(5_000))  # it IS a permutation
+    s3 = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=4, num_partitions=8).collect()]
+    assert s1 != s3                      # seed gives an independent order
