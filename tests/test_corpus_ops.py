@@ -126,3 +126,21 @@ def test_shuffle_deterministic_reproducible_permutation(spark):
     assert sorted(s1) == list(range(5_000))  # it IS a permutation
     s3 = [r["doc_id"] for r in shuffle_deterministic(df, "doc_id", seed=4, num_partitions=8).collect()]
     assert s1 != s3                      # seed gives an independent order
+
+
+def test_corpus_ops_are_map_only(spark):
+    """Redaction, chunking, and sampling must plan ZERO exchanges — they
+    are the map-side stages of the corpus pipeline; a shuffle here would
+    be pure waste at 100 TB (shuffle_deterministic's single range
+    exchange is the deliberate exception)."""
+    df = spark.createDataFrame(
+        [(1, "some text with words", "en")], "doc_id long, text string, lang string"
+    )
+    for name, out in [
+        ("redact", redact_documents(df)),
+        ("chunk", chunk_documents(df, chunk_tokens=8, overlap_tokens=2)),
+        ("sample", stratified_sample(df, "doc_id", "lang", {"en": 0.5})),
+        ("hash_sample", hash_sample(df, "doc_id", 0.5)),
+    ]:
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, (name, plan)
