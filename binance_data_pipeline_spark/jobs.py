@@ -108,3 +108,93 @@ def materialize_dedup_corpus(
         spark.read.parquet(f"{out_path.rstrip('/')}/corpus.parquet").count(),
         docs.count(),
     )
+
+
+def build_training_corpus(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_quality: float = 0.5,
+    dedup_threshold: float = 0.85,
+    lang_rates: dict[str, float] | None = None,
+    default_rate: float = 1.0,
+    chunk_tokens: int | None = None,
+    overlap_tokens: int = 32,
+    shuffle_seed: int = 0,
+    max_bucket_size: int | None = 5000,
+) -> dict[str, int]:
+    """The end-to-end training-data DAG (extension — no reference
+    equivalent): raw documents → PII redaction → quality filter → exact +
+    near dedup with audit trail → optional language re-weighting →
+    optional fixed-window chunking → deterministic shuffle → corpus write.
+
+    Stage order is deliberate: redaction BEFORE fingerprinting (two docs
+    differing only in a redacted email ARE duplicates), quality before
+    dedup (don't pay shingling for docs that get dropped anyway), sampling
+    after dedup (rates apply to unique content, not to duplicate mass),
+    shuffle last (the export permutation covers chunks, not docs).
+
+    Writes under ``out_path``:
+        corpus.parquet    kept (redacted, optionally chunked) rows
+        mapping.parquet   dedup audit trail (doc_id → kept_doc_id, reason)
+        stats.parquet     one-row per-stage row counts (the job report)
+
+    Returns the per-stage counts dict. Everything before the final
+    shuffle is map-side or bucket-bounded (see operators/dedup.py); the
+    shuffle is one range exchange. Barriers created by dedup are released
+    on exit (lifecycle.barrier_scope)."""
+    from .lifecycle import barrier_scope
+    from .operators.dedup import dedup_corpus
+    from .operators.sampling import shuffle_deterministic, stratified_sample
+    from .operators.text import chunk_documents, quality_score, redact_documents
+
+    out = out_path.rstrip("/")
+    docs = spark.read.parquet(docs_path)
+    counts: dict[str, int] = {"input": docs.count()}
+
+    with barrier_scope(spark):
+        red = redact_documents(docs, text_col)
+        good = red.where(quality_score(text_col) >= min_quality)
+        counts["after_quality"] = good.count()
+
+        kept, mapping = dedup_corpus(
+            good, id_col=id_col, text_col=text_col, threshold=dedup_threshold,
+            max_bucket_size=max_bucket_size,
+        )
+        mapping.write.mode("overwrite").parquet(f"{out}/mapping.parquet")
+        counts["after_dedup"] = kept.count()
+
+        sampled = (
+            stratified_sample(kept, id_col, "lang", lang_rates, default_rate=default_rate)
+            if lang_rates
+            else kept
+        )
+
+        if chunk_tokens is not None:
+            chunks = chunk_documents(
+                sampled, id_col=id_col, text_col=text_col,
+                chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens,
+            ).withColumnRenamed("id", id_col)
+            # chunk identity for the shuffle key: (doc, chunk) hashed together
+            from pyspark.sql import functions as F
+
+            export = chunks.withColumn(
+                "__export_id", F.xxhash64(F.col(id_col), F.col("chunk_idx"))
+            )
+            key = "__export_id"
+        else:
+            export = sampled
+            key = id_col
+
+        shuffled = shuffle_deterministic(export, key, seed=shuffle_seed)
+        if key == "__export_id":
+            shuffled = shuffled.drop("__export_id")
+        shuffled.write.mode("overwrite").parquet(f"{out}/corpus.parquet")
+
+    counts["exported"] = spark.read.parquet(f"{out}/corpus.parquet").count()
+    spark.createDataFrame(
+        [tuple(counts.values())], ", ".join(f"{k} long" for k in counts)
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/stats.parquet")
+    return counts

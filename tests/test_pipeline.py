@@ -308,3 +308,61 @@ def test_merge_upsert_updates_matched_keys(spark, tmp_path):
     assert len(rows) == 4
     assert rows["t1"]["price"] == 150.0  # replaced, not duplicated
     assert rows["t3"]["price"] == 300.0  # untouched partition preserved
+
+
+def test_build_training_corpus_end_to_end(spark, tmp_path):
+    """The full corpus DAG: redact → quality-filter → dedup → sample →
+    chunk → deterministic shuffle → write, with per-stage counts and the
+    audit mapping. Redaction runs BEFORE fingerprinting, so two docs
+    differing only in an email address dedupe as exact duplicates."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+
+    body = (
+        "a long enough document about distributed columnar engines and the "
+        "shuffle exchanges their joins schedule across executor partitions"
+    )
+    rows = [
+        (1, body + " reach me at alice@example.com", "en"),
+        (2, body + " reach me at bob@other.org", "en"),     # dup after redaction
+        (3, body.replace("columnar", "vectorized") + " plus drift", "en"),  # near-dup of 1
+        (4, "short junk!!", "en"),                          # fails quality
+        (5, "ein ausreichend langes deutsches dokument über verteilte "
+            "spaltenorientierte engines und deren partitionierte joins "
+            "innerhalb der executor knoten", "de"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+
+    out = str(tmp_path / "corpus")
+    counts = build_training_corpus(
+        spark, src, out,
+        min_quality=0.5, dedup_threshold=0.5,
+        chunk_tokens=12, overlap_tokens=2, shuffle_seed=1,
+    )
+    assert counts["input"] == 5
+    assert counts["after_quality"] == 4          # junk dropped
+    assert counts["after_dedup"] == 2            # 1 keeps; 2 exact-dup, 3 near-dup
+    assert counts["exported"] >= 2               # chunked rows
+
+    mapping = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in
+               spark.read.parquet(f"{out}/mapping.parquet").collect()}
+    assert mapping[2] == (1, "exact_dup")        # only difference was redacted PII
+    assert mapping[3] == (1, "near_dup")
+    assert mapping[5] == (5, "kept")
+
+    corpus = spark.read.parquet(f"{out}/corpus.parquet").collect()
+    assert all("<EMAIL>" in r["chunk_text"] or "@" not in r["chunk_text"] for r in corpus)
+    assert {r["doc_id"] for r in corpus} == {1, 5}
+    stats = spark.read.parquet(f"{out}/stats.parquet").first()
+    assert stats["after_dedup"] == 2
+
+    # determinism: the same seed re-exports the identical chunk order
+    out2 = str(tmp_path / "corpus2")
+    build_training_corpus(
+        spark, src, out2,
+        min_quality=0.5, dedup_threshold=0.5,
+        chunk_tokens=12, overlap_tokens=2, shuffle_seed=1,
+    )
+    a = [r["chunk_text"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()]
+    b = [r["chunk_text"] for r in spark.read.parquet(f"{out2}/corpus.parquet").collect()]
+    assert a == b
