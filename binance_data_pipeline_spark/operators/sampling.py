@@ -7,7 +7,8 @@ Everything keys off xxhash64(id, seed) rather than Spark's RNG-based
 partitioning, any executor count, and re-runs — reproducibility is the
 point for training corpora (`df.sample` draws per split boundary, so the
 selection changes when the file layout does). All map-side, no shuffle
-except the explicit one in `shuffle_deterministic`.
+except the explicit ones: `shuffle_deterministic`'s range exchange and
+`pack_sequences`' hash-group exchange.
 
 Rates are approximate to ~1/sqrt(n·rate) like any Bernoulli sample, but
 the DRAW is exact: a row's fate depends only on (id, seed).
@@ -110,3 +111,84 @@ def shuffle_deterministic(df: DataFrame, id_col: str, seed: int = 0, num_partiti
         .sortWithinPartitions("__shuffle_key")
         .drop("__shuffle_key")
     )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    budget: int,
+    num_groups: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Greedy token-budget packing: assemble chunks into packs whose token
+    totals stay ≤ budget — the sequence-packing prep that turns a chunked
+    corpus into fixed-context training rows with minimal padding.
+
+    Distributed shape: rows are salted into `num_groups` hash groups
+    (deterministic per (id, seed), like every draw in this module), and
+    first-fit-decreasing runs INDEPENDENTLY per group inside one
+    applyInPandas pass — bin packing is inherently sequential, so this is
+    the legitimate Arrow-batched Python case (a pure-DataFrame form would
+    need an iterative loop of window scans). Packing quality loses nothing
+    measurable: FFD inside any group of thousands of chunks is within a
+    few percent of global FFD, and groups keep every pack's state in one
+    task's memory no matter the corpus size.
+
+    Oversized chunks (> budget) get a singleton pack flagged
+    `oversize=true` rather than being dropped silently.
+
+    Returns (pack_id string, members array<id>, total_tokens long,
+    oversize boolean); pack_id is deterministic: "<group>-<local index>".
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spark = chunks.sparkSession
+    groups = num_groups or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    base = chunks.select(
+        F.col(id_col).alias("id"),
+        F.col(tokens_col).cast("long").alias("n"),
+        F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(groups)).alias("grp"),
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        grp = int(pdf["grp"].iloc[0])
+        # first-fit-decreasing, deterministic: sort by (tokens desc, id)
+        items = sorted(
+            zip(pdf["id"], pdf["n"]), key=lambda t: (-int(t[1]), t[0])
+        )
+        packs: list[tuple[list, int]] = []
+        for i, n in items:
+            n = int(n)
+            if n > budget:
+                packs.append(([i], n))  # oversize singleton
+                continue
+            placed = False
+            for idx, (members, tot) in enumerate(packs):
+                if tot > budget:
+                    continue  # never co-pack with an oversize singleton
+                if tot + n <= budget:
+                    members.append(i)
+                    packs[idx] = (members, tot + n)
+                    placed = True
+                    break
+            if not placed:
+                packs.append(([i], n))
+        return pd.DataFrame(
+            {
+                "pack_id": [f"{grp}-{k}" for k in range(len(packs))],
+                "members": [m for m, _ in packs],
+                "total_tokens": [t for _, t in packs],
+                "oversize": [t > budget for _, t in packs],
+            }
+        )
+
+    out_schema = (
+        "pack_id string, members array<"
+        + dict(base.dtypes)["id"]
+        + ">, total_tokens long, oversize boolean"
+    )
+    return base.groupBy("grp").applyInPandas(pack, out_schema)

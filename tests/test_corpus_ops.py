@@ -144,3 +144,36 @@ def test_corpus_ops_are_map_only(spark):
     ]:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, (name, plan)
+
+
+def test_pack_sequences_budget_and_determinism(spark):
+    from binance_data_pipeline_spark.operators.sampling import pack_sequences
+
+    rows = [(i, 40 + (i * 37) % 200) for i in range(2_000)]  # sizes 40..239
+    rows.append((9_999, 5_000))                              # oversize chunk
+    df = spark.createDataFrame(rows, "chunk_id long, n_tokens long")
+
+    packs = pack_sequences(df, "chunk_id", "n_tokens", budget=512, num_groups=8).collect()
+    normal = [p for p in packs if not p["oversize"]]
+    over = [p for p in packs if p["oversize"]]
+
+    # hard invariant: no non-oversize pack exceeds the budget
+    assert all(p["total_tokens"] <= 512 for p in normal)
+    assert [list(p["members"]) for p in over] == [[9_999]]
+
+    # every chunk lands in exactly one pack
+    packed = [m for p in packs for m in p["members"]]
+    assert sorted(packed) == sorted(r[0] for r in rows)
+
+    # FFD utilization: mean fill of non-final packs should be high
+    total_tokens = sum(n for _, n in rows[:-1])
+    min_possible = -(-total_tokens // 512)
+    assert len(normal) <= int(min_possible * 1.15)  # within 15% of the lower bound
+
+    # deterministic under repartitioning
+    again = pack_sequences(df.repartition(17), "chunk_id", "n_tokens", budget=512, num_groups=8).collect()
+    key = lambda p: (p["pack_id"], list(p["members"]), p["total_tokens"])
+    assert sorted(map(key, packs)) == sorted(map(key, again))
+
+    with pytest.raises(ValueError):
+        pack_sequences(df, "chunk_id", "n_tokens", budget=0)
