@@ -30,6 +30,7 @@ HEADLINE = [
     "revenue_by_nation",      # multi-join with broadcast dims
     "q7_volume_shipping",     # TPC-H Q7: deep multi-join + date window
     "q9_product_profit",      # TPC-H Q9: profit rollup + per-year share
+    "q2_min_cost_supplier",   # TPC-H Q2: correlated min-per-group shape
     "top_orders",             # join + TakeOrderedAndProject
     "window_topk_running",    # ranked + running window, shared exchange
     "window_offsets_rolling", # lag/lead + range-frame window
