@@ -495,3 +495,57 @@ def dedup_corpus(
         "left_semi",
     )
     return kept, mapping
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination detection
+# --------------------------------------------------------------------------
+
+def contamination_report(
+    corpus: DataFrame,
+    probes: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    probe_id_col: str = "doc_id",
+    probe_text_col: str = "text",
+    n: int = 8,
+    min_overlap: float = 0.05,
+) -> DataFrame:
+    """Which training docs contain verbatim n-gram runs from a probe set
+    (benchmark/test questions) — the contamination scan every training
+    corpus needs before release.
+
+    Long shingles (default n=8 tokens) make incidental collisions
+    vanishingly rare, so SHARING EVEN A FEW is a verbatim-inclusion
+    signal; `min_overlap` is the matched fraction of the probe's shingles
+    (1.0 ≈ the probe appears wholly inside the doc).
+
+    Scale shape: both sides map to hashed-shingle sets (O(len) per doc,
+    same kernel as the dedup pipeline), explode to (shingle → id) and
+    equi-join on the 64-bit shingle hash — the join is |matching
+    shingles|-sized, never |corpus × probes|; the probe side is tiny and
+    broadcasts. Returns (doc_id, probe_id, matched_shingles,
+    probe_shingles, overlap) sorted-ready for triage."""
+    c_sh = shingle_table(corpus, id_col, text_col, n).select(
+        F.col("id").alias("c_id"), F.explode("sh").alias("g")
+    )
+    p_tbl = shingle_table(probes, probe_id_col, probe_text_col, n)
+    p_sizes = p_tbl.select(F.col("id").alias("p_id"), F.size("sh").alias("p_n"))
+    p_sh = p_tbl.select(F.col("id").alias("p_id"), F.explode("sh").alias("g"))
+    hits = (
+        c_sh.join(F.broadcast(p_sh), "g")
+        .groupBy("c_id", "p_id")
+        .agg(F.count(F.lit(1)).alias("matched_shingles"))
+    )
+    return (
+        hits.join(F.broadcast(p_sizes), "p_id")
+        .withColumn("overlap", F.round(F.col("matched_shingles") / F.col("p_n"), 4))
+        .where(F.col("overlap") >= min_overlap)
+        .select(
+            F.col("c_id").alias(id_col),
+            F.col("p_id").alias("probe_id"),
+            "matched_shingles",
+            F.col("p_n").alias("probe_shingles"),
+            "overlap",
+        )
+    )

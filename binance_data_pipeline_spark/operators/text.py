@@ -223,3 +223,20 @@ def chunk_documents(
         F.concat_ws(" ", piece).alias("chunk_text"),
         F.size(piece).cast("long").alias("n_tokens"),
     )
+
+
+def repetition_ratio(col: Column | str, n: int = 3) -> Column:
+    """Intra-doc repetition: 1 − (distinct n-grams / total n-grams) in
+    [0, 1). Boilerplate/looping generations score high; normal prose sits
+    near 0. Map-side expression over the token array (the n-gram slide is
+    one transform; docs shorter than n score 0)."""
+    tk = tokens(col)
+    m = F.size(tk)
+    idx = F.when(m >= n, F.sequence(F.lit(1), m - (n - 1))).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tk, i, n)))
+    total = F.size(grams)
+    return F.when(
+        total > 0, F.round(1.0 - F.size(F.array_distinct(grams)) / total, 4)
+    ).otherwise(F.lit(0.0))

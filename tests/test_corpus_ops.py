@@ -177,3 +177,59 @@ def test_pack_sequences_budget_and_determinism(spark):
 
     with pytest.raises(ValueError):
         pack_sequences(df, "chunk_id", "n_tokens", budget=0)
+
+
+def test_contamination_report_finds_planted_probe(spark):
+    from binance_data_pipeline_spark.operators.dedup import contamination_report
+
+    probe_text = (
+        "what is the capital of france answer paris is the capital and "
+        "largest city of france situated on the seine river"
+    )
+    filler = (
+        "training data about parquet row groups and shuffle exchanges in "
+        "distributed columnar engines with adaptive query execution plans "
+        "spanning many executor nodes and partitioned joins"
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, filler),
+            (2, "intro text " + probe_text + " plus trailing commentary"),  # full inclusion
+            (3, filler.replace("parquet", "orc")),
+            (4, "partial leak what is the capital of france answer paris then diverges completely "
+                "into unrelated material about database indexes and storage"),
+        ],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame([(100, probe_text)], "doc_id long, text string")
+
+    hits = {r["doc_id"]: r for r in contamination_report(corpus, probes, n=8).collect()}
+    assert 2 in hits and hits[2]["overlap"] == 1.0       # verbatim inclusion
+    assert 4 in hits and 0 < hits[4]["overlap"] < 1.0    # partial leak
+    assert 1 not in hits and 3 not in hits               # clean docs
+
+    # raising the floor drops the partial leak
+    strict = {r["doc_id"] for r in
+              contamination_report(corpus, probes, n=8, min_overlap=0.9).collect()}
+    assert strict == {2}
+
+
+def test_repetition_ratio_scores(spark):
+    from binance_data_pipeline_spark.operators.text import repetition_ratio
+
+    df = spark.createDataFrame(
+        [
+            (1, "buy now " * 50),                                 # degenerate loop
+            (2, " ".join(f"w{i}" for i in range(100))),           # all-distinct prose
+            (3, "too short"),                                     # < n tokens
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["rep"] for r in
+           df.select("doc_id", repetition_ratio("text").alias("rep")).collect()}
+    assert got[1] > 0.9
+    assert got[2] == 0.0
+    assert got[3] == 0.0
+    # map-only
+    plan = df.select(repetition_ratio("text"))._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
