@@ -233,3 +233,32 @@ def test_repetition_ratio_scores(spark):
     # map-only
     plan = df.select(repetition_ratio("text"))._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dedup_paragraphs_strips_boilerplate_keeps_order(spark):
+    from binance_data_pipeline_spark.operators.dedup import dedup_paragraphs
+
+    footer = "subscribe to our newsletter for updates"
+    docs = [
+        (1, "unique intro one\n\n" + footer + "\n\nunique body one"),
+        (2, "unique intro two\n\n" + footer + "\n\nunique body two"),
+        (3, "unique intro three\n\n" + footer),
+        (4, footer),                       # nothing but boilerplate
+        (5, "standalone doc with no shared paragraphs at all"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in dedup_paragraphs(df, max_occurrences=1).collect()}
+
+    assert out[1]["text"] == "unique intro one\n\nunique body one"  # order kept
+    assert out[1]["n_paras"] == 3 and out[1]["n_removed"] == 1
+    assert out[2]["text"] == "unique intro two\n\nunique body two"
+    assert out[3]["text"] == "unique intro three"
+    assert out[4]["text"] == "" and out[4]["n_removed"] == 1        # all boilerplate
+    assert out[5]["text"] == docs[4][1] and out[5]["n_removed"] == 0
+
+    # a paragraph repeated within ONE doc is not cross-doc boilerplate
+    solo = spark.createDataFrame(
+        [(9, "alpha\n\nalpha\n\nbeta")], "doc_id long, text string"
+    )
+    r = dedup_paragraphs(solo, max_occurrences=1).first()
+    assert r["text"] == "alpha\n\nalpha\n\nbeta" and r["n_removed"] == 0
