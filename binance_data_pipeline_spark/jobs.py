@@ -124,17 +124,28 @@ def build_training_corpus(
     overlap_tokens: int = 32,
     shuffle_seed: int = 0,
     max_bucket_size: int | None = 5000,
+    max_repetition: float | None = None,
+    probes_path: str | None = None,
+    max_contamination: float = 0.5,
 ) -> dict[str, int]:
     """The end-to-end training-data DAG (extension — no reference
-    equivalent): raw documents → PII redaction → quality filter → exact +
-    near dedup with audit trail → optional language re-weighting →
-    optional fixed-window chunking → deterministic shuffle → corpus write.
+    equivalent): raw documents → PII redaction → quality + repetition
+    filter → exact + near dedup with audit trail → optional benchmark
+    decontamination → optional language re-weighting → optional
+    fixed-window chunking → deterministic shuffle → corpus write.
 
     Stage order is deliberate: redaction BEFORE fingerprinting (two docs
     differing only in a redacted email ARE duplicates), quality before
-    dedup (don't pay shingling for docs that get dropped anyway), sampling
-    after dedup (rates apply to unique content, not to duplicate mass),
+    dedup (don't pay shingling for docs that get dropped anyway),
+    decontamination after dedup (one kept doc stands for its whole
+    cluster), sampling after that (rates apply to unique clean content),
     shuffle last (the export permutation covers chunks, not docs).
+
+    ``max_repetition`` drops docs whose intra-doc n-gram repetition
+    exceeds the bound (looping/boilerplate text); ``probes_path`` points
+    at a parquet of benchmark docs (same id/text columns) — kept docs
+    overlapping any probe by ≥ ``max_contamination`` (8-token shingle
+    fraction) are removed.
 
     Writes under ``out_path``:
         corpus.parquet    kept (redacted, optionally chunked) rows
@@ -145,10 +156,17 @@ def build_training_corpus(
     shuffle is map-side or bucket-bounded (see operators/dedup.py); the
     shuffle is one range exchange. Barriers created by dedup are released
     on exit (lifecycle.barrier_scope)."""
+    from pyspark.sql import functions as F
+
     from .lifecycle import barrier_scope
-    from .operators.dedup import dedup_corpus
+    from .operators.dedup import contamination_report, dedup_corpus
     from .operators.sampling import shuffle_deterministic, stratified_sample
-    from .operators.text import chunk_documents, quality_score, redact_documents
+    from .operators.text import (
+        chunk_documents,
+        quality_score,
+        redact_documents,
+        repetition_ratio,
+    )
 
     out = out_path.rstrip("/")
     docs = spark.read.parquet(docs_path)
@@ -157,6 +175,8 @@ def build_training_corpus(
     with barrier_scope(spark):
         red = redact_documents(docs, text_col)
         good = red.where(quality_score(text_col) >= min_quality)
+        if max_repetition is not None:
+            good = good.where(repetition_ratio(text_col) <= max_repetition)
         counts["after_quality"] = good.count()
 
         kept, mapping = dedup_corpus(
@@ -165,6 +185,17 @@ def build_training_corpus(
         )
         mapping.write.mode("overwrite").parquet(f"{out}/mapping.parquet")
         counts["after_dedup"] = kept.count()
+
+        if probes_path is not None:
+            probes = spark.read.parquet(probes_path)
+            dirty = contamination_report(
+                kept, probes, id_col=id_col, text_col=text_col,
+                min_overlap=max_contamination,
+            ).select(F.col(id_col).alias("__dirty_id")).distinct()
+            kept = kept.join(
+                dirty, F.col(id_col) == F.col("__dirty_id"), "left_anti"
+            )
+            counts["after_decontamination"] = kept.count()
 
         sampled = (
             stratified_sample(kept, id_col, "lang", lang_rates, default_rate=default_rate)
@@ -178,8 +209,6 @@ def build_training_corpus(
                 chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens,
             ).withColumnRenamed("id", id_col)
             # chunk identity for the shuffle key: (doc, chunk) hashed together
-            from pyspark.sql import functions as F
-
             export = chunks.withColumn(
                 "__export_id", F.xxhash64(F.col(id_col), F.col("chunk_idx"))
             )

@@ -366,3 +366,36 @@ def test_build_training_corpus_end_to_end(spark, tmp_path):
     a = [r["chunk_text"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()]
     b = [r["chunk_text"] for r in spark.read.parquet(f"{out2}/corpus.parquet").collect()]
     assert a == b
+
+
+def test_build_training_corpus_decontamination_and_repetition(spark, tmp_path):
+    """Optional stages: a doc overlapping a benchmark probe is removed
+    after dedup; a degenerate looping doc is cut by the repetition bound."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+
+    probe = (
+        "what is the time complexity of a hash join answer it is linear in "
+        "the size of both inputs under uniform key distribution assumptions"
+    )
+    rows = [
+        (1, "a clean unique document about columnar storage layouts and the "
+            "row group statistics parquet writers persist for pruning", "en"),
+        (2, "leaked benchmark item " + probe + " end of the leaked item", "en"),
+        (3, "spam spam " * 40, "en"),     # repetition loop
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    probes_path = str(tmp_path / "probes.parquet")
+    spark.createDataFrame([(900, probe)], "doc_id long, text string").write.parquet(probes_path)
+
+    out = str(tmp_path / "corpus")
+    counts = build_training_corpus(
+        spark, src, out,
+        min_quality=0.3, dedup_threshold=0.5,
+        max_repetition=0.5, probes_path=probes_path, max_contamination=0.5,
+    )
+    assert counts["after_quality"] == 2            # repetition loop cut
+    assert counts["after_dedup"] == 2
+    assert counts["after_decontamination"] == 1    # leaked doc removed
+    kept_ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
+    assert kept_ids == {1}
