@@ -206,10 +206,17 @@ def chunk_documents(
         raise ValueError("overlap_tokens must be smaller than chunk_tokens")
     step = chunk_tokens - overlap_tokens
     base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+    # number of windows covering ALL m tokens: 1 + ceil(max(m-chunk,0)/step).
+    # A plain sequence(1, m-chunk+1, step) drops the tail whenever step
+    # doesn't divide (m-chunk) — the last window must be allowed to start
+    # past m-chunk+1 and run short (caught by the hypothesis
+    # reconstruction property, tests/test_properties.py).
+    overflow = F.greatest(F.size("tk") - F.lit(chunk_tokens), F.lit(0))
+    n_chunks = (F.lit(1) + F.ceil(overflow / F.lit(float(step)))).cast("long")
     starts = F.sequence(
-        F.lit(1),
-        F.greatest(F.size("tk") - F.lit(chunk_tokens), F.lit(0)) + F.lit(1),
-        F.lit(step),
+        F.lit(1).cast("long"),
+        F.lit(1) + (n_chunks - 1) * F.lit(step),
+        F.lit(step).cast("long"),
     )
     chunks = base.select(
         "id",

@@ -181,3 +181,42 @@ def test_cluster_pairs_warns_on_non_convergence(spark):
         labels = cluster_pairs(pairs, max_iter=15).collect()
     assert not any("did not converge" in str(w.message) for w in caught)
     assert {r["cluster_id"] for r in labels} == {0}  # one component, min id
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abcdefg", min_size=1, max_size=6), min_size=1, max_size=60)
+        .map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=12),
+    st.integers(min_value=0, max_value=8),
+)
+def test_chunking_reconstruction_property(spark, texts, chunk_tokens, overlap):
+    """For ANY corpus and any (chunk, overlap) with overlap < chunk:
+    dropping the first `overlap` tokens of every chunk after the first
+    reconstructs each doc's exact token stream, every chunk except
+    possibly the last per doc is full-size, and no chunk exceeds the
+    window."""
+    from binance_data_pipeline_spark.operators.text import chunk_documents
+
+    if overlap >= chunk_tokens:
+        overlap = chunk_tokens - 1
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    rows = chunk_documents(
+        df, chunk_tokens=chunk_tokens, overlap_tokens=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append((r["chunk_idx"], r["chunk_text"], r["n_tokens"]))
+    assert set(by_doc) == set(range(len(texts)))
+    for i, text in enumerate(texts):
+        cs = sorted(by_doc[i])
+        assert all(n <= chunk_tokens for _, _, n in cs)
+        assert all(n == chunk_tokens for _, _, n in cs[:-1])  # only last may be short
+        toks = cs[0][1].split()
+        for _, t, _ in cs[1:]:
+            toks += t.split()[overlap:]
+        assert toks == text.lower().split()
