@@ -220,3 +220,49 @@ def test_chunking_reconstruction_property(spark, texts, chunk_tokens, overlap):
         for _, t, _ in cs[1:]:
             toks += t.split()[overlap:]
         assert toks == text.lower().split()
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=900), min_size=1, max_size=300),
+    st.integers(min_value=1, max_value=512),
+)
+def test_pack_sequences_invariants(spark, sizes, budget):
+    """For arbitrary chunk sizes and budgets: every input lands in exactly
+    one pack, no non-oversize pack exceeds the budget, and every oversize
+    pack is a singleton whose chunk alone exceeds the budget."""
+    from binance_data_pipeline_spark.operators.sampling import pack_sequences
+
+    df = spark.createDataFrame(list(enumerate(sizes)), "cid long, n long")
+    packs = pack_sequences(df, "cid", "n", budget=budget, num_groups=4).collect()
+    members = [m for p in packs for m in p["members"]]
+    assert sorted(members) == list(range(len(sizes)))
+    for p in packs:
+        if p["oversize"]:
+            assert len(p["members"]) == 1 and p["total_tokens"] > budget
+        else:
+            assert p["total_tokens"] <= budget
+        assert p["total_tokens"] == sum(sizes[m] for m in p["members"])
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.text(alphabet="abc @.x-", min_size=0, max_size=12), min_size=0, max_size=20)
+        .map(" ".join),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_redaction_never_throws_and_is_idempotent(spark, texts):
+    """Arbitrary junk text: the redaction pass must not raise, and
+    redacting twice equals redacting once (replacement tokens contain no
+    redactable spans)."""
+    from binance_data_pipeline_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    once = df.select("doc_id", redact_pii("text").alias("t"))
+    twice = once.select("doc_id", redact_pii("t").alias("t"))
+    a = {r["doc_id"]: r["t"] for r in once.collect()}
+    b = {r["doc_id"]: r["t"] for r in twice.collect()}
+    assert a == b
