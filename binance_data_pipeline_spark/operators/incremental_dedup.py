@@ -63,9 +63,16 @@ from .dedup import (
     shingle_table,
 )
 
-_FP_SCHEMA = "fp string, keeper_id long"
-_BUCKET_SCHEMA = "band_id int, bh int, id long"
-_SHINGLE_SCHEMA = "id long, sh array<bigint>"
+def _state_schemas(id_type: str) -> tuple[str, str, str]:
+    """State table schemas, parameterized on the caller's id dtype — a
+    corpus keyed by string ids must round-trip through the state files
+    with the same type (a hardcoded long would silently null string ids
+    on read)."""
+    return (
+        f"fp string, keeper_id {id_type}",
+        f"band_id int, bh int, id {id_type}",
+        f"id {id_type}, sh array<bigint>",
+    )
 
 
 def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
@@ -110,9 +117,11 @@ def dedup_batch(
     bucket_path = f"{state}/buckets.parquet"
     shingle_path = f"{state}/shingles.parquet"
 
-    old_fp = _read_state(spark, fp_path, _FP_SCHEMA)
-    old_buckets = _read_state(spark, bucket_path, _BUCKET_SCHEMA)
-    old_shingles = _read_state(spark, shingle_path, _SHINGLE_SCHEMA)
+    id_type = dict(docs.dtypes)[id_col]
+    fp_schema, bucket_schema, shingle_schema = _state_schemas(id_type)
+    old_fp = _read_state(spark, fp_path, fp_schema)
+    old_buckets = _read_state(spark, bucket_path, bucket_schema)
+    old_shingles = _read_state(spark, shingle_path, shingle_schema)
 
     ids = F.col(id_col)
 

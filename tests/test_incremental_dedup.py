@@ -125,3 +125,21 @@ def test_streaming_dedup_corpus_end_to_end(spark, tmp_path):
     corpus = spark.read.parquet(f"{out}/corpus.parquet")
     assert {r["doc_id"] for r in corpus.collect()} == {31}
     assert "batch_id" in mapping.columns
+
+
+def test_dedup_batch_string_ids(spark, tmp_path):
+    """State schemas follow the caller's id dtype — string doc ids must
+    round-trip through fingerprints/buckets/shingles intact across
+    batches (a hardcoded long schema would null them on read)."""
+    state = str(tmp_path / "state")
+    b1 = spark.createDataFrame([("doc-a", BASE), ("doc-b", OTHER)], "doc_id string, text string")
+    kept1, _ = dedup_batch(b1, state, threshold=0.5)
+    assert {r["doc_id"] for r in kept1.collect()} == {"doc-a", "doc-b"}
+
+    b2 = spark.createDataFrame(
+        [("doc-c", NEAR), ("doc-d", BASE)], "doc_id string, text string"
+    )
+    _, map2 = dedup_batch(b2, state, threshold=0.5)
+    m = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in map2.collect()}
+    assert m["doc-c"] == ("doc-a", "near_dup")
+    assert m["doc-d"] == ("doc-a", "exact_dup")
