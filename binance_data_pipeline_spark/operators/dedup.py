@@ -125,6 +125,21 @@ def _minhash_from_hashes(hash_col: Column, num_perm: int) -> Column:
     )
 
 
+def band_hashes(sig_col: Column, num_perm: int, bands: int) -> Column:
+    """LSH band keys from a minhash signature: hash of each band's
+    signature slice, salted by band index (array<int>, one per band).
+    The SINGLE definition shared by the batch pipeline and the
+    incremental state (operators/incremental_dedup.py) — any divergence
+    would silently stop cross-batch candidates from colliding."""
+    rows_per_band = num_perm // bands
+    return F.array(
+        *[
+            F.hash(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), F.lit(b))
+            for b in range(bands)
+        ]
+    )
+
+
 def _materialize(df: DataFrame) -> DataFrame:
     """Eager materialization barrier for small intermediates reused by
     several plan branches (self-joins). Preferred over .cache(): a lazy
@@ -180,16 +195,11 @@ def minhash_candidate_pairs(
     sees the w² explosion. The bucket-size table this filters on is
     aggregated (distinct buckets, not rows) and the filter is a semi-join.
     """
-    rows_per_band = num_perm // bands
     sh = shingle_df if shingle_df is not None else shingle_table(df, id_col, text_col, n)
     sig_df = _materialize(sh.select("id", _minhash_from_hashes(F.col("sh"), num_perm).alias("sig")))
-    band_hashes = F.array(
-        *[
-            F.hash(F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band), F.lit(b))
-            for b in range(bands)
-        ]
+    banded = sig_df.select(
+        "id", F.posexplode(band_hashes(F.col("sig"), num_perm, bands)).alias("band_id", "bh")
     )
-    banded = sig_df.select("id", F.posexplode(band_hashes).alias("band_id", "bh"))
     if max_bucket_size is not None:
         ok_buckets = (
             banded.groupBy("band_id", "bh")

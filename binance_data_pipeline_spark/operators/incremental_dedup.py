@@ -59,6 +59,7 @@ from pyspark.errors import AnalysisException
 from .dedup import (
     _materialize,
     _minhash_from_hashes,
+    band_hashes,
     cluster_pairs,
     shingle_table,
 )
@@ -81,16 +82,6 @@ def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
         return spark.read.schema(schema).parquet(path)
     except AnalysisException:
         return spark.createDataFrame([], schema)
-
-
-def _band_hashes(sig_col, num_perm: int, bands: int):
-    rows_per_band = num_perm // bands
-    return F.array(
-        *[
-            F.hash(F.slice(sig_col, b * rows_per_band + 1, rows_per_band), F.lit(b))
-            for b in range(bands)
-        ]
-    )
 
 
 def dedup_batch(
@@ -150,7 +141,7 @@ def dedup_batch(
     )
     banded_new = _materialize(
         sig_new.select(
-            "id", F.posexplode(_band_hashes(F.col("sig"), num_perm, bands)).alias("band_id", "bh")
+            "id", F.posexplode(band_hashes(F.col("sig"), num_perm, bands)).alias("band_id", "bh")
         )
     )
 
