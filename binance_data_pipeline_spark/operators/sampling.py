@@ -71,26 +71,30 @@ def mix_corpora(
     upsampling by integer repetition + fractional remainder (epoch-style:
     rate 2.5 = every doc twice, half the docs a third time, chosen
     deterministically per id; repeats carry `mix_epoch` 0..n so downstream
-    shuffling separates them)."""
+    shuffling separates them).
+
+    Each source is scanned ONCE however large its rate: per-row repeat
+    count = whole epochs + the fractional draw, exploded to epoch rows —
+    not one union leg per epoch, which would re-read a 100 TB source
+    ceil(rate) times."""
+    if all(rate == 0 for _, rate in sources.values()):
+        raise ValueError("mix_corpora needs at least one source with rate > 0")
     legs = []
     for name, (df, rate) in sources.items():
         if rate < 0:
             raise ValueError(f"rate for source {name!r} must be >= 0, got {rate}")
         whole, frac = int(rate), rate - int(rate)
-        for epoch in range(whole):
-            legs.append(
-                df.withColumn("mix_source", F.lit(name)).withColumn(
-                    "mix_epoch", F.lit(epoch)
-                )
+        n_rep = F.lit(whole) + F.when(
+            _unit_hash(id_col, seed + whole) < F.lit(float(frac)), 1
+        ).otherwise(0)
+        epochs = F.when(n_rep > 0, F.sequence(F.lit(0), n_rep - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        legs.append(
+            df.withColumn("mix_source", F.lit(name)).withColumn(
+                "mix_epoch", F.explode(epochs)
             )
-        if frac > 0:
-            legs.append(
-                hash_sample(df, id_col, frac, seed=seed + whole).withColumn(
-                    "mix_source", F.lit(name)
-                ).withColumn("mix_epoch", F.lit(whole))
-            )
-    if not legs:
-        raise ValueError("mix_corpora needs at least one source with rate > 0")
+        )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
