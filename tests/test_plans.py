@@ -160,3 +160,29 @@ def test_whole_stage_codegen_active(spark):
         assert "Found 0 WholeStageCodegen" not in buf.getvalue()
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_catalog_plans_are_scale_clean(spark):
+    """Whole-catalog plan audit: no query may plan a CartesianProduct or
+    a row-at-a-time Python UDF — except the two documented brute-force
+    BASELINES (embed_knn_brute / embed_near_dups_brute pair every row by
+    design; their scale paths ship alongside as the LSH/IVF entries)."""
+    from binance_data_pipeline_spark.plans import all_queries
+    from binance_data_pipeline_spark.plans.audit import assert_scale_clean, audit_plan
+
+    brute_baselines = {"embed_knn_brute", "embed_near_dups_brute"}
+    for name, fn in sorted(all_queries().items()):
+        df = fn(spark, SF_SMALL)
+        if name in brute_baselines:
+            continue
+        assert_scale_clean(df)
+
+    # the auditor itself catches the shapes it claims to catch
+    a = spark.range(10).select(F.col("id").alias("a"))
+    b = spark.range(10).select(F.col("id").alias("b"))
+    cart = a.crossJoin(b)
+    assert any(f.code == "CARTESIAN" for f in audit_plan(cart))
+
+    from pyspark.sql.functions import udf
+    slow = a.select(udf(lambda x: x + 1, "long")("a"))
+    assert any(f.code == "PY_ROW_EVAL" for f in audit_plan(slow))
