@@ -303,3 +303,44 @@ def test_zorder_rank_quantization_beats_minmax_on_skew(spark, tmp_path):
     mm_hits = overlapping_files(p_mm, 3, 4)
     rk_hits = overlapping_files(p_rk, 3, 4)
     assert rk_hits < mm_hits, (rk_hits, mm_hits)
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """The session enables AQE skew-join handling; this pins that a
+    pathologically skewed join actually triggers the runtime split (the
+    mechanism a 100 TB deployment leans on when salting isn't applied).
+    Thresholds are lowered so the sf-test-sized hot key qualifies."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        # force a shuffle join: broadcast would bypass the skew machinery
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+
+        # 200k rows on ONE key vs a flat right side
+        left = spark.range(200_000).select(
+            F.lit(7).alias("k"), F.col("id").alias("payload")
+        ).union(spark.range(2_000).select((F.col("id") % 50).alias("k"), F.col("id")))
+        right = spark.range(50).select(F.col("id").alias("k"), F.lit("dim").alias("v"))
+        joined = left.join(right, "k")
+        joined.collect()  # finalize THIS DataFrame's adaptive plan
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
