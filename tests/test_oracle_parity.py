@@ -45,3 +45,17 @@ def test_entry_smoke(spark):
 
     df = entry(spark)
     assert df.count() > 0
+
+
+def test_catalog_reentrant(spark):
+    """Every catalog callable must be re-runnable in one session — the
+    SQL-form queries register temp views (createOrReplaceTempView, not
+    createTempView) and nothing may hold single-use state. Counts must
+    match across invocations."""
+    from binance_data_pipeline_spark.lifecycle import release_barriers
+
+    for name, fn in sorted(ALL.items()):
+        a = fn(spark, SF_SMALL).count()
+        b = fn(spark, SF_SMALL).count()
+        assert a == b, f"{name}: first run {a} rows, second {b}"
+        release_barriers(spark)
