@@ -299,3 +299,26 @@ def streaming_dedup_corpus(
     return stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint
     )
+
+
+def compact_state(
+    spark: SparkSession, state_path: str, files_per_table: int = 4
+) -> dict[str, int]:
+    """Rewrite the append-only state tables into ``files_per_table`` files
+    each — the maintenance job for the many-small-files cost of per-batch
+    appends (every batch adds part-files to all three tables; at one batch
+    a minute that's thousands of files a day). Same promote-then-delete
+    swap and crash-recovery as scale.compact_partitions; MUST NOT run
+    concurrently with dedup_batch (the state is single-writer by
+    contract). Returns file counts per table after compaction."""
+    from .scale import compact_partitions
+
+    out: dict[str, int] = {}
+    state = state_path.rstrip("/")
+    for t in ("fingerprints.parquet", "buckets.parquet", "shingles.parquet"):
+        path = f"{state}/{t}"
+        try:
+            out[t] = compact_partitions(spark, path, [], target_files_per_partition=files_per_table)
+        except AnalysisException:
+            continue  # table not created yet (no batch has run)
+    return out

@@ -143,3 +143,29 @@ def test_dedup_batch_string_ids(spark, tmp_path):
     m = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in map2.collect()}
     assert m["doc-c"] == ("doc-a", "near_dup")
     assert m["doc-d"] == ("doc-a", "exact_dup")
+
+
+def test_compact_state_preserves_semantics(spark, tmp_path):
+    """State compaction rewrites the append-only tables into few files;
+    the next batch must behave exactly as before compaction."""
+    from binance_data_pipeline_spark.operators.incremental_dedup import compact_state
+
+    state = str(tmp_path / "state")
+    for i in range(4):  # several appends → several part files per table
+        dedup_batch(
+            _docs(spark, [(100 + i, f"unique batch {i} content padded with "
+                                    f"enough distinct words {i} to shingle")]),
+            state, threshold=0.5,
+        )
+    dedup_batch(_docs(spark, [(1, BASE)]), state, threshold=0.5)
+    before = len(glob.glob(f"{state}/shingles.parquet/part-*"))
+    assert before >= 5
+
+    counts = compact_state(spark, state, files_per_table=1)
+    assert set(counts) == {"fingerprints.parquet", "buckets.parquet", "shingles.parquet"}
+    assert all(v <= 1 for v in counts.values())
+
+    # post-compaction: matching still works against the rewritten state
+    _, m = dedup_batch(_docs(spark, [(50, NEAR)]), state, threshold=0.5)
+    got = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in m.collect()}
+    assert got == {50: (1, "near_dup")}
