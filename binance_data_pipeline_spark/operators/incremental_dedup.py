@@ -42,8 +42,16 @@ same caveat as streaming/sinks.py).
 
 Scale: per-batch work is O(batch) hashing + bucket-bounded candidate
 joins; the corpus-side bucket/shingle scans are join-pruned to candidate
-rows after the exchange (partition buckets.parquet by pmod(bh, N) to
-prune at file level when the state outgrows one scan).
+rows after the exchange. When the bucket state outgrows one scan, create
+the state with ``state_partitions=P``: buckets.parquet is laid out as
+hive partitions on ``bh_mod = pmod(bh, P)`` and each batch reads only
+the partitions its own band hashes land in (PartitionFilters at the
+file listing — the corpus-side scan cost follows the BATCH's bucket
+spread, not the corpus size). The layout is recorded in a
+``layout.parquet`` marker at state creation and honored by every later
+batch; P is immutable for the life of a state dir (a pmod under a
+different P would point file pruning at the wrong partitions — the
+marker makes that a hard error instead of silent missed candidates).
 
 No reference equivalent: the reference's late-data story is batch
 re-ingest (airflow/dags/ingest_binance_last_3_days.py:105-146); this is
@@ -84,6 +92,48 @@ def _read_state(spark: SparkSession, path: str, schema: str) -> DataFrame:
         return spark.createDataFrame([], schema)
 
 
+def _recorded_partitions(spark: SparkSession, state: str) -> int | None:
+    """The bucket-layout marker written at state creation, or None for a
+    flat (unpartitioned) state."""
+    try:
+        row = spark.read.parquet(f"{state}/layout.parquet").first()
+        return None if row is None else row["state_partitions"]
+    except AnalysisException:
+        return None
+
+
+def _resolve_layout(
+    spark: SparkSession, state: str, fp_path: str, state_partitions: int | None
+) -> int | None:
+    """Reconcile the caller's ``state_partitions`` with the persisted
+    layout marker. The marker is authoritative once the state exists;
+    the parameter only matters at creation. Mismatches are hard errors —
+    pruning by pmod under the wrong P silently misses candidates."""
+    recorded = _recorded_partitions(spark, state)
+    if recorded is not None:
+        if state_partitions is not None and state_partitions != recorded:
+            raise ValueError(
+                f"state at {state} was created with state_partitions="
+                f"{recorded}; got {state_partitions}. P is immutable for "
+                "a state dir — compact into a new dir to change it."
+            )
+        return recorded
+    from .ivf import _hadoop_fs
+
+    fs, p = _hadoop_fs(spark, fp_path)
+    if state_partitions is not None:
+        if fs.exists(p):
+            raise ValueError(
+                f"state at {state} already exists with a flat bucket "
+                "layout; it cannot be re-partitioned in place. Start a "
+                "new state dir with state_partitions set from batch 1."
+            )
+        spark.createDataFrame(
+            [(state_partitions,)], "state_partitions int"
+        ).coalesce(1).write.parquet(f"{state}/layout.parquet")
+    return state_partitions
+
+
 def dedup_batch(
     docs: DataFrame,
     state_path: str,
@@ -94,6 +144,7 @@ def dedup_batch(
     num_perm: int = 16,
     bands: int = 8,
     max_bucket_size: int | None = None,
+    state_partitions: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Dedupe one batch against itself and the persisted state, then
     append the state for newly-kept docs. Returns (kept, mapping); both
@@ -101,15 +152,24 @@ def dedup_batch(
 
     Band/permutation params must stay fixed across the life of a state
     dir — signatures appended under different params would never
-    collide. Callers own that contract."""
+    collide. Callers own that contract.
+
+    ``state_partitions=P`` (creation-time only) lays buckets.parquet out
+    as hive partitions on pmod(bh, P); later batches prune the corpus
+    bucket scan to the partitions their own band hashes touch (see
+    module docstring). Later calls inherit P from the state's layout
+    marker — passing a different value raises."""
     spark = docs.sparkSession
     state = state_path.rstrip("/")
     fp_path = f"{state}/fingerprints.parquet"
     bucket_path = f"{state}/buckets.parquet"
     shingle_path = f"{state}/shingles.parquet"
+    n_parts = _resolve_layout(spark, state, fp_path, state_partitions)
 
     id_type = dict(docs.dtypes)[id_col]
     fp_schema, bucket_schema, shingle_schema = _state_schemas(id_type)
+    if n_parts is not None:
+        bucket_schema += ", bh_mod int"
     old_fp = _read_state(spark, fp_path, fp_schema)
     old_buckets = _read_state(spark, bucket_path, bucket_schema)
     old_shingles = _read_state(spark, shingle_path, shingle_schema)
@@ -144,6 +204,23 @@ def dedup_batch(
             "id", F.posexplode(band_hashes(F.col("sig"), num_perm, bands)).alias("band_id", "bh")
         )
     )
+    if n_parts is not None:
+        # File-level pruning: the batch's band hashes land in a known set
+        # of bh_mod partitions (≤ n_parts small ints — an O(P) driver
+        # collect, not data movement); everything outside that set never
+        # leaves the file listing. banded_new is already materialized, so
+        # this costs one scan of a batch-sized checkpoint.
+        touched_mods = [
+            r["m"]
+            for r in banded_new.select(
+                F.pmod(F.col("bh"), F.lit(n_parts)).alias("m")
+            )
+            .distinct()
+            .collect()
+        ]
+        old_buckets = old_buckets.where(
+            F.col("bh_mod").isin(touched_mods or [-1])
+        ).drop("bh_mod")
 
     def verified(cands: DataFrame, sh_a: DataFrame, sh_b: DataFrame) -> DataFrame:
         return (
@@ -256,9 +333,15 @@ def dedup_batch(
     kept_ids = mapping.where(F.col("reason") == "kept").select(
         F.col("kept_doc_id").alias("id")
     )
-    banded_new.join(kept_ids, "id", "left_semi").select(
+    bucket_append = banded_new.join(kept_ids, "id", "left_semi").select(
         "band_id", "bh", "id"
-    ).write.mode("append").parquet(bucket_path)
+    )
+    if n_parts is not None:
+        bucket_append.withColumn(
+            "bh_mod", F.pmod(F.col("bh"), F.lit(n_parts))
+        ).write.mode("append").partitionBy("bh_mod").parquet(bucket_path)
+    else:
+        bucket_append.write.mode("append").parquet(bucket_path)
     sh_new.join(kept_ids, "id", "left_semi").select("id", "sh").write.mode(
         "append"
     ).parquet(shingle_path)
@@ -310,15 +393,21 @@ def compact_state(
     a minute that's thousands of files a day). Same promote-then-delete
     swap and crash-recovery as scale.compact_partitions; MUST NOT run
     concurrently with dedup_batch (the state is single-writer by
-    contract). Returns file counts per table after compaction."""
+    contract). A bh_mod-partitioned bucket table keeps its hive layout —
+    ``files_per_table`` then bounds files PER PARTITION. Returns file
+    counts per table after compaction."""
     from .scale import compact_partitions
 
     out: dict[str, int] = {}
     state = state_path.rstrip("/")
+    bucket_parts = (
+        ["bh_mod"] if _recorded_partitions(spark, state) is not None else []
+    )
     for t in ("fingerprints.parquet", "buckets.parquet", "shingles.parquet"):
         path = f"{state}/{t}"
+        cols = bucket_parts if t == "buckets.parquet" else []
         try:
-            out[t] = compact_partitions(spark, path, [], target_files_per_partition=files_per_table)
+            out[t] = compact_partitions(spark, path, cols, target_files_per_partition=files_per_table)
         except AnalysisException:
             continue  # table not created yet (no batch has run)
     return out

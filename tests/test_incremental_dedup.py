@@ -145,6 +145,103 @@ def test_dedup_batch_string_ids(spark, tmp_path):
     assert m["doc-d"] == ("doc-a", "exact_dup")
 
 
+def test_partitioned_state_matches_flat(spark, tmp_path):
+    """state_partitions=P must be a pure layout change: the two-batch
+    scenario produces byte-identical mappings under flat and partitioned
+    state, and the bucket table lands as bh_mod=... hive partitions."""
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    batches = [
+        [(1, BASE), (2, OTHER), (3, NEAR)],
+        [(10, BASE), (11, BASE.replace("birds", "bees")), (12, OTHER_NEAR),
+         (13, "some genuinely new content about parquet footer statistics "
+              "pruning row groups during selective scans of wide tables"),
+         (14, NEAR)],
+    ]
+    results = {}
+    for state, p in ((flat, None), (part, 4)):
+        maps = []
+        for rows in batches:
+            _, m = dedup_batch(_docs(spark, rows), state, threshold=0.5,
+                               state_partitions=p)
+            maps.append(sorted(map(tuple, m.collect())))
+        results[state] = maps
+    assert results[flat] == results[part]
+
+    mod_dirs = {os.path.basename(d)
+                for d in glob.glob(f"{part}/buckets.parquet/bh_mod=*")}
+    assert mod_dirs and all(d.startswith("bh_mod=") for d in mod_dirs)
+    assert len(mod_dirs) <= 4
+
+    # batch 3 inherits P from the layout marker (no param needed); a
+    # FRESH near-variant (fingerprint not yet in state) must match via
+    # the pruned partitioned bucket scan
+    _, m3 = dedup_batch(
+        _docs(spark, [(50, BASE.replace("windowsill", "doorstep"))]),
+        part, threshold=0.5,
+    )
+    got = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in m3.collect()}
+    assert got == {50: (1, "near_dup")}
+
+
+def test_partitioned_state_prunes_files(spark, tmp_path):
+    """The corpus bucket scan under a batch must list only the bh_mod
+    partitions the batch's own band hashes touch — PartitionFilters at
+    the file listing, not a post-scan row filter."""
+    from pyspark.sql import functions as F
+
+    state = str(tmp_path / "state")
+    dedup_batch(_docs(spark, [(1, BASE), (2, OTHER)]), state, threshold=0.5,
+                state_partitions=8)
+
+    # mirror the operator's pruned read: partition filter on bh_mod
+    df = spark.read.parquet(f"{state}/buckets.parquet").where(
+        F.col("bh_mod").isin([0, 3])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "bh_mod" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the state is genuinely spread over several partition dirs, so
+    # the filter above has real files to skip
+    all_mods = {os.path.basename(os.path.dirname(f))
+                for f in spark.read.parquet(f"{state}/buckets.parquet").inputFiles()}
+    assert len(all_mods) > 2
+
+
+def test_partitioned_state_layout_guards(spark, tmp_path):
+    """Layout is immutable per state dir: re-partitioning a flat state or
+    changing P both raise instead of silently mispruning."""
+    import pytest
+
+    flat = str(tmp_path / "flat")
+    dedup_batch(_docs(spark, [(1, BASE)]), flat, threshold=0.5)
+    with pytest.raises(ValueError, match="flat bucket layout"):
+        dedup_batch(_docs(spark, [(2, OTHER)]), flat, threshold=0.5,
+                    state_partitions=4)
+
+    part = str(tmp_path / "part")
+    dedup_batch(_docs(spark, [(1, BASE)]), part, threshold=0.5,
+                state_partitions=4)
+    with pytest.raises(ValueError, match="immutable"):
+        dedup_batch(_docs(spark, [(2, OTHER)]), part, threshold=0.5,
+                    state_partitions=8)
+
+
+def test_compact_state_partitioned_layout(spark, tmp_path):
+    """Compaction preserves the bh_mod hive layout (files bounded PER
+    partition) and the next batch still matches."""
+    from binance_data_pipeline_spark.operators.incremental_dedup import compact_state
+
+    state = str(tmp_path / "state")
+    for i, rows in enumerate(([(1, BASE)], [(2, OTHER)])):
+        dedup_batch(_docs(spark, rows), state, threshold=0.5,
+                    state_partitions=4 if i == 0 else None)
+    compact_state(spark, state, files_per_table=1)
+    assert glob.glob(f"{state}/buckets.parquet/bh_mod=*")  # layout survives
+
+    _, m = dedup_batch(_docs(spark, [(60, NEAR)]), state, threshold=0.5)
+    got = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in m.collect()}
+    assert got == {60: (1, "near_dup")}
+
+
 def test_compact_state_preserves_semantics(spark, tmp_path):
     """State compaction rewrites the append-only tables into few files;
     the next batch must behave exactly as before compaction."""
