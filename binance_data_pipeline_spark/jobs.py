@@ -127,6 +127,8 @@ def build_training_corpus(
     max_repetition: float | None = None,
     probes_path: str | None = None,
     max_contamination: float = 0.5,
+    domain_rules: dict[str, dict] | None = None,
+    domain_col: str = "source",
 ) -> dict[str, int]:
     """The end-to-end training-data DAG (extension — no reference
     equivalent): raw documents → PII redaction → quality + repetition
@@ -145,7 +147,11 @@ def build_training_corpus(
     exceeds the bound (looping/boilerplate text); ``probes_path`` points
     at a parquet of benchmark docs (same id/text columns) — kept docs
     overlapping any probe by ≥ ``max_contamination`` (8-token shingle
-    fraction) are removed.
+    fraction) are removed. ``domain_rules`` swaps the flat
+    ``min_quality`` gate for per-domain thresholds over ``domain_col``
+    (operators/quality_rules.filter_by_domain — Gopher/C4 bundles with a
+    ``"*"`` default row); the global ``min_quality``/``max_repetition``
+    still apply on top if set.
 
     Writes under ``out_path``:
         corpus.parquet    kept (redacted, optionally chunked) rows
@@ -177,6 +183,12 @@ def build_training_corpus(
         good = red.where(quality_score(text_col) >= min_quality)
         if max_repetition is not None:
             good = good.where(repetition_ratio(text_col) <= max_repetition)
+        if domain_rules is not None:
+            from .operators.quality_rules import filter_by_domain
+
+            good = filter_by_domain(
+                good, domain_rules, domain_col=domain_col, text_col=text_col
+            )
         counts["after_quality"] = good.count()
 
         kept, mapping = dedup_corpus(

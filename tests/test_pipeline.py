@@ -399,3 +399,34 @@ def test_build_training_corpus_decontamination_and_repetition(spark, tmp_path):
     assert counts["after_decontamination"] == 1    # leaked doc removed
     kept_ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
     assert kept_ids == {1}
+
+
+def test_build_training_corpus_domain_rules(spark, tmp_path):
+    """Per-domain quality gate inside the DAG: a strict rule for one
+    source drops its short docs while the default keeps the same shape
+    of doc from other sources."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+
+    body = (
+        "a long enough document about distributed columnar engines and the "
+        "shuffle exchanges their joins schedule across executor partitions"
+    )
+    rows = [
+        (1, body, "en", "web"),
+        (2, "ten tokens of short but plausible text right here now", "en", "web"),
+        (3, "ten tokens of short but plausible text right there now", "en", "books"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "corpus")
+    counts = build_training_corpus(
+        spark, src, out,
+        min_quality=0.0, dedup_threshold=0.5,
+        domain_rules={"*": {}, "books": {"min_tokens": 15}},
+    )
+    assert counts["after_quality"] == 2
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
+    assert kept == {1, 2}  # the books-domain short doc was gated out
