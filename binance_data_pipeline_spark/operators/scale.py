@@ -95,6 +95,60 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+# ---------------------------------------------------------- skew diagnosis
+
+def skew_report(df: DataFrame, key_cols: list[str], top_k: int = 20) -> DataFrame:
+    """Key-distribution diagnosis BEFORE committing to a join/agg strategy
+    at scale: one row per heavy hitter (top_k keys by count) plus a
+    ``__summary__`` row carrying corpus-level stats — total rows, distinct
+    keys, max/p50/p99 group sizes, and the share of all rows held by the
+    single hottest key (the number that decides between a plain shuffle,
+    AQE skew split, or explicit salting).
+
+    Cost: ONE hash aggregation on the key (map-side partial combine soaks
+    the skew being measured) + an O(top_k) TakeOrdered and an O(1) stats
+    agg over the per-key counts. Nothing corpus-sized reaches the driver."""
+    counts = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("key_count"))
+    key_repr = F.concat_ws("|", *[F.col(c).cast("string") for c in key_cols])
+    top = (
+        counts.select(key_repr.alias("key"), "key_count")
+        .orderBy(F.desc("key_count"), F.asc("key"))
+        .limit(top_k)
+    )
+    stats = counts.agg(
+        F.sum("key_count").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("key_count").alias("max_group"),
+        F.percentile_approx("key_count", 0.5, 10_000).alias("p50_group"),
+        F.percentile_approx("key_count", 0.99, 10_000).alias("p99_group"),
+    ).select(
+        F.lit("__summary__").alias("key"),
+        F.col("n_rows").alias("key_count"),
+        "n_keys",
+        "max_group",
+        "p50_group",
+        "p99_group",
+        F.round(F.col("max_group") / F.col("n_rows"), 6).alias("max_key_share"),
+    )
+    return top.unionByName(stats, allowMissingColumns=True)
+
+
+def recommend_salt_buckets(
+    df: DataFrame, key_cols: list[str], target_rows_per_group: int = 1_000_000
+) -> int:
+    """Salt-bucket count for ``salted_agg``: ceil(max group size /
+    target), 1 when nothing exceeds the target (no salting needed).
+    One aggregation pass; the scalar is the only driver data."""
+    row = (
+        df.groupBy(*key_cols)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.max("c").alias("mx"))
+        .first()
+    )
+    mx = row["mx"] or 0
+    return max(1, -(-mx // target_rows_per_group))
+
+
 # ----------------------------------------------------------------- salting
 
 def salted_agg(

@@ -344,3 +344,39 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 conf.unset(k)
             else:
                 conf.set(k, v)
+
+
+def test_skew_report_and_salt_recommendation(spark):
+    """skew_report surfaces the hot key and corpus stats; the salt
+    recommendation sizes buckets from the max group."""
+    from binance_data_pipeline_spark.operators.scale import (
+        recommend_salt_buckets,
+        skew_report,
+    )
+
+    rows = [(i, "hot") for i in range(900)] + [(i, f"k{i % 10}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    rep = skew_report(df, ["k"], top_k=3).collect()
+    by_key = {r["key"]: r for r in rep}
+    assert len(rep) == 4  # 3 heavy hitters + summary
+    assert by_key["hot"]["key_count"] == 900
+    s = by_key["__summary__"]
+    assert s["key_count"] == 1000 and s["n_keys"] == 11
+    assert s["max_group"] == 900 and abs(s["max_key_share"] - 0.9) < 1e-6
+    # top-k ordering: hot first
+    assert rep[0]["key"] == "hot"
+
+    assert recommend_salt_buckets(df, ["k"], target_rows_per_group=100) == 9
+    assert recommend_salt_buckets(df, ["k"], target_rows_per_group=10_000) == 1
+    empty = spark.createDataFrame([], "id long, k string")
+    assert recommend_salt_buckets(empty, ["k"]) == 1
+
+
+def test_skew_report_single_aggregation(spark):
+    """The per-key count must aggregate with map-side partial combine —
+    the report must not itself melt on the skew it measures."""
+    from binance_data_pipeline_spark.operators.scale import skew_report
+
+    df = spark.createDataFrame([(1, "a")], "id long, k string")
+    plan = skew_report(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan or plan.count("HashAggregate") >= 2
