@@ -129,6 +129,10 @@ def build_training_corpus(
     max_contamination: float = 0.5,
     domain_rules: dict[str, dict] | None = None,
     domain_col: str = "source",
+    embeddings_path: str | None = None,
+    embedding_id_col: str = "vec_id",
+    semantic_threshold: float = 0.9,
+    semantic_k: int = 16,
 ) -> dict[str, int]:
     """The end-to-end training-data DAG (extension — no reference
     equivalent): raw documents → PII redaction → quality + repetition
@@ -142,6 +146,14 @@ def build_training_corpus(
     decontamination after dedup (one kept doc stands for its whole
     cluster), sampling after that (rates apply to unique clean content),
     shuffle last (the export permutation covers chunks, not docs).
+
+    ``embeddings_path`` adds a SEMANTIC dedup pass (operators/semdedup —
+    paraphrase-level dups the shingle pipeline can't see) right after the
+    text dedup: docs joined to their embeddings (``embedding_id_col`` →
+    doc id), k-means-cell-bounded cosine pruning at
+    ``semantic_threshold``, keeper = farthest-from-centroid. Docs with
+    no embedding row pass through untouched, and dropped docs land in
+    the same mapping audit trail with reason ``semantic_dup``.
 
     ``max_repetition`` drops docs whose intra-doc n-gram repetition
     exceeds the bound (looping/boilerplate text); ``probes_path`` points
@@ -195,8 +207,50 @@ def build_training_corpus(
             good, id_col=id_col, text_col=text_col, threshold=dedup_threshold,
             max_bucket_size=max_bucket_size,
         )
-        mapping.write.mode("overwrite").parquet(f"{out}/mapping.parquet")
         counts["after_dedup"] = kept.count()
+
+        if embeddings_path is not None:
+            from .operators.semdedup import semantic_dedup
+
+            emb = spark.read.parquet(embeddings_path).select(
+                F.col(embedding_id_col).alias("__emb_id"), F.col("embedding")
+            )
+            with_vec = kept.join(emb, F.col(id_col) == F.col("__emb_id"), "inner")
+            decision = semantic_dedup(
+                with_vec, id_col=id_col, vec_col="embedding",
+                k=semantic_k, threshold=semantic_threshold,
+            )
+            sem_drop = (
+                decision.where(~F.col("keep"))
+                .join(
+                    decision.where(F.col("keep")).select(
+                        F.col("group_id"), F.col("id").alias("__sem_keeper")
+                    ),
+                    "group_id",
+                )
+                .select(
+                    F.col("id").alias("doc_id"),
+                    F.col("__sem_keeper").alias("kept_doc_id"),
+                    F.lit("semantic_dup").alias("reason"),
+                )
+            )
+            sem_drop.localCheckpoint(eager=True)
+            kept = kept.join(
+                sem_drop.select(F.col("doc_id").alias("__drop_id")),
+                F.col(id_col) == F.col("__drop_id"),
+                "left_anti",
+            )
+            # the audit trail reflects BOTH passes; a doc that survived
+            # text dedup but lost the semantic round flips to its
+            # semantic keeper
+            mapping = mapping.join(
+                sem_drop.select(F.col("doc_id").alias("__sd_id")),
+                mapping.doc_id == F.col("__sd_id"),
+                "left_anti",
+            ).unionByName(sem_drop)
+            counts["after_semantic_dedup"] = kept.count()
+
+        mapping.write.mode("overwrite").parquet(f"{out}/mapping.parquet")
 
         if probes_path is not None:
             probes = spark.read.parquet(probes_path)

@@ -196,3 +196,39 @@ def pack_sequences(
         + ">, total_tokens long, oversize boolean"
     )
     return base.groupBy("grp").applyInPandas(pack, out_schema)
+
+
+def split_corpus(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    seed: int = 0,
+    group_col: str | None = None,
+) -> DataFrame:
+    """Deterministic train/val/test split: adds a ``split`` column drawn
+    from ``fractions`` (name -> share, must sum to 1) by hashing
+    ``group_col`` if given, else ``id_col``.
+
+    ``group_col`` is the leakage guard: hash the dedup cluster keeper
+    (mapping.kept_doc_id), the source domain, or any unit that must not
+    straddle splits, and every row of that unit lands on the same side —
+    near-duplicates of a training doc can never leak into test. A plain
+    random split re-drawn per row has no such guarantee.
+
+    Map-only (one hash per row, no shuffle); same (unit, seed) → same
+    split under any partitioning, cluster size, or re-run."""
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
+    if any(f < 0 for f in fractions.values()) or abs(sum(fractions.values()) - 1.0) > 1e-9:
+        raise ValueError(f"fractions must be ≥0 and sum to 1, got {fractions}")
+    u = _unit_hash(group_col or id_col, seed)
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        expr = F.when(u < F.lit(acc), name) if expr is None else expr.when(
+            u < F.lit(acc), name
+        )
+    last = F.lit(names[-1])
+    return df.withColumn("split", last if expr is None else expr.otherwise(last))

@@ -262,3 +262,55 @@ def test_dedup_paragraphs_strips_boilerplate_keeps_order(spark):
     )
     r = dedup_paragraphs(solo, max_occurrences=1).first()
     assert r["text"] == "alpha\n\nalpha\n\nbeta" and r["n_removed"] == 0
+
+
+# ----------------------------------------------------------------------
+# leakage-safe corpus split
+# ----------------------------------------------------------------------
+
+def test_split_corpus_calibration_and_determinism(spark):
+    from binance_data_pipeline_spark.operators.sampling import split_corpus
+
+    df = spark.range(20000).select(F.col("id").alias("doc_id"))
+    out = split_corpus(df, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    shares = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(shares) == {"train", "val", "test"}
+    assert abs(shares["train"] / 20000 - 0.8) < 0.02
+    assert abs(shares["val"] / 20000 - 0.1) < 0.01
+    # same seed → identical assignment under different partitioning
+    again = split_corpus(df.repartition(17), "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed=7)
+    diff = out.join(again.withColumnRenamed("split", "s2"), "doc_id").where(F.col("split") != F.col("s2"))
+    assert diff.count() == 0
+
+
+def test_split_corpus_group_coherent(spark):
+    from binance_data_pipeline_spark.operators.sampling import split_corpus
+
+    # 1000 docs in 100 dedup clusters: no cluster may straddle splits
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 100).alias("cluster")
+    )
+    out = split_corpus(df, "doc_id", {"train": 0.7, "test": 0.3}, group_col="cluster")
+    straddlers = (
+        out.groupBy("cluster").agg(F.countDistinct("split").alias("k")).where(F.col("k") > 1)
+    )
+    assert straddlers.count() == 0
+
+
+def test_split_corpus_is_map_only(spark):
+    from binance_data_pipeline_spark.operators.sampling import split_corpus
+
+    df = spark.range(100).select(F.col("id").alias("doc_id"))
+    out = split_corpus(df, "doc_id", {"train": 0.9, "test": 0.1})
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_split_corpus_validates_fractions(spark):
+    from binance_data_pipeline_spark.operators.sampling import split_corpus
+
+    df = spark.range(10).select(F.col("id").alias("doc_id"))
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_corpus(df, "doc_id", {"train": 0.5, "test": 0.4})
+    with pytest.raises(ValueError, match="at least one"):
+        split_corpus(df, "doc_id", {})

@@ -430,3 +430,52 @@ def test_build_training_corpus_domain_rules(spark, tmp_path):
     assert counts["after_quality"] == 2
     kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
     assert kept == {1, 2}  # the books-domain short doc was gated out
+
+
+def test_build_training_corpus_semantic_stage(spark, tmp_path):
+    """Optional semantic pass: two docs with disjoint text (invisible to
+    shingle dedup) but near-identical embeddings collapse to one keeper;
+    docs with no embedding row pass through; the audit trail carries the
+    semantic_dup reason alongside the text-dedup rows."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+
+    rows = [
+        (1, "a sufficiently long report on columnar execution engines and "
+            "the exchange operators their physical plans schedule", "en"),
+        (2, "completely different words describing paraphrased content on "
+            "vectorized analytical runtimes and their data movement steps", "en"),
+        (3, "a third distinct subject entirely, covering alpine weather "
+            "fronts and the forecasting models meteorologists calibrate", "en"),
+        (4, "an unrelated long document about maritime navigation beacons "
+            "and the harbor approach procedures pilots rehearse", "en"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    emb = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9999, 0.0141, 0.0, 0.0]),  # semantic twin of 1
+            (3, [0.0, 1.0, 0.0, 0.0]),        # own topic, kept
+            # doc 4 has no embedding: passes through
+        ],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(emb)
+
+    out = str(tmp_path / "corpus")
+    counts = build_training_corpus(
+        spark, src, out,
+        min_quality=0.3, dedup_threshold=0.5,
+        embeddings_path=emb, semantic_threshold=0.97, semantic_k=2,
+    )
+    assert counts["after_dedup"] == 4            # shingles see no dups
+    assert counts["after_semantic_dedup"] == 3   # {1,2} collapsed
+    mapping = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in
+               spark.read.parquet(f"{out}/mapping.parquet").collect()}
+    dropped = [d for d in (1, 2) if mapping[d][1] == "semantic_dup"]
+    assert len(dropped) == 1
+    kept_of_pair = 3 - dropped[0]  # the other one
+    assert mapping[dropped[0]][0] == kept_of_pair
+    assert mapping[3] == (3, "kept") and mapping[4] == (4, "kept")
+    exported = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
+    assert exported == {kept_of_pair, 3, 4}
