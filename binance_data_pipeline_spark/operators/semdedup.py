@@ -319,3 +319,42 @@ def semantic_dedup_batch(
     )
     new_members.write.mode("append").partitionBy("cell_id").parquet(members_path)
     return kept, mapping
+
+
+def streaming_semantic_dedup(
+    stream_docs: DataFrame,
+    state_path: str,
+    out_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    **batch_kwargs,
+):
+    """foreachBatch wrapper around ``semantic_dedup_batch`` — the
+    embedding twin of ``incremental_dedup.streaming_dedup_corpus``, same
+    contract: each micro-batch dedupes against the persisted member
+    state and appends kept docs + audit mapping under ``out_path``.
+    Returns the UNSTARTED writer (caller picks the trigger and calls
+    .start()). At-least-once on restart: a replayed batch re-maps its
+    docs against state its first run already appended, so replays
+    re-drop instead of re-admitting — mapping rows may duplicate per
+    (doc, batch), corpus membership stays consistent."""
+    out = out_path.rstrip("/")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        from ..lifecycle import barrier_scope
+
+        with barrier_scope(batch_df.sparkSession):
+            kept, mapping = semantic_dedup_batch(
+                batch_df, state_path, id_col=id_col, vec_col=vec_col,
+                threshold=threshold, **batch_kwargs,
+            )
+            mapping.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(f"{out}/mapping.parquet")
+            kept.write.mode("append").parquet(f"{out}/corpus.parquet")
+
+    return stream_docs.writeStream.foreachBatch(process).option(
+        "checkpointLocation", checkpoint
+    )

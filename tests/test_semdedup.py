@@ -267,3 +267,46 @@ def test_incremental_hot_cell_cap_skips_corpus_compare(spark, tmp_path):
         max_cell_size=3,  # corpus cell width 4 > cap: skipped
     )
     assert capped.first()["reason"] == "kept"
+
+
+def test_streaming_semantic_dedup_end_to_end(spark, tmp_path):
+    """File-source stream → foreachBatch semantic dedup: kept docs and
+    the audit mapping accumulate under out_path; a doc semantically
+    matching a batch-API-seeded member maps to that earlier keeper."""
+    import os
+
+    from binance_data_pipeline_spark.operators.semdedup import (
+        streaming_semantic_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    # seed the state via the batch API (same state contract)
+    semantic_dedup_batch(
+        _batch(spark, [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 0.0, 1.0, 0.0])]),
+        state,
+        threshold=0.97,
+        k=2,
+    )
+    _batch(
+        spark,
+        [(30, [0.9999, 0.0141, 0.0, 0.0]), (31, [0.0, 1.0, 0.0, 0.0])],
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema("vec_id long, embedding array<double>").parquet(src)
+    q = streaming_semantic_dedup(
+        stream, state, out, ckpt, threshold=0.97
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    mapping = spark.read.parquet(f"{out}/mapping.parquet")
+    m = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in mapping.collect()}
+    assert m[30] == (1, "semantic_dup")  # matched the seeded member
+    assert m[31] == (31, "kept")
+    corpus = spark.read.parquet(f"{out}/corpus.parquet")
+    assert {r["vec_id"] for r in corpus.collect()} == {31}
+    assert "batch_id" in mapping.columns
