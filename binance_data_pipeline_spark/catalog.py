@@ -34,32 +34,52 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table. Column pruning and filter pushdown
     reach the scan because nothing materializes in between.
 
-    The ``events`` table is written with TIMESTAMP(NANOS) which Spark's
-    parquet reader rejects; we read nanos as LongType (session conf) and
-    rebuild a proper TimestampType via integer division to microseconds
-    (``ts div 1000`` — never float division, which would lose precision on
-    ~1.7e18 nanosecond values). Still fully pushdown-friendly: the cast is
-    a projection over the scan.
+    The ``events`` table's ``ts`` column has shifted physical encodings
+    across driver testdata generations, so normalize by the *actual* dtype
+    read back rather than assuming one encoding:
+
+    - ``bigint`` — TIMESTAMP(NANOS) read as LongType via the
+      ``nanosAsLong`` legacy conf; rebuild TimestampType with integer
+      division to micros (``ts div 1000`` — never float division, which
+      would lose precision on ~1.7e18 nanosecond values).
+    - ``timestamp_ntz`` — plain ``timestamp[us]`` with no zone; cast to
+      the session-TZ TimestampType (session pinned to UTC below, so the
+      wall-clock values are preserved and match the TZ-naive oracle).
+    - ``timestamp`` — already canonical; leave alone.
+
+    All three arrive at the identical canonical schema. Each rewrite is a
+    projection over the scan, so pushdown still reaches the parquet reader.
     """
     if name == "events":
-        # must be set before the scan's schema inference
+        # must be set before the scan's schema inference (harmless when the
+        # file is not nanos-encoded; kept for backward compat with older
+        # testdata generations)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # ts is rebuilt via timestamp_micros (TZ-aware); pin the session to
-        # UTC so to_date/date_trunc agree with the TZ-naive oracle even if
+        # pin the session to UTC so the NTZ cast is wall-clock-preserving
+        # and to_date/date_trunc agree with the TZ-naive oracle even if
         # the caller's session uses a different zone
         spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") != "timestamp":
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    if name == "events":
+        ts_dtype = dict(df.dtypes).get("ts")
+        if ts_dtype == "bigint":
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif ts_dtype == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
 def register_testdata(spark: SparkSession, sf_dir: str, tables=TESTDATA_TABLES) -> None:
-    """Register the driver tables as temp views (idempotent)."""
+    """Register the driver tables as temp views (idempotent).
+
+    Routed through :func:`load_table` so a view and a DataFrame of the same
+    table expose the identical schema (in particular the normalized
+    ``events.ts`` type).
+    """
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
-            spark.read.parquet(path).createOrReplaceTempView(name)
+            load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
 def append_with_schema_evolution(df: DataFrame, path: str) -> DataFrame:

@@ -15,8 +15,11 @@ incremental → quality over whatever new bronze arrived.
 
 from __future__ import annotations
 
+import logging
+import time
 from dataclasses import dataclass
 from datetime import date
+from typing import Callable, TypeVar
 
 from pyspark.sql import SparkSession
 
@@ -24,6 +27,10 @@ from .operators.cleaning import bronze_to_staging, raw_to_bronze
 from .operators.incremental import incremental_append
 from .quality import CheckResult, run_checks, trade_table_checks
 from .sources.rest_backfill import Fetcher, fetch_grid, fetch_trades
+
+_log = logging.getLogger(__name__)
+
+T = TypeVar("T")
 
 
 @dataclass
@@ -35,6 +42,44 @@ class JobReport:
     @property
     def ok(self) -> bool:
         return all(c.passed for c in self.checks)
+
+
+def run_with_retries(
+    job: Callable[[], T],
+    retries: int = 1,
+    retry_delay_s: float = 300.0,
+    backoff: float = 1.0,
+    sleep: Callable[[float], None] = time.sleep,
+) -> T:
+    """Opt-in retry wrapper for job entry points — the engine-side twin of
+    the reference's Airflow default_args (``retries: 1, retry_delay:
+    timedelta(minutes=5)``, airflow/dags/binance_dbt_dag.py:11-12). Every
+    job here is idempotent by construction (HWM + unique-key dedup, module
+    docstring), so a retry after a transient failure is safe: the re-run
+    converges to the same table state.
+
+    ``backoff`` multiplies the delay each attempt (1.0 = Airflow's fixed
+    delay). ``sleep`` is injectable so tests don't wait wall-clock time.
+    Raises the last exception once retries are exhausted.
+
+        report = run_with_retries(
+            lambda: daily_backfill_and_transform(spark, d, syms, f, b, fct))
+    """
+    attempt = 0
+    delay = retry_delay_s
+    while True:
+        try:
+            return job()
+        except Exception as exc:  # noqa: BLE001 — job boundary, rethrown when exhausted
+            if attempt >= retries:
+                raise
+            attempt += 1
+            _log.warning(
+                "job attempt %d/%d failed (%s); retrying in %.0fs",
+                attempt, retries + 1, exc, delay,
+            )
+            sleep(delay)
+            delay *= backoff
 
 
 def daily_backfill_and_transform(

@@ -112,6 +112,33 @@ def _assign(df: DataFrame, id_col: str, vec_col: str, centroids) -> DataFrame:
     return base.select("id", F.col("v"), best["cid"].alias("cell_id"))
 
 
+def _estimate_rows(corpus: DataFrame, max_status_calls: int = 100) -> int | None:
+    """Cheap row-count estimate for sizing the training-sample modulus:
+    bytes-per-row from ONE file (footer-level count of a single parquet
+    file) scaled to the corpus's total byte size (file statuses capped at
+    ``max_status_calls`` driver RPCs, extrapolating the mean beyond that —
+    same posture as corpus_fingerprint). Never scans the corpus. Returns
+    None for in-memory corpora (no input files) so the caller can fall
+    back. The modulus only needs order-of-magnitude accuracy, so a
+    filtered-view corpus overestimating n (smaller sample) is fine."""
+    files = sorted(corpus.inputFiles())
+    if not files:
+        return None
+    spark = corpus.sparkSession
+    sampled = files[:max_status_calls]
+    sizes = []
+    for f in sampled:
+        fs, p = _hadoop_fs(spark, f)
+        sizes.append(fs.getFileStatus(p).getLen())
+    if sizes[0] == 0:
+        return None
+    probe_rows = spark.read.parquet(sampled[0]).count()  # one file, footer-level
+    if probe_rows == 0:
+        return None
+    total_bytes = (sum(sizes) / len(sampled)) * len(files)
+    return max(1, int(total_bytes * probe_rows / sizes[0]))
+
+
 def train_centroids(
     corpus: DataFrame,
     id_col: str = "vec_id",
@@ -124,7 +151,10 @@ def train_centroids(
     Lloyd iterations over a deterministic id-hash sample of ~``sample_target``
     vectors (pass None to train on the full corpus). Lloyd on a sample is the
     standard scale posture: centroid quality degrades negligibly while the
-    per-iteration cost drops from O(corpus) to O(sample)."""
+    per-iteration cost drops from O(corpus) to O(sample). The sample modulus
+    is sized from file statuses + one single-file footer count — at 100 TB
+    the build never pays a full-corpus count just to pick a modulus; only
+    in-memory (fileless) corpora fall back to ``count()``."""
     seeds = (
         corpus.orderBy(id_col)
         .limit(k)
@@ -134,7 +164,9 @@ def train_centroids(
     centroids = [(i, [float(x) for x in r["v"]]) for i, r in enumerate(seeds)]
     base = corpus.select(F.col(id_col).alias(id_col), F.col(vec_col).alias(vec_col))
     if sample_target is not None:
-        n = corpus.count()
+        n = _estimate_rows(corpus)
+        if n is None:
+            n = corpus.count()  # in-memory corpus: nothing to estimate from
         m = max(1, n // sample_target)
         if m > 1:
             # id-hash filter: deterministic under any partitioning/ordering,

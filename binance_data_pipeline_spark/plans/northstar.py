@@ -102,13 +102,105 @@ def q_embed_knn_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk_brute(e.where(F.col("vec_id") < 10), e, k=3)
 
 
+#: (cache key) -> (corpus fingerprint, (recall, ok)) — see _with_recall.
+_RECALL_MEMO: dict[str, tuple[str, tuple[float, bool]]] = {}
+
+
+def _with_recall(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    qname: str,
+    params: str,
+    result: DataFrame,
+    approx: DataFrame,
+    exact_fn,
+    keys: list[str],
+    floor: float,
+) -> DataFrame:
+    """Self-validating evidence for the rows-only catalog entries (no DuckDB
+    oracle can express LSH banding internals): every output row carries
+    ``recall_vs_exact`` — |approx ∩ exact| / |exact| over a bounded
+    sample — and ``recall_ok`` = recall ≥ floor, so CORRECTNESS rows show
+    an asserted quality number instead of a bare count. Recall is 1.0 by
+    convention when the sample holds no exact positives.
+
+    The summary is BUILD-ONCE per (sf_dir, query, params, corpus
+    fingerprint) — same amortization contract as the IVF index: recall over
+    a static corpus is a property of the corpus, so it is computed on first
+    touch, persisted as one fingerprint-guarded parquet row, and every
+    later call (including bench re-passes and repeat driver runs) serves
+    the cached row and skips the exact-side computation entirely. A
+    regenerated corpus changes the fingerprint and forces a rebuild. The
+    miss-path exact side is always sample-bounded, never full-corpus O(n²);
+    the 1-row collect is bounded metadata, not a data path."""
+    import hashlib
+    import tempfile
+
+    from pyspark.errors import AnalysisException
+
+    from ..operators.ivf import corpus_fingerprint
+
+    fp = corpus_fingerprint(load_table(spark, sf_dir, table), f"{qname}|{params}")
+    key = hashlib.sha1(
+        f"{os.path.abspath(sf_dir)}|{qname}|{params}".encode()
+    ).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"bdp_recall_{key}")
+    # in-process memo in front of the parquet cache (fp-validated, so a
+    # regenerated corpus still invalidates); saves the cache-read job on
+    # repeat calls in one session (bench pass 2, repeated driver runs)
+    memo = _RECALL_MEMO.get(key)
+    cached_row = memo[1] if memo is not None and memo[0] == fp else None
+    if cached_row is None:
+        try:
+            rows = spark.read.parquet(cache).collect()
+            if rows and rows[0]["fingerprint"] == fp:
+                cached_row = (rows[0]["recall_vs_exact"], rows[0]["recall_ok"])
+        except AnalysisException:
+            pass
+    if cached_row is None:
+        exact = exact_fn()
+        hit = exact.join(approx, keys, "left_semi")
+        row = (
+            exact.agg(F.count(F.lit(1)).alias("__n_exact"))
+            .crossJoin(hit.agg(F.count(F.lit(1)).alias("__n_hit")))
+            .select(
+                F.round(
+                    F.when(F.col("__n_exact") == 0, F.lit(1.0)).otherwise(
+                        F.col("__n_hit") / F.col("__n_exact")
+                    ),
+                    4,
+                ).alias("recall_vs_exact")
+            )
+            .withColumn("recall_ok", F.col("recall_vs_exact") >= F.lit(floor))
+            .collect()[0]
+        )
+        cached_row = (row["recall_vs_exact"], row["recall_ok"])
+        spark.createDataFrame(
+            [cached_row + (fp,)],
+            "recall_vs_exact double, recall_ok boolean, fingerprint string",
+        ).coalesce(1).write.mode("overwrite").parquet(cache)
+    _RECALL_MEMO[key] = (fp, cached_row)
+    summary = spark.createDataFrame(
+        [cached_row], "recall_vs_exact double, recall_ok boolean"
+    )
+    return result.crossJoin(F.broadcast(summary))
+
+
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via random-hyperplane LSH + exact re-rank
     (Spark-only: rows-only driver check; tests measure recall vs brute).
     Queries are corpus rows, so one shared signature table serves both
-    sides of the bucket join."""
+    sides of the bucket join. Output carries recall_vs_exact against the
+    brute-force top-k of the same 10 queries (one extra corpus scan)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.ann_lsh_topk(e.where(F.col("vec_id") < 10), e, k=3, queries_within_corpus=True)
+    q = e.where(F.col("vec_id") < 10)
+    ann = S.ann_lsh_topk(q, e, k=3, queries_within_corpus=True)
+    return _with_recall(
+        spark, sf_dir, "embeddings", "embed_ann_lsh", "k3|q10",
+        ann, ann.select("query_id", "neighbor_id"),
+        lambda: S.cosine_topk_brute(q, e, k=3).select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"], floor=0.5)
 
 
 def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,25 +221,74 @@ def q_embed_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|k16|probe4|it2".encode()).hexdigest()[:16]
     index_path = os.path.join(tempfile.gettempdir(), f"bdp_ivf_{key}")
-    return ivf_topk(
-        e.where(F.col("vec_id") < 10), e, k=3, n_centroids=16, nprobe=4, iterations=2,
+    q = e.where(F.col("vec_id") < 10)
+    ivf = ivf_topk(
+        q, e, k=3, n_centroids=16, nprobe=4, iterations=2,
         index_path=index_path,
+    )
+    return _with_recall(
+        spark, sf_dir, "embeddings", "embed_ann_ivf", "k3|q10|c16|p4",
+        ivf, ivf.select("query_id", "neighbor_id"),
+        lambda: S.cosine_topk_brute(q, e, k=3).select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"], floor=0.4)
+
+
+def _exact_jaccard_pairs(sample: DataFrame, threshold: float) -> DataFrame:
+    """Exact pairwise shingle-Jaccard ≥ threshold over a SMALL doc sample —
+    the bounded truth set for the recall column (all-pairs is fine on ≤~40
+    docs; never run on the corpus)."""
+    sh = D.shingle_table(sample)
+    l = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    r = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        l.join(r, F.col("id_a") < F.col("id_b"))
+        .where(
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b"))
+            >= threshold
+        )
+        .select("id_a", "id_b")
     )
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs verified by exact shingle Jaccard
     (Spark-only: banding order is engine-specific; tests verify against a
-    direct pairwise Jaccard at sf0.001)."""
+    direct pairwise Jaccard at sf0.001). Output carries recall_vs_exact
+    measured on the doc_id<40 subsample (exact all-pairs truth there)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.minhash_near_dups(d, threshold=0.5)
+    pairs = D.minhash_near_dups(d, threshold=0.5)
+    approx = pairs.where((F.col("id_a") < 40) & (F.col("id_b") < 40)).select("id_a", "id_b")
+    return _with_recall(
+        spark, sf_dir, "documents", "minhash_near_dups", "t0.5|s40",
+        pairs, approx,
+        lambda: _exact_jaccard_pairs(d.where(F.col("doc_id") < 40), threshold=0.5),
+        ["id_a", "id_b"], floor=0.5)
 
 
 def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 on 64-bit signatures,
-    prefix-blocked). Spark-only."""
+    prefix-blocked). Spark-only. Output carries recall_vs_exact on the
+    doc_id<40 subsample: exact truth = all-pairs hamming over the same
+    signatures WITHOUT the prefix block (recall isolates what blocking
+    loses, which is the operator's only approximation)."""
     d = load_table(spark, sf_dir, "documents")
-    return D.simhash_near_dups(d)
+    pairs = D.simhash_near_dups(d)
+
+    def exact_fn():
+        sample = D._materialize(D.with_simhash(d.where(F.col("doc_id") < 40)))
+        l = sample.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+        r = sample.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+        return (
+            l.join(r, F.col("id_a") < F.col("id_b"))
+            .where(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+            .select("id_a", "id_b")
+        )
+
+    approx = pairs.where((F.col("id_a") < 40) & (F.col("id_b") < 40)).select("id_a", "id_b")
+    return _with_recall(
+        spark, sf_dir, "documents", "simhash_near_dups", "h3|s40",
+        pairs, approx, exact_fn, ["id_a", "id_b"], floor=0.5)
 
 
 def q_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -192,9 +333,19 @@ def q_embed_near_dups_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_embed_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via RP-LSH buckets + exact verify
-    (Spark-only: approximate recall; tests measure it vs brute)."""
+    (Spark-only: approximate recall; tests measure it vs brute). Output
+    carries recall_vs_exact on the vec_id<100 subsample (exact brute pairs
+    there — bounded all-pairs, never corpus-wide)."""
     e = load_table(spark, sf_dir, "embeddings")
-    return S.cosine_near_dup_pairs_lsh(e, threshold=0.4)
+    pairs = S.cosine_near_dup_pairs_lsh(e, threshold=0.4)
+    approx = pairs.where((F.col("id_a") < 100) & (F.col("id_b") < 100)).select("id_a", "id_b")
+    return _with_recall(
+        spark, sf_dir, "embeddings", "embed_near_dups_lsh", "t0.4|s100",
+        pairs, approx,
+        lambda: S.cosine_near_dup_pairs_brute(
+            e.where(F.col("vec_id") < 100), threshold=0.4
+        ).select("id_a", "id_b"),
+        ["id_a", "id_b"], floor=0.5)
 
 
 _SW = {lang: ", ".join(f"'{w}'" for w in ws) for lang, ws in STOPWORDS.items()}

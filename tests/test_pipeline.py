@@ -256,6 +256,46 @@ def test_daily_backfill_job_idempotent(spark, tmp_path):
     assert n_fact == r1.rows_appended
 
 
+def test_run_with_retries_flaky_job_recovers():
+    """Reference parity: every Airflow DAG runs with retries=1 /
+    retry_delay=5min (airflow/dags/binance_dbt_dag.py:11-12). A job whose
+    first attempt raises must succeed on the retry, honoring the delay via
+    the injected sleep (no wall-clock wait)."""
+    from binance_data_pipeline_spark.jobs import run_with_retries
+
+    calls = {"n": 0}
+    slept: list[float] = []
+
+    def flaky():
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("transient: connection reset")
+        return "report"
+
+    out = run_with_retries(flaky, retries=1, retry_delay_s=300.0, sleep=slept.append)
+    assert out == "report"
+    assert calls["n"] == 2
+    assert slept == [300.0]
+
+
+def test_run_with_retries_exhausted_reraises():
+    """Retries exhausted → the last exception propagates (Airflow marks the
+    task failed after its final retry)."""
+    import pytest as _pytest
+
+    from binance_data_pipeline_spark.jobs import run_with_retries
+
+    calls = {"n": 0}
+
+    def always_fails():
+        calls["n"] += 1
+        raise ValueError("permanent")
+
+    with _pytest.raises(ValueError, match="permanent"):
+        run_with_retries(always_fails, retries=2, retry_delay_s=1.0, sleep=lambda _: None)
+    assert calls["n"] == 3  # initial + 2 retries
+
+
 def test_kafka_roundtrip_closes_loop(spark, raw_df):
     """envelope → to_kafka_payload → parse_flat_record must equal the
     direct parse (the producer→Kafka→bronze-consumer loop, §3.1)."""
