@@ -2,13 +2,14 @@
 with typed metadata, processed in Arrow batches via mapInPandas.
 
 Decode support is tiered:
-  - REAL, no dependencies: PPM (P6) images and PCM WAV audio decode with
-    numpy + the stdlib `wave` module — `baseline_decoder` /
-    `baseline_resizer` run the feature and resize paths end-to-end,
-    un-stubbed, on those formats (synthetic fixture builders included).
+  - REAL, no dependencies: PPM (P6) and PNG (8-bit, non-interlaced)
+    images and PCM WAV audio decode with numpy + stdlib `zlib`/`wave` —
+    `baseline_decoder` / `baseline_resizer` run the feature and resize
+    paths end-to-end, un-stubbed, on those formats (synthetic fixture
+    builders included).
   - AUTO-DETECTED: `default_decoder()` / `default_resizer()` probe for PIL
-    once at construction and route compressed images (PNG/JPEG/...)
-    through it when importable — decoding to RGB and reusing the SAME
+    once at construction and route the remaining compressed images
+    (JPEG/WebP/16-bit or interlaced PNG) through it when importable — decoding to RGB and reusing the SAME
     `_rgb_features`, so identical pixels give identical vectors in either
     container format.
   - STUBBED: without PIL (this container), compressed formats fall back to
@@ -88,11 +89,139 @@ def deterministic_fake_decoder(dim: int = 8) -> Decoder:
 
 
 # ---------------------------------------------------------------------
-# Real no-dependency codecs: PPM (P6) images, PCM WAV audio
+# Real no-dependency codecs: PPM (P6) + PNG images, PCM WAV audio
 # ---------------------------------------------------------------------
 
 PPM_MIME = "image/x-portable-pixmap"
 WAV_MIME = "audio/wav"
+PNG_MIME = "image/png"
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes):
+    """Parse a PNG with stdlib zlib + numpy: returns (width, height,
+    HxWx3 uint8 RGB array). Real decode, no PIL: chunk walk → IDAT
+    inflate → per-scanline unfilter (all five PNG filter types) → color
+    conversion for gray / RGB / palette / gray+alpha / RGBA. Supports
+    bit depth 8, non-interlaced — the overwhelmingly common case; 16-bit
+    and Adam7 raise NotImplementedError (inject a PIL decoder for those).
+
+    Unfilter cost: None/Up rows are pure numpy; Sub/Average/Paeth have a
+    left-neighbor data dependency, so those rows run a per-byte loop —
+    fine for thumbnails and fixtures, and the decoder runs inside the
+    Arrow-batched mapInPandas plumbing either way. Alpha is dropped
+    (features are RGB-defined)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat: list[bytes] = []
+    pos = 8
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # length + type + data + CRC
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / interlace {interlace} unsupported by the "
+            "dependency-free decoder; inject a PIL-backed Decoder"
+        )
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = w * channels
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline data has unexpected length")
+    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.zeros((h, stride), np.int32)
+    c = channels
+    for y in range(h):
+        f = int(ftypes[y])
+        rec = arr[y, 1:].astype(np.int32)
+        prior = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorized
+            rec = (rec + prior) & 0xFF
+        elif f == 1:  # Sub
+            for x in range(c, stride):
+                rec[x] = (rec[x] + rec[x - c]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = rec[x - c] if x >= c else 0
+                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(rec[x - c]) if x >= c else 0
+                b = int(prior[x])
+                cc = int(prior[x - c]) if x >= c else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+    px = out.astype(np.uint8).reshape(h, w, c)
+    if color_type == 3:
+        if plte is None:
+            raise ValueError("palette PNG without PLTE chunk")
+        px = plte[px[:, :, 0]]
+    elif color_type == 0:
+        px = np.repeat(px, 3, axis=2)
+    elif color_type == 4:
+        px = np.repeat(px[:, :, :1], 3, axis=2)
+    elif color_type == 6:
+        px = px[:, :, :3]
+    return w, h, px
+
+
+def encode_png(pixels) -> bytes:
+    """Encode an HxWx3 uint8 array as an RGB PNG (filter type 0 per
+    scanline, one zlib-compressed IDAT). Stdlib-only; round-trips with
+    decode_png bit-exactly."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
+    h, w, _ = px.shape
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
 
 
 def decode_ppm(payload: bytes):
@@ -182,6 +311,7 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
     matching deterministic_fake_decoder's shape):
 
     PPM  → _rgb_features (see above)
+    PNG  → decode_png (stdlib zlib + unfilter) → the SAME _rgb_features
     WAV  → [duration s, RMS, zero-crossing rate, peak, rate/48k, ch, 0, 2.0]
 
     Other mimes raise NotImplementedError (they need PIL/libav)."""
@@ -189,6 +319,9 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
 
     if mime == PPM_MIME:
         _, _, px = decode_ppm(payload)
+        return _rgb_features(px)
+    if mime == PNG_MIME:
+        _, _, px = decode_png(payload)
         return _rgb_features(px)
     if mime == WAV_MIME:
         rate, channels, s = decode_wav(payload)
@@ -210,16 +343,21 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
 
 
 def baseline_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
-    """Real nearest-neighbor resize for PPM images; other formats need an
-    imaging library."""
+    """Real nearest-neighbor resize for PPM and PNG images, re-encoded in
+    the source container; other formats need an imaging library. (A PNG
+    with alpha comes back as RGB — features and resize are RGB-defined.)"""
     import numpy as np
 
-    if mime != PPM_MIME:
+    if mime == PPM_MIME:
+        src_w, src_h, px = decode_ppm(payload)
+    elif mime == PNG_MIME:
+        src_w, src_h, px = decode_png(payload)
+    else:
         raise NotImplementedError(f"no dependency-free resizer for {mime}")
-    src_w, src_h, px = decode_ppm(payload)
     ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
     xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
-    return encode_ppm(px[ys][:, xs])
+    resized = px[ys][:, xs]
+    return encode_ppm(resized) if mime == PPM_MIME else encode_png(resized)
 
 
 def pil_decoder() -> Decoder:
@@ -274,7 +412,7 @@ def default_decoder() -> Decoder:
         compressed = None
 
     def decode(payload: bytes, mime: str) -> list[float]:
-        if mime in (PPM_MIME, WAV_MIME):
+        if mime in (PPM_MIME, PNG_MIME, WAV_MIME):
             return baseline_decoder(payload, mime)
         if compressed is not None and mime.startswith("image/"):
             return compressed(payload, mime)
@@ -292,7 +430,7 @@ def default_resizer() -> Resizer:
         compressed = None
 
     def resize(payload: bytes, mime: str, w: int, h: int) -> bytes:
-        if mime == PPM_MIME:
+        if mime in (PPM_MIME, PNG_MIME):
             return baseline_resizer(payload, mime, w, h)
         if compressed is not None and mime.startswith("image/"):
             return compressed(payload, mime, w, h)

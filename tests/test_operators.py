@@ -295,7 +295,180 @@ def test_baseline_decoder_rejects_undecodable_mime():
     from binance_data_pipeline_spark.operators.multimodal import baseline_decoder
 
     with pytest.raises(NotImplementedError):
-        baseline_decoder(b"\x89PNG...", "image/png")
+        baseline_decoder(b"\xff\xd8\xff\xe0jfif...", "image/jpeg")
+
+
+# ------------------------------------------------------------- PNG codec
+
+def _reference_png(px, color_type, filters, palette=None):
+    """Hand-rolled PNG writer used ONLY as test input: encodes with a
+    CHOSEN filter type per scanline (the module encoder always uses 0), so
+    decode_png's unfilter paths are each exercised against independently
+    computed filtered bytes."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    px = np.asarray(px, dtype=np.uint8)
+    h = px.shape[0]
+    flat = px.reshape(h, -1).astype(np.int32)
+    stride = flat.shape[1]
+    c = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = bytearray()
+    prev = np.zeros(stride, np.int32)
+    for y in range(h):
+        row = flat[y]
+        f = filters[y % len(filters)]
+        out = np.zeros(stride, np.int32)
+        for x in range(stride):
+            left = row[x - c] if x >= c else 0
+            up = prev[x]
+            ul = prev[x - c] if x >= c else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = left
+            elif f == 2:
+                pred = up
+            elif f == 3:
+                pred = (left + up) >> 1
+            else:
+                p = left + up - ul
+                pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+            out[x] = (row[x] - pred) & 0xFF
+        raw += bytes([f]) + bytes(out.astype(np.uint8))
+        prev = row
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    w = px.shape[1]
+    body = chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0))
+    if palette is not None:
+        body += chunk(b"PLTE", bytes(np.asarray(palette, np.uint8).ravel()))
+    body += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return b"\x89PNG\r\n\x1a\n" + body
+
+
+def test_png_roundtrip_bit_exact():
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.multimodal import decode_png, encode_png
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(13, 9, 3), dtype=np.uint8)
+    w, h, back = decode_png(encode_png(px))
+    assert (w, h) == (9, 13)
+    assert (back == px).all()
+
+
+def test_png_unfilter_all_five_filter_types():
+    """Every PNG filter type (None/Sub/Up/Average/Paeth) decoded against a
+    reference filtering implemented independently in the test."""
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        _, _, got = decode_png(_reference_png(px, 2, filters))
+        assert (got == px).all(), f"filter set {filters} mismatched"
+
+
+def test_png_color_types_normalize_to_rgb():
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.multimodal import decode_png
+
+    rng = np.random.default_rng(3)
+    # grayscale → replicated channels
+    g = rng.integers(0, 256, size=(5, 4, 1), dtype=np.uint8)
+    _, _, px = decode_png(_reference_png(g, 0, [0, 2]))
+    assert px.shape == (5, 4, 3) and (px[:, :, 0] == g[:, :, 0]).all() and (px[:, :, 1] == g[:, :, 0]).all()
+    # RGBA → alpha dropped
+    rgba = rng.integers(0, 256, size=(5, 4, 4), dtype=np.uint8)
+    _, _, px = decode_png(_reference_png(rgba, 6, [4]))
+    assert px.shape == (5, 4, 3) and (px == rgba[:, :, :3]).all()
+    # palette → expanded through PLTE
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(6, 5, 1), dtype=np.uint8)
+    _, _, px = decode_png(_reference_png(idx, 3, [1], palette=pal))
+    assert (px == pal[idx[:, :, 0]]).all()
+    # gray+alpha → gray replicated, alpha dropped
+    ga = rng.integers(0, 256, size=(5, 4, 2), dtype=np.uint8)
+    _, _, px = decode_png(_reference_png(ga, 4, [3]))
+    assert (px[:, :, 0] == ga[:, :, 0]).all() and (px[:, :, 2] == ga[:, :, 0]).all()
+
+
+def test_png_feature_parity_with_ppm():
+    """Same pixels, different container → identical feature vector (the
+    format-independence contract _rgb_features promises)."""
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.multimodal import (
+        baseline_decoder,
+        decode_ppm,
+        encode_png,
+        synthetic_ppm,
+        PNG_MIME,
+        PPM_MIME,
+    )
+
+    ppm = synthetic_ppm(20, 14, seed=5)
+    _, _, px = decode_ppm(ppm)
+    assert baseline_decoder(ppm, PPM_MIME) == baseline_decoder(encode_png(px), PNG_MIME)
+
+
+def test_png_resize_and_extract_in_pipeline(spark):
+    """PNG payloads flow through the Arrow-batched resize + feature passes
+    with the dependency-free default decoder — no PIL in this container."""
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        PNG_MIME,
+        baseline_resizer,
+        decode_png,
+        default_decoder,
+        encode_png,
+        extract_features,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(9)
+    rows = [
+        (i, "image", PNG_MIME, encode_png(rng.integers(0, 256, (24, 32, 3), dtype=np.uint8)), 32, 24, None)
+        for i in range(4)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media, default_decoder()).collect()
+    assert len(feats) == 4
+    assert all(r["feature"][0] == 32.0 and r["feature"][1] == 24.0 for r in feats)
+    out = resize_images(media, 8, 6, baseline_resizer).collect()
+    for r in out:
+        w, h, px = decode_png(bytes(r["payload"]))
+        assert (w, h) == (8, 6) and px.shape == (6, 8, 3)
+
+
+def test_png_unsupported_shapes_raise():
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.multimodal import decode_png
+
+    with pytest.raises(ValueError):
+        decode_png(b"not a png at all")
+    # 16-bit depth → explicit NotImplementedError, not silent garbage
+    def chunk(t, d):
+        return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    sig = b"\x89PNG\r\n\x1a\n"
+    deep = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
+    with pytest.raises(NotImplementedError):
+        decode_png(deep)
 
 
 def test_decode_stub_raises(media_df):
@@ -326,13 +499,16 @@ def test_default_decoder_autodetect(spark, monkeypatch):
     want_img = M.baseline_decoder(ppm, M.PPM_MIME)
     assert dec(ppm, M.PPM_MIME) == want_img
     assert dec(wav, M.WAV_MIME) == M.baseline_decoder(wav, M.WAV_MIME)
+    # PNG is dependency-free now: decodes through the baseline in ANY env
+    png = M.encode_png(M.decode_ppm(ppm)[2])
+    assert dec(png, M.PNG_MIME) == want_img
 
     if importlib.util.find_spec("PIL") is None:
-        # this container: compressed images must hit the documented stub
+        # this container: remaining compressed formats hit the documented stub
         with pytest.raises(NotImplementedError):
-            dec(ppm, "image/png")
+            dec(ppm, "image/jpeg")
         with pytest.raises(NotImplementedError):
-            M.default_resizer()(b"x", "image/png", 4, 4)
+            M.default_resizer()(b"x", "image/jpeg", 4, 4)
     else:  # environment with a real PIL: the real decode path runs
         import io
 
@@ -340,8 +516,9 @@ def test_default_decoder_autodetect(spark, monkeypatch):
 
         buf = io.BytesIO()
         _, _, px = M.decode_ppm(ppm)
-        Image.fromarray(px).save(buf, format="PNG")
-        assert dec(buf.getvalue(), "image/png") == want_img
+        Image.fromarray(px).save(buf, format="JPEG", quality=100, subsampling=0)
+        got = dec(buf.getvalue(), "image/jpeg")
+        assert got[0] == want_img[0] and got[1] == want_img[1]
 
     # fake-PIL injection: prove the PIL glue itself (any environment)
     class _FakeImg:
@@ -374,9 +551,9 @@ def test_default_decoder_autodetect(spark, monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
 
     dec_pil = M.default_decoder()
-    # PNG-mime payload routed through "PIL": same pixels → same features
-    assert dec_pil(ppm, "image/png") == want_img
-    resized = M.default_resizer()(ppm, "image/png", 8, 6)
+    # jpeg-mime payload routed through "PIL": same pixels → same features
+    assert dec_pil(ppm, "image/jpeg") == want_img
+    resized = M.default_resizer()(ppm, "image/jpeg", 8, 6)
     assert M.decode_ppm(resized)[:2] == (8, 6)
 
 
