@@ -178,6 +178,7 @@ def build_training_corpus(
     embedding_id_col: str = "vec_id",
     semantic_threshold: float = 0.9,
     semantic_k: int = 16,
+    substring_min_len: int | None = None,
 ) -> dict[str, int]:
     """The end-to-end training-data DAG (extension — no reference
     equivalent): raw documents → PII redaction → quality + repetition
@@ -199,6 +200,15 @@ def build_training_corpus(
     ``semantic_threshold``, keeper = farthest-from-centroid. Docs with
     no embedding row pass through untouched, and dropped docs land in
     the same mapping audit trail with reason ``semantic_dup``.
+
+    ``substring_min_len`` adds span-level EXACT-SUBSTRING dedup
+    (operators/substring — Lee et al. ExactSubstr) after the doc-level
+    passes: verbatim spans of ≥ that many tokens surviving in more than
+    one KEPT doc are removed from all but the first occurrence. Runs
+    after doc dedup deliberately — whole-doc dups are already gone, so
+    the span pass only pays for genuinely partial overlaps; span-edited
+    docs stay in the corpus (rebuilt text), so the mapping audit trail
+    is untouched. Span removals land in stats as ``span_tokens_removed``.
 
     ``max_repetition`` drops docs whose intra-doc n-gram repetition
     exceeds the bound (looping/boilerplate text); ``probes_path`` points
@@ -296,6 +306,16 @@ def build_training_corpus(
             counts["after_semantic_dedup"] = kept.count()
 
         mapping.write.mode("overwrite").parquet(f"{out}/mapping.parquet")
+
+        if substring_min_len is not None:
+            from .operators.substring import dedup_substrings
+
+            kept, span_report = dedup_substrings(
+                kept, id_col=id_col, text_col=text_col, min_len=substring_min_len
+            )
+            counts["span_tokens_removed"] = (
+                span_report.agg(F.sum("n_tokens_removed")).collect()[0][0] or 0
+            )
 
         if probes_path is not None:
             probes = spark.read.parquet(probes_path)

@@ -408,6 +408,35 @@ def test_build_training_corpus_end_to_end(spark, tmp_path):
     assert a == b
 
 
+def test_build_training_corpus_substring_stage(spark, tmp_path):
+    """Optional span-level pass: two kept docs sharing a ≥min_len verbatim
+    span keep one canonical occurrence; the other doc is rebuilt without
+    it (doc count unchanged — span dedup edits, never drops)."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+
+    span = " ".join(f"clause{i}" for i in range(16))
+    rows = [
+        (1, f"first document about engines and joins {span}", "en"),
+        (2, f"second document on entirely different themes {span}", "en"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "corpus")
+    counts = build_training_corpus(
+        spark, src, out,
+        min_quality=0.0, dedup_threshold=0.9, substring_min_len=16,
+    )
+    assert counts["after_dedup"] == 2
+    assert counts["span_tokens_removed"] == 16
+    assert counts["exported"] == 2
+    texts = {r["doc_id"]: r["text"] for r in
+             spark.read.parquet(f"{out}/corpus.parquet").collect()}
+    assert "clause0" in texts[1] and "clause0" not in texts[2]
+    assert texts[2].startswith("second document on entirely different themes")
+    stats = spark.read.parquet(f"{out}/stats.parquet").first()
+    assert stats["span_tokens_removed"] == 16
+
+
 def test_build_training_corpus_decontamination_and_repetition(spark, tmp_path):
     """Optional stages: a doc overlapping a benchmark probe is removed
     after dedup; a degenerate looping doc is cut by the repetition bound."""
