@@ -181,10 +181,11 @@ def _with_recall(
             "recall_vs_exact double, recall_ok boolean, fingerprint string",
         ).coalesce(1).write.mode("overwrite").parquet(cache)
     _RECALL_MEMO[key] = (fp, cached_row)
-    summary = spark.createDataFrame(
-        [cached_row], "recall_vs_exact double, recall_ok boolean"
-    )
-    return result.crossJoin(F.broadcast(summary))
+    # the summary is a driver-side scalar by now — attach as literals
+    # (zero plan cost; a broadcast crossJoin here measured ~0.4 s/query)
+    return result.withColumn(
+        "recall_vs_exact", F.lit(float(cached_row[0])).cast("double")
+    ).withColumn("recall_ok", F.lit(bool(cached_row[1])))
 
 
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
