@@ -222,6 +222,127 @@ def quantile_rollup(
     return partial.groupBy(*gcols).applyInPandas(merge, schema)
 
 
+def _merge_rollup_rows(rollups: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Merge a union of rollup rows (several sketches per group) down to
+    one sketch per group — the reduce kernel shared by quantile_rollup and
+    the streaming state merge."""
+    gcols = list(group_cols)
+    schema = StructType(
+        [rollups.schema[c] for c in gcols]
+        + [StructField("qsketch", BinaryType()), StructField("n_rows", LongType())]
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _loads(pdf["qsketch"].iloc[0])
+        for b in pdf["qsketch"].iloc[1:]:
+            sk = sketch_merge(sk, _loads(b))
+        out = pdf.iloc[[0]][gcols].copy()
+        out["qsketch"] = [_dumps(sk)]
+        out["n_rows"] = [int(pdf["n_rows"].sum())]
+        return out
+
+    return rollups.groupBy(*gcols).applyInPandas(merge, schema)
+
+
+def quantile_rollup_merge_batch(
+    batch: DataFrame,
+    state_path: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+    batch_id: int | None = None,
+) -> None:
+    """Merge one batch into a persisted quantile-rollup state — the
+    sketch-native incremental path: the batch is sketched once and MERGED
+    with the stored per-group sketches; raw history is never re-read
+    (contrast rollup.refresh_continuous_aggregate, which recomputes
+    touched buckets from raw — sketches merge, so they don't need to).
+
+    State layout (swapped atomically as ONE directory via Hadoop-FS
+    rename, the ivf.py build pattern):
+        {state_path}/table.parquet   (group_cols..., qsketch, n_rows)
+        {state_path}/meta.parquet    (last_batch_id)
+
+    ``batch_id`` makes replays EXACTLY-ONCE: a merge-state double-counts a
+    replayed batch (unlike the append-only dedup states, re-merging is not
+    idempotent), so the applied batch id is committed inside the same
+    atomic swap and an already-applied id is skipped. Pass the foreachBatch
+    batch id; None disables the guard (ad-hoc batch use)."""
+    import uuid
+
+    from pyspark.errors import AnalysisException
+
+    from .ivf import _hadoop_fs
+
+    spark = batch.sparkSession
+    state = state_path.rstrip("/")
+    prior = None
+    try:
+        meta = spark.read.parquet(f"{state}/meta.parquet").first()
+        if (
+            batch_id is not None
+            and meta is not None
+            and meta["last_batch_id"] is not None
+            and batch_id <= meta["last_batch_id"]
+        ):
+            return  # replayed batch: already folded into state
+        prior = spark.read.parquet(f"{state}/table.parquet")
+    except AnalysisException:
+        prior = None
+
+    batch_roll = quantile_rollup(batch, group_cols, value_col, k)
+    merged = (
+        _merge_rollup_rows(prior.unionByName(batch_roll), group_cols)
+        if prior is not None
+        else batch_roll
+    )
+
+    tmp = f"{state}__swap_{uuid.uuid4().hex[:8]}"
+    merged.write.mode("overwrite").parquet(f"{tmp}/table.parquet")
+    spark.createDataFrame(
+        [(batch_id if batch_id is not None else -1,)], "last_batch_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta.parquet")
+    fs, dest = _hadoop_fs(spark, state)
+    _, tmp_p = _hadoop_fs(spark, tmp)
+    if fs.exists(dest):
+        fs.delete(dest, True)
+    if not fs.rename(tmp_p, dest):
+        fs.delete(tmp_p, True)
+        raise RuntimeError(f"quantile state at {state} was concurrently replaced")
+
+
+def streaming_quantile_rollup(
+    stream: DataFrame,
+    state_path: str,
+    checkpoint: str,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 256,
+):
+    """foreachBatch wrapper over quantile_rollup_merge_batch — streaming
+    percentile state that any coarser-grain query reads with
+    quantile_estimate(read_quantile_state(...)). Returns the UNSTARTED
+    writer (caller picks trigger and calls .start()). Exactly-once per
+    batch: the applied batch id commits atomically with the merged
+    sketches, so checkpoint replays skip instead of double-counting."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        quantile_rollup_merge_batch(
+            batch_df, state_path, group_cols, value_col, k, batch_id=batch_id
+        )
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(process)
+    )
+
+
+def read_quantile_state(spark, state_path: str) -> DataFrame:
+    """The current streaming/batch-merged rollup state table."""
+    return spark.read.parquet(f"{state_path.rstrip('/')}/table.parquet")
+
+
 def quantile_estimate(
     rollup: DataFrame,
     group_cols: list[str],
