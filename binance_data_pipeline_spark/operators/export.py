@@ -36,6 +36,7 @@ def export_shards(
     n_shards: int,
     fmt: str = "jsonl",
     seed: int = 0,
+    compression: str | None = None,
 ) -> dict:
     """Write ``df`` as exactly ``n_shards`` deterministic shards under
     ``out_path/shards`` plus ``out_path/manifest.parquet`` (file, rows;
@@ -46,6 +47,9 @@ def export_shards(
     dirs ``shards/shard=N`` holding ONE file each (the pre-write
     repartition puts a shard's rows in exactly one task); a shard with
     no rows gets no dir, so ``files ≤ n_shards`` when rows < shards.
+    ``compression`` (e.g. "gzip" for the conventional jsonl.gz delivery,
+    "zstd"/"snappy" for parquet) applies per shard file; Spark reads the
+    compressed shards back transparently.
     Returns {"n_shards" (requested), "files", "rows", "manifest_path"}."""
     if fmt not in ("jsonl", "parquet"):
         raise ValueError(f"fmt must be jsonl or parquet, got {fmt!r}")
@@ -59,6 +63,8 @@ def export_shards(
         "shard", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
     ).repartition(n_shards, "shard")
     writer = sharded.write.mode("overwrite").partitionBy("shard")
+    if compression is not None:
+        writer = writer.option("compression", compression)
     if fmt == "jsonl":
         writer.json(shards_path)  # one JSON object per line
     else:

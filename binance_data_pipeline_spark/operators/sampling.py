@@ -101,6 +101,105 @@ def mix_corpora(
     return out
 
 
+def sample_token_budget(
+    df: DataFrame,
+    id_col: str,
+    domain_col: str,
+    budgets: dict[str, int],
+    tokens_col: str | Column | None = None,
+    seed: int = 0,
+    refine_iters: int = 1,
+    tolerance: float = 0.02,
+) -> tuple[DataFrame, dict[str, dict]]:
+    """Token-budgeted domain mixing: keep a deterministic subset of each
+    domain totalling ≈ its token budget — "2B tokens of code, 500M of
+    books" — the unit training mixes are actually specified in (doc-count
+    rates can't express it when domains have different doc lengths).
+
+    Scale shape deliberately avoids the obvious construction (per-domain
+    hash-ordered running token sum cut at the budget: a window that SORTS
+    EVERY DOMAIN — a 100 TB domain lands on one sort). Instead a hash
+    THRESHOLD per domain is solved for: token mass is uniform in the hash
+    draw, so rate ≈ budget/total after one aggregate, and ``refine_iters``
+    measurement passes (one small agg each) correct any heavy-tail error:
+    measure tokens below the current threshold, rescale by budget/achieved,
+    stop early inside ``tolerance``. The final selection is ONE map-side
+    filter — same determinism contract as every sampler here (a row's fate
+    depends only on (id, seed, final rate)).
+
+    ``tokens_col``: column/expr of per-doc token counts (default: the
+    whitespace token count of ``text``). Domains missing from ``budgets``
+    pass through whole. Budget ≥ domain total keeps the domain whole.
+
+    Returns (sampled_df, report) — report per budgeted domain:
+    {total_tokens, target, achieved_est, rate}. Driver state is one row
+    per domain (bounded metadata, not a data path). Achieved totals are
+    approximate to the Bernoulli draw (~1/√n_docs relative); pass more
+    ``refine_iters`` for tighter fits on heavy-tailed domains."""
+    if tokens_col is None:
+        tokens_col = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    work = df.withColumn("__tok", tok.cast("double"))
+
+    totals = {
+        r[domain_col]: r["__t"]
+        for r in work.groupBy(domain_col)
+        .agg(F.sum("__tok").alias("__t"))
+        .collect()
+        if r[domain_col] in budgets
+    }
+    rates: dict[str, float] = {}
+    for dom, budget in budgets.items():
+        total = totals.get(dom, 0.0) or 0.0
+        rates[dom] = 1.0 if total <= budget else budget / total
+
+    u = _unit_hash(id_col, seed)
+    for _ in range(max(0, refine_iters)):
+        pending = {d: r for d, r in rates.items() if r < 1.0}
+        if not pending:
+            break
+        rate_map = F.create_map(
+            *[x for d, r in pending.items() for x in (F.lit(d), F.lit(float(r)))]
+        )
+        achieved = {
+            r[domain_col]: r["__a"]
+            for r in work.where(F.col(domain_col).isin(list(pending)))
+            .where(u < rate_map[F.col(domain_col)])
+            .groupBy(domain_col)
+            .agg(F.sum("__tok").alias("__a"))
+            .collect()
+        }
+        done = True
+        for dom in pending:
+            got = achieved.get(dom, 0.0) or 0.0
+            target = float(budgets[dom])
+            if got > 0 and abs(got - target) / target > tolerance:
+                rates[dom] = min(1.0, rates[dom] * target / got)
+                done = False
+        if done:
+            break
+
+    keep_map = F.create_map(
+        *[x for d, r in rates.items() for x in (F.lit(d), F.lit(float(r)))]
+    )
+    # unlisted domains: rate 1 (pass through whole)
+    rate_col = F.coalesce(keep_map[F.col(domain_col)], F.lit(1.0))
+    sampled = work.where(u < rate_col).drop("__tok")
+
+    report = {
+        dom: {
+            "total_tokens": float(totals.get(dom, 0.0) or 0.0),
+            "target": float(budgets[dom]),
+            "achieved_est": float(
+                min(totals.get(dom, 0.0) or 0.0, rates[dom] * (totals.get(dom, 0.0) or 0.0))
+            ),
+            "rate": rates[dom],
+        }
+        for dom in budgets
+    }
+    return sampled, report
+
+
 def shuffle_deterministic(df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None) -> DataFrame:
     """Global deterministic shuffle for training export: rows ordered by
     xxhash64(id, seed) — repartitionByRange on the hash + in-partition

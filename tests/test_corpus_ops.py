@@ -314,3 +314,74 @@ def test_split_corpus_validates_fractions(spark):
         split_corpus(df, "doc_id", {"train": 0.5, "test": 0.4})
     with pytest.raises(ValueError, match="at least one"):
         split_corpus(df, "doc_id", {})
+
+
+def test_sample_token_budget_meets_budgets(spark):
+    """Per-domain token budgets met within a few percent, whole-domain
+    passthrough for unlisted/over-budgeted domains, deterministic draw."""
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.sampling import sample_token_budget
+
+    rng = np.random.default_rng(4)
+    rows = []
+    did = 0
+    for dom, n, mean in (("web", 4000, 120), ("code", 2000, 400), ("books", 300, 2000)):
+        for _ in range(n):
+            k = max(1, int(rng.lognormal(np.log(mean), 0.6)))
+            rows.append((did, dom, "tok " * k))
+            did += 1
+    docs = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    totals = {
+        r["domain"]: r["t"]
+        for r in docs.groupBy("domain").agg(F.sum(tok).alias("t")).collect()
+    }
+
+    budgets = {"web": 150_000, "code": 200_000, "books": 10_000_000}  # books over-budget
+    sampled, report = sample_token_budget(
+        docs, "doc_id", "domain", budgets, refine_iters=2, tolerance=0.01
+    )
+    got = {
+        r["domain"]: r["t"]
+        for r in sampled.groupBy("domain").agg(F.sum(tok).alias("t")).collect()
+    }
+    assert abs(got["web"] - 150_000) / 150_000 < 0.05
+    assert abs(got["code"] - 200_000) / 200_000 < 0.05
+    assert got["books"] == totals["books"]          # budget ≥ total: whole domain
+    assert report["books"]["rate"] == 1.0
+    assert 0 < report["web"]["rate"] < 1
+
+    # determinism: same seed → identical row set, any partitioning
+    again, _ = sample_token_budget(
+        docs.repartition(13), "doc_id", "domain", budgets, refine_iters=2, tolerance=0.01
+    )
+    assert sorted(r["doc_id"] for r in sampled.select("doc_id").collect()) == \
+           sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_sample_token_budget_unlisted_domain_passthrough(spark):
+    from binance_data_pipeline_spark.operators.sampling import sample_token_budget
+
+    docs = spark.createDataFrame(
+        [(1, "a", "x " * 50), (2, "b", "y " * 50)],
+        "doc_id long, domain string, text string",
+    )
+    sampled, report = sample_token_budget(docs, "doc_id", "domain", {"a": 10})
+    kept = {r["doc_id"] for r in sampled.collect()}
+    assert 2 in kept            # domain b unlisted: untouched
+    assert set(report) == {"a"}
+
+
+def test_sample_token_budget_final_filter_is_map_side(spark):
+    """The selection itself is one map-side filter (the threshold search
+    pays small aggs, the output plan carries no extra exchange)."""
+    from binance_data_pipeline_spark.operators.sampling import sample_token_budget
+
+    docs = spark.createDataFrame(
+        [(i, "a", "t " * 100) for i in range(500)],
+        "doc_id long, domain string, text string",
+    )
+    sampled, _ = sample_token_budget(docs, "doc_id", "domain", {"a": 5_000})
+    plan = sampled._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

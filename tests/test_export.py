@@ -73,3 +73,23 @@ def test_empty_shards_allowed(spark, tmp_path):
     out = str(tmp_path / "few")
     stats = export_shards(_docs(spark, 2), out, "doc_id", n_shards=16)
     assert stats["files"] <= 16 and stats["rows"] == 2
+
+
+def test_export_jsonl_gzip_roundtrip(spark, tmp_path):
+    """jsonl.gz delivery: per-shard gzip files, transparently re-read,
+    manifest row counts unchanged by compression."""
+    import glob
+
+    from binance_data_pipeline_spark.operators.export import export_shards, read_export
+
+    out = str(tmp_path / "exp")
+    df = spark.createDataFrame(
+        [(i, f"doc {i} body") for i in range(200)], "doc_id long, text string"
+    )
+    stats = export_shards(df, out, "doc_id", n_shards=4, fmt="jsonl", compression="gzip")
+    assert stats["rows"] == 200
+    gz = glob.glob(f"{out}/shards/shard=*/*.gz")
+    assert gz, "expected .gz shard files"
+    back = read_export(spark, out, fmt="jsonl")
+    assert back.count() == 200
+    assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(200))
