@@ -1,0 +1,176 @@
+"""Mergeable heavy-hitters (top-k frequent items) rollup — Misra-Gries
+summaries per bucket, completing the sketch-rollup family:
+
+    HLL (sketches.py)      → how many DISTINCT items
+    CMS (sketches.py)      → how often is item X (point query)
+    KLL (quantiles.py)     → value distribution
+    MG  (this module)      → WHICH items dominate, with counts
+
+``vocab.py`` answers the same question exactly with a full groupBy — the
+right tool for a one-shot corpus scan. The rollup shape is for serving:
+per-bucket summaries stored once, any bucket range answered by MERGING
+summaries (Agarwal et al., "Mergeable Summaries", PODS'12: MG merge =
+pointwise counter sum, then subtract the (k+1)-th largest counter and
+drop ≤0 — the result is again a valid MG summary). Estimates carry the
+classic guarantee: true_count - n/k ≤ estimate ≤ true_count, so any item
+with frequency > n/k is guaranteed present.
+
+Spark wiring mirrors quantiles.py: partial summaries per Arrow batch in
+``mapInPandas`` (map-side combine — the shuffle moves k-entry summaries,
+never raw items), per-group merge in ``applyInPandas``. At 100 TB: one
+shuffle at bucket grain, KB rows out, re-rollup to coarser grain never
+touches raw.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["mg_build", "mg_merge", "mg_topk", "heavy_hitters_rollup", "heavy_hitters_estimate"]
+
+
+def mg_build(items, k: int = 64) -> dict:
+    """Misra-Gries summary of an iterable (≤ k counters). Exact while the
+    distinct count stays ≤ k; beyond that, counts undercount by ≤ n/k."""
+    counters: dict[str, int] = {}
+    n = 0
+    for it in items:
+        if it is None:
+            continue
+        it = str(it)
+        n += 1
+        if it in counters:
+            counters[it] += 1
+        elif len(counters) < k:
+            counters[it] = 1
+        else:
+            # decrement-all step, dropping zeroed counters
+            dead = []
+            for key in counters:
+                counters[key] -= 1
+                if counters[key] == 0:
+                    dead.append(key)
+            for key in dead:
+                del counters[key]
+    return {"k": int(k), "n": n, "c": counters}
+
+
+def mg_merge(a: dict, b: dict) -> dict:
+    """Mergeable-summaries MG merge: sum counters pointwise, subtract the
+    (k+1)-th largest, drop non-positive (Agarwal et al. PODS'12)."""
+    if a["k"] != b["k"]:
+        raise ValueError(f"cannot merge MG summaries with k={a['k']} vs k={b['k']}")
+    k = a["k"]
+    merged: dict[str, int] = dict(a["c"])
+    for it, c in b["c"].items():
+        merged[it] = merged.get(it, 0) + c
+    if len(merged) > k:
+        cut = sorted(merged.values(), reverse=True)[k]
+        merged = {it: c - cut for it, c in merged.items() if c - cut > 0}
+    return {"k": k, "n": a["n"] + b["n"], "c": merged}
+
+
+def mg_topk(sk: dict, top: int = 10) -> list[tuple[str, int, int]]:
+    """(item, estimate, error_bound) for the ``top`` largest counters —
+    true count ∈ [estimate, estimate + error_bound]."""
+    err = sk["n"] // (sk["k"] + 1) if sk["k"] else 0
+    ranked = sorted(sk["c"].items(), key=lambda kv: (-kv[1], kv[0]))[:top]
+    return [(it, c, err) for it, c in ranked]
+
+
+def _dumps(sk: dict) -> bytes:
+    return json.dumps(sk, separators=(",", ":")).encode()
+
+
+def _loads(b: bytes) -> dict:
+    return json.loads(bytes(b).decode())
+
+
+def heavy_hitters_rollup(
+    df: DataFrame,
+    group_cols: list[str],
+    item_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """One row per group: (group_cols..., mg binary, n_rows). Same
+    two-phase shape as quantile_rollup: per-Arrow-batch partial summaries,
+    per-group merge. Keep k fixed for a table's lifetime (merge
+    contract)."""
+    gcols = list(group_cols)
+    schema = StructType(
+        [df.schema[c] for c in gcols]
+        + [StructField("mg", BinaryType()), StructField("n_rows", LongType())]
+    )
+
+    def partials(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            rows = []
+            for key, grp in pdf.groupby(gcols, dropna=False, sort=False):
+                key = key if isinstance(key, tuple) else (key,)
+                sk = mg_build(grp[item_col], k)
+                rows.append(tuple(key) + (_dumps(sk), sk["n"]))
+            yield pd.DataFrame(rows, columns=gcols + ["mg", "n_rows"])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _loads(pdf["mg"].iloc[0])
+        for b in pdf["mg"].iloc[1:]:
+            sk = mg_merge(sk, _loads(b))
+        out = pdf.iloc[[0]][gcols].copy()
+        out["mg"] = [_dumps(sk)]
+        out["n_rows"] = [int(pdf["n_rows"].sum())]
+        return out
+
+    partial = df.select(*gcols, item_col).mapInPandas(partials, schema)
+    return partial.groupBy(*gcols).applyInPandas(merge, schema)
+
+
+def heavy_hitters_estimate(
+    rollup: DataFrame,
+    group_cols: list[str],
+    top: int = 10,
+) -> DataFrame:
+    """Top items per output group (``group_cols`` ⊆ rollup grouping) from
+    merged summaries: (group..., item, estimate, error_bound, share).
+    ``share`` = estimate / merged n (a lower bound on the item's true
+    frequency share)."""
+    gcols = list(group_cols)
+    schema = StructType(
+        [rollup.schema[c] for c in gcols]
+        + [
+            StructField("item", StringType()),
+            StructField("estimate", LongType()),
+            StructField("error_bound", LongType()),
+            StructField("share", DoubleType()),
+        ]
+    )
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        sk = _loads(pdf["mg"].iloc[0])
+        for b in pdf["mg"].iloc[1:]:
+            sk = mg_merge(sk, _loads(b))
+        head = pdf.iloc[[0]][gcols]
+        rows = []
+        for item, est, err in mg_topk(sk, top):
+            rows.append(
+                tuple(head.iloc[0][c] for c in gcols)
+                + (item, est, err, est / sk["n"] if sk["n"] else 0.0)
+            )
+        return pd.DataFrame(
+            rows, columns=gcols + ["item", "estimate", "error_bound", "share"]
+        )
+
+    return rollup.groupBy(*gcols).applyInPandas(merge, schema)
