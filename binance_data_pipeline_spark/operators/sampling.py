@@ -200,6 +200,73 @@ def sample_token_budget(
     return sampled, report
 
 
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    max_rows: int,
+    seed: int = 0,
+    exact_threshold: int = 100_000,
+) -> DataFrame:
+    """Cap each group at ~``max_rows`` rows — the per-domain cap of web
+    corpora (a handful of hosts otherwise dominate a crawl; RefinedWeb,
+    C4 and Gopher all apply one).
+
+    Hybrid strategy by group size (one counts agg decides):
+      - groups ≤ ``exact_threshold`` rows: EXACT — row_number over the
+        hash order within the group, keep rank ≤ cap. The window sorts
+        only these small groups.
+      - larger groups: hash-threshold rate = max_rows/count — a map-side
+        filter, approximate to ~1/√cap, no global sort of a giant domain
+        (the all-window formulation would sort every mega-domain on one
+        partition at 100 TB).
+    Both paths draw from the same xxhash64(id, seed) order, so the kept
+    set is deterministic under any partitioning. Groups under the cap
+    pass through whole; driver state is one row per OVER-CAP group."""
+    from pyspark.sql import Window as W
+
+    counts = {
+        r[group_col]: r["__n"]
+        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).collect()
+        if r["__n"] > max_rows
+    }
+    if not counts:
+        return df
+    small = [g for g, n in counts.items() if n <= exact_threshold]
+    big = {g: n for g, n in counts.items() if n > exact_threshold}
+
+    u = _unit_hash(id_col, seed)
+    under = df.join(
+        df.sparkSession.createDataFrame(
+            [(g,) for g in counts], f"{group_col} string"
+        ).hint("broadcast"),
+        group_col,
+        "left_anti",
+    )
+    parts = [under]
+    if small:
+        w = W.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+        parts.append(
+            df.where(F.col(group_col).isin(small))
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= max_rows)
+            .drop("__rk")
+        )
+    if big:
+        rate_map = F.create_map(
+            *[x for g, n in big.items() for x in (F.lit(g), F.lit(max_rows / n))]
+        )
+        parts.append(
+            df.where(F.col(group_col).isin(list(big))).where(
+                u < rate_map[F.col(group_col)]
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def shuffle_deterministic(df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None) -> DataFrame:
     """Global deterministic shuffle for training export: rows ordered by
     xxhash64(id, seed) — repartitionByRange on the hash + in-partition

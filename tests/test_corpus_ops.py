@@ -385,3 +385,42 @@ def test_sample_token_budget_final_filter_is_map_side(spark):
     sampled, _ = sample_token_budget(docs, "doc_id", "domain", {"a": 5_000})
     plan = sampled._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cap_per_group_exact_and_approx_paths(spark):
+    """Per-domain cap: small over-cap domains cut EXACTLY at the cap,
+    giant domains cut approximately via hash threshold, under-cap domains
+    untouched — all deterministic under repartitioning."""
+    from binance_data_pipeline_spark.operators.sampling import cap_per_group
+
+    rows = (
+        [(i, "small-over") for i in range(500)]
+        + [(1000 + i, "under") for i in range(50)]
+        + [(10_000 + i, "giant") for i in range(30_000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, domain string")
+    capped = cap_per_group(
+        df, "doc_id", "domain", max_rows=100, exact_threshold=1000
+    )
+    got = {
+        r["domain"]: r["n"]
+        for r in capped.groupBy("domain").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got["small-over"] == 100            # exact path
+    assert got["under"] == 50                  # passthrough
+    assert abs(got["giant"] - 100) <= 40       # hash-rate path, ~±1/sqrt(cap)
+
+    again = cap_per_group(
+        df.repartition(17), "doc_id", "domain", max_rows=100, exact_threshold=1000
+    )
+    assert sorted(r["doc_id"] for r in capped.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+
+
+def test_cap_per_group_no_overcap_is_noop(spark):
+    from binance_data_pipeline_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id long, domain string")
+    out = cap_per_group(df, "doc_id", "domain", max_rows=10)
+    assert out is df  # literally untouched: no joins, no plan growth
