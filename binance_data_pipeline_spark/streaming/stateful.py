@@ -87,3 +87,101 @@ def running_vwap(staged: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Timeout-evicting session tracker: event-time timeouts + state removal
+# ---------------------------------------------------------------------
+
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("first_ms", LongType()),
+        StructField("last_ms", LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("session_start_ms", LongType()),
+        StructField("session_end_ms", LongType()),
+        StructField("duration_ms", LongType()),
+    ]
+)
+
+
+def session_tracker(events: DataFrame, gap_ms: int = 30_000, watermark: str = "10 seconds") -> DataFrame:
+    """Closed-session records via EVENT-TIME TIMEOUTS — the stateful
+    capability ``F.session_window`` cannot express: a session is emitted
+    exactly once, WHEN it closes (watermark passes last_event + gap), and
+    its state is REMOVED (bounded store: open sessions only, not history).
+    ``running_vwap`` above shows cross-batch accumulation; this shows the
+    other half of arbitrary stateful processing — timeout wake-ups firing
+    with NO new rows for the key, followed by eviction.
+
+    Input: (user_id long, ts timestamp, value double). Output: one row per
+    CLOSED session. In-flight sessions emit nothing until they close; a
+    stream restart resumes them from checkpointed state.
+
+    Mechanics: per key, fold each batch into (n, total, first, last); set
+    the group's timeout timestamp to last_event + gap (must stay above the
+    current watermark, clamped); when the watermark crosses it Spark
+    invokes the function with ``state.hasTimedOut`` and an empty batch
+    iterator — emit and ``state.remove()``. Timeouts are evaluated per
+    trigger, so a closed session surfaces on the batch AFTER the watermark
+    passes it (standard Structured Streaming semantics)."""
+
+    def track(
+        key: tuple[int], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        if state.hasTimedOut:
+            n, total, first, last = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "session_start_ms": [first],
+                    "session_end_ms": [last],
+                    "duration_ms": [last - first],
+                }
+            )
+            return
+        if state.exists:
+            n, total, first, last = state.get
+        else:
+            n, total, first, last = 0, 0.0, None, None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ms = (pdf["ts"].astype("int64") // 1_000_000).to_numpy()
+            n += int(len(pdf))
+            total += float(pdf["value"].sum())
+            first = int(ms.min()) if first is None else min(first, int(ms.min()))
+            last = int(ms.max()) if last is None else max(last, int(ms.max()))
+        if last is None:
+            return
+        state.update((n, total, first, last))
+        # timeout must sit above the current watermark or Spark rejects it
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last + gap_ms, wm + 1))
+        return
+
+    return (
+        events.select("user_id", "ts", "value")
+        .withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            track,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
