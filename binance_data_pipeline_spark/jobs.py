@@ -265,6 +265,9 @@ def build_training_corpus(
     semantic_threshold: float = 0.9,
     semantic_k: int = 16,
     substring_min_len: int | None = None,
+    lm_ref_path: str | None = None,
+    lm_max_cross_entropy: float = 10.0,
+    lm_ngram: int = 1,
 ) -> dict[str, int]:
     """The end-to-end training-data DAG (extension — no reference
     equivalent): raw documents → PII redaction → quality + repetition
@@ -286,6 +289,12 @@ def build_training_corpus(
     ``semantic_threshold``, keeper = farthest-from-centroid. Docs with
     no embedding row pass through untouched, and dropped docs land in
     the same mapping audit trail with reason ``semantic_dup``.
+
+    ``lm_ref_path`` points at a parquet of TRUSTED reference docs (same
+    id/text columns): an n-gram LM trains on it and docs whose
+    cross-entropy exceeds ``lm_max_cross_entropy`` are dropped (CCNet
+    fluency gate, operators/lm_score) — runs with the quality stage,
+    before dedup, so shingling is never paid for disfluent docs.
 
     ``substring_min_len`` adds span-level EXACT-SUBSTRING dedup
     (operators/substring — Lee et al. ExactSubstr) after the doc-level
@@ -341,6 +350,17 @@ def build_training_corpus(
 
             good = filter_by_domain(
                 good, domain_rules, domain_col=domain_col, text_col=text_col
+            )
+        if lm_ref_path is not None:
+            from .operators.lm_score import filter_by_lm, train_ngram_lm
+
+            lm = train_ngram_lm(
+                spark.read.parquet(lm_ref_path),
+                id_col=id_col, text_col=text_col, n=lm_ngram,
+            )
+            good = filter_by_lm(
+                good, lm, lm_max_cross_entropy,
+                id_col=id_col, text_col=text_col, n=lm_ngram,
             )
         counts["after_quality"] = good.count()
 

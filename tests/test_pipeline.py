@@ -578,3 +578,31 @@ def test_corpus_report_composes_sketch_families(spark, tmp_path):
     # heavy hitters rank en first
     assert rep["top_domains"][0]["domain"] == "en"
     assert rep["total_tokens"] > 0
+
+
+def test_build_training_corpus_lm_gate(spark, tmp_path):
+    """Optional CCNet fluency gate: gibberish docs fall at the quality
+    stage; fluent docs survive to export."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+
+    fluent = ("the quick brown fox jumps over the lazy dog and runs along "
+              "the river bank toward the quiet village")
+    ref_rows = [(i, fluent, "en") for i in range(20)]
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(ref_rows, "doc_id long, text string, lang string").write.parquet(ref)
+
+    rows = [
+        (1, fluent + " every morning", "en"),
+        (2, "zxqv wfpt blorg qqnnx vrm zzkt plwq xxj koqw mmzt pqlv wwrx", "en"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "corpus")
+    counts = build_training_corpus(
+        spark, src, out,
+        min_quality=0.0, dedup_threshold=0.9,
+        lm_ref_path=ref, lm_max_cross_entropy=6.0,
+    )
+    assert counts["after_quality"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
+    assert kept == {1}
