@@ -42,28 +42,24 @@ __all__ = ["mg_build", "mg_merge", "mg_topk", "heavy_hitters_rollup", "heavy_hit
 
 
 def mg_build(items, k: int = 64) -> dict:
-    """Misra-Gries summary of an iterable (≤ k counters). Exact while the
-    distinct count stays ≤ k; beyond that, counts undercount by ≤ n/k."""
-    counters: dict[str, int] = {}
-    n = 0
-    for it in items:
-        if it is None:
-            continue
-        it = str(it)
-        n += 1
-        if it in counters:
-            counters[it] += 1
-        elif len(counters) < k:
-            counters[it] = 1
-        else:
-            # decrement-all step, dropping zeroed counters
-            dead = []
-            for key in counters:
-                counters[key] -= 1
-                if counters[key] == 0:
-                    dead.append(key)
-            for key in dead:
-                del counters[key]
+    """Misra-Gries summary (≤ k counters). Exact while the distinct count
+    stays ≤ k; beyond that, counts undercount by ≤ n/k.
+
+    Vectorized: exact counts of the batch via pandas value_counts, then
+    ONE truncation to k counters (subtract the (k+1)-th largest, drop
+    non-positive) — the same operation the mergeable-summaries merge
+    applies, so the result is a valid MG summary of the batch with
+    strictly less error than the classic per-item decrement loop (one
+    subtraction instead of many)."""
+    s = pd.Series(list(items) if not hasattr(items, "__len__") else items)
+    s = s.dropna().astype(str)
+    n = int(len(s))
+    vc = s.value_counts()
+    if len(vc) > k:
+        cut = int(vc.iloc[k])
+        vc = vc - cut
+        vc = vc[vc > 0]
+    counters = {str(it): int(c) for it, c in vc.items()}
     return {"k": int(k), "n": n, "c": counters}
 
 
