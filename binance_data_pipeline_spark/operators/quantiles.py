@@ -276,48 +276,17 @@ def quantile_rollup_merge_batch(
     replayed batch (unlike the append-only dedup states, re-merging is not
     idempotent), so the applied batch id is committed inside the same
     atomic swap and an already-applied id is skipped. Pass the foreachBatch
-    batch id; None disables the guard (ad-hoc batch use)."""
-    import uuid
+    batch id; None disables the guard (ad-hoc batch use). Machinery shared
+    with every merge-state sink via operators/state_swap."""
+    from .state_swap import merge_state_batch
 
-    from pyspark.errors import AnalysisException
-
-    from .ivf import _hadoop_fs
-
-    spark = batch.sparkSession
-    state = state_path.rstrip("/")
-    prior = None
-    try:
-        meta = spark.read.parquet(f"{state}/meta.parquet").first()
-        if (
-            batch_id is not None
-            and meta is not None
-            and meta["last_batch_id"] is not None
-            and batch_id <= meta["last_batch_id"]
-        ):
-            return  # replayed batch: already folded into state
-        prior = spark.read.parquet(f"{state}/table.parquet")
-    except AnalysisException:
-        prior = None
-
-    batch_roll = quantile_rollup(batch, group_cols, value_col, k)
-    merged = (
-        _merge_rollup_rows(prior.unionByName(batch_roll), group_cols)
-        if prior is not None
-        else batch_roll
+    merge_state_batch(
+        batch.sparkSession,
+        state_path,
+        build_batch_rows=lambda: quantile_rollup(batch, group_cols, value_col, k),
+        merge_rows=lambda union: _merge_rollup_rows(union, group_cols),
+        batch_id=batch_id,
     )
-
-    tmp = f"{state}__swap_{uuid.uuid4().hex[:8]}"
-    merged.write.mode("overwrite").parquet(f"{tmp}/table.parquet")
-    spark.createDataFrame(
-        [(batch_id if batch_id is not None else -1,)], "last_batch_id long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta.parquet")
-    fs, dest = _hadoop_fs(spark, state)
-    _, tmp_p = _hadoop_fs(spark, tmp)
-    if fs.exists(dest):
-        fs.delete(dest, True)
-    if not fs.rename(tmp_p, dest):
-        fs.delete(tmp_p, True)
-        raise RuntimeError(f"quantile state at {state} was concurrently replaced")
 
 
 def streaming_quantile_rollup(
