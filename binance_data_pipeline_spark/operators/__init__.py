@@ -1,10 +1,30 @@
 """Engine operators.
 
-cleaning      bronze→staging clean/cast (P1-P6)
-incremental   high-watermark incremental materialization (P8/ST5)
-dedup         exact / MinHash-LSH / SimHash / n-gram-Jaccard deduplication
-similarity    embedding similarity search (brute-force + LSH ANN)
-text          text analysis (tokens, quality, language-ID, fingerprints)
-asof          as-of join (trade × quote style)
-multimodal    binary-column plumbing for image/audio payloads (decode stubbed)
+cleaning         bronze→staging clean/cast (P1-P6)
+incremental      high-watermark incremental materialization (P8/ST5)
+rollup           continuous aggregate (bucket-granular refresh, late-data repair)
+dedup            exact / MinHash-LSH / SimHash / n-gram-Jaccard dedup + clustering
+incremental_dedup  per-batch dedup vs persisted append-only state
+semdedup         semantic (embedding-cell) dedup, batch + incremental + streaming
+substring        exact-substring span dedup (distributed ExactSubstr)
+similarity       embedding similarity search (brute-force + RP-LSH ANN)
+ivf              persisted IVF ANN index (fingerprinted, build-once/query-many)
+text             text analysis (tokens, quality, language-ID, fingerprints, PII, chunking)
+lm_score         CCNet-style n-gram LM fluency scoring (broadcast-join cross-entropy)
+quality_rules    Gopher/C4 structural rule bundles + per-domain gate
+vocab            token/n-gram frequencies, top-k vocab, IDF
+tfidf            map-only TF-IDF / hashing-trick featurization
+sampling         deterministic sampling / token budgets / domain caps / mixing / shuffle / packing / split
+sketches         HLL distinct + count-min frequency rollups (mergeable)
+quantiles        MRL/KLL quantile sketch rollups (mergeable, streaming exactly-once)
+heavyhitters     Misra-Gries top-k rollups (mergeable, streaming exactly-once)
+state_swap       shared exactly-once merge-state machinery (atomic dir swap)
+gapfill          gap-fill / LOCF / linear interpolation
+interval_join    bucketed interval/range join
+asof             as-of join (trade × quote style)
+revenue          fee/tax revenue fact (§3.4 flagship)
+scale            compaction, bucketing, salting, Z-order
+skipping         file-level min/max data-skipping index
+export           sharded manifest-gated training-data export (jsonl[.gz]/parquet)
+multimodal       binary-column plumbing; real PPM/PNG/WAV codecs, PIL autodetect
 """
