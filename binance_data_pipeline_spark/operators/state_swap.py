@@ -11,12 +11,25 @@ recipe for directory-swapped parquet state:
     {state_path}/table.parquet   the merged summary rows
     {state_path}/meta.parquet    (last_batch_id)
 
-Both land in a temp directory and move into place with ONE Hadoop-FS
-rename (the ivf.py build pattern — scheme-agnostic, atomic on HDFS-like
-stores), so data and applied-batch-id can never disagree. A replayed
-batch sees its id already committed and returns without touching state;
-a crash mid-swap leaves the previous state intact and the checkpoint
-re-runs the batch.
+Both land in a temp directory and move into place with Hadoop-FS renames
+(the ivf.py build pattern — scheme-agnostic, atomic per rename on
+HDFS-like stores), so data and applied-batch-id can never disagree.
+
+Crash safety is rename-aside, never delete-then-rename: the live dir is
+renamed to ``{state_path}__prev`` BEFORE the new state is renamed into
+place, and ``__prev`` is deleted only after the new state is live. Every
+crash point leaves a complete state recoverable:
+
+    crash after aside-rename, before commit-rename → dest missing,
+        __prev holds the last committed state → readers/writers recover
+        it by renaming __prev back to dest;
+    crash after commit-rename, before __prev cleanup → dest is the NEW
+        state, __prev is stale → next writer deletes the leftover.
+
+Because the live dir is never deleted first, a concurrent writer's
+commit-rename actually FAILS (the destination exists) instead of
+silently clobbering a freshly committed state — that failure rolls the
+aside-rename back and raises.
 """
 
 from __future__ import annotations
@@ -32,6 +45,15 @@ from .ivf import _hadoop_fs
 __all__ = ["merge_state_batch", "read_state"]
 
 
+def _recover_if_needed(spark: SparkSession, state: str) -> None:
+    """If a crash left ``state`` missing but ``state__prev`` present,
+    rename the previous committed state back into place."""
+    fs, dest = _hadoop_fs(spark, state)
+    _, prev = _hadoop_fs(spark, f"{state}__prev")
+    if not fs.exists(dest) and fs.exists(prev):
+        fs.rename(prev, dest)
+
+
 def merge_state_batch(
     spark: SparkSession,
     state_path: str,
@@ -45,16 +67,21 @@ def merge_state_batch(
     only when the batch is not a replay); ``merge_rows(union)`` collapses
     the union of prior-state rows and batch rows back to one row per
     group. ``batch_id`` enables the exactly-once replay guard; None
-    disables it (ad-hoc batch use)."""
+    disables the guard for THIS call (ad-hoc batch use) but preserves
+    the previously committed id, so interleaved ad-hoc merges never
+    reopen the replay window."""
     state = state_path.rstrip("/")
+    _recover_if_needed(spark, state)
     prior = None
+    prior_batch_id: int | None = None
     try:
         meta = spark.read.parquet(f"{state}/meta.parquet").first()
+        if meta is not None:
+            prior_batch_id = meta["last_batch_id"]
         if (
             batch_id is not None
-            and meta is not None
-            and meta["last_batch_id"] is not None
-            and batch_id <= meta["last_batch_id"]
+            and prior_batch_id is not None
+            and batch_id <= prior_batch_id
         ):
             return  # replayed batch: already folded into state
         prior = spark.read.parquet(f"{state}/table.parquet")
@@ -65,21 +92,41 @@ def merge_state_batch(
     merged = (
         merge_rows(prior.unionByName(batch_rows)) if prior is not None else batch_rows
     )
+    committed_id = batch_id if batch_id is not None else prior_batch_id
 
     tmp = f"{state}__swap_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(f"{tmp}/table.parquet")
     spark.createDataFrame(
-        [(batch_id if batch_id is not None else -1,)], "last_batch_id long"
+        [(committed_id,)], "last_batch_id long"
     ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta.parquet")
+
     fs, dest = _hadoop_fs(spark, state)
     _, tmp_p = _hadoop_fs(spark, tmp)
+    _, prev = _hadoop_fs(spark, f"{state}__prev")
     if fs.exists(dest):
-        fs.delete(dest, True)
+        # Stale __prev can only be a leftover from a crash AFTER a
+        # successful commit-rename (dest is newer) — safe to drop.
+        if fs.exists(prev):
+            fs.delete(prev, True)
+        if not fs.rename(dest, prev):
+            fs.delete(tmp_p, True)
+            raise RuntimeError(
+                f"merge state at {state} is being concurrently replaced"
+            )
     if not fs.rename(tmp_p, dest):
+        # A concurrent writer committed between our aside-rename and now:
+        # roll our aside back (if the racer did not already replace dest)
+        # and surface the conflict instead of clobbering their commit.
+        if fs.exists(prev) and not fs.exists(dest):
+            fs.rename(prev, dest)
         fs.delete(tmp_p, True)
         raise RuntimeError(f"merge state at {state} was concurrently replaced")
+    if fs.exists(prev):
+        fs.delete(prev, True)
 
 
 def read_state(spark: SparkSession, state_path: str) -> DataFrame:
-    """The current merged state table."""
-    return spark.read.parquet(f"{state_path.rstrip('/')}/table.parquet")
+    """The current merged state table (recovers from an interrupted swap)."""
+    state = state_path.rstrip("/")
+    _recover_if_needed(spark, state)
+    return spark.read.parquet(f"{state}/table.parquet")
