@@ -136,17 +136,22 @@ def sample_token_budget(
     per domain (bounded metadata, not a data path). Achieved totals are
     approximate to the Bernoulli draw (~1/√n_docs relative); pass more
     ``refine_iters`` for tighter fits on heavy-tailed domains."""
+    if not budgets:
+        return df, {}
     if tokens_col is None:
         tokens_col = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     tok = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
     work = df.withColumn("__tok", tok.cast("double"))
 
+    # filter to budgeted domains BEFORE the collect: the driver sees one
+    # row per BUDGETED domain (user-sized), never one per distinct domain
+    # (hostname-grained on a crawl = millions)
     totals = {
         r[domain_col]: r["__t"]
-        for r in work.groupBy(domain_col)
+        for r in work.where(F.col(domain_col).isin(list(budgets)))
+        .groupBy(domain_col)
         .agg(F.sum("__tok").alias("__t"))
         .collect()
-        if r[domain_col] in budgets
     }
     rates: dict[str, float] = {}
     for dom, budget in budgets.items():
@@ -222,49 +227,41 @@ def cap_per_group(
         partition at 100 TB).
     Both paths draw from the same xxhash64(id, seed) order, so the kept
     set is deterministic under any partitioning. Groups under the cap
-    pass through whole; driver state is one row per OVER-CAP group."""
+    pass through whole.
+
+    Driver state is O(1): the over-cap groups stay IN THE PLAN as a
+    broadcast-joined ``(group, __n)`` counts frame, never driver
+    literals — a crawl with millions of over-cap hosts neither ships
+    rows to the driver nor builds a megabyte ``isin`` plan, and the
+    group column keeps its real type (int ids, dates) instead of being
+    forced through a string schema. The broadcast side is small by
+    construction: a group must exceed ``max_rows`` rows to appear, so
+    over-cap groups number at most n_rows/max_rows."""
     from pyspark.sql import Window as W
 
-    counts = {
-        r[group_col]: r["__n"]
-        for r in df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n")).collect()
-        if r["__n"] > max_rows
-    }
-    if not counts:
-        return df
-    small = [g for g, n in counts.items() if n <= exact_threshold]
-    big = {g: n for g, n in counts.items() if n > exact_threshold}
-
-    u = _unit_hash(id_col, seed)
-    under = df.join(
-        df.sparkSession.createDataFrame(
-            [(g,) for g in counts], f"{group_col} string"
-        ).hint("broadcast"),
-        group_col,
-        "left_anti",
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > F.lit(max_rows))
     )
-    parts = [under]
-    if small:
-        w = W.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
-        parts.append(
-            df.where(F.col(group_col).isin(small))
-            .withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= max_rows)
-            .drop("__rk")
-        )
-    if big:
-        rate_map = F.create_map(
-            *[x for g, n in big.items() for x in (F.lit(g), F.lit(max_rows / n))]
-        )
-        parts.append(
-            df.where(F.col(group_col).isin(list(big))).where(
-                u < rate_map[F.col(group_col)]
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    if counts.isEmpty():  # bounded probe (a boolean, not per-group rows)
+        return df
+    joined = df.join(F.broadcast(counts), group_col, "left")
+    u = _unit_hash(id_col, seed)
+    under = joined.where(F.col("__n").isNull())
+    w = W.partitionBy(group_col).orderBy(u.asc(), F.col(id_col).asc())
+    small = (  # null __n fails the <= predicate, so this is over-cap only
+        joined.where(F.col("__n") <= F.lit(exact_threshold))
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= max_rows)
+        .drop("__rk")
+    )
+    big = joined.where(F.col("__n") > F.lit(exact_threshold)).where(
+        u < F.lit(float(max_rows)) / F.col("__n")
+    )
+    return (
+        under.unionByName(small).unionByName(big).select(*df.columns)
+    )
 
 
 def shuffle_deterministic(df: DataFrame, id_col: str, seed: int = 0, num_partitions: int | None = None) -> DataFrame:

@@ -418,6 +418,33 @@ def test_cap_per_group_exact_and_approx_paths(spark):
     )
 
 
+def test_cap_per_group_counts_stay_in_plan(spark):
+    """Scale contract: over-cap groups enter the plan as a broadcast-
+    joined counts frame, NOT driver literals — the plan shows a
+    BroadcastHashJoin and no isin/keys list over group values, and a
+    non-string (long) group column joins on its real type."""
+    from binance_data_pipeline_spark.operators.sampling import cap_per_group
+
+    # high-cardinality long group col: 200 groups over cap, 800 under
+    rows = [(g * 100_000 + i, g) for g in range(1000) for i in range(12 if g < 200 else 3)]
+    df = spark.createDataFrame(rows, "doc_id long, host_id long")
+    capped = cap_per_group(df, "doc_id", "host_id", max_rows=5, exact_threshold=10**6)
+
+    got = {
+        r["host_id"]: r["n"]
+        for r in capped.groupBy("host_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert all(n == 5 for g, n in got.items() if g < 200)
+    assert all(n == 3 for g, n in got.items() if g >= 200)
+
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # no group value may appear as a plan literal (isin list / create_map)
+    assert " IN (" not in plan
+    for probe in ("100000, 200000", "create_map", "keys: ["):
+        assert probe not in plan
+
+
 def test_cap_per_group_no_overcap_is_noop(spark):
     from binance_data_pipeline_spark.operators.sampling import cap_per_group
 
