@@ -412,8 +412,16 @@ def default_decoder() -> Decoder:
         compressed = None
 
     def decode(payload: bytes, mime: str) -> list[float]:
-        if mime in (PPM_MIME, PNG_MIME, WAV_MIME):
+        if mime in (PPM_MIME, WAV_MIME):
             return baseline_decoder(payload, mime)
+        if mime == PNG_MIME:
+            # stdlib PNG covers 8-bit non-interlaced; 16-bit/Adam7 fall
+            # through to PIL when present rather than dead-ending
+            try:
+                return baseline_decoder(payload, mime)
+            except NotImplementedError:
+                if compressed is None:
+                    raise
         if compressed is not None and mime.startswith("image/"):
             return compressed(payload, mime)
         return decode_stub(payload, mime)
@@ -430,8 +438,14 @@ def default_resizer() -> Resizer:
         compressed = None
 
     def resize(payload: bytes, mime: str, w: int, h: int) -> bytes:
-        if mime in (PPM_MIME, PNG_MIME):
+        if mime == PPM_MIME:
             return baseline_resizer(payload, mime, w, h)
+        if mime == PNG_MIME:
+            try:
+                return baseline_resizer(payload, mime, w, h)
+            except NotImplementedError:
+                if compressed is None:
+                    raise
         if compressed is not None and mime.startswith("image/"):
             return compressed(payload, mime, w, h)
         return resize_stub(payload, mime, w, h)

@@ -170,14 +170,17 @@ def dedup_substrings(
         )
     )
     # affected docs whose every token was dropped vanish from `rebuilt`'s
-    # groupBy input — re-attach them as empty text via the affected list
+    # groupBy input — re-attach them as empty text via the affected list.
+    # Reserved __sid name keeps the final join unambiguous when the
+    # caller's id column is itself named "id".
     rebuilt_full = affected.join(rebuilt, "id", "left").select(
-        "id", F.coalesce("__new_text", F.lit("")).alias("__new_text")
+        F.col("id").alias("__sid"),
+        F.coalesce("__new_text", F.lit("")).alias("__new_text"),
     )
 
     other_cols = [c for c in docs.columns if c != text_col]
     cleaned = (
-        docs.join(rebuilt_full, docs[id_col] == rebuilt_full["id"], "left")
+        docs.join(rebuilt_full, docs[id_col] == rebuilt_full["__sid"], "left")
         .select(
             *other_cols,
             F.coalesce("__new_text", F.col(text_col)).alias(text_col),

@@ -557,6 +557,87 @@ def test_default_decoder_autodetect(spark, monkeypatch):
     assert M.decode_ppm(resized)[:2] == (8, 6)
 
 
+def test_png_unsupported_by_stdlib_falls_back_to_pil(monkeypatch):
+    """16-bit / interlaced PNGs must not dead-end on the stdlib decoder
+    when PIL is importable: default_decoder/default_resizer retry them
+    through the compressed (PIL) path. Supported 8-bit PNGs still take
+    the dependency-free path (no PIL call); without any PIL the stdlib
+    limitation surfaces as the documented NotImplementedError."""
+    import importlib.util
+    import struct
+    import sys
+    import types
+    import zlib
+
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators import multimodal as M
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    # syntactically complete PNG whose IHDR declares 16-bit depth
+    png16 = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0))
+        + chunk(b"IDAT", b"\x00")
+        + chunk(b"IEND", b"")
+    )
+
+    if importlib.util.find_spec("PIL") is None:
+        with pytest.raises(NotImplementedError, match="bit depth 16"):
+            M.default_decoder()(png16, M.PNG_MIME)
+        with pytest.raises(NotImplementedError, match="bit depth 16"):
+            M.default_resizer()(png16, M.PNG_MIME, 4, 4)
+
+    px = (np.arange(3 * 4 * 3, dtype=np.uint8) * 7 % 256).reshape(3, 4, 3)
+    pil_calls = []
+
+    class _FakeImg:
+        format = "PNG"
+
+        def __init__(self, arr):
+            self._px = arr
+
+        def convert(self, mode):
+            return self
+
+        def __array__(self, dtype=None, copy=None):
+            return self._px.astype(dtype) if dtype is not None else self._px
+
+        def resize(self, wh):
+            w, h = wh
+            ys = (np.arange(h) * self._px.shape[0] // h).clip(0, self._px.shape[0] - 1)
+            xs = (np.arange(w) * self._px.shape[1] // w).clip(0, self._px.shape[1] - 1)
+            return _FakeImg(self._px[ys][:, xs])
+
+        def save(self, out, format=None):
+            out.write(M.encode_ppm(self._px))
+
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = types.SimpleNamespace(
+        open=lambda fh: (pil_calls.append(1), _FakeImg(px))[1]
+    )
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+
+    dec, rsz = M.default_decoder(), M.default_resizer()
+    # supported 8-bit PNG: still the stdlib path, PIL untouched
+    ppm = M.synthetic_ppm(6, 5, seed=1)
+    png8 = M.encode_png(M.decode_ppm(ppm)[2])
+    assert dec(png8, M.PNG_MIME) == M.baseline_decoder(ppm, M.PPM_MIME)
+    assert not pil_calls
+    # 16-bit PNG: falls through to the PIL-backed decode/resize
+    assert dec(png16, M.PNG_MIME) == M._rgb_features(px)
+    assert pil_calls
+    resized = rsz(png16, M.PNG_MIME, 2, 2)
+    assert M.decode_ppm(resized)[:2] == (2, 2)
+
+
 def test_media_stats_prunes_payload(media_df, spark, tmp_path):
     # pruning is a property of the scan: write to parquet, read back, and
     # assert the physical scan's ReadSchema excludes the binary payload

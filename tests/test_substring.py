@@ -107,6 +107,19 @@ def test_extra_columns_and_order_preserved(spark):
     assert out[2]["lang"] == "de" and out[2]["text"] == "y"
 
 
+def test_id_col_named_id_no_ambiguity(spark):
+    """A caller id column literally named 'id' must not collide with the
+    internal rebuild id (reserved __sid) in the final join/select."""
+    a = f"alpha begins {SPAN} alpha ends"
+    b = f"other opener {SPAN} other closer"
+    docs = spark.createDataFrame([(1, a), (2, b)], "id long, text string")
+    cleaned, report = dedup_substrings(docs, id_col="id", min_len=20)
+    out = {r["id"]: r["text"] for r in cleaned.collect()}
+    assert out[1] == a
+    assert "tok0" not in out[2] and out[2].endswith("other closer")
+    assert {r["id"]: r["n_tokens_removed"] for r in report.collect()} == {2: 20}
+
+
 def test_plan_is_jvm_only(spark):
     """No Python in the data path: window hashing, position drops, and the
     rebuild are all JVM expressions."""
