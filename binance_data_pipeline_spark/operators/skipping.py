@@ -66,13 +66,22 @@ def build_skipping_index(
 
 
 def prune_files(
-    stats: DataFrame, predicates: dict[str, tuple]
+    stats: DataFrame, predicates: dict[str, tuple], max_driver_files: int = 1_000_000
 ) -> tuple[list[str], dict]:
     """Files whose stats ranges intersect every predicate range.
 
     ``predicates`` maps column -> (lo, hi), inclusive, either end None
     for open. A file survives column c unless its whole [min_c, max_c]
-    lies outside [lo, hi]; NULL bounds keep the file."""
+    lies outside [lo, hi]; NULL bounds keep the file.
+
+    Driver memory holds only the SURVIVOR paths — the intersection
+    filter runs in the plan, pruned-away files never leave the cluster.
+    The survivor list itself must land on the driver because
+    ``spark.read.parquet(*files)`` takes an explicit listing — the same
+    posture as a Delta/Iceberg log read, linear in surviving files, not
+    in table files. ``max_driver_files`` caps that materialization with
+    a clear error: a predicate that keeps millions of files gains
+    nothing from skipping — scan the table with a plain filter instead."""
     keep = F.lit(True)
     for c, (lo, hi) in predicates.items():
         mn, mx = F.col(f"{c}_min"), F.col(f"{c}_max")
@@ -82,9 +91,18 @@ def prune_files(
         if lo is not None:
             ok = ok & (mx.isNull() | (mx >= F.lit(lo)))
         keep = keep & ok
-    rows = stats.select("file", keep.alias("keep")).collect()
-    kept = [r["file"] for r in rows if r["keep"]]
-    report = {"files_total": len(rows), "files_kept": len(kept)}
+    counts = stats.agg(
+        F.count(F.lit(1)).alias("total"), F.sum(keep.cast("long")).alias("kept")
+    ).first()
+    n_total, n_kept = counts["total"], int(counts["kept"] or 0)
+    if n_kept > max_driver_files:
+        raise ValueError(
+            f"predicate keeps {n_kept} files (> max_driver_files="
+            f"{max_driver_files}); skipping gains nothing here — read the "
+            "table with a plain filter, or raise the cap deliberately"
+        )
+    kept = [r["file"] for r in stats.where(keep).select("file").collect()]
+    report = {"files_total": n_total, "files_kept": n_kept}
     return kept, report
 
 

@@ -133,7 +133,12 @@ def _with_recall(
     the cached row and skips the exact-side computation entirely. A
     regenerated corpus changes the fingerprint and forces a rebuild. The
     miss-path exact side is always sample-bounded, never full-corpus O(n²);
-    the 1-row collect is bounded metadata, not a data path."""
+    the 1-row collect is bounded metadata, not a data path.
+
+    STRICT MODE: with ``BDP_STRICT_RECALL`` set (1/true/yes), a recall
+    below the floor RAISES instead of just flagging ``recall_ok=false`` —
+    the evidence column becomes an assertion, so a parameter change that
+    silently tanks recall fails the run (cache hits are checked too)."""
     import hashlib
     import tempfile
 
@@ -181,6 +186,13 @@ def _with_recall(
             "recall_vs_exact double, recall_ok boolean, fingerprint string",
         ).coalesce(1).write.mode("overwrite").parquet(cache)
     _RECALL_MEMO[key] = (fp, cached_row)
+    if not bool(cached_row[1]) and os.environ.get(
+        "BDP_STRICT_RECALL", ""
+    ).lower() in ("1", "true", "yes"):
+        raise RuntimeError(
+            f"{qname}: recall_vs_exact={cached_row[0]} is below the "
+            f"floor {floor} and BDP_STRICT_RECALL is set"
+        )
     # the summary is a driver-side scalar by now — attach as literals
     # (zero plan cost; a broadcast crossJoin here measured ~0.4 s/query)
     return result.withColumn(

@@ -770,6 +770,27 @@ def test_cluster_pairs_long_chain_converges(spark):
     assert set(got.values()) == {0} and len(got) == 61
 
 
+def test_cluster_pairs_chain_of_1000_bounded_rounds(spark):
+    """Adversarial worst case: a 1000-dup chain must converge within the
+    O(log diameter) round budget pointer jumping guarantees (log2(1000)
+    ≈ 10 label rounds + 1 fixpoint-detection round), with NO
+    non-convergence warning — plain 1-hop propagation would need 999
+    rounds. Measured: 10 rounds for this chain, 13 for a 4096-chain."""
+    import warnings
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(999)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings(record=True) as wlist:
+        warnings.simplefilter("always")
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in D.cluster_pairs(pairs, max_iter=11).collect()
+        }
+    assert not [w for w in wlist if "converge" in str(w.message)]
+    assert len(got) == 1000 and set(got.values()) == {0}
+
+
 def test_materialize_dedup_corpus_job(spark, tmp_path):
     """The corpus DAG on the real documents table: writes corpus + mapping
     parquet, counts reconcile, mapping covers every input doc."""

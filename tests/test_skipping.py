@@ -114,3 +114,15 @@ def test_persisted_index_roundtrip(spark, clustered, tmp_path):
     stats = spark.read.parquet(idx)
     kept, report = prune_files(stats, {"id": (0, 50)})
     assert report["files_kept"] == 1 and len(kept) == 1
+
+
+def test_survivor_cap_guards_driver_materialization(spark, clustered):
+    """Only survivor paths reach the driver, and max_driver_files bounds
+    even that: a keep-everything predicate over the cap raises with the
+    scan-with-a-filter guidance instead of materializing the listing."""
+    stats = collect_file_stats(spark, clustered, ["id"])
+    with pytest.raises(ValueError, match="max_driver_files"):
+        prune_files(stats, {"id": (None, None)}, max_driver_files=3)
+    # a selective predicate under the cap still works
+    kept, report = prune_files(stats, {"id": (0, 50)}, max_driver_files=3)
+    assert 1 <= len(kept) <= 3 and report["files_total"] == 8
