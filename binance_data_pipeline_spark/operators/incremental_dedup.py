@@ -36,9 +36,10 @@ where kept_doc_id may be an EXISTING corpus doc.
 
 ``streaming_dedup_corpus`` wraps dedup_batch in foreachBatch: each
 micro-batch appends its kept docs + audit mapping under ``out_path``.
-Delivery is at-least-once on restart (foreachBatch may re-run a batch;
-an exactly-once upgrade needs a transactional sink keyed by batch_id —
-same caveat as streaming/sinks.py).
+Replays of COMMITTED batches skip via per-batch commit markers
+(state_swap.commit_batch, written after all appends land); only a crash
+inside a batch — between its first append and its marker — replays that
+one batch, where re-drops stay idempotent and audit rows may repeat.
 
 Scale: per-batch work is O(batch) hashing + bucket-bounded candidate
 joins; the corpus-side bucket/shingle scans are join-pruned to candidate
@@ -362,14 +363,26 @@ def streaming_dedup_corpus(
     """foreachBatch wrapper: each micro-batch is deduped against the
     persisted state and appends kept docs + audit mapping under
     ``out_path``. Returns the UNSTARTED writer (callers pick the
-    trigger and call .start()). At-least-once on restart — see module
-    docstring."""
+    trigger and call .start()).
+
+    Replay guard: a per-batch commit marker (state_swap.commit_batch,
+    written after every append of the batch has landed) makes replays of
+    COMMITTED batches skip cleanly — no duplicate state, mapping, or
+    corpus rows. The remaining window is a crash between the first
+    append and the marker: that batch replays and may duplicate
+    bucket/shingle state rows and audit rows (re-drops stay idempotent —
+    see module docstring)."""
     out = out_path.rstrip("/")
+    commits = f"{state_path.rstrip('/')}/commits"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from ..lifecycle import barrier_scope
+        from .state_swap import batch_committed, commit_batch
 
-        with barrier_scope(batch_df.sparkSession):
+        spark = batch_df.sparkSession
+        if batch_committed(spark, commits, batch_id):
+            return
+        with barrier_scope(spark):
             kept, mapping = dedup_batch(
                 batch_df, state_path, id_col=id_col, text_col=text_col,
                 threshold=threshold, **dedup_kwargs,
@@ -378,6 +391,7 @@ def streaming_dedup_corpus(
                 "append"
             ).parquet(f"{out}/mapping.parquet")
             kept.write.mode("append").parquet(f"{out}/corpus.parquet")
+            commit_batch(spark, commits, batch_id)
 
     return stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

@@ -336,16 +336,26 @@ def streaming_semantic_dedup(
     contract: each micro-batch dedupes against the persisted member
     state and appends kept docs + audit mapping under ``out_path``.
     Returns the UNSTARTED writer (caller picks the trigger and calls
-    .start()). At-least-once on restart: a replayed batch re-maps its
-    docs against state its first run already appended, so replays
-    re-drop instead of re-admitting — mapping rows may duplicate per
-    (doc, batch), corpus membership stays consistent."""
+    .start()).
+
+    Replay guard: per-batch commit markers (state_swap.commit_batch,
+    written after every append landed) make replays of COMMITTED batches
+    skip with no duplicate state/mapping/corpus rows. A crash between
+    the first append and the marker replays that one batch: re-drops
+    stay idempotent against the already-appended member state, audit
+    rows may duplicate per (doc, batch) — the documented at-least-once
+    window of append-only state."""
     out = out_path.rstrip("/")
+    commits = f"{state_path.rstrip('/')}/commits"
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         from ..lifecycle import barrier_scope
+        from .state_swap import batch_committed, commit_batch
 
-        with barrier_scope(batch_df.sparkSession):
+        spark = batch_df.sparkSession
+        if batch_committed(spark, commits, batch_id):
+            return
+        with barrier_scope(spark):
             kept, mapping = semantic_dedup_batch(
                 batch_df, state_path, id_col=id_col, vec_col=vec_col,
                 threshold=threshold, **batch_kwargs,
@@ -354,6 +364,7 @@ def streaming_semantic_dedup(
                 "append"
             ).parquet(f"{out}/mapping.parquet")
             kept.write.mode("append").parquet(f"{out}/corpus.parquet")
+            commit_batch(spark, commits, batch_id)
 
     return stream_docs.writeStream.foreachBatch(process).option(
         "checkpointLocation", checkpoint

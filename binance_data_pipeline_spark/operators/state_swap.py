@@ -42,7 +42,36 @@ from pyspark.errors import AnalysisException
 
 from .ivf import _hadoop_fs
 
-__all__ = ["merge_state_batch", "read_state"]
+__all__ = ["merge_state_batch", "read_state", "batch_committed", "commit_batch"]
+
+
+def batch_committed(spark: SparkSession, commits_path: str, batch_id: int) -> bool:
+    """True when ``commit_batch`` has recorded ``batch_id`` under
+    ``commits_path`` — the replay guard for APPEND-ONLY streaming states
+    (incremental_dedup / semdedup), whose effects can't ride the dir-swap
+    protocol the MERGE states use. Check FIRST in foreachBatch; a hit
+    means the batch's appends all landed and the replay must skip."""
+    fs, p = _hadoop_fs(spark, f"{commits_path.rstrip('/')}/{int(batch_id)}")
+    return fs.exists(p)
+
+
+def commit_batch(spark: SparkSession, commits_path: str, batch_id: int) -> None:
+    """Record ``batch_id`` as fully applied — call LAST, after every
+    append of the batch has landed. The marker is a one-row parquet dir
+    moved into place by a single rename, so a crash mid-commit leaves no
+    half-marker; a crash BEFORE the commit leaves the batch uncommitted
+    and the replay re-appends (the documented at-least-once window of
+    append-only state — re-drops are idempotent, audit rows may repeat
+    per (doc, batch))."""
+    base = commits_path.rstrip("/")
+    tmp = f"{base}/__commit_{uuid.uuid4().hex[:8]}"
+    spark.createDataFrame([(int(batch_id),)], "batch_id long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(tmp)
+    fs, dest = _hadoop_fs(spark, f"{base}/{int(batch_id)}")
+    _, tmp_p = _hadoop_fs(spark, tmp)
+    if not fs.rename(tmp_p, dest):
+        fs.delete(tmp_p, True)  # a racing replay already committed it
 
 
 def _recover_if_needed(spark: SparkSession, state: str) -> None:

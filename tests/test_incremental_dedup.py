@@ -127,6 +127,37 @@ def test_streaming_dedup_corpus_end_to_end(spark, tmp_path):
     assert "batch_id" in mapping.columns
 
 
+def test_streaming_dedup_replay_skips_committed_batches(spark, tmp_path):
+    """Exactly-once face of the commit markers: re-delivering the same
+    micro-batch (fresh checkpoint, same source, same batch id) must not
+    duplicate corpus rows, mapping rows, or state — the committed batch
+    is skipped, like test_heavyhitters' merge-state replay."""
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    _docs(spark, [(1, BASE), (2, OTHER)]).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+        q = streaming_dedup_corpus(
+            stream, state, out, str(tmp_path / ckpt), threshold=0.5
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    first = sorted(r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect())
+    n_map = spark.read.parquet(f"{out}/mapping.parquet").count()
+    shingle_rows = spark.read.parquet(f"{state}/shingles.parquet").count()
+
+    run("ckpt2")  # fresh checkpoint: batch 0 re-delivered → must skip
+    assert sorted(
+        r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()
+    ) == first == [1, 2]
+    assert spark.read.parquet(f"{out}/mapping.parquet").count() == n_map
+    assert spark.read.parquet(f"{state}/shingles.parquet").count() == shingle_rows
+
+
 def test_dedup_batch_string_ids(spark, tmp_path):
     """State schemas follow the caller's id dtype — string doc ids must
     round-trip through fingerprints/buckets/shingles intact across

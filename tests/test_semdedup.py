@@ -310,3 +310,43 @@ def test_streaming_semantic_dedup_end_to_end(spark, tmp_path):
     corpus = spark.read.parquet(f"{out}/corpus.parquet")
     assert {r["vec_id"] for r in corpus.collect()} == {31}
     assert "batch_id" in mapping.columns
+
+
+def test_streaming_semantic_dedup_replay_skips_committed(spark, tmp_path):
+    """Commit markers: re-delivering the same micro-batch (fresh
+    checkpoint, same source → same batch id) skips cleanly — no
+    duplicate corpus, mapping, or member-state rows."""
+    import os
+
+    from binance_data_pipeline_spark.operators.semdedup import (
+        streaming_semantic_dedup,
+    )
+
+    src = str(tmp_path / "src")
+    state = str(tmp_path / "state")
+    out = str(tmp_path / "out")
+    os.makedirs(src)
+    _batch(
+        spark, [(1, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])]
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    def run(ckpt):
+        stream = spark.readStream.schema(
+            "vec_id long, embedding array<double>"
+        ).parquet(src)
+        q = streaming_semantic_dedup(
+            stream, state, out, str(tmp_path / ckpt), threshold=0.97
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run("ckpt1")
+    kept = sorted(r["vec_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect())
+    n_map = spark.read.parquet(f"{out}/mapping.parquet").count()
+    n_members = spark.read.parquet(f"{state}/members.parquet").count()
+
+    run("ckpt2")  # replay of committed batch 0
+    assert sorted(
+        r["vec_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()
+    ) == kept == [1, 2]
+    assert spark.read.parquet(f"{out}/mapping.parquet").count() == n_map
+    assert spark.read.parquet(f"{state}/members.parquet").count() == n_members
