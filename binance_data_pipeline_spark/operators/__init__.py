@@ -27,4 +27,5 @@ scale            compaction, bucketing, salting, Z-order
 skipping         file-level min/max data-skipping index
 export           sharded manifest-gated training-data export (jsonl[.gz]/parquet)
 multimodal       binary-column plumbing; real PPM/PNG/WAV codecs, PIL autodetect
+jpeg             dependency-free baseline JPEG codec (T.81 sequential, JFIF)
 """

@@ -2,20 +2,22 @@
 with typed metadata, processed in Arrow batches via mapInPandas.
 
 Decode support is tiered:
-  - REAL, no dependencies: PPM (P6) and PNG (8-bit, non-interlaced)
-    images and PCM WAV audio decode with numpy + stdlib `zlib`/`wave` —
-    `baseline_decoder` / `baseline_resizer` run the feature and resize
-    paths end-to-end, un-stubbed, on those formats (synthetic fixture
-    builders included).
+  - REAL, no dependencies: PPM (P6), PNG (8-bit, non-interlaced) and
+    baseline-sequential JPEG (operators/jpeg) images and PCM WAV audio
+    decode with numpy + stdlib — `baseline_decoder` /
+    `baseline_resizer` run the feature and resize paths end-to-end,
+    un-stubbed, on those formats (synthetic fixture builders included).
   - AUTO-DETECTED: `default_decoder()` / `default_resizer()` probe for PIL
     once at construction and route the remaining compressed images
-    (JPEG/WebP/16-bit or interlaced PNG) through it when importable — decoding to RGB and reusing the SAME
-    `_rgb_features`, so identical pixels give identical vectors in either
-    container format.
-  - STUBBED: without PIL (this container), compressed formats fall back to
-    `decode_stub`'s NotImplementedError; audio/video beyond PCM WAV needs
-    libav — inject a real Decoder in production. The Arrow-batch plumbing
-    is identical either way, so swapping decoders changes zero Spark code.
+    (WebP, progressive JPEG, 16-bit or interlaced PNG) through it when
+    importable — decoding to RGB and reusing the SAME `_rgb_features`,
+    so identical pixels give identical vectors in either container
+    format.
+  - STUBBED: without PIL (this container), the remaining formats fall
+    back to `decode_stub`'s NotImplementedError; audio/video beyond PCM
+    WAV needs libav — inject a real Decoder in production. The
+    Arrow-batch plumbing is identical either way, so swapping decoders
+    changes zero Spark code.
 
 Scale notes: binary payloads dominate row size → keep
 `spark.sql.files.maxPartitionBytes` small enough that an Arrow batch of
@@ -95,6 +97,7 @@ def deterministic_fake_decoder(dim: int = 8) -> Decoder:
 PPM_MIME = "image/x-portable-pixmap"
 WAV_MIME = "audio/wav"
 PNG_MIME = "image/png"
+JPEG_MIME = "image/jpeg"
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -312,6 +315,8 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
 
     PPM  → _rgb_features (see above)
     PNG  → decode_png (stdlib zlib + unfilter) → the SAME _rgb_features
+    JPEG → decode_jpeg (operators/jpeg: baseline sequential Huffman +
+           vectorized IDCT) → the SAME _rgb_features
     WAV  → [duration s, RMS, zero-crossing rate, peak, rate/48k, ch, 0, 2.0]
 
     Other mimes raise NotImplementedError (they need PIL/libav)."""
@@ -322,6 +327,11 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
         return _rgb_features(px)
     if mime == PNG_MIME:
         _, _, px = decode_png(payload)
+        return _rgb_features(px)
+    if mime == JPEG_MIME:
+        from .jpeg import decode_jpeg
+
+        _, _, px = decode_jpeg(payload)
         return _rgb_features(px)
     if mime == WAV_MIME:
         rate, channels, s = decode_wav(payload)
@@ -343,21 +353,32 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
 
 
 def baseline_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
-    """Real nearest-neighbor resize for PPM and PNG images, re-encoded in
-    the source container; other formats need an imaging library. (A PNG
-    with alpha comes back as RGB — features and resize are RGB-defined.)"""
+    """Real nearest-neighbor resize for PPM, PNG and baseline JPEG,
+    re-encoded in the source container; other formats need an imaging
+    library. (A PNG with alpha comes back as RGB — features and resize
+    are RGB-defined; JPEG re-encodes at quality 90.)"""
     import numpy as np
 
     if mime == PPM_MIME:
         src_w, src_h, px = decode_ppm(payload)
     elif mime == PNG_MIME:
         src_w, src_h, px = decode_png(payload)
+    elif mime == JPEG_MIME:
+        from .jpeg import decode_jpeg
+
+        src_w, src_h, px = decode_jpeg(payload)
     else:
         raise NotImplementedError(f"no dependency-free resizer for {mime}")
     ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
     xs = (np.arange(w) * src_w // w).clip(0, src_w - 1)
     resized = px[ys][:, xs]
-    return encode_ppm(resized) if mime == PPM_MIME else encode_png(resized)
+    if mime == PPM_MIME:
+        return encode_ppm(resized)
+    if mime == JPEG_MIME:
+        from .jpeg import encode_jpeg
+
+        return encode_jpeg(resized, quality=90)
+    return encode_png(resized)
 
 
 def pil_decoder() -> Decoder:
@@ -422,6 +443,15 @@ def default_decoder() -> Decoder:
             except NotImplementedError:
                 if compressed is None:
                     raise
+        if mime == JPEG_MIME:
+            # baseline sequential decodes dependency-free; progressive/
+            # arithmetic (NotImplementedError) and mislabeled payloads
+            # (ValueError — PIL sniffs content, not mime) fall through
+            try:
+                return baseline_decoder(payload, mime)
+            except (NotImplementedError, ValueError):
+                if compressed is None:
+                    raise
         if compressed is not None and mime.startswith("image/"):
             return compressed(payload, mime)
         return decode_stub(payload, mime)
@@ -444,6 +474,12 @@ def default_resizer() -> Resizer:
             try:
                 return baseline_resizer(payload, mime, w, h)
             except NotImplementedError:
+                if compressed is None:
+                    raise
+        if mime == JPEG_MIME:
+            try:
+                return baseline_resizer(payload, mime, w, h)
+            except (NotImplementedError, ValueError):
                 if compressed is None:
                     raise
         if compressed is not None and mime.startswith("image/"):

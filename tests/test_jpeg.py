@@ -1,0 +1,137 @@
+"""Baseline JPEG codec (operators/jpeg.py) — dependency-free encode +
+decode closing the compressed-image stub family. Extension surface: the
+reference has no media handling; this backs the multimodal column
+plumbing (operators/multimodal.py) without PIL."""
+
+from __future__ import annotations
+
+import struct
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pytest
+
+from binance_data_pipeline_spark.operators.jpeg import (
+    JPEG_SIG,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _gradient(h=24, w=32):
+    y, x = np.mgrid[0:h, 0:w]
+    return np.stack(
+        [x * 255 // max(w - 1, 1), y * 255 // max(h - 1, 1), (x + y) * 3 % 256],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def test_roundtrip_accuracy_by_quality():
+    """Lossy but tight: error shrinks with quality; q95 within 2 levels
+    on a smooth gradient, q60 still within 10."""
+    px = _gradient()
+    for q, bound in ((95, 2), (85, 5), (60, 10)):
+        w, h, out = decode_jpeg(encode_jpeg(px, quality=q))
+        assert (w, h) == (32, 24)
+        assert np.abs(out.astype(int) - px.astype(int)).max() <= bound
+
+
+def test_flat_color_exact_and_odd_dimensions():
+    flat = np.full((16, 16, 3), 77, np.uint8)
+    _, _, out = decode_jpeg(encode_jpeg(flat, 85))
+    assert np.array_equal(out, flat)  # DC-only block: lossless
+
+    odd = _gradient(19, 21)  # non-multiple-of-8: edge padding must crop away
+    w, h, out = decode_jpeg(encode_jpeg(odd, 90))
+    assert (w, h) == (21, 19) and out.shape == (19, 21, 3)
+    assert np.abs(out.astype(int) - odd.astype(int)).max() <= 6
+
+
+def test_noise_roundtrip_bounded():
+    """Worst case for DCT compaction (no structure): mean error stays in
+    the few-levels band at high quality."""
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    _, _, out = decode_jpeg(encode_jpeg(px, 95))
+    assert np.abs(out.astype(int) - px.astype(int)).mean() < 6
+
+
+def test_stream_is_standard_jfif():
+    """Container structure any compliant reader expects: SOI + JFIF APP0,
+    two DQTs, SOF0, four DHTs, SOS, EOI — tables embedded in-stream."""
+    data = encode_jpeg(_gradient(8, 8), 85)
+    assert data.startswith(JPEG_SIG) and data.endswith(b"\xff\xd9")
+    assert data[2:4] == b"\xff\xe0" and data[6:11] == b"JFIF\x00"
+    assert data.count(b"\xff\xdb") >= 2 and data.count(b"\xff\xc4") >= 4
+    assert b"\xff\xc0" in data and b"\xff\xda" in data
+
+
+def test_progressive_raises_not_implemented():
+    """A SOF2 (progressive) stream must raise NotImplementedError — the
+    multimodal default_decoder contract for falling through to PIL."""
+    data = bytearray(encode_jpeg(_gradient(8, 8), 85))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(bytes(data))
+
+
+def test_corrupt_payloads_raise_value_error():
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"definitely not a jpeg")
+    truncated = encode_jpeg(_gradient(16, 16), 85)[:40]  # header only
+    with pytest.raises((ValueError, struct.error, IndexError)):
+        decode_jpeg(truncated)
+
+
+def test_encoder_input_validation():
+    with pytest.raises(ValueError, match="HxWx3"):
+        encode_jpeg(np.zeros((4, 4), np.uint8))
+
+
+def test_feature_parity_with_ppm_container():
+    """Same pixels through PPM (lossless) and JPEG (q95) containers give
+    matching features within the lossy tolerance — the multimodal
+    format-independence contract."""
+    from binance_data_pipeline_spark.operators.multimodal import (
+        JPEG_MIME,
+        PPM_MIME,
+        baseline_decoder,
+        decode_ppm,
+        synthetic_ppm,
+    )
+
+    ppm = synthetic_ppm(20, 14, seed=5)
+    _, _, px = decode_ppm(ppm)
+    want = baseline_decoder(ppm, PPM_MIME)
+    got = baseline_decoder(encode_jpeg(px, 95), JPEG_MIME)
+    assert got[0] == want[0] and got[1] == want[1] and got[7] == want[7]
+    assert all(abs(got[i] - want[i]) < 1.5 for i in (2, 3, 4, 5))
+
+
+def test_jpeg_flows_through_spark_pipeline(spark):
+    """JPEG payloads run the Arrow-batched feature + resize passes with
+    the dependency-free default decoder/resizer — no PIL, no stub."""
+    from binance_data_pipeline_spark.operators.multimodal import (
+        JPEG_MIME,
+        MEDIA_SCHEMA,
+        default_decoder,
+        default_resizer,
+        extract_features,
+        resize_images,
+    )
+
+    rows = [
+        (i, "image", JPEG_MIME, encode_jpeg(_gradient(24, 32), 90), 32, 24, None)
+        for i in range(3)
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    feats = extract_features(media, default_decoder()).collect()
+    assert len(feats) == 3
+    assert all(r["feature"][0] == 32.0 and r["feature"][1] == 24.0 for r in feats)
+    out = resize_images(media, 8, 6, default_resizer()).collect()
+    for r in out:
+        w, h, px = decode_jpeg(bytes(r["payload"]))
+        assert (w, h) == (8, 6) and px.shape == (6, 8, 3)

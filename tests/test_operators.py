@@ -294,8 +294,12 @@ def test_resize_real_ppm_roundtrip(real_media_df):
 def test_baseline_decoder_rejects_undecodable_mime():
     from binance_data_pipeline_spark.operators.multimodal import baseline_decoder
 
+    # formats beyond the stdlib codecs (PPM/PNG/JPEG/WAV) stay stubbed
     with pytest.raises(NotImplementedError):
-        baseline_decoder(b"\xff\xd8\xff\xe0jfif...", "image/jpeg")
+        baseline_decoder(b"RIFF....WEBP", "image/webp")
+    # malformed payload for a SUPPORTED format is a data error, not a stub
+    with pytest.raises(ValueError):
+        baseline_decoder(b"\xff\xd8\xff\xe0jfif-but-garbage", "image/jpeg")
 
 
 # ------------------------------------------------------------- PNG codec
@@ -503,12 +507,20 @@ def test_default_decoder_autodetect(spark, monkeypatch):
     png = M.encode_png(M.decode_ppm(ppm)[2])
     assert dec(png, M.PNG_MIME) == want_img
 
+    # baseline JPEG is dependency-free now too: decodes in ANY env
+    from binance_data_pipeline_spark.operators.jpeg import encode_jpeg
+
+    jpg = encode_jpeg(M.decode_ppm(ppm)[2], quality=95)
+    got = dec(jpg, M.JPEG_MIME)
+    assert got[0] == want_img[0] and got[1] == want_img[1]  # exact dims
+    assert all(abs(got[i] - want_img[i]) < 1.5 for i in (2, 3, 4))  # lossy means
+
     if importlib.util.find_spec("PIL") is None:
-        # this container: remaining compressed formats hit the documented stub
+        # this container: formats beyond the stdlib codecs hit the stub
         with pytest.raises(NotImplementedError):
-            dec(ppm, "image/jpeg")
+            dec(ppm, "image/webp")
         with pytest.raises(NotImplementedError):
-            M.default_resizer()(b"x", "image/jpeg", 4, 4)
+            M.default_resizer()(b"x", "image/webp", 4, 4)
     else:  # environment with a real PIL: the real decode path runs
         import io
 
