@@ -3,4 +3,5 @@
 json_envelope   parse/flatten the Binance combined-stream envelope (P1-P3)
 rest_backfill   REST fetch-grid batch source (S5), fetcher injected
 csv_rules       fee/tax rules dimension from CSV (S9)
+ws_bridge       RFC 6455 WebSocket→sink ingress bridge (S1), stdlib-only
 """
