@@ -232,3 +232,49 @@ def test_handshake_rejects_bad_accept():
     with pytest.raises(ConnectionError, match="Accept"):
         ws_connect(f"ws://127.0.0.1:{port}/")
     server.close()
+
+
+def test_bridge_output_is_engine_wire_format(spark):
+    """The full S1→S2→P3 contract chain with zero external processes:
+    messages from the live loopback bridge, serialized the reference way
+    (compact JSON, binance_ws_to_kafka.py:37), parse back through the
+    engine's bronze-consumer decode (parse_flat_record) with every field
+    typed — the shipped bridge emits exactly the wire format the engine
+    ingests."""
+    import json as _json
+
+    from binance_data_pipeline_spark.sources.json_envelope import parse_flat_record
+
+    server = socket.socket()
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        rf = _handshake_server_side(conn)
+        read_frame(rf)  # subscribe
+        conn.sendall(encode_frame(OP_TEXT, _trade_msg("BTCUSDT", 11), mask=False))
+        conn.sendall(encode_frame(OP_TEXT, _trade_msg("ETHUSDT", 12), mask=False))
+        conn.sendall(encode_frame(OP_CLOSE, b"\x03\xe8", mask=False))
+        read_frame(rf)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    wire: list[tuple[str, str]] = []
+    run_bridge(
+        f"ws://127.0.0.1:{port}/",
+        sink=lambda k, v: wire.append((k, _json.dumps(v, separators=(",", ":")))),
+        symbols=["btcusdt"],
+    )
+    t.join(10)
+    server.close()
+
+    raw = spark.createDataFrame(wire, "key string, value string")
+    rows = {r["trade_id"]: r for r in parse_flat_record(raw).collect()}
+    assert set(rows) == {11, 12}
+    r = rows[11]
+    assert r["symbol"] == "BTCUSDT" and r["price"] == "1"
+    assert r["is_buyer_maker"] is False and r["ingest_time"] is not None
+    assert isinstance(r["event_time"], int) and isinstance(r["trade_time"], int)
