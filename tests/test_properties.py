@@ -338,3 +338,49 @@ def test_png_roundtrip_any_shape(w, h, seed):
     got_w, got_h, back = decode_png(encode_png(px))
     assert (got_w, got_h) == (w, h)
     assert (back == px).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    payload=st.binary(max_size=300),
+    opcode=st.sampled_from([1, 2, 8, 9, 10]),
+    mask=st.booleans(),
+    fin=st.booleans(),
+)
+def test_ws_frame_roundtrip_property(payload, opcode, mask, fin):
+    """Any payload/opcode/mask/fin survives the RFC 6455 frame codec
+    byte-exactly (no Spark: pure codec property)."""
+    import io
+
+    from binance_data_pipeline_spark.sources.ws_bridge import (
+        encode_frame,
+        read_frame,
+    )
+
+    raw = encode_frame(opcode, payload, mask=mask, fin=fin)
+    op, f, got = read_frame(io.BytesIO(raw))
+    assert (op, f, got) == (opcode, fin, payload)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.integers(1, 40),
+    h=st.integers(1, 40),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_roundtrip_property(w, h, seed):
+    """Arbitrary-dimension random images survive the baseline JPEG
+    roundtrip at q95 with bounded mean error and exact dimensions —
+    including 1-pixel edges and non-multiple-of-8 shapes."""
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.jpeg import (
+        decode_jpeg,
+        encode_jpeg,
+    )
+
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+    w2, h2, out = decode_jpeg(encode_jpeg(px, quality=95))
+    assert (w2, h2) == (w, h) and out.shape == px.shape
+    assert np.abs(out.astype(int) - px.astype(int)).mean() < 8.0
