@@ -318,3 +318,57 @@ def run_bridge(
     finally:
         sock.close()
     return n_forwarded
+
+
+def _main(argv: list[str] | None = None) -> int:
+    """CLI twin of the reference producer process
+    (`python producer/binance_ws_to_kafka.py`): stream trades into a
+    JSONL file the engine's file source ingests directly
+    (`streaming/ingest` + `json_envelope.parse_flat_record` read exactly
+    these lines). `--reconnect-delay` reproduces the reference's
+    sleep-1s-and-retry posture on error/close."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description="WebSocket → JSONL trade bridge")
+    ap.add_argument("--symbols", nargs="+", default=["btcusdt", "ethusdt", "bnbusdt"])
+    ap.add_argument("--url", default=None, help="override the combined-stream URL")
+    ap.add_argument("--out", required=True, help="append-mode JSONL sink path")
+    ap.add_argument("--max-messages", type=int, default=None)
+    ap.add_argument("--ping-interval", type=float, default=20.0)
+    ap.add_argument("--ping-timeout", type=float, default=10.0)
+    ap.add_argument("--reconnect-delay", type=float, default=1.0)
+    ap.add_argument("--once", action="store_true", help="one connection, no reconnect")
+    args = ap.parse_args(argv)
+    url = args.url or binance_stream_url(args.symbols)
+
+    total = 0
+    with open(args.out, "a", buffering=1) as f:
+
+        def sink(key: str, rec: dict) -> None:
+            f.write(json.dumps(rec, separators=(",", ":")) + "\n")
+
+        while True:
+            try:
+                total += run_bridge(
+                    url,
+                    sink,
+                    symbols=args.symbols,
+                    ping_interval=args.ping_interval,
+                    ping_timeout=args.ping_timeout,
+                    max_messages=(
+                        None if args.max_messages is None else args.max_messages - total
+                    ),
+                )
+            except (ConnectionError, OSError, RuntimeError):
+                if args.once:
+                    raise
+                time.sleep(args.reconnect_delay)
+                continue
+            if args.once or (args.max_messages is not None and total >= args.max_messages):
+                break
+            time.sleep(args.reconnect_delay)  # server closed: reconnect
+    return total
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised via _main in tests
+    print(_main())

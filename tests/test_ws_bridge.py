@@ -278,3 +278,38 @@ def test_bridge_output_is_engine_wire_format(spark):
     assert r["symbol"] == "BTCUSDT" and r["price"] == "1"
     assert r["is_buyer_maker"] is False and r["ingest_time"] is not None
     assert isinstance(r["event_time"], int) and isinstance(r["trade_time"], int)
+
+
+def test_cli_writes_engine_readable_jsonl(tmp_path):
+    """The __main__ entry: one connection (--once), trades appended as
+    compact JSONL — the file the engine's file-source ingest reads."""
+    server = socket.socket()
+    server.bind(("127.0.0.1", 0))
+    server.listen(1)
+    port = server.getsockname()[1]
+
+    def serve():
+        conn, _ = server.accept()
+        rf = _handshake_server_side(conn)
+        read_frame(rf)  # subscribe
+        conn.sendall(encode_frame(OP_TEXT, _trade_msg("BTCUSDT", 21), mask=False))
+        conn.sendall(encode_frame(OP_TEXT, _trade_msg("ETHUSDT", 22), mask=False))
+        conn.sendall(encode_frame(OP_CLOSE, b"\x03\xe8", mask=False))
+        read_frame(rf)
+        conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    out = tmp_path / "trades.jsonl"
+    from binance_data_pipeline_spark.sources.ws_bridge import _main
+
+    n = _main(
+        ["--url", f"ws://127.0.0.1:{port}/", "--symbols", "btcusdt",
+         "--out", str(out), "--once"]
+    )
+    t.join(10)
+    server.close()
+
+    lines = [json.loads(line) for line in out.read_text().splitlines()]
+    assert n == 2 and [r["trade_id"] for r in lines] == [21, 22]
+    assert all(r["event_type"] == "trade" and "ingest_time" in r for r in lines)
