@@ -258,6 +258,7 @@ def build_training_corpus(
     max_repetition: float | None = None,
     probes_path: str | None = None,
     max_contamination: float = 0.5,
+    probes_bloom: bool | None = None,
     domain_rules: dict[str, dict] | None = None,
     domain_col: str = "source",
     embeddings_path: str | None = None,
@@ -309,7 +310,9 @@ def build_training_corpus(
     exceeds the bound (looping/boilerplate text); ``probes_path`` points
     at a parquet of benchmark docs (same id/text columns) — kept docs
     overlapping any probe by ≥ ``max_contamination`` (8-token shingle
-    fraction) are removed. ``domain_rules`` swaps the flat
+    fraction) are removed; ``probes_bloom`` picks the Bloom-prefiltered
+    scan for probe sets too big to broadcast raw (None = auto by probe
+    count, results identical either way). ``domain_rules`` swaps the flat
     ``min_quality`` gate for per-domain thresholds over ``domain_col``
     (operators/quality_rules.filter_by_domain — Gopher/C4 bundles with a
     ``"*"`` default row); the global ``min_quality``/``max_repetition``
@@ -424,8 +427,18 @@ def build_training_corpus(
             )
 
         if probes_path is not None:
+            from .operators.dedup import contamination_report_bloom
+
             probes = spark.read.parquet(probes_path)
-            dirty = contamination_report(
+            # bloom-prefiltered scan when the probe set is too big to
+            # broadcast raw; auto = bounded row-count probe (None = auto)
+            use_bloom = (
+                probes.limit(50_001).count() > 50_000
+                if probes_bloom is None
+                else probes_bloom
+            )
+            scan = contamination_report_bloom if use_bloom else contamination_report
+            dirty = scan(
                 kept, probes, id_col=id_col, text_col=text_col,
                 min_overlap=max_contamination,
             ).select(F.col(id_col).alias("__dirty_id")).distinct()

@@ -469,6 +469,19 @@ def test_build_training_corpus_decontamination_and_repetition(spark, tmp_path):
     kept_ids = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
     assert kept_ids == {1}
 
+    # forcing the bloom-prefiltered scan changes nothing but the plan
+    out2 = str(tmp_path / "corpus_bloom")
+    counts2 = build_training_corpus(
+        spark, src, out2,
+        min_quality=0.3, dedup_threshold=0.5,
+        max_repetition=0.5, probes_path=probes_path, max_contamination=0.5,
+        probes_bloom=True,
+    )
+    assert counts2["after_decontamination"] == 1
+    assert {
+        r["doc_id"] for r in spark.read.parquet(f"{out2}/corpus.parquet").collect()
+    } == {1}
+
 
 def test_build_training_corpus_domain_rules(spark, tmp_path):
     """Per-domain quality gate inside the DAG: a strict rule for one
