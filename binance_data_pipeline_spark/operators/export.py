@@ -89,6 +89,119 @@ def export_shards(
     }
 
 
+def export_webdataset(
+    df: DataFrame,
+    out_path: str,
+    id_col: str,
+    members: dict[str, str],
+    n_shards: int,
+    seed: int = 0,
+) -> dict:
+    """WebDataset-style tar shards — the multimodal training delivery
+    format (one tar per shard; each sample contributes members named
+    ``<key>.<ext>`` so loaders regroup a sample's modalities by shared
+    basename).
+
+    ``members`` maps tar member EXTENSION → source column: binary
+    columns write raw bytes (image/audio payloads), strings write UTF-8,
+    anything else serializes to compact JSON. NULL member values are
+    skipped (a doc without audio simply has no ``.wav`` member).
+
+    Spark shape: the same content-keyed placement as ``export_shards``
+    (``pmod(xxhash64(id, seed), n_shards)``) exchanges each shard's rows
+    to one ``applyInPandas`` task, which streams a DETERMINISTIC tar
+    (members sorted by key; zeroed mtime/uid/gid) straight to
+    ``shards/shard-NNNNN.tar`` — tar bytes never pass through the
+    driver. The manifest (shard, rows, bytes, path) aggregates the
+    per-task summary rows and is written LAST, the family's commit
+    marker.
+
+    Paths are opened with plain ``open`` — a POSIX-visible target
+    (local dir, NFS/Lustre mount, FUSE-mounted object store). For raw
+    S3/HDFS, export to a mount or localize-and-upload; the tar layout
+    is loader-standard either way.
+
+    Returns {"n_shards" (requested), "files", "rows", "bytes",
+    "manifest_path"}."""
+    import os
+
+    if not members:
+        raise ValueError("members must map at least one extension to a column")
+    missing = [c for c in members.values() if c not in df.columns]
+    if missing:
+        raise ValueError(f"member columns not in frame: {missing}")
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be ≥1, got {n_shards}")
+    spark = df.sparkSession
+    out = out_path.rstrip("/")
+    shards_dir = f"{out}/shards"
+    os.makedirs(shards_dir, exist_ok=True)
+
+    dtypes = dict(df.dtypes)
+    member_specs = [(ext, col, dtypes[col]) for ext, col in sorted(members.items())]
+    cols = [id_col] + sorted({c for _, c in members.items()})
+
+    sharded = df.select(*cols).withColumn(
+        "shard", F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(n_shards))
+    )
+
+    def write_shard(pdf):
+        import io
+        import json as _json
+        import tarfile
+
+        import pandas as pd
+
+        shard = int(pdf["shard"].iloc[0])
+        path = os.path.join(shards_dir, f"shard-{shard:05d}.tar")
+        pdf = pdf.sort_values(id_col, kind="mergesort")  # deterministic order
+        n_bytes = 0
+        with open(path, "wb") as fh, tarfile.open(
+            fileobj=fh, mode="w", format=tarfile.USTAR_FORMAT
+        ) as tar:
+            for _, row in pdf.iterrows():
+                key = str(row[id_col])
+                for ext, col, dtype in member_specs:
+                    v = row[col]
+                    if v is None or (isinstance(v, float) and pd.isna(v)):
+                        continue
+                    if dtype == "binary":
+                        data = bytes(v)
+                    elif dtype == "string":
+                        data = str(v).encode("utf-8")
+                    else:
+                        data = _json.dumps(v, separators=(",", ":"), default=str).encode()
+                    info = tarfile.TarInfo(name=f"{key}.{ext}")
+                    info.size = len(data)
+                    info.mtime = 0
+                    info.uid = info.gid = 0
+                    info.uname = info.gname = ""
+                    tar.addfile(info, io.BytesIO(data))
+                    n_bytes += len(data)
+        return pd.DataFrame(
+            {"shard": [shard], "rows": [len(pdf)], "bytes": [n_bytes], "file": [path]}
+        )
+
+    summary = (
+        sharded.repartition(n_shards, "shard")
+        .groupBy("shard")
+        .applyInPandas(write_shard, "shard long, rows long, bytes long, file string")
+    )
+    summary.coalesce(1).write.mode("overwrite").parquet(f"{out}/manifest.parquet")
+    stats = spark.read.parquet(f"{out}/manifest.parquet").agg(
+        F.count(F.lit(1)).alias("files"),
+        F.sum("rows").alias("rows"),
+        F.sum("bytes").alias("bytes"),
+    ).first()
+    return {
+        "n_shards": n_shards,
+        "files": int(stats["files"]),
+        "rows": int(stats["rows"] or 0),
+        "bytes": int(stats["bytes"] or 0),
+        "manifest_path": f"{out}/manifest.parquet",
+    }
+
+
 def read_export(spark: SparkSession, out_path: str, fmt: str = "jsonl") -> DataFrame:
     """Read an export back, refusing a shard directory with no manifest
     (half-written export)."""

@@ -93,3 +93,79 @@ def test_export_jsonl_gzip_roundtrip(spark, tmp_path):
     back = read_export(spark, out, fmt="jsonl")
     assert back.count() == 200
     assert {r["doc_id"] for r in back.select("doc_id").collect()} == set(range(200))
+
+
+def test_export_webdataset_tar_shards(spark, tmp_path):
+    """Multimodal tar delivery: binary members raw, strings UTF-8,
+    others JSON; per-sample members share the id basename; manifest is
+    the commit marker; byte-identical output under any input
+    partitioning (deterministic placement + in-shard order + zeroed tar
+    metadata)."""
+    import hashlib
+    import tarfile
+
+    from binance_data_pipeline_spark.operators.export import export_webdataset
+    from binance_data_pipeline_spark.operators.multimodal import synthetic_ppm
+
+    rows = [
+        (i, synthetic_ppm(6, 4, seed=i), f"caption {i}", {"lang": "en", "i": i})
+        for i in range(7)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, payload binary, text string, meta map<string,string>"
+    )
+    out = str(tmp_path / "wds")
+    report = export_webdataset(
+        df, out, "doc_id",
+        members={"ppm": "payload", "txt": "text", "json": "meta"},
+        n_shards=2,
+    )
+    assert report["rows"] == 7 and 1 <= report["files"] <= 2
+    assert report["bytes"] > 0
+
+    seen = {}
+    for r in spark.read.parquet(f"{out}/manifest.parquet").collect():
+        with tarfile.open(r["file"]) as tar:
+            for m in tar.getmembers():
+                assert m.mtime == 0 and m.uid == 0
+                seen[m.name] = tar.extractfile(m).read()
+    # every sample contributed all three members, regrouped by basename
+    for i in range(7):
+        assert seen[f"{i}.ppm"] == bytes(rows[i][1])
+        assert seen[f"{i}.txt"] == f"caption {i}".encode()
+        assert b'"lang"' in seen[f"{i}.json"]
+
+    # determinism: different input partitioning → identical tar bytes
+    out2 = str(tmp_path / "wds2")
+    export_webdataset(
+        df.repartition(13), out2, "doc_id",
+        members={"ppm": "payload", "txt": "text", "json": "meta"},
+        n_shards=2,
+    )
+    h = lambda p: {
+        r["shard"]: hashlib.md5(open(r["file"], "rb").read()).hexdigest()
+        for r in spark.read.parquet(f"{p}/manifest.parquet").collect()
+    }
+    assert h(out) == h(out2)
+
+
+def test_export_webdataset_validation_and_nulls(spark, tmp_path):
+    import tarfile
+
+    from binance_data_pipeline_spark.operators.export import export_webdataset
+
+    df = spark.createDataFrame(
+        [(1, "has text"), (2, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="not in frame"):
+        export_webdataset(df, str(tmp_path / "x"), "doc_id", {"txt": "nope"}, 1)
+    with pytest.raises(ValueError, match="at least one"):
+        export_webdataset(df, str(tmp_path / "x"), "doc_id", {}, 1)
+
+    out = str(tmp_path / "wds")
+    report = export_webdataset(df, out, "doc_id", {"txt": "text"}, 1)
+    assert report["rows"] == 2
+    row = spark.read.parquet(f"{out}/manifest.parquet").first()
+    with tarfile.open(row["file"]) as tar:
+        names = tar.getnames()
+    assert names == ["1.txt"]  # NULL member skipped, not an empty file
