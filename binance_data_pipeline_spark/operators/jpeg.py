@@ -178,11 +178,22 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length() if v < 0 else 0
 
 
-def encode_jpeg(pixels, quality: int = 85) -> bytes:
-    """Encode an HxWx3 uint8 RGB array as baseline JFIF (4:4:4, Annex K
-    tables quality-scaled). Any compliant decoder reads the output; the
-    lossy roundtrip error at quality ≥ 85 is a few intensity levels on
-    natural gradients."""
+def encode_jpeg(
+    pixels,
+    quality: int = 85,
+    subsample: bool = False,
+    restart_interval: int | None = None,
+) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as baseline JFIF (Annex K tables
+    quality-scaled). Any compliant decoder reads the output; the lossy
+    roundtrip error at quality ≥ 85 is a few intensity levels on natural
+    gradients.
+
+    ``subsample=True`` emits 4:2:0 (2×2 average-pooled chroma, the
+    camera/web default — ~2× smaller, chroma detail halved);
+    ``restart_interval=N`` emits DRI + RSTn markers every N MCUs (the
+    error-resilience feature streaming producers set). Both exercise the
+    decoder paths real-world JPEGs use."""
     import numpy as np
 
     px = np.asarray(pixels, np.uint8)
@@ -206,52 +217,77 @@ def encode_jpeg(pixels, quality: int = 85) -> bytes:
     ac_codes = [_canonical_codes(*_AC_LUM), _canonical_codes(*_AC_CHR)]
     cmat = _dct_matrix()
 
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    by, bx = ph // 8, pw // 8
+    samp = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1), (1, 1), (1, 1)]
+    hmax, vmax = max(s[0] for s in samp), max(s[1] for s in samp)
+    mcw, mch = 8 * hmax, 8 * vmax
+    mcx, mcy = -(-w // mcw), -(-h // mch)
 
-    # quantized zigzag coefficients per component, vectorized over blocks
+    # quantized zigzag coefficients per component, vectorized over blocks;
+    # chroma planes average-pool down to their sampling resolution
     comp_zz = []
     for ci, plane in enumerate(planes):
-        pad = np.pad(plane - 128.0, ((0, ph - h), (0, pw - w)), mode="edge")
-        blocks = pad.reshape(by, 8, bx, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        hi, vi = samp[ci]
+        pad = np.pad(
+            plane - 128.0, ((0, mcy * mch - h), (0, mcx * mcw - w)), mode="edge"
+        )
+        fy, fx = vmax // vi, hmax // hi
+        if fy > 1 or fx > 1:
+            pad = pad.reshape(
+                pad.shape[0] // fy, fy, pad.shape[1] // fx, fx
+            ).mean(axis=(1, 3))
+        rows, cols = mcy * vi, mcx * hi
+        blocks = pad.reshape(rows, 8, cols, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
         coef = np.einsum("ij,njk,lk->nil", cmat, blocks, cmat)
         qt = qtabs[0 if ci == 0 else 1].reshape(8, 8).astype(np.float64)
         quant = np.round(coef / qt).astype(np.int32).reshape(-1, 64)
-        comp_zz.append(quant[:, _ZZ])
+        comp_zz.append(quant[:, _ZZ].reshape(rows, cols, 64))
 
     bw = _BitWriter()
     pred = [0, 0, 0]
-    for bi in range(by * bx):  # 4:4:4 → one block per component per MCU
-        for ci in range(3):
-            t = 0 if ci == 0 else 1
-            zz = comp_zz[ci][bi]
-            diff = int(zz[0]) - pred[ci]
-            pred[ci] = int(zz[0])
-            s = _category(diff)
-            ln, code = dc_codes[t][s]
-            bw.write(code, ln)
-            if s:
-                bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-            run = 0
-            last_nz = max(np.nonzero(zz)[0], default=0)
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    if k > last_nz:
-                        ln, code = ac_codes[t][0x00]  # EOB
-                        bw.write(code, ln)
-                        break
-                    run += 1
-                    continue
-                while run > 15:
-                    ln, code = ac_codes[t][0xF0]  # ZRL
+
+    def emit_block(zz, ci: int) -> None:
+        t = 0 if ci == 0 else 1
+        diff = int(zz[0]) - pred[ci]
+        pred[ci] = int(zz[0])
+        s = _category(diff)
+        ln, code = dc_codes[t][s]
+        bw.write(code, ln)
+        if s:
+            bw.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        run = 0
+        last_nz = max(np.nonzero(zz)[0], default=0)
+        for k in range(1, 64):
+            v = int(zz[k])
+            if v == 0:
+                if k > last_nz:
+                    ln, code = ac_codes[t][0x00]  # EOB
                     bw.write(code, ln)
-                    run -= 16
-                s = _category(v)
-                ln, code = ac_codes[t][(run << 4) | s]
+                    break
+                run += 1
+                continue
+            while run > 15:
+                ln, code = ac_codes[t][0xF0]  # ZRL
                 bw.write(code, ln)
-                bw.write(v if v > 0 else v + (1 << s) - 1, s)
-                run = 0
+                run -= 16
+            s = _category(v)
+            ln, code = ac_codes[t][(run << 4) | s]
+            bw.write(code, ln)
+            bw.write(v if v > 0 else v + (1 << s) - 1, s)
+            run = 0
+
+    rst = int(restart_interval) if restart_interval else 0
+    for mcu in range(mcx * mcy):
+        if rst and mcu and mcu % rst == 0:
+            # byte-align, emit RSTn (cycling 0-7), reset DC prediction
+            bw.flush()
+            bw.out += struct.pack(">H", 0xFFD0 + ((mcu // rst - 1) % 8))
+            pred[:] = [0, 0, 0]
+        my, mx = divmod(mcu, mcx)
+        for ci in range(3):
+            hi, vi = samp[ci]
+            for v in range(vi):
+                for hh in range(hi):
+                    emit_block(comp_zz[ci][my * vi + v, mx * hi + hh], ci)
     bw.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -261,15 +297,16 @@ def encode_jpeg(pixels, quality: int = 85) -> bytes:
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     for tid, qt in enumerate(qtabs):
         out += seg(0xFFDB, bytes([tid]) + bytes(int(qt[z]) for z in _ZZ))
-    out += seg(
-        0xFFC0,
-        struct.pack(">BHHB", 8, h, w, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
-    )
+    sof = struct.pack(">BHHB", 8, h, w, 3)
+    for i, (hi, vi) in enumerate(samp):
+        sof += bytes([i + 1, (hi << 4) | vi, 0 if i == 0 else 1])
+    out += seg(0xFFC0, sof)
     for cls, tid, (bits, vals) in (
         (0, 0, _DC_LUM), (1, 0, _AC_LUM), (0, 1, _DC_CHR), (1, 1, _AC_CHR)
     ):
         out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if rst:
+        out += seg(0xFFDD, struct.pack(">H", rst))
     out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += bw.out
     out += struct.pack(">H", 0xFFD9)

@@ -135,3 +135,39 @@ def test_jpeg_flows_through_spark_pipeline(spark):
     for r in out:
         w, h, px = decode_jpeg(bytes(r["payload"]))
         assert (w, h) == (8, 6) and px.shape == (6, 8, 3)
+
+
+def test_restart_markers_roundtrip():
+    """DRI + RSTn emission exercises the decoder's chunked entropy path:
+    byte-aligned restarts with DC-prediction resets decode to EXACTLY
+    the same pixels as the unmarked stream (same coefficients)."""
+    px = _gradient()
+    plain = decode_jpeg(encode_jpeg(px, 95))[2]
+    data = encode_jpeg(px, 95, restart_interval=2)
+    assert b"\xff\xdd" in data  # DRI segment
+    assert any(bytes([0xFF, 0xD0 + i]) in data for i in range(8))
+    w, h, out = decode_jpeg(data)
+    assert (w, h) == (32, 24) and np.array_equal(out, plain)
+
+
+def test_chroma_subsampling_roundtrip():
+    """4:2:0 exercises the decoder's sampling-factor/upsample path: SOF
+    declares 2x2 luma sampling, luma survives at full fidelity, chroma
+    averages over 2x2 — bounded overall error, exact dimensions, and it
+    composes with restart markers and odd dimensions."""
+    px = _gradient()
+    data = encode_jpeg(px, 95, subsample=True)
+    i = data.find(b"\xff\xc0")
+    assert data[i + 11] == 0x22  # component 1 sampling = 2x2
+    w, h, out = decode_jpeg(data)
+    assert (w, h) == (32, 24)
+    err = np.abs(out.astype(int) - px.astype(int))
+    # luma ≈ untouched: grayscale projection error stays tiny
+    lum = lambda a: 0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2]
+    assert np.abs(lum(out.astype(float)) - lum(px.astype(float))).mean() < 2.0
+    assert err.mean() < 6.0  # chroma pooling bounded
+
+    odd = _gradient(19, 21)
+    w, h, out = decode_jpeg(encode_jpeg(odd, 90, subsample=True, restart_interval=2))
+    assert (w, h) == (21, 19)
+    assert np.abs(out.astype(int) - odd.astype(int)).mean() < 6.0
