@@ -202,6 +202,56 @@ def export_webdataset(
     }
 
 
+def read_webdataset(
+    spark: SparkSession, out_path: str, exts: list[str]
+) -> DataFrame:
+    """Read an ``export_webdataset`` directory back: one row per sample
+    key, one BINARY column per requested extension (decode/cast is the
+    caller's — text members are UTF-8 bytes, json members are compact
+    JSON bytes). Missing members come back NULL. Refuses a directory
+    without a manifest (half-written export), the family convention.
+
+    Scale shape: ``binaryFile`` source loads one tar per task (shards
+    are the parallelism unit, same as writing), and the tar walk runs in
+    Arrow-batched ``mapInPandas`` — keys within one tar regroup in task
+    memory, bounded by shard size."""
+    if not exts:
+        raise ValueError("exts must name at least one member extension")
+    out = out_path.rstrip("/")
+    from pyspark.errors import AnalysisException
+
+    try:
+        spark.read.parquet(f"{out}/manifest.parquet").first()
+    except AnalysisException:
+        raise ValueError(
+            f"no manifest at {out} — export incomplete or not an export dir"
+        )
+    files = spark.read.format("binaryFile").load(f"{out}/shards/shard-*.tar")
+    want = list(dict.fromkeys(exts))
+
+    def parse(pdfs):
+        import io
+        import tarfile
+
+        import pandas as pd
+
+        for pdf in pdfs:
+            rows = []
+            for content in pdf["content"]:
+                groups: dict[str, dict[str, bytes]] = {}
+                with tarfile.open(fileobj=io.BytesIO(bytes(content))) as tar:
+                    for m in tar.getmembers():
+                        key, _, ext = m.name.rpartition(".")
+                        if ext in want:
+                            groups.setdefault(key, {})[ext] = tar.extractfile(m).read()
+                for key in sorted(groups):
+                    rows.append([key] + [groups[key].get(e) for e in want])
+            yield pd.DataFrame(rows, columns=["key"] + want)
+
+    schema = "key string, " + ", ".join(f"{e} binary" for e in want)
+    return files.select("content").mapInPandas(parse, schema)
+
+
 def read_export(spark: SparkSession, out_path: str, fmt: str = "jsonl") -> DataFrame:
     """Read an export back, refusing a shard directory with no manifest
     (half-written export)."""

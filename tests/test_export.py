@@ -169,3 +169,28 @@ def test_export_webdataset_validation_and_nulls(spark, tmp_path):
     with tarfile.open(row["file"]) as tar:
         names = tar.getnames()
     assert names == ["1.txt"]  # NULL member skipped, not an empty file
+
+
+def test_read_webdataset_roundtrip(spark, tmp_path):
+    """Tar shards read back through the Spark reader: every member's
+    bytes survive, missing members are NULL, manifest-less dirs refused."""
+    from binance_data_pipeline_spark.operators.export import (
+        export_webdataset,
+        read_webdataset,
+    )
+
+    rows = [(1, b"\x00\x01img", "alpha"), (2, None, "beta"), (3, b"xyz", None)]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary, text string")
+    out = str(tmp_path / "wds")
+    export_webdataset(df, out, "doc_id", {"bin": "payload", "txt": "text"}, 2)
+
+    back = {r["key"]: r for r in read_webdataset(spark, out, ["bin", "txt"]).collect()}
+    assert set(back) == {"1", "2", "3"}
+    assert bytes(back["1"]["bin"]) == b"\x00\x01img" and bytes(back["1"]["txt"]) == b"alpha"
+    assert back["2"]["bin"] is None and bytes(back["2"]["txt"]) == b"beta"
+    assert back["3"]["txt"] is None and bytes(back["3"]["bin"]) == b"xyz"
+
+    with pytest.raises(ValueError, match="no manifest"):
+        read_webdataset(spark, str(tmp_path / "nowhere"), ["txt"])
+    with pytest.raises(ValueError, match="at least one"):
+        read_webdataset(spark, out, [])
