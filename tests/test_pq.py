@@ -1,0 +1,181 @@
+"""IVF-PQ tests: codebook determinism, reconstruction quality, code
+compression, recall vs brute (refined and compressed-domain), persisted
+build-once index, and the Arrow-only plan audit."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.catalog import load_table
+from binance_data_pipeline_spark.operators import similarity as S
+from binance_data_pipeline_spark.operators.pq import (
+    build_ivfpq_index,
+    encode_pq,
+    ivfpq_query,
+    ivfpq_topk,
+    train_pq_codebook,
+)
+from binance_data_pipeline_spark.plans.audit import audit_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_codebook_shape_and_determinism(spark):
+    e = _emb(spark)
+    cb1 = train_pq_codebook(e, m=8, ksub=16, iterations=3)
+    assert cb1.shape == (8, 16, 8)
+    # same corpus, same params -> bit-identical codebook under a different
+    # physical layout (the id-hash sample + driver-side sort make the
+    # training set and seed order partition-independent)
+    cb2 = train_pq_codebook(e.repartition(7), m=8, ksub=16, iterations=3)
+    assert np.array_equal(cb1, cb2)
+
+
+def test_codebook_rejects_bad_geometry(spark):
+    e = _emb(spark)
+    with pytest.raises(ValueError, match="not divisible"):
+        train_pq_codebook(e, m=7)
+    with pytest.raises(ValueError, match="ksub"):
+        train_pq_codebook(e, m=8, ksub=100_000)
+
+
+def test_encode_reconstruction_beats_global_mean(spark):
+    """PQ reconstruction must beat the degenerate 1-centroid quantizer:
+    mean squared residual of encoded vectors well under the variance
+    around the global mean (unit-normalized space)."""
+    e = _emb(spark)
+    cb = train_pq_codebook(e, m=8, ksub=16, iterations=5)
+    codes = {r["id"]: list(r["code"]) for r in encode_pq(e, cb).collect()}
+    raw = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in e.collect()}
+    X = np.stack([raw[i] for i in sorted(raw)])
+    X = X / np.linalg.norm(X, axis=1, keepdims=True)
+    recon = np.stack(
+        [np.concatenate([cb[m, c] for m, c in enumerate(codes[i])]) for i in sorted(raw)]
+    )
+    pq_mse = ((X - recon) ** 2).sum(axis=1).mean()
+    mean_mse = ((X - X.mean(axis=0)) ** 2).sum(axis=1).mean()
+    # near-iid synthetic vectors are PQ's worst case; rate-distortion for
+    # 16 centroids in 8-dim predicts ~k^(-2/d) ≈ 0.5 of the variance
+    assert pq_mse < 0.7 * mean_mse, (pq_mse, mean_mse)
+    # every code entry addresses a real codebook row
+    flat = np.array([c for v in codes.values() for c in v])
+    assert flat.min() >= 0 and flat.max() < 16
+
+
+def test_code_is_compressed(spark):
+    """The whole point: cells store M smallints (16 B at m=8), not D
+    floats (256 B at d=64)."""
+    e = _emb(spark)
+    cb = train_pq_codebook(e, m=8, ksub=16)
+    row = encode_pq(e, cb).first()
+    assert len(row["code"]) == 8  # vs 64-dim raw vector
+
+
+def test_ivfpq_recall_refined_vs_brute(spark):
+    e = _emb(spark)
+    queries = e.where(F.col("vec_id") < 20)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_brute(queries, e, k=3).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            queries, e, k=3, n_centroids=16, nprobe=6, refine_factor=8
+        ).collect()
+    }
+    recall = len(pq & brute) / len(brute)
+    assert recall >= 0.4, f"IVF-PQ refined recall {recall} too low"
+    from collections import Counter
+
+    per_q = Counter(q for q, _ in pq)
+    assert all(v == 3 for v in per_q.values())
+
+
+def test_ivfpq_compressed_domain_still_finds_neighbors(spark):
+    """refine=False never touches a full vector after the probe — ADC
+    ranks alone. Recall floor is looser (quantization noise) but must
+    stay far above chance (3 of 499 ≈ 0.006)."""
+    e = _emb(spark)
+    queries = e.where(F.col("vec_id") < 20)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in S.cosine_topk_brute(queries, e, k=3).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            queries, e, k=3, n_centroids=16, nprobe=6, refine=False
+        ).collect()
+    }
+    recall = len(pq & brute) / len(brute)
+    assert recall >= 0.2, f"compressed-domain recall {recall} too low"
+
+
+def test_ivfpq_persisted_index_build_once(spark, tmp_path):
+    e = _emb(spark)
+    queries = e.where(F.col("vec_id") < 10)
+    idx = str(tmp_path / "ivfpq_index")
+
+    first = {
+        (r["query_id"], r["neighbor_id"], r["rk"])
+        for r in ivfpq_topk(queries, e, k=3, nprobe=6, index_path=idx).collect()
+    }
+    # committed layout: meta last, cells partitioned by cell_id, codebook present
+    assert os.path.exists(os.path.join(idx, "meta.parquet"))
+    assert os.path.exists(os.path.join(idx, "codebook.parquet"))
+    assert any(
+        p.startswith("cell_id=") for p in os.listdir(os.path.join(idx, "cells.parquet"))
+    )
+    mtime = os.path.getmtime(os.path.join(idx, "meta.parquet"))
+
+    again = {
+        (r["query_id"], r["neighbor_id"], r["rk"])
+        for r in ivfpq_topk(queries, e, k=3, nprobe=6, index_path=idx).collect()
+    }
+    assert first == again
+    # unchanged corpus + params -> no rebuild (meta untouched)
+    assert os.path.getmtime(os.path.join(idx, "meta.parquet")) == mtime
+
+    # direct query against the persisted index, refined by the corpus
+    direct = {
+        (r["query_id"], r["neighbor_id"], r["rk"])
+        for r in ivfpq_query(
+            spark, idx, queries, k=3, nprobe=6, refine_source=e
+        ).collect()
+    }
+    assert first == direct
+
+
+def test_ivfpq_param_change_rebuilds(spark, tmp_path):
+    e = _emb(spark)
+    queries = e.where(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivfpq_index")
+    ivfpq_topk(queries, e, k=3, nprobe=6, index_path=idx).collect()
+    mtime = os.path.getmtime(os.path.join(idx, "meta.parquet"))
+    # ksub is part of the fingerprint params -> rebuild
+    ivfpq_topk(queries, e, k=3, nprobe=6, ksub=8, index_path=idx).collect()
+    assert os.path.getmtime(os.path.join(idx, "meta.parquet")) != mtime
+
+
+def test_ivfpq_plan_is_scale_clean(spark, tmp_path):
+    """Arrow-only Python (encode + ADC are pandas UDFs), no cartesian, no
+    row-at-a-time eval, in both build inputs and the query plan."""
+    e = _emb(spark)
+    queries = e.where(F.col("vec_id") < 5)
+    idx = str(tmp_path / "ivfpq_index")
+    ivfpq_topk(queries, e, k=3, nprobe=6, index_path=idx).collect()
+    plan = ivfpq_query(spark, idx, queries, k=3, nprobe=6, refine_source=e)
+    findings = [f for f in audit_plan(plan) if f.kind in ("PY_ROW_EVAL", "CARTESIAN")]
+    assert findings == [], findings
