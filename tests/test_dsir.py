@@ -1,0 +1,105 @@
+"""DSIR importance-resampling tests: target-like docs win the selection,
+weights rank target-vocabulary docs above junk, draws are deterministic
+under repartition, and the plan is JVM-only (broadcast join, no Python)."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import random
+
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.operators.dsir import (
+    bucket_distribution,
+    dsir_log_ratio,
+    dsir_resample,
+    dsir_score,
+    hashed_ngram_buckets,
+)
+from binance_data_pipeline_spark.plans.audit import audit_plan, plan_text
+
+TARGET_WORDS = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog"]
+JUNK_WORDS = ["zxq", "wkj", "vbn", "qqq", "xoxo", "kpd", "mzt", "hjkl"]
+
+
+def _docs(spark, n, words, prefix, seed):
+    rng = random.Random(seed)
+    rows = [
+        (f"{prefix}{i}", " ".join(rng.choice(words) for _ in range(30)))
+        for i in range(n)
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def test_bucket_distribution_bounded_and_consistent(spark):
+    d = _docs(spark, 20, TARGET_WORDS, "t", 1)
+    dist = bucket_distribution(d, buckets=1000)
+    rows = dist.collect()
+    assert 0 < len(rows) <= 1000
+    # total gram mass equals the summed per-doc feature lengths
+    total = d.select(
+        F.sum(F.size(hashed_ngram_buckets("text", buckets=1000))).alias("s")
+    ).first()["s"]
+    assert sum(r["cnt"] for r in rows) == total
+
+
+def test_log_ratio_separates_vocabularies(spark):
+    tgt = _docs(spark, 30, TARGET_WORDS, "t", 1)
+    raw = _docs(spark, 30, TARGET_WORDS, "rt", 2).unionByName(
+        _docs(spark, 30, JUNK_WORDS, "rj", 3)
+    )
+    ratio, default = dsir_log_ratio(tgt, raw, buckets=1000)
+    scores = {
+        r["doc_id"]: r["dsir_logw"]
+        for r in dsir_score(raw, ratio, default, buckets=1000).collect()
+    }
+    tgt_scores = [v for k, v in scores.items() if k.startswith("rt")]
+    junk_scores = [v for k, v in scores.items() if k.startswith("rj")]
+    # every target-vocabulary doc outweighs every junk doc
+    assert min(tgt_scores) > max(junk_scores)
+
+
+def test_resample_prefers_target_like_docs(spark):
+    tgt = _docs(spark, 30, TARGET_WORDS, "t", 1)
+    raw = _docs(spark, 40, TARGET_WORDS, "rt", 2).unionByName(
+        _docs(spark, 40, JUNK_WORDS, "rj", 3)
+    )
+    picked = dsir_resample(raw, tgt, k=20, buckets=1000, seed=7)
+    ids = [r["doc_id"] for r in picked.collect()]
+    assert len(ids) == 20
+    frac_target = sum(1 for i in ids if i.startswith("rt")) / len(ids)
+    assert frac_target >= 0.9, frac_target
+    # selected docs keep their original columns plus the evidence columns
+    assert {"doc_id", "text", "dsir_logw", "dsir_key"} <= set(picked.columns)
+
+
+def test_resample_deterministic_under_repartition(spark):
+    tgt = _docs(spark, 20, TARGET_WORDS, "t", 1)
+    raw = _docs(spark, 30, TARGET_WORDS, "rt", 2).unionByName(
+        _docs(spark, 30, JUNK_WORDS, "rj", 3)
+    )
+    a = {r["doc_id"] for r in dsir_resample(raw, tgt, k=15, buckets=500, seed=3).collect()}
+    b = {
+        r["doc_id"]
+        for r in dsir_resample(raw.repartition(13), tgt.repartition(5), k=15, buckets=500, seed=3).collect()
+    }
+    assert a == b
+    # a different seed draws different Gumbel noise -> (almost surely) a
+    # different borderline set, same high-weight core
+    c = {r["doc_id"] for r in dsir_resample(raw, tgt, k=15, buckets=500, seed=99).collect()}
+    assert len(a & c) >= 5
+
+
+def test_score_plan_is_jvm_only_with_broadcast(spark):
+    tgt = _docs(spark, 10, TARGET_WORDS, "t", 1)
+    raw = _docs(spark, 10, JUNK_WORDS, "r", 2)
+    ratio, default = dsir_log_ratio(tgt, raw, buckets=500)
+    plan = dsir_score(raw, ratio, default, buckets=500)
+    findings = [f for f in audit_plan(plan) if f.kind in ("PY_ROW_EVAL", "CARTESIAN")]
+    assert findings == [], findings
+    text = plan_text(plan)
+    assert "ArrowEvalPython" not in text and "BatchEvalPython" not in text
+    assert "BroadcastHashJoin" in text
