@@ -269,6 +269,14 @@ def build_training_corpus(
     lm_ref_path: str | None = None,
     lm_max_cross_entropy: float = 10.0,
     lm_ngram: int = 1,
+    clf_labeled_path: str | None = None,
+    clf_min_prob: float = 0.5,
+    clf_buckets: int = 10_000,
+    clf_iterations: int = 40,
+    dsir_target_path: str | None = None,
+    dsir_k: int | None = None,
+    dsir_buckets: int = 10_000,
+    dsir_seed: int = 0,
 ) -> dict[str, int]:
     """The end-to-end training-data DAG (extension — no reference
     equivalent): raw documents → PII redaction → quality + repetition
@@ -305,6 +313,22 @@ def build_training_corpus(
     the span pass only pays for genuinely partial overlaps; span-edited
     docs stay in the corpus (rebuilt text), so the mapping audit trail
     is untouched. Span removals land in stats as ``span_tokens_removed``.
+
+    ``clf_labeled_path`` points at a parquet of LABELED docs (same
+    id/text columns plus a 0/1 ``label``): a hashed-n-gram logistic
+    model trains on it (operators/quality_classifier — the
+    FineWeb-Edu/fastText recipe) and docs scoring under ``clf_min_prob``
+    are dropped — runs with the quality stage, before dedup, like the
+    LM gate. ``clf_buckets``/``clf_iterations`` must describe the model
+    you want; they are the feature geometry and the training budget.
+
+    ``dsir_target_path`` + ``dsir_k`` adds DSIR importance RESAMPLING
+    (operators/dsir — Xie et al.): of the unique, clean, decontaminated
+    docs, keep the ``dsir_k`` whose hashed-n-gram distribution best
+    matches the target corpus (Gumbel top-k, deterministic under
+    ``dsir_seed``). Runs after dedup + decontamination deliberately —
+    duplicates would each draw their own Gumbel and overselect
+    duplicated mass; contaminated docs must never win a slot.
 
     ``max_repetition`` drops docs whose intra-doc n-gram repetition
     exceeds the bound (looping/boilerplate text); ``probes_path`` points
@@ -364,6 +388,21 @@ def build_training_corpus(
             good = filter_by_lm(
                 good, lm, lm_max_cross_entropy,
                 id_col=id_col, text_col=text_col, n=lm_ngram,
+            )
+        if clf_labeled_path is not None:
+            from .operators.quality_classifier import (
+                filter_by_quality,
+                train_quality_classifier,
+            )
+
+            weights, intercept, _ = train_quality_classifier(
+                spark.read.parquet(clf_labeled_path),
+                id_col=id_col, text_col=text_col,
+                buckets=clf_buckets, iterations=clf_iterations,
+            )
+            good = filter_by_quality(
+                good, weights, intercept, clf_min_prob,
+                id_col=id_col, text_col=text_col, buckets=clf_buckets,
             )
         counts["after_quality"] = good.count()
 
@@ -446,6 +485,18 @@ def build_training_corpus(
                 dirty, F.col(id_col) == F.col("__dirty_id"), "left_anti"
             )
             counts["after_decontamination"] = kept.count()
+
+        if dsir_target_path is not None:
+            if dsir_k is None:
+                raise ValueError("dsir_target_path requires dsir_k")
+            from .operators.dsir import dsir_resample
+
+            kept = dsir_resample(
+                kept, spark.read.parquet(dsir_target_path), k=dsir_k,
+                id_col=id_col, text_col=text_col,
+                buckets=dsir_buckets, seed=dsir_seed,
+            ).drop("dsir_logw", "dsir_key")
+            counts["after_dsir"] = kept.count()
 
         sampled = (
             stratified_sample(kept, id_col, "lang", lang_rates, default_rate=default_rate)

@@ -619,3 +619,76 @@ def test_build_training_corpus_lm_gate(spark, tmp_path):
     assert counts["after_quality"] == 1
     kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
     assert kept == {1}
+
+
+def test_build_training_corpus_classifier_gate(spark, tmp_path):
+    """Optional trained-model quality gate: a labeled slice teaches the
+    boundary, and junk-vocabulary docs fall at the quality stage."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+
+    good_txt = "science history theory number water energy music light " * 3
+    junk_txt = "zxq wkj vbn qqq xoxo kpd mzt hjkl " * 3
+    labeled = [(100 + i, good_txt, "en", 1.0) for i in range(10)] + [
+        (200 + i, junk_txt, "en", 0.0) for i in range(10)
+    ]
+    lab = str(tmp_path / "labeled.parquet")
+    spark.createDataFrame(
+        labeled, "doc_id long, text string, lang string, label double"
+    ).write.parquet(lab)
+
+    rows = [
+        (1, good_txt + " galaxy", "en"),
+        (2, junk_txt + " zzz", "en"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "corpus")
+    counts = build_training_corpus(
+        spark, src, out,
+        min_quality=0.0, dedup_threshold=0.9,
+        clf_labeled_path=lab, clf_min_prob=0.5,
+        clf_buckets=500, clf_iterations=15,
+    )
+    assert counts["after_quality"] == 1
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
+    assert kept == {1}
+
+
+def test_build_training_corpus_dsir_stage(spark, tmp_path):
+    """DSIR selection: of the surviving unique docs, the k whose n-gram
+    distribution matches the target corpus win the Gumbel draw."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+
+    target_txt = "the quick brown fox jumps over the lazy dog near the river "
+    junk_txt = "zxq wkj vbn qqq xoxo kpd mzt hjkl plw qrt "
+    tgt = str(tmp_path / "target.parquet")
+    spark.createDataFrame(
+        [(i, target_txt * 2, "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(tgt)
+
+    rows = [(i, target_txt + f"variant {i}", "en") for i in range(8)] + [
+        (100 + i, junk_txt + f"variant {i}", "en") for i in range(8)
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "corpus")
+    counts = build_training_corpus(
+        spark, src, out,
+        min_quality=0.0, dedup_threshold=0.95,
+        dsir_target_path=tgt, dsir_k=6, dsir_buckets=500,
+    )
+    assert counts["after_dsir"] == 6
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
+    assert len(kept) == 6
+    # target-like ids are < 100; the junk family loses the draw
+    assert all(i < 100 for i in kept), kept
+
+    # dsir_k without a target path is a usage error
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dsir_k"):
+        build_training_corpus(
+            spark, src, str(tmp_path / "c2"),
+            min_quality=0.0, dsir_target_path=tgt,
+        )
