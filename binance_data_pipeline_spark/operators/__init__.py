@@ -9,9 +9,12 @@ semdedup         semantic (embedding-cell) dedup, batch + incremental + streamin
 substring        exact-substring span dedup (distributed ExactSubstr)
 similarity       embedding similarity search (brute-force + RP-LSH ANN)
 ivf              persisted IVF ANN index (fingerprinted, build-once/query-many)
+pq               IVF-PQ: product-quantized ANN (M-byte codes, ADC scan, exact refine)
 text             text analysis (tokens, quality, language-ID, fingerprints, PII, chunking)
 lm_score         CCNet-style n-gram LM fluency scoring (broadcast-join cross-entropy)
 quality_rules    Gopher/C4 structural rule bundles + per-domain gate
+quality_classifier  trainable hashed-n-gram logistic quality filter (FineWeb-Edu recipe)
+dsir             DSIR importance resampling (target-distribution matching, Gumbel top-k)
 vocab            token/n-gram frequencies, top-k vocab, IDF
 tfidf            map-only TF-IDF / hashing-trick featurization
 sampling         deterministic sampling / token budgets / domain caps / mixing / shuffle / packing / split
