@@ -162,6 +162,8 @@ def dsir_resample(
     smoothing: float = 1.0,
     seed: int = 0,
     tokenizer: str = "whitespace",
+    exact_limit: int = 1_000_000,
+    threshold_rel_err: float = 0.001,
 ) -> DataFrame:
     """Select ``k`` raw documents by Gumbel top-k over the DSIR weight —
     equivalent to sampling k docs without replacement with probability ∝
@@ -170,9 +172,20 @@ def dsir_resample(
 
     The Gumbel draw g = −log(−log(u)) uses u from xxhash64(id, seed)
     (offset half a grain so u ∈ (0,1)): same (id, seed) → same noise on
-    any cluster. Selection is orderBy(key desc).limit(k) — a distributed
-    TakeOrdered, no global sort materialization. Returns the selected
-    docs with ``dsir_logw`` and ``dsir_key`` attached."""
+    any cluster. Returns the selected docs with ``dsir_logw`` and
+    ``dsir_key`` attached.
+
+    Hybrid selection by k (the cap_per_group posture — a DSIR run over
+    a crawl selects k in the hundreds of millions, and a TakeOrdered
+    merges k rows ON THE DRIVER):
+
+      - k ≤ ``exact_limit``: EXACT — orderBy(key desc).limit(k), a
+        distributed per-partition top-k with a k-row driver merge;
+      - larger k: the k-th key is located by ``approxQuantile`` on
+        dsir_key (one aggregate, ``threshold_rel_err`` rank error) and
+        selection is a MAP-SIDE filter ``key ≥ threshold`` — no sort,
+        no driver materialization; the selected count is approximate to
+        the quantile's rank error (~±rel_err·n docs)."""
     ratio, default = dsir_log_ratio(
         target_docs, raw_docs, id_col, text_col, ns, buckets, smoothing, tokenizer
     )
@@ -184,7 +197,18 @@ def dsir_resample(
     )
     gumbel = -F.log(-F.log(u))
     keyed = scores.withColumn("dsir_key", F.col("dsir_logw") + gumbel)
-    picked = keyed.orderBy(F.col("dsir_key").desc(), F.col(id_col)).limit(k)
+    if k <= exact_limit:
+        picked = keyed.orderBy(F.col("dsir_key").desc(), F.col(id_col)).limit(k)
+    else:
+        n = keyed.count()
+        if k >= n:
+            picked = keyed
+        else:
+            q = 1.0 - k / n
+            (threshold,) = keyed.stat.approxQuantile(
+                "dsir_key", [q], threshold_rel_err
+            )
+            picked = keyed.where(F.col("dsir_key") >= threshold)
     return raw_docs.join(
         picked.select(F.col(id_col).alias("__sel_id"), "dsir_logw", "dsir_key"),
         F.col(id_col) == F.col("__sel_id"),

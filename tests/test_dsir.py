@@ -103,3 +103,28 @@ def test_score_plan_is_jvm_only_with_broadcast(spark):
     text = plan_text(plan)
     assert "ArrowEvalPython" not in text and "BatchEvalPython" not in text
     assert "BroadcastHashJoin" in text
+
+
+def test_resample_threshold_path_matches_exact_scale(spark):
+    """Above exact_limit the selection switches to an approx-quantile
+    threshold (map-side filter, no driver top-k). At test scale with a
+    tight rel_err the two paths pick the same set."""
+    tgt = _docs(spark, 20, TARGET_WORDS, "t", 1)
+    raw = _docs(spark, 40, TARGET_WORDS, "rt", 2).unionByName(
+        _docs(spark, 40, JUNK_WORDS, "rj", 3)
+    )
+    exact = {
+        r["doc_id"]
+        for r in dsir_resample(raw, tgt, k=30, buckets=500, seed=5).collect()
+    }
+    approx = dsir_resample(
+        raw, tgt, k=30, buckets=500, seed=5, exact_limit=10, threshold_rel_err=1e-6
+    )
+    got = {r["doc_id"] for r in approx.collect()}
+    # the threshold sits at the k-th key's VALUE, so boundary ties/rank
+    # rounding may admit one extra row — the documented approximation
+    assert len(got ^ exact) <= 2 and len(got) >= 29, (sorted(got ^ exact), len(got))
+    assert len(exact - got) <= 1  # at most one true top-k row displaced
+    # k >= n keeps everything
+    allofit = dsir_resample(raw, tgt, k=200, buckets=500, seed=5, exact_limit=10)
+    assert allofit.count() == 80
