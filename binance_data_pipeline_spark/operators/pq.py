@@ -142,9 +142,16 @@ def encode_pq(
     cb = codebook  # closure; shipped once per task via pickled UDF
     cnorm2 = (cb**2).sum(axis=2)  # (m, ksub)
 
+    # NOTE: the closure must be self-contained (no references to this
+    # module's globals) — cloudpickle ships module functions BY REFERENCE
+    # and executors need not have the package importable (the
+    # _simhash_batch_udf convention).
     @pandas_udf("array<smallint>")
     def _encode(vs: pd.Series) -> pd.Series:
-        X = _normalize(np.stack(vs.to_numpy()).astype(np.float64))
+        X = np.stack(vs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(X, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        X = X / norms
         B = X.reshape(len(X), m, dsub)
         # argmin_j ‖x_m − c_mj‖² = argmin_j (‖c_mj‖² − 2·x_m·c_mj)
         dots = np.einsum("bmd,mjd->bmj", B, cb)
