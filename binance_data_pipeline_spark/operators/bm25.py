@@ -1,0 +1,256 @@
+"""BM25 full-text retrieval — keyword search over the documents table,
+the lexical complement of the vector family (similarity/ivf/pq): corpus
+search, eval-set retrieval, and hard-negative mining all start from a
+BM25 pass (Robertson & Zaragoza, "The Probabilistic Relevance
+Framework: BM25 and Beyond", FnTIR 2009).
+
+    score(D, Q) = Σ_{t ∈ Q} idf(t) · tf(t,D)·(k1+1) /
+                              (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
+    idf(t) = ln(1 + (N − df(t) + 0.5)/(df(t) + 0.5))
+
+Spark shape — an inverted index IS a DataFrame:
+
+- **Build** (one scan + two aggregates): postings (doc, term, tf) from
+  explode → count; doc lengths and corpus stats ride along. The
+  persisted layout partitions postings AND the term dictionary by a
+  term-hash bucket (``tb = pmod(xxhash64(term), n_buckets)``), so a
+  query touches only the partitions its own terms hash into — the same
+  file-listing-level pruning the IVF cell layout gets, with the same
+  meta-last/fingerprint/atomic-swap build-once contract.
+- **Query**: probe terms → their buckets → partition-pruned postings
+  read → broadcast join on term (query vocabularies are small) → per
+  (query, doc) sum → per-query top-k window. All JVM, no Python.
+
+At 100 TB the postings table is big but the query path reads only the
+probed term buckets and shuffles only matching postings; scoring never
+touches raw text.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .ivf import _hadoop_fs, _read_index_fingerprint, corpus_fingerprint
+from .vocab import _token_array
+
+__all__ = ["bm25_postings", "build_bm25_index", "bm25_query", "bm25_topk"]
+
+
+def bm25_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "whitespace",
+) -> tuple[DataFrame, DataFrame]:
+    """(postings(doc, term, tf, doclen), terms(term, df)) — the inverted
+    index as DataFrames. One explode + one (doc, term) aggregate; doclen
+    rides on the postings row (denormalized) so scoring needs no second
+    join against a lengths table."""
+    pairs = docs.select(
+        F.col(id_col).alias("doc"),
+        F.explode(_token_array(text_col, tokenizer)).alias("term"),
+    )
+    postings = pairs.groupBy("doc", "term").agg(F.count(F.lit(1)).alias("tf"))
+    lens = postings.groupBy("doc").agg(F.sum("tf").alias("doclen"))
+    postings = postings.join(lens, "doc")
+    terms = postings.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    return postings, terms
+
+
+def _corpus_stats(postings: DataFrame) -> tuple[int, float]:
+    row = postings.select("doc", "doclen").distinct().agg(
+        F.count(F.lit(1)).alias("n"), F.avg("doclen").alias("avgdl")
+    ).first()
+    return int(row["n"] or 0), float(row["avgdl"] or 1.0)
+
+
+def build_bm25_index(
+    docs: DataFrame,
+    index_path: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "whitespace",
+    n_buckets: int = 64,
+    fingerprint: str | None = None,
+) -> None:
+    """Persist the inverted index, term-hash partitioned:
+
+        {index_path}/postings.parquet/tb=N/  (doc, term, tf, doclen)
+        {index_path}/terms.parquet/tb=N/     (term, df, idf)
+        {index_path}/stats.parquet           (n_docs, avgdl)
+        {index_path}/meta.parquet            fingerprint — written LAST
+
+    ``tb = pmod(xxhash64(term), n_buckets)`` so a query's probe reads
+    only its own term buckets (PartitionFilters at the file listing)."""
+    spark = docs.sparkSession
+    postings, terms = bm25_postings(docs, id_col, text_col, tokenizer)
+    n_docs, avgdl = _corpus_stats(postings)
+    tb = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int").alias("tb")
+    postings.withColumn("tb", tb).repartition(n_buckets, "tb").write.mode(
+        "overwrite"
+    ).partitionBy("tb").parquet(os.path.join(index_path, "postings.parquet"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ).alias("idf")
+    terms.select("term", "df", idf).withColumn("tb", tb).repartition(
+        min(n_buckets, 8), "tb"
+    ).write.mode("overwrite").partitionBy("tb").parquet(
+        os.path.join(index_path, "terms.parquet")
+    )
+    spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs long, avgdl double"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "stats.parquet"))
+    if fingerprint is not None:
+        spark.createDataFrame([(fingerprint,)], "fingerprint STRING").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
+
+
+def _score_and_rank(
+    cand: DataFrame, n_docs: int, avgdl: float, k: int, k1: float, b: float
+) -> DataFrame:
+    """cand: (query_id, doc, term, tf, doclen, idf) → per-query top-k."""
+    tf_part = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("doclen") / F.lit(avgdl))
+    )
+    scored = (
+        cand.withColumn("contrib", F.col("idf") * tf_part)
+        .groupBy("query_id", "doc")
+        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= k)
+        .select("query_id", F.col("doc").alias("doc_id"), "score", "rk")
+    )
+
+
+def _query_terms(
+    queries: DataFrame, query_id_col: str, query_text_col: str, tokenizer: str
+) -> DataFrame:
+    """(query_id, term) DISTINCT — BM25's Σ is over the query's term SET
+    (standard bag-of-words form ignores duplicate query terms)."""
+    return queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(_token_array(query_text_col, tokenizer)).alias("term"),
+    ).distinct()
+
+
+def bm25_query(
+    spark: SparkSession,
+    index_path: str,
+    queries: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer: str = "whitespace",
+) -> DataFrame:
+    """Serve from a persisted index: the probe reads ONLY the term-hash
+    buckets the query vocabulary touches (a `tb isin` partition filter —
+    the bucket list is derived from the query terms, bounded by query
+    size), broadcast-joins the probe terms, scores, and ranks.
+    Returns (query_id, doc_id, score, rk)."""
+    stats = spark.read.parquet(os.path.join(index_path, "stats.parquet")).first()
+    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    qt = _query_terms(queries, query_id_col, query_text_col, tokenizer)
+    buckets = [
+        r["tb"]
+        for r in qt.select(
+            F.pmod(F.xxhash64(F.col("term")), F.lit(_index_buckets(spark, index_path)))
+            .cast("int")
+            .alias("tb")
+        )
+        .distinct()
+        .collect()
+    ]
+    postings = spark.read.parquet(os.path.join(index_path, "postings.parquet")).where(
+        F.col("tb").isin(buckets)
+    )
+    terms = spark.read.parquet(os.path.join(index_path, "terms.parquet")).where(
+        F.col("tb").isin(buckets)
+    )
+    cand = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(terms.select("term", "idf")), "term")
+        .select("query_id", "doc", "term", "tf", "doclen", "idf")
+    )
+    return _score_and_rank(cand, n_docs, avgdl, k, k1, b)
+
+
+def _index_buckets(spark: SparkSession, index_path: str) -> int:
+    """Bucket count recovered from the partition directory names (the
+    layout is self-describing; no separate metadata to drift)."""
+    fs, p = _hadoop_fs(spark, os.path.join(index_path, "postings.parquet"))
+    n = 0
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("tb="):
+            n = max(n, int(name[3:]) + 1)
+    if n == 0:
+        raise ValueError(f"no tb= partitions under {index_path}/postings.parquet")
+    return n
+
+
+def bm25_topk(
+    queries: DataFrame,
+    docs: DataFrame,
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    tokenizer: str = "whitespace",
+    index_path: str | None = None,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """BM25 top-k. With ``index_path``: build-once/query-many with the
+    ivf_topk staleness contract (corpus fingerprint + params, meta-last
+    commit, unique-tmp atomic rename). Without: one-shot in-memory
+    scoring — same plan minus the persisted layout's partition pruning."""
+    spark = docs.sparkSession
+    if index_path is not None:
+        params = f"bm25|{tokenizer}|nb{n_buckets}|{id_col}|{text_col}"
+        want = corpus_fingerprint(docs, params)
+        if _read_index_fingerprint(spark, index_path) != want:
+            tmp = f"{index_path}__build_{uuid.uuid4().hex[:8]}"
+            build_bm25_index(
+                docs, tmp, id_col, text_col, tokenizer, n_buckets, fingerprint=want
+            )
+            fs, dest = _hadoop_fs(spark, index_path)
+            _, tmp_p = _hadoop_fs(spark, tmp)
+            if fs.exists(dest):
+                fs.delete(dest, True)  # stale (or uncommitted) index
+            if not fs.rename(tmp_p, dest):
+                fs.delete(tmp_p, True)
+                if _read_index_fingerprint(spark, index_path) != want:
+                    raise RuntimeError(
+                        f"BM25 index at {index_path} was concurrently replaced "
+                        "with a different corpus fingerprint"
+                    )
+        return bm25_query(
+            spark, index_path, queries, query_id_col, query_text_col, k, k1, b, tokenizer
+        )
+
+    postings, terms = bm25_postings(docs, id_col, text_col, tokenizer)
+    n_docs, avgdl = _corpus_stats(postings)
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ).alias("idf")
+    qt = _query_terms(queries, query_id_col, query_text_col, tokenizer)
+    cand = (
+        postings.join(F.broadcast(qt), "term")
+        .join(F.broadcast(terms.select("term", idf)), "term")
+        .select("query_id", "doc", "term", "tf", "doclen", "idf")
+    )
+    return _score_and_rank(cand, n_docs, avgdl, k, k1, b)

@@ -1,0 +1,169 @@
+"""BM25 retrieval: hand-computed scores vs a pure-python reference,
+DuckDB cross-engine check on the real documents fixture, persisted
+build-once index with term-bucket partition pruning, JVM-only plan."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.operators.bm25 import bm25_query, bm25_topk
+from binance_data_pipeline_spark.plans.audit import audit_plan, plan_text
+
+SF = "/root/testdata/sf0.001"
+
+CORPUS = [
+    ("d1", "the cat sat on the mat"),
+    ("d2", "the dog chased the cat"),
+    ("d3", "quantum entanglement defies classical intuition"),
+    ("d4", "the mat was red and the cat was black"),
+]
+
+
+def _ref_bm25(corpus, query, k1=1.2, b=0.75):
+    """Pure-python BM25 (same whitespace-lowercase tokenizer)."""
+    toks = {d: t.lower().split() for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    df = Counter(t for v in toks.values() for t in set(v))
+    scores = {}
+    for d, v in toks.items():
+        tf = Counter(v)
+        s = 0.0
+        for t in set(query.lower().split()):
+            if tf[t] == 0:
+                continue
+            idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+            s += idf * tf[t] * (k1 + 1) / (tf[t] + k1 * (1 - b + b * len(v) / avgdl))
+        if s > 0:
+            scores[d] = round(s, 4)
+    return scores
+
+
+def test_scores_match_pure_python_reference(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    queries = spark.createDataFrame(
+        [("q1", "cat mat"), ("q2", "quantum intuition"), ("q3", "the dog")],
+        "query_id string, text string",
+    )
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_topk(queries, docs, k=10).collect()
+    }
+    for q, qt in [("q1", "cat mat"), ("q2", "quantum intuition"), ("q3", "the dog")]:
+        expect = _ref_bm25(CORPUS, qt)
+        mine = {d: s for (qq, d), s in got.items() if qq == q}
+        assert mine == expect, (q, mine, expect)
+
+
+def test_rare_terms_outrank_common_terms(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    queries = spark.createDataFrame(
+        [("q", "quantum cat")], "query_id string, text string"
+    )
+    rows = bm25_topk(queries, docs, k=4).orderBy("rk").collect()
+    # 'quantum' (df=1) dominates 'cat' (df=3): d3 must rank first
+    assert rows[0]["doc_id"] == "d3"
+
+
+def test_cross_check_against_duckdb_on_fixture(spark):
+    """Same BM25 in DuckDB SQL over the real documents fixture — scores
+    must agree to the rounding grain for a multi-term query."""
+    import duckdb
+
+    from binance_data_pipeline_spark.catalog import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    qtext = "data pipeline streaming"
+    queries = spark.createDataFrame([("q", qtext)], "query_id string, text string")
+    got = {
+        r["doc_id"]: r["score"] for r in bm25_topk(queries, docs, k=20).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{SF}/documents.parquet')"
+    )
+    oracle = dict(
+        con.execute(
+            """
+            WITH toks AS (
+              SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+              FROM documents
+            ),
+            postings AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+            ),
+            lens AS (SELECT doc_id, sum(tf) AS doclen FROM postings GROUP BY doc_id),
+            stats AS (SELECT count(*) AS n, avg(doclen) AS avgdl FROM lens),
+            dfs AS (SELECT term, count(*) AS df FROM postings GROUP BY term),
+            q AS (SELECT unnest(string_split(?, ' ')) AS term)
+            SELECT p.doc_id,
+                   round(sum(ln(1 + (s.n - d.df + 0.5)/(d.df + 0.5))
+                       * p.tf * 2.2 / (p.tf + 1.2*(1 - 0.75 + 0.75*l.doclen/s.avgdl))), 4)
+            FROM postings p
+            JOIN q USING (term)
+            JOIN dfs d USING (term)
+            JOIN lens l USING (doc_id)
+            CROSS JOIN stats s
+            GROUP BY p.doc_id
+            ORDER BY 2 DESC, doc_id LIMIT 20
+            """,
+            [qtext],
+        ).fetchall()
+    )
+    assert got, "query matched nothing in the fixture"
+    for d, s in got.items():
+        assert d in oracle and abs(oracle[d] - s) <= 2e-4, (d, s, oracle.get(d))
+
+
+def test_persisted_index_build_once_and_pruning(spark, tmp_path):
+    docs = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    queries = spark.createDataFrame([("q", "cat mat")], "query_id string, text string")
+    idx = str(tmp_path / "bm25_index")
+
+    first = {
+        (r["query_id"], r["doc_id"], r["rk"])
+        for r in bm25_topk(queries, docs, k=3, index_path=idx, n_buckets=16).collect()
+    }
+    assert os.path.exists(os.path.join(idx, "meta.parquet"))
+    assert any(
+        p.startswith("tb=") for p in os.listdir(os.path.join(idx, "postings.parquet"))
+    )
+    mtime = os.path.getmtime(os.path.join(idx, "meta.parquet"))
+
+    again = {
+        (r["query_id"], r["doc_id"], r["rk"])
+        for r in bm25_topk(queries, docs, k=3, index_path=idx, n_buckets=16).collect()
+    }
+    assert first == again
+    assert os.path.getmtime(os.path.join(idx, "meta.parquet")) == mtime
+
+    # one-shot path agrees with the persisted path
+    oneshot = {
+        (r["query_id"], r["doc_id"], r["rk"])
+        for r in bm25_topk(queries, docs, k=3).collect()
+    }
+    assert first == oneshot
+
+    # the probe scan carries the bucket partition filter
+    plan = bm25_query(spark, idx, queries, k=3)
+    assert "PartitionFilters" in plan_text(plan) and "tb" in plan_text(plan)
+
+
+def test_plan_is_jvm_only(spark):
+    docs = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    queries = spark.createDataFrame([("q", "cat")], "query_id string, text string")
+    plan = bm25_topk(queries, docs, k=3)
+    findings = [f for f in audit_plan(plan) if f.kind in ("PY_ROW_EVAL", "CARTESIAN")]
+    assert findings == [], findings
+    text = plan_text(plan)
+    assert "ArrowEvalPython" not in text and "BatchEvalPython" not in text
+    assert "BroadcastHashJoin" in text
