@@ -16,6 +16,8 @@ quality_rules    Gopher/C4 structural rule bundles + per-domain gate
 quality_classifier  trainable hashed-n-gram logistic quality filter (FineWeb-Edu recipe)
 dsir             DSIR importance resampling (target-distribution matching, Gumbel top-k)
 vocab            token/n-gram frequencies, top-k vocab, IDF
+bpe              trainable byte-pair encoding (distributed counts, Arrow apply)
+bm25             BM25 retrieval + persisted term-bucket index + RRF hybrid fusion
 tfidf            map-only TF-IDF / hashing-trick featurization
 sampling         deterministic sampling / token budgets / domain caps / mixing / shuffle / packing / split
 sketches         HLL distinct + count-min frequency rollups (mergeable)

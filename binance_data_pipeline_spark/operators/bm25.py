@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from .ivf import _hadoop_fs, _read_index_fingerprint, corpus_fingerprint
 from .vocab import _token_array
 
-__all__ = ["bm25_postings", "build_bm25_index", "bm25_query", "bm25_topk"]
+__all__ = ["bm25_postings", "build_bm25_index", "bm25_query", "bm25_topk", "rrf_fuse"]
 
 
 def bm25_postings(
@@ -254,3 +254,49 @@ def bm25_topk(
         .select("query_id", "doc", "term", "tf", "doclen", "idf")
     )
     return _score_and_rank(cand, n_docs, avgdl, k, k1, b)
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rk",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al., SIGIR 2009) of N ranked
+    lists — the standard way to combine this module's lexical ranking
+    with the vector family's ANN ranking (hybrid search):
+
+        rrf(q, d) = Σ_lists 1 / (k + rank_list(q, d))
+
+    Each input needs (query_col, doc_col, rank_col); lists may rank
+    different candidate sets (a doc absent from a list contributes
+    nothing — the standard convention). One union + one keyed aggregate
+    + a per-query top-k window; score-scale-free, so BM25 scores and
+    cosine similarities never need calibrating against each other."""
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    legs = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k)) + F.col(rank_col))).alias("contrib"),
+        )
+        for r in rankings
+    ]
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    fused = out.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").alias("rrf_score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    ranked = fused.withColumn("rk", F.row_number().over(w).cast("long"))
+    if top_k is not None:
+        ranked = ranked.where(F.col("rk") <= top_k)
+    return ranked.select("query_id", "doc_id", "rrf_score", "rk")

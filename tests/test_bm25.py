@@ -167,3 +167,31 @@ def test_plan_is_jvm_only(spark):
     text = plan_text(plan)
     assert "ArrowEvalPython" not in text and "BatchEvalPython" not in text
     assert "BroadcastHashJoin" in text
+
+
+def test_rrf_fusion_hand_computed_and_hybrid_preference(spark):
+    from binance_data_pipeline_spark.operators.bm25 import rrf_fuse
+
+    lex = spark.createDataFrame(
+        [("q", "d1", 1), ("q", "d2", 2), ("q", "d3", 3)],
+        "query_id string, doc_id string, rk long",
+    )
+    vec = spark.createDataFrame(
+        [("q", "d2", 1), ("q", "d4", 2)],
+        "query_id string, doc_id string, rk long",
+    )
+    fused = {r["doc_id"]: (r["rrf_score"], r["rk"]) for r in rrf_fuse([lex, vec], k=60).collect()}
+    # hand-computed: d2 = 1/62 + 1/61, d1 = 1/61, d4 = 1/62, d3 = 1/63
+    assert abs(fused["d2"][0] - (1 / 62 + 1 / 61)) < 1e-12
+    assert abs(fused["d1"][0] - 1 / 61) < 1e-12
+    # a doc ranked in BOTH lists beats every single-list doc
+    assert fused["d2"][1] == 1
+    order = sorted(fused, key=lambda d: fused[d][1])
+    assert order == ["d2", "d1", "d4", "d3"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
+    with _pytest.raises(ValueError):
+        rrf_fuse([lex], k=0)
