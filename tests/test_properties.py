@@ -384,3 +384,51 @@ def test_jpeg_roundtrip_property(w, h, seed):
     w2, h2, out = decode_jpeg(encode_jpeg(px, quality=95))
     assert (w2, h2) == (w, h) and out.shape == px.shape
     assert np.abs(out.astype(int) - px.astype(int)).mean() < 8.0
+
+
+# --------------------------------------------------------------- BPE
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Zs", "Cc", "Cs")),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(
+        st.tuples(st.text(min_size=1, max_size=3), st.text(min_size=1, max_size=3)),
+        max_size=30,
+    ),
+)
+def test_bpe_encode_word_roundtrip_any_ranks(word, merges):
+    """Merging adjacent pairs preserves concatenation, so for ANY rank
+    table (even nonsense pairs never produced by training) the encoded
+    symbols must concatenate back to word + '</w>'. Pure driver-side —
+    no Spark job per example."""
+    from binance_data_pipeline_spark.operators.bpe import bpe_encode_word
+
+    ranks = {p: i for i, p in enumerate(merges)}
+    toks = bpe_encode_word(word, ranks)
+    assert "".join(toks) == word + "</w>"
+    assert all(t for t in toks)  # no empty symbols
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcde", min_size=1, max_size=6),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_bpe_train_apply_roundtrip_random_corpus(spark, words):
+    """Trained merges on an arbitrary small corpus: distributed
+    tokenization must reproduce every document word-for-word."""
+    from binance_data_pipeline_spark.operators.bpe import bpe_tokenize, train_bpe
+
+    text = " ".join(words)
+    docs = spark.createDataFrame([("d", text)], "doc_id string, text string")
+    merges = train_bpe(docs, num_merges=10)
+    toks = bpe_tokenize(docs, merges).first()["tokens"]
+    restored = [w for w in "".join(toks).split("</w>") if w]
+    assert restored == text.split()
