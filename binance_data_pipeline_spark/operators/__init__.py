@@ -18,6 +18,7 @@ dsir             DSIR importance resampling (target-distribution matching, Gumbe
 vocab            token/n-gram frequencies, top-k vocab, IDF
 bpe              trainable byte-pair encoding (distributed counts, Arrow apply)
 bm25             BM25 retrieval + persisted term-bucket index + RRF hybrid fusion
+mining           hard-negative mining (BM25 candidates × embedding ceiling)
 tfidf            map-only TF-IDF / hashing-trick featurization
 sampling         deterministic sampling / token budgets / domain caps / mixing / shuffle / packing / split
 sketches         HLL distinct + count-min frequency rollups (mergeable)
