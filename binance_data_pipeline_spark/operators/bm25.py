@@ -76,6 +76,7 @@ def build_bm25_index(
     tokenizer: str = "whitespace",
     n_buckets: int = 64,
     fingerprint: str | None = None,
+    files_per_bucket: int = 1,
 ) -> None:
     """Persist the inverted index, term-hash partitioned:
 
@@ -85,14 +86,25 @@ def build_bm25_index(
         {index_path}/meta.parquet            fingerprint — written LAST
 
     ``tb = pmod(xxhash64(term), n_buckets)`` so a query's probe reads
-    only its own term buckets (PartitionFilters at the file listing)."""
+    only its own term buckets (PartitionFilters at the file listing).
+
+    ``files_per_bucket``: the write clusters rows so each bucket dir
+    gets ~this many files. 1 (default) is right while corpus/n_buckets
+    fits a task; at real scale raise it so no bucket becomes one
+    multi-TB file — the exchange salts within the bucket by doc hash,
+    so bucket pruning is unaffected."""
     spark = docs.sparkSession
     postings, terms = bm25_postings(docs, id_col, text_col, tokenizer)
     n_docs, avgdl = _corpus_stats(postings)
     tb = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int").alias("tb")
-    postings.withColumn("tb", tb).repartition(n_buckets, "tb").write.mode(
-        "overwrite"
-    ).partitionBy("tb").parquet(os.path.join(index_path, "postings.parquet"))
+    if files_per_bucket < 1:
+        raise ValueError(f"files_per_bucket must be >= 1, got {files_per_bucket}")
+    salt = F.pmod(F.xxhash64(F.col("doc")), F.lit(files_per_bucket))
+    postings.withColumn("tb", tb).repartition(
+        n_buckets * files_per_bucket, F.col("tb"), salt
+    ).write.mode("overwrite").partitionBy("tb").parquet(
+        os.path.join(index_path, "postings.parquet")
+    )
     idf = F.log(
         F.lit(1.0)
         + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
@@ -212,6 +224,7 @@ def bm25_topk(
     tokenizer: str = "whitespace",
     index_path: str | None = None,
     n_buckets: int = 64,
+    files_per_bucket: int = 1,
 ) -> DataFrame:
     """BM25 top-k. With ``index_path``: build-once/query-many with the
     ivf_topk staleness contract (corpus fingerprint + params, meta-last
@@ -219,12 +232,13 @@ def bm25_topk(
     scoring — same plan minus the persisted layout's partition pruning."""
     spark = docs.sparkSession
     if index_path is not None:
-        params = f"bm25|{tokenizer}|nb{n_buckets}|{id_col}|{text_col}"
+        params = f"bm25|{tokenizer}|nb{n_buckets}|fpb{files_per_bucket}|{id_col}|{text_col}"
         want = corpus_fingerprint(docs, params)
         if _read_index_fingerprint(spark, index_path) != want:
             tmp = f"{index_path}__build_{uuid.uuid4().hex[:8]}"
             build_bm25_index(
-                docs, tmp, id_col, text_col, tokenizer, n_buckets, fingerprint=want
+                docs, tmp, id_col, text_col, tokenizer, n_buckets,
+                fingerprint=want, files_per_bucket=files_per_bucket,
             )
             fs, dest = _hadoop_fs(spark, index_path)
             _, tmp_p = _hadoop_fs(spark, tmp)

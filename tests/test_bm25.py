@@ -195,3 +195,35 @@ def test_rrf_fusion_hand_computed_and_hybrid_preference(spark):
         rrf_fuse([])
     with _pytest.raises(ValueError):
         rrf_fuse([lex], k=0)
+
+
+def test_files_per_bucket_salting(spark, tmp_path):
+    """files_per_bucket > 1 splits each bucket dir into multiple files
+    (the at-scale layout) without changing results."""
+    import glob
+
+    from binance_data_pipeline_spark.operators.bm25 import build_bm25_index
+
+    docs = spark.createDataFrame(
+        [(f"d{i}", f"term{i % 5} shared common word{i}") for i in range(40)],
+        "doc_id string, text string",
+    )
+    idx = str(tmp_path / "salted")
+    build_bm25_index(docs, idx, n_buckets=2, files_per_bucket=3)
+    for bucket_dir in glob.glob(os.path.join(idx, "postings.parquet", "tb=*")):
+        n_files = len(glob.glob(os.path.join(bucket_dir, "*.parquet")))
+        assert 1 <= n_files <= 3
+
+    queries = spark.createDataFrame([("q", "shared common")], "query_id string, text string")
+    salted = {
+        (r["doc_id"], r["score"]) for r in bm25_query(spark, idx, queries, k=40).collect()
+    }
+    flat = {
+        (r["doc_id"], r["score"]) for r in bm25_topk(queries, docs, k=40).collect()
+    }
+    assert salted == flat
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="files_per_bucket"):
+        build_bm25_index(docs, str(tmp_path / "bad"), files_per_bucket=0)
