@@ -128,24 +128,16 @@ def train_pq_codebook(
     return codebook
 
 
-def encode_pq(
-    df: DataFrame,
-    codebook: np.ndarray,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """(id, code): each vector's nearest sub-centroid per subspace — one
-    Arrow-batched map scan (einsum over the batch), no shuffle. Codes are
-    array<smallint>: M × 2 bytes on disk vs D × 4 for the raw vector (and
-    dictionary/RLE-friendly for parquet)."""
+def _encode_udf(codebook: np.ndarray):
+    """Arrow-batched vector → array<smallint> PQ code (einsum argmin per
+    batch). The closure is self-contained (no references to this
+    module's globals) — cloudpickle ships module functions BY REFERENCE
+    and executors need not have the package importable (the
+    _simhash_batch_udf convention)."""
     m, ksub, dsub = codebook.shape
     cb = codebook  # closure; shipped once per task via pickled UDF
     cnorm2 = (cb**2).sum(axis=2)  # (m, ksub)
 
-    # NOTE: the closure must be self-contained (no references to this
-    # module's globals) — cloudpickle ships module functions BY REFERENCE
-    # and executors need not have the package importable (the
-    # _simhash_batch_udf convention).
     @pandas_udf("array<smallint>")
     def _encode(vs: pd.Series) -> pd.Series:
         X = np.stack(vs.to_numpy()).astype(np.float64)
@@ -158,7 +150,22 @@ def encode_pq(
         codes = (cnorm2[None, :, :] - 2.0 * dots).argmin(axis=2).astype(np.int16)
         return pd.Series(list(codes))
 
-    return df.select(F.col(id_col).alias("id"), _encode(F.col(vec_col)).alias("code"))
+    return _encode
+
+
+def encode_pq(
+    df: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, code): each vector's nearest sub-centroid per subspace — one
+    Arrow-batched map scan, no shuffle. Codes are array<smallint>:
+    M × 2 bytes on disk vs D × 4 for the raw vector (and
+    dictionary/RLE-friendly for parquet)."""
+    return df.select(
+        F.col(id_col).alias("id"), _encode_udf(codebook)(F.col(vec_col)).alias("code")
+    )
 
 
 def adc_cosine(codebook: np.ndarray):
@@ -230,11 +237,14 @@ def build_ivfpq_index(
     ).coalesce(1).write.mode("overwrite").parquet(
         os.path.join(index_path, "codebook.parquet")
     )
-    spread = _spread(corpus)
-    assigned = _assign(spread, id_col, vec_col, centroids)
-    coded = encode_pq(spread, codebook, id_col, vec_col)
-    cells = assigned.select(F.col("id"), F.col("cell_id")).join(coded, "id").select(
-        F.col("id").alias("neighbor_id"), F.col("code"), F.col("cell_id")
+    # assignment (JVM argmax expression) and PQ encoding (Arrow UDF) are
+    # both per-row functions of the vector — ONE projection on one scan,
+    # never two scans re-joined on id (a corpus-grain shuffle for nothing)
+    assigned = _assign(_spread(corpus), id_col, vec_col, centroids)
+    cells = assigned.select(
+        F.col("id").alias("neighbor_id"),
+        _encode_udf(codebook)(F.col("v")).alias("code"),
+        F.col("cell_id"),
     )
     cells.repartition(len(centroids), "cell_id").write.mode("overwrite").partitionBy(
         "cell_id"
