@@ -411,3 +411,39 @@ def append_to_ivf_index(
             1
         ).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
     return n
+
+
+def streaming_ivf_append(
+    vectors_stream,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+    appender=None,
+):
+    """Streaming index maintenance: each micro-batch of arriving vectors
+    appends into the persisted index via ``append_to_ivf_index`` with the
+    batch id as the replay guard — checkpoint replays re-deliver the
+    batch, the commit marker skips it, and the cell table stays
+    exactly-once. ``appender`` swaps in append_to_ivfpq_index (same
+    signature) for a PQ index. The index must already exist (bootstrap
+    with build_ivf_index / ivf_topk over the seed corpus — centroids
+    cannot be trained on an empty stream)."""
+    fn = appender or append_to_ivf_index
+
+    def handle(batch_df, batch_id: int) -> None:
+        fn(
+            batch_df.sparkSession, index_path, batch_df,
+            id_col=id_col, vec_col=vec_col, batch_id=int(batch_id),
+        )
+
+    writer = vectors_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

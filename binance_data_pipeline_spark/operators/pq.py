@@ -431,3 +431,54 @@ def ivfpq_topk(
             import shutil
 
             shutil.rmtree(tmp, ignore_errors=True)
+
+
+def append_to_ivfpq_index(
+    spark: SparkSession,
+    index_path: str,
+    new_vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    fingerprint: str | None = None,
+    batch_id: int | None = None,
+) -> int:
+    """Grow a persisted IVF-PQ index without retraining (the ivf.py
+    append_to_ivf_index contract): assign new vectors to the existing
+    coarse centroids AND encode them against the existing codebook in
+    one scan, append the (neighbor_id, code) rows into their cell
+    partitions. Returns rows appended (0 on a skipped replay).
+
+    Codebook drift caveat is sharper than IVF-flat's: appended vectors
+    are quantized by codebooks trained on the ORIGINAL distribution, so
+    both cell routing and code fidelity decay as the distribution
+    shifts — rebuild when refined recall drops. ``fingerprint`` /
+    ``batch_id`` semantics match append_to_ivf_index (meta written last;
+    commit markers under {index_path}/appends/)."""
+    from .state_swap import batch_committed, commit_batch
+
+    commits = f"{index_path.rstrip('/')}/appends"
+    if batch_id is not None and batch_committed(spark, commits, batch_id):
+        return 0
+    cent_rows = spark.read.parquet(
+        os.path.join(index_path, "centroids.parquet")
+    ).collect()
+    centroids = [(r["cid"], [float(x) for x in r["vec"]]) for r in cent_rows]
+    codebook = _read_codebook(spark, index_path)
+    assigned = _assign(_spread(new_vectors), id_col, vec_col, centroids)
+    cells = assigned.select(
+        F.col("id").alias("neighbor_id"),
+        _encode_udf(codebook)(F.col("v")).alias("code"),
+        F.col("cell_id"),
+    ).localCheckpoint(eager=True)
+    n = cells.count()
+    if n:
+        cells.repartition(len(centroids), "cell_id").write.mode("append").partitionBy(
+            "cell_id"
+        ).parquet(os.path.join(index_path, "cells.parquet"))
+    if batch_id is not None:
+        commit_batch(spark, commits, batch_id)
+    if fingerprint is not None:
+        spark.createDataFrame([(fingerprint,)], "fingerprint STRING").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
+    return n
