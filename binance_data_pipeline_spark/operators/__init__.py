@@ -19,6 +19,7 @@ vocab            token/n-gram frequencies, top-k vocab, IDF
 bpe              trainable byte-pair encoding (distributed counts, Arrow apply)
 bm25             BM25 retrieval + persisted term-bucket index + RRF hybrid fusion
 mining           hard-negative mining (BM25 candidates × embedding ceiling)
+retrieval        serving root: composed BM25+IVF build + RRF hybrid search
 tfidf            map-only TF-IDF / hashing-trick featurization
 sampling         deterministic sampling / token budgets / domain caps / mixing / shuffle / packing / split
 sketches         HLL distinct + count-min frequency rollups (mergeable)
