@@ -20,6 +20,8 @@ bpe              trainable byte-pair encoding (distributed counts, Arrow apply)
 bm25             BM25 retrieval + persisted term-bucket index + RRF hybrid fusion
 mining           hard-negative mining (BM25 candidates × embedding ceiling)
 retrieval        serving root: composed BM25+IVF build + RRF hybrid search
+graph            PageRank link-graph centrality (iterative join form)
+behavior         funnel conversion + cohort retention over event streams
 tfidf            map-only TF-IDF / hashing-trick featurization
 sampling         deterministic sampling / token budgets / domain caps / mixing / shuffle / packing / split
 sketches         HLL distinct + count-min frequency rollups (mergeable)
