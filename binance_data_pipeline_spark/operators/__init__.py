@@ -22,6 +22,7 @@ mining           hard-negative mining (BM25 candidates × embedding ceiling)
 retrieval        serving root: composed BM25+IVF build + RRF hybrid search
 graph            PageRank link-graph centrality (iterative join form)
 behavior         funnel conversion + cohort retention over event streams
+scd              SCD Type 2 dimension merge + point-in-time lookup join
 tfidf            map-only TF-IDF / hashing-trick featurization
 sampling         deterministic sampling / token budgets / domain caps / mixing / shuffle / packing / split
 sketches         HLL distinct + count-min frequency rollups (mergeable)
