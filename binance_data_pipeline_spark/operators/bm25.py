@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from .ivf import _hadoop_fs, _read_index_fingerprint, corpus_fingerprint
 from .vocab import _token_array
 
-__all__ = ["bm25_postings", "build_bm25_index", "bm25_query", "bm25_topk", "rrf_fuse"]
+__all__ = ["bm25_postings", "build_bm25_index", "bm25_query", "bm25_topk", "rrf_fuse", "append_to_bm25_index"]
 
 
 def bm25_postings(
@@ -314,3 +314,84 @@ def rrf_fuse(
     if top_k is not None:
         ranked = ranked.where(F.col("rk") <= top_k)
     return ranked.select("query_id", "doc_id", "rrf_score", "rk")
+
+
+def append_to_bm25_index(
+    spark: SparkSession,
+    index_path: str,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "whitespace",
+    fingerprint: str | None = None,
+    batch_id: int | None = None,
+) -> int:
+    """Grow a persisted BM25 index with NEW documents (ids must not
+    already be indexed — same contract as the ANN appends): their
+    postings append into the term buckets, and the term dictionary +
+    corpus stats are EXACTLY re-merged (df summed, idf recomputed from
+    the new N, avgdl re-weighted), so post-append scores equal a full
+    rebuild's bit-for-bit — pinned by tests. Returns docs appended
+    (0 on a skipped replay).
+
+    Ordering = crash posture: postings first, then terms/stats, then
+    the commit marker, then ``fingerprint`` (meta) LAST — a crash
+    anywhere leaves a stale fingerprint and the next gated call
+    rebuilds; a concurrent reader mid-append may briefly score with the
+    previous idf table (eventual consistency during the append window).
+    ``batch_id`` reuses the state_swap commit-marker recipe under
+    ``{index_path}/appends/`` for exactly-once streaming ingestion."""
+    from .state_swap import batch_committed, commit_batch
+
+    commits = f"{index_path.rstrip('/')}/appends"
+    if batch_id is not None and batch_committed(spark, commits, batch_id):
+        return 0
+    n_buckets = _index_buckets(spark, index_path)
+    postings, terms = bm25_postings(new_docs, id_col, text_col, tokenizer)
+    postings = postings.localCheckpoint(eager=True)  # one eval for 3 uses
+    new_n, new_avgdl = _corpus_stats(postings)
+    if new_n == 0:
+        if batch_id is not None:
+            commit_batch(spark, commits, batch_id)
+        return 0
+    tb = F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int").alias("tb")
+    postings.withColumn("tb", tb).repartition(n_buckets, "tb").write.mode(
+        "append"
+    ).partitionBy("tb").parquet(os.path.join(index_path, "postings.parquet"))
+
+    old = spark.read.parquet(os.path.join(index_path, "stats.parquet")).first()
+    n_docs = int(old["n_docs"]) + new_n
+    avgdl = (float(old["avgdl"]) * int(old["n_docs"]) + new_avgdl * new_n) / n_docs
+
+    old_terms = spark.read.parquet(os.path.join(index_path, "terms.parquet")).select(
+        "term", "df"
+    )
+    merged = (
+        old_terms.unionByName(terms)
+        .groupBy("term")
+        .agg(F.sum("df").alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    ).alias("idf")
+    # the dictionary is vocabulary-sized (not corpus-sized): rewrite in
+    # place; readers between this overwrite and the stats write see a
+    # consistent dictionary with one-batch-stale stats at worst
+    merged.select("term", "df", idf).withColumn("tb", tb).repartition(
+        min(n_buckets, 8), "tb"
+    ).write.mode("overwrite").partitionBy("tb").parquet(
+        os.path.join(index_path, "terms.parquet")
+    )
+    spark.createDataFrame(
+        [(n_docs, avgdl)], "n_docs long, avgdl double"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(index_path, "stats.parquet")
+    )
+    if batch_id is not None:
+        commit_batch(spark, commits, batch_id)
+    if fingerprint is not None:
+        spark.createDataFrame([(fingerprint,)], "fingerprint STRING").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
+    return new_n

@@ -227,3 +227,44 @@ def test_files_per_bucket_salting(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="files_per_bucket"):
         build_bm25_index(docs, str(tmp_path / "bad"), files_per_bucket=0)
+
+
+def test_append_matches_full_rebuild_exactly(spark, tmp_path):
+    """Appending new docs re-merges df/N/avgdl exactly, so post-append
+    scores equal an index built over the union corpus bit-for-bit."""
+    from binance_data_pipeline_spark.operators.bm25 import append_to_bm25_index
+
+    old = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    new = spark.createDataFrame(
+        [("d5", "the cat studied quantum electrodynamics"),
+         ("d6", "another mat for another cat")],
+        "doc_id string, text string",
+    )
+    queries = spark.createDataFrame(
+        [("q1", "cat mat"), ("q2", "quantum the")], "query_id string, text string"
+    )
+
+    idx = str(tmp_path / "grown")
+    bm25_topk(queries, old, k=6, index_path=idx, n_buckets=8).collect()
+    assert append_to_bm25_index(spark, idx, new, batch_id=1) == 2
+    grown = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rk"])
+        for r in bm25_query(spark, idx, queries, k=6).collect()
+    }
+
+    rebuilt = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rk"])
+        for r in bm25_topk(
+            queries, old.unionByName(new), k=6, index_path=str(tmp_path / "fresh"),
+            n_buckets=8,
+        ).collect()
+    }
+    assert grown == rebuilt
+
+    # replay: nothing appended, scores unchanged
+    assert append_to_bm25_index(spark, idx, new, batch_id=1) == 0
+    again = {
+        (r["query_id"], r["doc_id"]): (r["score"], r["rk"])
+        for r in bm25_query(spark, idx, queries, k=6).collect()
+    }
+    assert again == grown
