@@ -692,3 +692,96 @@ def test_build_training_corpus_dsir_stage(spark, tmp_path):
             spark, src, str(tmp_path / "c2"),
             min_quality=0.0, dsir_target_path=tgt,
         )
+
+
+def test_build_training_corpus_all_stages_enabled(spark, tmp_path):
+    """Interaction test: every optional stage on at once — classifier +
+    LM gates, repetition, near+semantic+substring dedup, decontamination,
+    DSIR selection, chunking, shuffle. Pins that stage plumbing composes
+    (column collisions, id dtype drift, stage-order assumptions)."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+
+    fluent = ("the quick brown fox jumps over the lazy dog and runs along "
+              "the river bank toward the quiet village every morning")
+    junkv = "zxq wkj vbn qqq xoxo kpd mzt hjkl plw qrt"
+
+    ref = str(tmp_path / "ref.parquet")
+    spark.createDataFrame(
+        [(1000 + i, fluent, "en") for i in range(10)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(ref)
+
+    lab = str(tmp_path / "labeled.parquet")
+    spark.createDataFrame(
+        [(2000 + i, fluent + f" variant {i}", "en", 1.0) for i in range(8)]
+        + [(3000 + i, junkv + f" {i}", "en", 0.0) for i in range(8)],
+        "doc_id long, text string, lang string, label double",
+    ).write.parquet(lab)
+
+    tgt = str(tmp_path / "target.parquet")
+    spark.createDataFrame(
+        [(4000 + i, fluent, "en") for i in range(6)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(tgt)
+
+    probes = str(tmp_path / "probes.parquet")
+    benchmark_text = ("name the seven wonders of the ancient world in order "
+                      "of construction date for the quiz")
+    spark.createDataFrame(
+        [(9000, benchmark_text, "en")], "doc_id long, text string, lang string"
+    ).write.parquet(probes)
+
+    fluent_b = ("the lazy dog runs along the quiet river and the quick fox "
+                "jumps toward the village bank every morning over the brown grass")
+    fluent_c = ("every morning the village runs quiet and the river bank sees "
+                "the brown dog jump over the lazy fox toward the quick water")
+    rows = [
+        (1, fluent + " one", "en"),
+        (2, fluent + " one", "en"),                  # exact dup of 1
+        (3, fluent_b, "en"),                         # same vocab, new order
+        (4, junkv + " zz", "en"),                    # classifier/LM casualty
+        (5, benchmark_text + " " + fluent, "en"),    # contaminated
+        (6, fluent_c, "en"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+
+    emb = str(tmp_path / "emb.parquet")
+    # 1/2/3 share a direction (but only 2 is an exact dup; 3 stays under
+    # the 0.995 ceiling), 5/6 distinct
+    spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.1]), (2, [1.0, 0.0, 0.1]), (3, [0.9, 0.3, 0.1]),
+         (5, [0.0, 1.0, 0.0]), (6, [0.1, 0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    ).write.parquet(emb)
+
+    out = str(tmp_path / "corpus")
+    counts = build_training_corpus(
+        spark, src, out,
+        min_quality=0.0,
+        dedup_threshold=0.9,
+        max_repetition=0.9,
+        lm_ref_path=ref, lm_max_cross_entropy=6.0,
+        clf_labeled_path=lab, clf_min_prob=0.5, clf_buckets=400, clf_iterations=12,
+        probes_path=probes, max_contamination=0.3,
+        embeddings_path=emb, semantic_threshold=0.995,
+        substring_min_len=40,
+        dsir_target_path=tgt, dsir_k=3, dsir_buckets=400,
+        chunk_tokens=12, overlap_tokens=2,
+        shuffle_seed=7,
+    )
+    # stage accounting: 6 in; junk falls at quality; dup falls at dedup;
+    # contaminated falls at decontamination; DSIR keeps 3 of the 3 left
+    assert counts["input"] == 6
+    assert counts["after_quality"] == 5
+    assert counts["after_dedup"] == 4
+    assert counts["after_decontamination"] == 3
+    assert counts["after_dsir"] == 3
+    assert counts["exported"] > 3  # chunked rows
+
+    kept_docs = {
+        r["doc_id"].split("#")[0] if isinstance(r["doc_id"], str) else r["doc_id"]
+        for r in spark.read.parquet(f"{out}/corpus.parquet").collect()
+    }
+    mapping = {r["doc_id"]: r["reason"] for r in spark.read.parquet(f"{out}/mapping.parquet").collect()}
+    assert 2 in mapping  # the exact dup is in the audit trail
