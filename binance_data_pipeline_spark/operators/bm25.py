@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from .ivf import _hadoop_fs, _read_index_fingerprint, corpus_fingerprint
 from .vocab import _token_array
 
-__all__ = ["bm25_postings", "build_bm25_index", "bm25_query", "bm25_topk", "rrf_fuse", "append_to_bm25_index"]
+__all__ = ["bm25_postings", "build_bm25_index", "bm25_query", "bm25_topk", "rrf_fuse", "append_to_bm25_index", "streaming_bm25_append"]
 
 
 def bm25_postings(
@@ -395,3 +395,38 @@ def append_to_bm25_index(
             1
         ).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
     return new_n
+
+
+def streaming_bm25_append(
+    docs_stream,
+    index_path: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenizer: str = "whitespace",
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Streaming search-index ingestion: each micro-batch of arriving
+    documents appends via ``append_to_bm25_index`` with the batch id as
+    the replay guard — exactly-once at the postings table even across
+    checkpoint loss (the ivf.streaming_ivf_append contract). The index
+    must already exist (bootstrap with build_bm25_index/bm25_topk over
+    the seed corpus — an empty index has no bucket layout to append
+    into)."""
+
+    def handle(batch_df, batch_id: int) -> None:
+        append_to_bm25_index(
+            batch_df.sparkSession, index_path, batch_df,
+            id_col=id_col, text_col=text_col, tokenizer=tokenizer,
+            batch_id=int(batch_id),
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

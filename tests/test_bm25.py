@@ -268,3 +268,35 @@ def test_append_matches_full_rebuild_exactly(spark, tmp_path):
         for r in bm25_query(spark, idx, queries, k=6).collect()
     }
     assert again == grown
+
+
+def test_streaming_bm25_append_exactly_once(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.bm25 import streaming_bm25_append
+
+    old = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    queries = spark.createDataFrame([("q", "cat telescope")], "query_id string, text string")
+    idx = str(tmp_path / "stream_idx")
+    bm25_topk(queries, old, k=5, index_path=idx, n_buckets=8).collect()
+
+    src = str(tmp_path / "arrivals")
+    spark.createDataFrame(
+        [("s1", "a telescope watches the cat"), ("s2", "telescope lenses and mirrors")],
+        "doc_id string, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id string, text string").parquet(src)
+    q = streaming_bm25_append(stream, idx, str(tmp_path / "ck1"), available_now=True)
+    q.awaitTermination(120)
+
+    hits = {r["doc_id"] for r in bm25_query(spark, idx, queries, k=5).collect()}
+    assert {"s1", "s2"} <= hits
+    n_docs = spark.read.parquet(os.path.join(idx, "stats.parquet")).first()["n_docs"]
+    assert n_docs == 6
+
+    # checkpoint loss: batch 0 re-delivered under a fresh checkpoint is
+    # skipped by the commit marker — stats unchanged, no double postings
+    stream2 = spark.readStream.schema("doc_id string, text string").parquet(src)
+    q2 = streaming_bm25_append(stream2, idx, str(tmp_path / "ck2"), available_now=True)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(os.path.join(idx, "stats.parquet")).first()["n_docs"] == 6
+    postings = spark.read.parquet(os.path.join(idx, "postings.parquet"))
+    assert postings.where(F.col("doc") == "s1").count() == len(set("a telescope watches the cat".split()))
