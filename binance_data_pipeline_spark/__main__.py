@@ -48,8 +48,10 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--out", required=True)
 
     pc = sub.add_parser("corpus", help="training-corpus build (jobs.build_training_corpus)")
-    pc.add_argument("--docs", required=True, help="input documents parquet")
-    pc.add_argument("--out", required=True, help="output dir (corpus/mapping/stats)")
+    pc.add_argument("--config", default=None,
+                    help="YAML of build_training_corpus kwargs; overrides all other flags")
+    pc.add_argument("--docs", help="input documents parquet")
+    pc.add_argument("--out", help="output dir (corpus/mapping/stats)")
     pc.add_argument("--min-quality", type=float, default=0.5)
     pc.add_argument("--dedup-threshold", type=float, default=0.85)
     pc.add_argument("--max-repetition", type=float, default=None)
@@ -122,6 +124,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "corpus":
         from .jobs import build_training_corpus
 
+        if args.config is not None:
+            from .jobs import build_training_corpus_from_config
+
+            counts = build_training_corpus_from_config(spark, args.config)
+            print(" ".join(f"{k}={v}" for k, v in counts.items()))
+            return 0
+        if not args.docs or not args.out:
+            p.error("corpus requires --docs and --out (or --config)")
         counts = build_training_corpus(
             spark,
             args.docs,

@@ -528,3 +528,34 @@ def build_training_corpus(
         [tuple(counts.values())], ", ".join(f"{k} long" for k in counts)
     ).coalesce(1).write.mode("overwrite").parquet(f"{out}/stats.parquet")
     return counts
+
+
+def build_training_corpus_from_config(
+    spark: SparkSession, config_path: str
+) -> dict[str, int]:
+    """Config-driven corpus build: a YAML file whose keys are
+    `build_training_corpus` keyword arguments plus required
+    ``docs_path`` / ``out_path`` — the declarative twin of the CLI
+    `corpus` subcommand (version the file next to the data, `-c
+    corpus.yaml` in CI, same contract as quality.py's YAML suites).
+    Unknown keys fail loudly BEFORE any Spark work: a typo like
+    `dedup_treshold` silently reverting to the default is exactly the
+    kind of config drift a corpus build can least afford."""
+    import inspect
+
+    import yaml
+
+    with open(config_path) as fh:
+        cfg = yaml.safe_load(fh)
+    if not isinstance(cfg, dict):
+        raise ValueError(f"{config_path} must be a YAML mapping")
+    for required in ("docs_path", "out_path"):
+        if required not in cfg:
+            raise ValueError(f"{config_path} is missing required key {required!r}")
+    allowed = set(inspect.signature(build_training_corpus).parameters) - {"spark"}
+    unknown = sorted(set(cfg) - allowed)
+    if unknown:
+        raise ValueError(
+            f"unknown config keys {unknown} — valid keys: {sorted(allowed)}"
+        )
+    return build_training_corpus(spark, **cfg)

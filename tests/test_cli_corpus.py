@@ -29,3 +29,34 @@ def test_cli_corpus_build(spark, tmp_path, capsys):
     assert "input=3" in printed and "exported=2" in printed
     assert spark.read.parquet(f"{out}/corpus.parquet").count() == 2
     assert spark.read.parquet(f"{out}/mapping.parquet").count() >= 1
+
+
+def test_config_driven_corpus_build(spark, tmp_path):
+    from binance_data_pipeline_spark.jobs import build_training_corpus_from_config
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta", "en"),
+         (2, "alpha beta gamma delta epsilon zeta", "en"),
+         (3, "totally different words about other things", "en")],
+        "doc_id long, text string, lang string",
+    ).write.parquet(src)
+    out = str(tmp_path / "corpus")
+    cfg = tmp_path / "corpus.yaml"
+    cfg.write_text(
+        f"docs_path: {src}\nout_path: {out}\nmin_quality: 0.0\ndedup_threshold: 0.9\n"
+    )
+    counts = build_training_corpus_from_config(spark, str(cfg))
+    assert counts["input"] == 3 and counts["exported"] == 2
+
+    # typo'd keys fail loudly before any Spark work
+    bad = tmp_path / "bad.yaml"
+    bad.write_text(f"docs_path: {src}\nout_path: {out}\ndedup_treshold: 0.9\n")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dedup_treshold"):
+        build_training_corpus_from_config(spark, str(bad))
+    missing = tmp_path / "missing.yaml"
+    missing.write_text("min_quality: 0.5\n")
+    with _pytest.raises(ValueError, match="docs_path"):
+        build_training_corpus_from_config(spark, str(missing))
