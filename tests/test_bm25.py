@@ -162,7 +162,7 @@ def test_plan_is_jvm_only(spark):
     docs = spark.createDataFrame(CORPUS, "doc_id string, text string")
     queries = spark.createDataFrame([("q", "cat")], "query_id string, text string")
     plan = bm25_topk(queries, docs, k=3)
-    findings = [f for f in audit_plan(plan) if f.kind in ("PY_ROW_EVAL", "CARTESIAN")]
+    findings = [f for f in audit_plan(plan) if f.code in ("PY_ROW_EVAL", "CARTESIAN")]
     assert findings == [], findings
     text = plan_text(plan)
     assert "ArrowEvalPython" not in text and "BatchEvalPython" not in text

@@ -78,7 +78,7 @@ def test_apply_plan_is_arrow_only(spark):
     docs = _corpus(spark)
     merges = train_bpe(docs, num_merges=4)
     plan = bpe_token_count(docs, merges)
-    findings = [f for f in audit_plan(plan) if f.kind in ("PY_ROW_EVAL", "CARTESIAN")]
+    findings = [f for f in audit_plan(plan) if f.code in ("PY_ROW_EVAL", "CARTESIAN")]
     assert findings == [], findings
     text = plan_text(plan)
     assert "ArrowEvalPython" in text and "BatchEvalPython" not in text

@@ -98,7 +98,7 @@ def test_score_plan_is_jvm_only_with_broadcast(spark):
     raw = _docs(spark, 10, JUNK_WORDS, "r", 2)
     ratio, default = dsir_log_ratio(tgt, raw, buckets=500)
     plan = dsir_score(raw, ratio, default, buckets=500)
-    findings = [f for f in audit_plan(plan) if f.kind in ("PY_ROW_EVAL", "CARTESIAN")]
+    findings = [f for f in audit_plan(plan) if f.code in ("PY_ROW_EVAL", "CARTESIAN")]
     assert findings == [], findings
     text = plan_text(plan)
     assert "ArrowEvalPython" not in text and "BatchEvalPython" not in text

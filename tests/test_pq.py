@@ -177,5 +177,5 @@ def test_ivfpq_plan_is_scale_clean(spark, tmp_path):
     idx = str(tmp_path / "ivfpq_index")
     ivfpq_topk(queries, e, k=3, nprobe=6, index_path=idx).collect()
     plan = ivfpq_query(spark, idx, queries, k=3, nprobe=6, refine_source=e)
-    findings = [f for f in audit_plan(plan) if f.kind in ("PY_ROW_EVAL", "CARTESIAN")]
+    findings = [f for f in audit_plan(plan) if f.code in ("PY_ROW_EVAL", "CARTESIAN")]
     assert findings == [], findings

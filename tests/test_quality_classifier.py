@@ -84,7 +84,7 @@ def test_scoring_plan_is_jvm_only_with_broadcast(spark):
     train = _labeled(spark, 5, seed=5)
     weights, intercept, _ = train_quality_classifier(train, buckets=200, iterations=2)
     plan = score_quality(train.drop("label"), weights, intercept, buckets=200)
-    findings = [f for f in audit_plan(plan) if f.kind in ("PY_ROW_EVAL", "CARTESIAN")]
+    findings = [f for f in audit_plan(plan) if f.code in ("PY_ROW_EVAL", "CARTESIAN")]
     assert findings == [], findings
     text = plan_text(plan)
     assert "ArrowEvalPython" not in text and "BatchEvalPython" not in text
