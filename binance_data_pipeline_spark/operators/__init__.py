@@ -24,6 +24,7 @@ graph            PageRank link-graph centrality (iterative join form)
 behavior         funnel conversion + cohort retention over event streams
 scd              SCD Type 2 dimension merge + point-in-time lookup join
 anomaly          rolling z-score / robust IQR / seasonal-residual flags
+langid           trainable language ID (multinomial logistic, char n-grams)
 tfidf            map-only TF-IDF / hashing-trick featurization
 sampling         deterministic sampling / token budgets / domain caps / mixing / shuffle / packing / split
 sketches         HLL distinct + count-min frequency rollups (mergeable)
