@@ -783,5 +783,6 @@ def test_build_training_corpus_all_stages_enabled(spark, tmp_path):
         r["doc_id"].split("#")[0] if isinstance(r["doc_id"], str) else r["doc_id"]
         for r in spark.read.parquet(f"{out}/corpus.parquet").collect()
     }
+    assert kept_docs == {1, 3, 6}  # junk, dup, contaminated all gone
     mapping = {r["doc_id"]: r["reason"] for r in spark.read.parquet(f"{out}/mapping.parquet").collect()}
     assert 2 in mapping  # the exact dup is in the audit trail
