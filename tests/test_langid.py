@@ -82,3 +82,61 @@ def test_single_class_rejected(spark):
     )
     with pytest.raises(ValueError, match="classes"):
         train_langid(one, buckets=100, iterations=1)
+
+
+def test_training_matches_numpy_reference(spark):
+    """Gradient parity: the distributed GD must track a plain numpy
+    softmax-regression implementing the same update rule on the same
+    features, to float tolerance, iteration by iteration."""
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.langid import _features
+
+    train = _docs(spark, 6, seed=4)
+    buckets, iters, lr, mom, l2 = 300, 5, 8.0, 0.9, 1e-4
+    weights, intercepts, classes, history = train_langid(
+        train, buckets=buckets, iterations=iters, lr=lr, momentum=mom, l2=l2
+    )
+
+    feat_rows = _features(train, "doc_id", "text", buckets, 3).collect()
+    label_rows = train.select("doc_id", "lang").collect()
+    ids = sorted({r["id"] for r in feat_rows})
+    id_ix = {d: i for i, d in enumerate(ids)}
+    buckets_seen = sorted({r["bucket"] for r in feat_rows})
+    b_ix = {b: i for i, b in enumerate(buckets_seen)}
+    X = np.zeros((len(ids), len(buckets_seen)))
+    for r in feat_rows:
+        X[id_ix[r["id"]], b_ix[r["bucket"]]] = r["x"]
+    cls_ix = {c: i for i, c in enumerate(classes)}
+    Y = np.zeros((len(ids), len(classes)))
+    for r in label_rows:
+        Y[id_ix[r["doc_id"]], cls_ix[r["lang"]]] = 1.0
+
+    W = np.zeros((len(buckets_seen), len(classes)))
+    B = np.zeros(len(classes))
+    vW = np.zeros_like(W)
+    vB = np.zeros_like(B)
+    ref_hist = []
+    n = len(ids)
+    for _ in range(iters):
+        Z = X @ W + B
+        Z -= Z.max(axis=1, keepdims=True)
+        P = np.exp(Z)
+        P /= P.sum(axis=1, keepdims=True)
+        ref_hist.append(float(-(Y * np.log(np.maximum(P, 1e-12))).sum() / n))
+        E = P - Y
+        gB = E.sum(axis=0) / n
+        gW = X.T @ E / n + l2 * W
+        vB = mom * vB + gB
+        B -= lr * vB
+        vW = mom * vW + gW
+        W -= lr * vW
+
+    assert np.allclose(history, ref_hist, rtol=1e-6, atol=1e-9), (history, ref_hist)
+    for c, i in cls_ix.items():
+        assert abs(intercepts[c] - B[i]) < 1e-8
+    wmap = {r["bucket"]: dict(r["w"]) for r in weights.collect()}
+    for b, bi in b_ix.items():
+        for c, ci in cls_ix.items():
+            got = wmap.get(b, {}).get(c, 0.0)
+            assert abs(got - W[bi, ci]) < 1e-8, (b, c, got, W[bi, ci])
