@@ -99,3 +99,62 @@ def test_training_reproducible(spark):
     assert {(r["bucket"], r["w"]) for r in w1.collect()} == {
         (r["bucket"], r["w"]) for r in w2.collect()
     }
+
+
+def test_training_matches_numpy_reference(spark):
+    """Gradient parity: the distributed GD must track a plain numpy
+    logistic regression implementing the same update rule on the same
+    features, iteration by iteration."""
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.quality_classifier import doc_features
+
+    train = _labeled(spark, 8, seed=9)
+    buckets, iters, lr, mom, l2 = 300, 6, 8.0, 0.9, 1e-4
+    weights, intercept, history = train_quality_classifier(
+        train, buckets=buckets, iterations=iters, lr=lr, momentum=mom, l2=l2
+    )
+
+    feat_rows = doc_features(train, buckets=buckets).collect()
+    label_rows = train.select("doc_id", "label").collect()
+    ids = sorted({r["id"] for r in feat_rows})
+    id_ix = {d: i for i, d in enumerate(ids)}
+    bks = sorted({r["bucket"] for r in feat_rows})
+    b_ix = {b: i for i, b in enumerate(bks)}
+    X = np.zeros((len(ids), len(bks)))
+    for r in feat_rows:
+        X[id_ix[r["id"]], b_ix[r["bucket"]]] = r["x"]
+    y = np.zeros(len(ids))
+    for r in label_rows:
+        y[id_ix[r["doc_id"]]] = r["label"]
+
+    w = np.zeros(len(bks))
+    b0 = 0.0
+    vw = np.zeros_like(w)
+    v0 = 0.0
+    ref_hist = []
+    n = len(ids)
+    for _ in range(iters):
+        z = np.clip(X @ w + b0, -30, 30)
+        p = 1.0 / (1.0 + np.exp(-z))
+        ref_hist.append(
+            float(
+                -np.mean(
+                    y * np.log(np.maximum(p, 1e-12))
+                    + (1 - y) * np.log(np.maximum(1 - p, 1e-12))
+                )
+            )
+        )
+        e = p - y
+        g0 = e.sum() / n
+        gw = X.T @ e / n + l2 * w
+        v0 = mom * v0 + g0
+        b0 -= lr * v0
+        vw = mom * vw + gw
+        w -= lr * vw
+
+    assert np.allclose(history, ref_hist, rtol=1e-6, atol=1e-9), (history, ref_hist)
+    assert abs(intercept - b0) < 1e-8
+    wmap = {r["bucket"]: r["w"] for r in weights.collect()}
+    for b, bi in b_ix.items():
+        assert abs(wmap.get(b, 0.0) - w[bi]) < 1e-8, (b, wmap.get(b), w[bi])
