@@ -37,15 +37,28 @@ def pagerank(
     damping: float = 0.85,
     iterations: int = 10,
     checkpoint_every: int = 5,
+    weight_col: str | None = None,
+    tol: float | None = None,
 ) -> DataFrame:
-    """(node, rank) after ``iterations`` power steps. Duplicate edges
-    count as parallel links (weight = multiplicity); self-loops are
-    legal. Node set = every id appearing as src OR dst."""
+    """(node, rank) after up to ``iterations`` power steps. Duplicate
+    edges count as parallel links (weight = multiplicity); pass
+    ``weight_col`` for explicit edge weights (contribution ∝ weight /
+    weighted out-degree; weights must be ≥ 0). Self-loops are legal.
+    Node set = every id appearing as src OR dst.
+
+    ``tol``: optional early stop — iteration ends when the L1 delta
+    Σ|rank − prev| drops below it (one extra scalar aggregate per
+    iteration; None = fixed iteration count, no extra pass)."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     if iterations < 1:
         raise ValueError(f"iterations must be >= 1, got {iterations}")
-    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    wexpr = (
+        F.col(weight_col).cast("double") if weight_col is not None else F.lit(1.0)
+    )
+    e = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst"), wexpr.alias("wt")
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
@@ -54,10 +67,11 @@ def pagerank(
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    deg = e.groupBy("src").agg(F.sum("wt").alias("deg"))
     # (node, deg) with deg NULL for dangling nodes; checkpointed once —
-    # every iteration reuses the same materialized edge/degree tables
-    ranked_edges = e.join(deg, "src").localCheckpoint(eager=True)
+    # every iteration reuses the same materialized edge/degree tables.
+    # Zero-weight-only sources count as dangling (no mass can leave).
+    ranked_edges = e.join(deg, "src").where(F.col("deg") > 0).localCheckpoint(eager=True)
     node_deg = nodes.join(
         deg.select(F.col("src").alias("node"), "deg"), "node", "left"
     ).localCheckpoint(eager=True)
@@ -66,17 +80,23 @@ def pagerank(
     for i in range(iterations):
         with_deg = ranks.join(node_deg.select("node", "deg"), "node")
         dangling = (
-            with_deg.where(F.col("deg").isNull()).agg(F.sum("rank")).first()[0] or 0.0
+            with_deg.where(
+                F.col("deg").isNull() | (F.col("deg") <= 0)
+            ).agg(F.sum("rank")).first()[0]
+            or 0.0
         )
         contribs = (
             ranked_edges.join(
                 ranks.select(F.col("node").alias("src"), "rank"), "src"
             )
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("deg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") * F.col("wt") / F.col("deg")).alias("c"),
+            )
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
-        ranks = nodes.join(contribs, "node", "left").select(
+        new_ranks = nodes.join(contribs, "node", "left").select(
             "node",
             (
                 F.lit((1.0 - damping) / n)
@@ -84,6 +104,20 @@ def pagerank(
                 * (F.coalesce(F.col("inflow"), F.lit(0.0)) + F.lit(dangling / n))
             ).alias("rank"),
         )
-        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
+        if tol is not None:
+            new_ranks = new_ranks.localCheckpoint(eager=True)
+            delta = (
+                new_ranks.join(
+                    ranks.select("node", F.col("rank").alias("__prev")), "node"
+                )
+                .agg(F.sum(F.abs(F.col("rank") - F.col("__prev"))))
+                .first()[0]
+            )
+            ranks = new_ranks
+            if delta is not None and delta < tol:
+                break
+        else:
+            ranks = new_ranks
+            if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+                ranks = ranks.localCheckpoint(eager=True)
     return ranks

@@ -75,3 +75,35 @@ def test_validation(spark):
         pagerank(e, damping=1.0)
     with pytest.raises(ValueError, match="iterations"):
         pagerank(e, iterations=0)
+
+
+def test_weighted_edges_shift_rank(spark):
+    """An explicit weight column reroutes mass: with a 9:1 weighting of
+    a's out-edges, b outranks c; unweighted (parallel-edge multiplicity)
+    reproduces the same result as duplicate rows."""
+    weighted = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    ranks = {
+        r["node"]: r["rank"]
+        for r in pagerank(weighted, weight_col="w", iterations=12).collect()
+    }
+    assert ranks["b"] > ranks["c"]
+    # duplicate-row multiplicity ≡ integer weights
+    dup_rows = [("a", "b")] * 9 + [("a", "c"), ("b", "a"), ("c", "a")]
+    dup = spark.createDataFrame(dup_rows, "src string, dst string")
+    ranks_dup = {r["node"]: r["rank"] for r in pagerank(dup, iterations=12).collect()}
+    for v in ranks:
+        assert abs(ranks[v] - ranks_dup[v]) < 1e-12
+
+
+def test_tolerance_early_stop_matches_converged_result(spark):
+    e = spark.createDataFrame(EDGES, "src string, dst string")
+    full = {r["node"]: r["rank"] for r in pagerank(e, iterations=60).collect()}
+    early = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, iterations=60, tol=1e-10).collect()
+    }
+    for v in full:
+        assert abs(full[v] - early[v]) < 1e-8
