@@ -265,6 +265,7 @@ def build_training_corpus(
     embedding_id_col: str = "vec_id",
     semantic_threshold: float = 0.9,
     semantic_k: int = 16,
+    embed_dim: int | None = None,
     substring_min_len: int | None = None,
     lm_ref_path: str | None = None,
     lm_max_cross_entropy: float = 10.0,
@@ -298,6 +299,10 @@ def build_training_corpus(
     ``semantic_threshold``, keeper = farthest-from-centroid. Docs with
     no embedding row pass through untouched, and dropped docs land in
     the same mapping audit trail with reason ``semantic_dup``.
+    ``embed_dim`` (with no ``embeddings_path``) runs the same semantic
+    pass on embeddings generated IN-FLIGHT from the kept docs' text by
+    ``operators/embedder.hash_encoder`` — no external model or
+    embedding table required; one extra map stage, same dedup plan.
 
     ``lm_ref_path`` points at a parquet of TRUSTED reference docs (same
     id/text columns): an n-gram LM trains on it and docs whose
@@ -412,13 +417,20 @@ def build_training_corpus(
         )
         counts["after_dedup"] = kept.count()
 
-        if embeddings_path is not None:
+        if embeddings_path is not None or embed_dim is not None:
             from .operators.semdedup import semantic_dedup
 
-            emb = spark.read.parquet(embeddings_path).select(
-                F.col(embedding_id_col).alias("__emb_id"), F.col("embedding")
-            )
-            with_vec = kept.join(emb, F.col(id_col) == F.col("__emb_id"), "inner")
+            if embeddings_path is not None:
+                emb = spark.read.parquet(embeddings_path).select(
+                    F.col(embedding_id_col).alias("__emb_id"), F.col("embedding")
+                )
+                with_vec = kept.join(
+                    emb, F.col(id_col) == F.col("__emb_id"), "inner"
+                )
+            else:  # in-flight hash embeddings over the kept docs' text
+                from .operators.embedder import embed_texts
+
+                with_vec = embed_texts(kept, text_col=text_col, dim=embed_dim)
             decision = semantic_dedup(
                 with_vec, id_col=id_col, vec_col="embedding",
                 k=semantic_k, threshold=semantic_threshold,

@@ -8,6 +8,7 @@ incremental_dedup  per-batch dedup vs persisted append-only state
 semdedup         semantic (embedding-cell) dedup, batch + incremental + streaming
 substring        exact-substring span dedup (distributed ExactSubstr)
 similarity       embedding similarity search (brute-force + RP-LSH ANN)
+embedder         text → embedding generation (hash encoder default, model-injectable)
 ivf              persisted IVF ANN index (fingerprinted, build-once/query-many)
 pq               IVF-PQ: product-quantized ANN (M-byte codes, ADC scan, exact refine)
 text             text analysis (tokens, quality, language-ID, fingerprints, PII, chunking)
@@ -19,7 +20,7 @@ vocab            token/n-gram frequencies, top-k vocab, IDF
 bpe              trainable byte-pair encoding (distributed counts, Arrow apply)
 bm25             BM25 retrieval + persisted term-bucket index + RRF hybrid fusion
 mining           hard-negative mining (BM25 candidates × embedding ceiling)
-retrieval        serving root: composed BM25+IVF build + RRF hybrid search
+retrieval        serving root: BM25+IVF build + RRF hybrid search + injectable rerank
 graph            PageRank link-graph centrality (iterative join form)
 behavior         funnel conversion + cohort retention over event streams
 scd              SCD Type 2 dimension merge + point-in-time lookup join

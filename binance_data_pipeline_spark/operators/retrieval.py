@@ -28,14 +28,23 @@ indexed so the reader can check.
 from __future__ import annotations
 
 import os
+from collections.abc import Callable, Iterator
 
-from pyspark.sql import DataFrame, SparkSession
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .bm25 import bm25_query, bm25_topk, rrf_fuse
 from .ivf import ivf_query, ivf_topk
 
-__all__ = ["build_retrieval_index", "hybrid_search"]
+__all__ = [
+    "build_retrieval_index",
+    "hybrid_search",
+    "rerank",
+    "overlap_scorer",
+    "stub_scorer",
+]
 
 
 def build_retrieval_index(
@@ -128,3 +137,113 @@ def hybrid_search(
         )
         legs.append(vec)
     return rrf_fuse(legs, k=rrf_k, top_k=k)
+
+
+# ---------------------------------------------------------------------------
+# Rerank stage: injectable cross-encoder over the candidate set
+# ---------------------------------------------------------------------------
+
+#: Batch scorer contract: parallel lists of query/passage texts in,
+#: one relevance score per pair out (higher = more relevant).
+Scorer = Callable[[list[str], list[str]], "np.ndarray"]
+
+
+def stub_scorer(q_texts: list[str], p_texts: list[str]) -> "np.ndarray":
+    """Guard stub documenting the injection point for a real
+    cross-encoder (e.g. a sentence-transformers CrossEncoder.predict —
+    not installed in this container)."""
+    raise NotImplementedError(
+        "no cross-encoder injected — pass scorer=overlap_scorer for the "
+        "dependency-free lexical scorer, or a CrossEncoder.predict-style callable"
+    )
+
+
+def overlap_scorer(q_texts: list[str], p_texts: list[str]) -> "np.ndarray":
+    """Dependency-free default: token-set F1 between query and passage
+    (the SQuAD-style overlap measure). A real, monotone relevance signal
+    — an exact restatement of the query scores 1.0 — and deterministic,
+    so rerank results are reproducible without any model."""
+    out = np.zeros(len(q_texts), dtype=np.float64)
+    for i, (q, p) in enumerate(zip(q_texts, p_texts)):
+        qs, ps = set((q or "").lower().split()), set((p or "").lower().split())
+        if not qs or not ps:
+            continue
+        inter = len(qs & ps)
+        if inter == 0:
+            continue
+        prec, rec = inter / len(ps), inter / len(qs)
+        out[i] = 2 * prec * rec / (prec + rec)
+    return out
+
+
+def rerank(
+    spark: SparkSession,
+    root: str,
+    candidates: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    scorer: Scorer | None = None,
+) -> DataFrame:
+    """Second-stage rerank of ``hybrid_search`` candidates: fetch each
+    candidate's passage text from the serving root, score (query,
+    passage) pairs with the injected cross-encoder, keep the top ``k``
+    per query by the new score. Returns
+    (query_id, doc_id, rerank_score, rk).
+
+    Scale shape: ``candidates`` is |Q|·k rows — tiny next to the passage
+    corpus — so it BROADCASTS into the passages scan (the corpus is
+    never shuffled), the scorer sees only |Q|·k pairs in Arrow batches,
+    and the final per-query top-k is a window over |Q|·k rows. A GPU
+    cross-encoder drops in through the same batch contract as
+    ``embedder.embed_texts``.
+    """
+    sc = scorer if scorer is not None else overlap_scorer
+    base = root.rstrip("/")
+    passages = spark.read.parquet(f"{base}/passages.parquet")
+    id_col, text_col = passages.columns[0], passages.columns[1]
+    # reserved aliases: the passage id column may itself be "doc_id"
+    cand = candidates.select(
+        F.col("query_id").alias("__c_qid"), F.col("doc_id").alias("__c_did")
+    )
+    pairs = (
+        passages.join(
+            F.broadcast(cand), on=F.col(id_col) == F.col("__c_did"), how="inner"
+        )
+        .select(
+            F.col("__c_qid").alias("query_id"),
+            F.col("__c_did").alias("doc_id"),
+            F.col(text_col).alias("__p_text"),
+        )
+        .join(
+            F.broadcast(
+                queries.select(
+                    F.col("query_id"), F.col("text").alias("__q_text")
+                )
+            ),
+            "query_id",
+        )
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for b in batches:
+            scores = np.asarray(
+                sc(b["__q_text"].tolist(), b["__p_text"].tolist()), dtype=np.float64
+            )
+            if scores.shape != (len(b),):
+                raise ValueError(
+                    f"scorer returned shape {scores.shape}, expected ({len(b)},)"
+                )
+            out = b[["query_id", "doc_id"]].copy()
+            out["rerank_score"] = scores
+            yield out
+
+    scored = pairs.mapInPandas(
+        run, "query_id string, doc_id string, rerank_score double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rerank_score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= k)
+    )

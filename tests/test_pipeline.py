@@ -786,3 +786,46 @@ def test_build_training_corpus_all_stages_enabled(spark, tmp_path):
     assert kept_docs == {1, 3, 6}  # junk, dup, contaminated all gone
     mapping = {r["doc_id"]: r["reason"] for r in spark.read.parquet(f"{out}/mapping.parquet").collect()}
     assert 2 in mapping  # the exact dup is in the audit trail
+
+
+def test_build_training_corpus_inflight_embeddings(spark, tmp_path):
+    """embed_dim with no embeddings_path: the semantic pass runs on
+    hash embeddings generated in-flight from the kept docs' text — a
+    one-token paraphrase (invisible to shingle dedup: one changed token
+    kills a whole window of shingles) collapses semantically, with no
+    external embedding table."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+    from binance_data_pipeline_spark.operators.embedder import hash_encoder
+
+    base = ("a sufficiently long technical report covering columnar "
+            "execution engines their exchange operators and the physical "
+            "plans schedulers build for analytical queries")
+    twin = base.replace("analytical", "interactive")  # one token differs
+    rows = [
+        (1, base, "en"),
+        (2, twin, "en"),
+        (3, "a third distinct subject entirely, covering alpine weather "
+            "fronts and the forecasting models meteorologists calibrate", "en"),
+    ]
+    # precondition: the default hash embedding really does see the twin
+    import numpy as np
+
+    v = hash_encoder(256)([base, twin, rows[2][1]])
+    assert float(v[0] @ v[1]) > 0.85 > float(v[0] @ v[2])
+
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(src)
+    out = str(tmp_path / "corpus")
+    counts = build_training_corpus(
+        spark, src, out,
+        min_quality=0.3, dedup_threshold=0.85,
+        embed_dim=256, semantic_threshold=0.85, semantic_k=2,
+    )
+    assert counts["after_dedup"] == 3            # shingles keep both twins
+    assert counts["after_semantic_dedup"] == 2   # {1,2} collapsed in-flight
+    mapping = {r["doc_id"]: (r["kept_doc_id"], r["reason"]) for r in
+               spark.read.parquet(f"{out}/mapping.parquet").collect()}
+    dropped = [d for d in (1, 2) if mapping[d][1] == "semantic_dup"]
+    assert len(dropped) == 1 and mapping[dropped[0]][0] == 3 - dropped[0]
+    exported = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
+    assert exported == {3 - dropped[0], 3}

@@ -103,3 +103,69 @@ def test_refuses_manifestless_root_and_missing_ann(spark, tmp_path):
         hybrid_search(spark, root, queries, qv)
     with pytest.raises(ValueError, match="manifest"):
         hybrid_search(spark, str(tmp_path / "nowhere"), queries, None)
+
+
+def test_rerank_promotes_exact_restatement(spark, tmp_path):
+    """BM25's idf-weighting can rank a rare-term passage above the
+    query's exact restatement; the rerank stage (token-F1 default
+    scorer) must put the restatement first and cap at k."""
+    from binance_data_pipeline_spark.operators.retrieval import rerank
+
+    root, _ = _build(spark, tmp_path)
+    queries = spark.createDataFrame(
+        [("q1", "wind turbines convert moving air into electricity")],
+        "query_id string, text string",
+    )
+    cands = hybrid_search(spark, root, queries, k=4)
+    assert cands.count() >= 2  # d1 and d2 both match lexically
+    out = rerank(spark, root, cands, queries, k=2).collect()
+    assert len(out) == 2
+    by_rank = sorted(out, key=lambda r: r["rk"])
+    assert by_rank[0]["doc_id"] == "d2"
+    assert abs(by_rank[0]["rerank_score"] - 1.0) < 1e-12  # exact restatement
+    assert by_rank[1]["rerank_score"] < 1.0
+
+
+def test_rerank_injectable_scorer_and_stub(spark, tmp_path):
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.retrieval import rerank, stub_scorer
+
+    root, _ = _build(spark, tmp_path, embeddings=False)
+    queries = spark.createDataFrame(
+        [("q1", "electricity")], "query_id string, text string"
+    )
+    cands = hybrid_search(spark, root, queries, k=4)
+
+    def reverse_scorer(q_texts, p_texts):
+        # score by passage length: promotes the LONGEST candidate
+        return np.array([float(len(p or "")) for p in p_texts])
+
+    top = (
+        rerank(spark, root, cands, queries, k=1, scorer=reverse_scorer)
+        .first()
+    )
+    cand_texts = {
+        r["doc_id"]: next(t for d, t in DOCS if d == r["doc_id"])
+        for r in cands.collect()
+    }
+    assert len(cand_texts[top["doc_id"]]) == max(len(t) for t in cand_texts.values())
+
+    with pytest.raises(NotImplementedError, match="cross-encoder"):
+        stub_scorer(["q"], ["p"])
+
+
+def test_rerank_plan_broadcasts_candidates_not_corpus(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.retrieval import rerank
+    from binance_data_pipeline_spark.plans.audit import audit_plan, plan_text
+
+    root, _ = _build(spark, tmp_path, embeddings=False)
+    queries = spark.createDataFrame(
+        [("q1", "electricity")], "query_id string, text string"
+    )
+    cands = hybrid_search(spark, root, queries, k=4)
+    out = rerank(spark, root, cands, queries, k=2)
+    findings = [f for f in audit_plan(out) if f.code in ("PY_ROW_EVAL", "CARTESIAN")]
+    assert findings == [], findings
+    text = plan_text(out)
+    assert "BroadcastHashJoin" in text  # candidates/queries are the broadcast sides
