@@ -10,6 +10,10 @@ Airflow tasks, as plain commands:
   revenue    fee/tax revenue fact for a date (§3.4)
   corpus     training-corpus build (redact -> quality/LM/classifier gates ->
              dedup -> decontaminate -> DSIR select -> chunk -> shuffle)
+  index      build a retrieval serving root (passages + BM25 [+ IVF ANN];
+             --embed-dim makes it self-contained from raw text)
+  search     hybrid search (BM25 + ANN, RRF-fused; --rerank for the
+             second-stage token-F1 rerank) against a serving root
 """
 
 from __future__ import annotations
@@ -65,7 +69,26 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--clf-min-prob", type=float, default=0.5)
     pc.add_argument("--dsir-target", default=None, help="target parquet for DSIR selection")
     pc.add_argument("--dsir-k", type=int, default=None)
+    pc.add_argument("--embed-dim", type=int, default=None,
+                    help="semantic dedup on IN-FLIGHT hash embeddings (no --embeddings needed)")
     pc.add_argument("--seed", type=int, default=0)
+
+    px = sub.add_parser("index", help="build a retrieval serving root (BM25 [+ ANN])")
+    px.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
+    px.add_argument("--out", required=True, help="serving root directory")
+    px.add_argument("--embeddings", default=None, help="embeddings parquet (vec_id, embedding)")
+    px.add_argument("--embed-dim", type=int, default=None,
+                    help="self-contained root: generate passage embeddings in-flight")
+    px.add_argument("--chunk-tokens", type=int, default=None)
+    px.add_argument("--term-buckets", type=int, default=64)
+    px.add_argument("--centroids", type=int, default=16)
+
+    ps = sub.add_parser("search", help="hybrid search against a serving root")
+    ps.add_argument("--root", required=True)
+    ps.add_argument("--query", required=True, help="query text")
+    ps.add_argument("--k", type=int, default=10)
+    ps.add_argument("--rerank", action="store_true",
+                    help="second-stage rerank (token-F1 scorer)")
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -149,9 +172,40 @@ def main(argv: list[str] | None = None) -> int:
             clf_min_prob=args.clf_min_prob,
             dsir_target_path=args.dsir_target,
             dsir_k=args.dsir_k,
+            embed_dim=args.embed_dim,
             shuffle_seed=args.seed,
         )
         print(" ".join(f"{k}={v}" for k, v in counts.items()))
+        return 0
+
+    if args.cmd == "index":
+        from .operators.retrieval import build_retrieval_index
+
+        docs = spark.read.parquet(args.docs)
+        emb = spark.read.parquet(args.embeddings) if args.embeddings else None
+        counts = build_retrieval_index(
+            spark, docs, args.out, embeddings=emb,
+            chunk_tokens=args.chunk_tokens,
+            n_term_buckets=args.term_buckets, n_centroids=args.centroids,
+            embed_dim=args.embed_dim,
+        )
+        print(" ".join(f"{k}={v}" for k, v in counts.items()))
+        return 0
+
+    if args.cmd == "search":
+        from .operators.retrieval import hybrid_search, rerank
+
+        queries = spark.createDataFrame(
+            [("q1", args.query)], "query_id string, text string"
+        )
+        res = hybrid_search(spark, args.root, queries, k=args.k)
+        if args.rerank:
+            res = rerank(spark, args.root, res, queries, k=args.k)
+            score_col = "rerank_score"
+        else:
+            score_col = "rrf_score"
+        for r in sorted(res.collect(), key=lambda r: r["rk"]):
+            print(f"{r['rk']}\t{r['doc_id']}\t{r[score_col]:.6f}")
         return 0
 
     return 2

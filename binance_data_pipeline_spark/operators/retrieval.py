@@ -12,10 +12,16 @@ Build composes the engine's existing build-once pieces (bm25.build,
 ivf.build — each keeps its own fingerprint); `hybrid_search` runs the
 lexical and vector probes against the SAME root and fuses them with
 reciprocal-rank fusion (score-scale-free, so no calibration between
-BM25 scores and cosines). Embedding the query text is the caller's job
-(the engine treats embeddings as data, not models — same stance as
-operators/similarity.py); pass `query_embeddings=None` for pure lexical
-search.
+BM25 scores and cosines). For externally-embedded roots, embedding the
+query text is the caller's job (embeddings are data, not models — the
+operators/similarity.py stance); pass `query_embeddings=None` for pure
+lexical search. Roots built with ``embed_dim`` are SELF-CONTAINED:
+passage and query embeddings are generated in-flight by the manifest's
+deterministic hash encoder (operators/embedder.py), so the vector leg
+needs no model and no embedding table on either side.
+`append_to_retrieval_root` grows all three artifacts without a rebuild
+(replay-safe per-leg commit markers under ``batch_id``);
+`rerank` adds an injectable cross-encoder second stage.
 
 When chunking is on, embeddings must be keyed by PASSAGE id
 (``doc_id << chunking >> {doc}#{idx}`` — the chunk_documents
@@ -40,11 +46,37 @@ from .ivf import ivf_query, ivf_topk
 
 __all__ = [
     "build_retrieval_index",
+    "append_to_retrieval_root",
+    "streaming_retrieval_append",
     "hybrid_search",
     "rerank",
     "overlap_scorer",
     "stub_scorer",
 ]
+
+
+def _as_passages(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int | None,
+    overlap_tokens: int,
+) -> DataFrame:
+    """Docs → indexed text units: either the docs themselves or
+    fixed-window chunks with ``{doc}#{idx}`` ids (the chunk_documents
+    convention). Shared by build and append so appended passages are
+    chunked IDENTICALLY to built ones."""
+    if chunk_tokens is not None:
+        from .text import chunk_documents
+
+        return chunk_documents(
+            docs, id_col=id_col, text_col=text_col,
+            chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens,
+        ).select(
+            F.concat_ws("#", F.col("id").cast("string"), F.col("chunk_idx")).alias(id_col),
+            F.col("chunk_text").alias(text_col),
+        )
+    return docs.select(F.col(id_col), F.col(text_col))
 
 
 def build_retrieval_index(
@@ -60,25 +92,23 @@ def build_retrieval_index(
     overlap_tokens: int = 32,
     n_term_buckets: int = 64,
     n_centroids: int = 16,
+    embed_dim: int | None = None,
+    embed_seed: int = 0,
 ) -> dict[str, int]:
     """Build the serving root. Returns counts per artifact. Each
     sub-index rides its own build-once contract; the manifest is written
-    last so a crashed build is detectable (no manifest = rebuild)."""
-    out = out_path.rstrip("/")
-    if chunk_tokens is not None:
-        from .text import chunk_documents
+    last so a crashed build is detectable (no manifest = rebuild).
 
-        passages = chunk_documents(
-            docs, id_col=id_col, text_col=text_col,
-            chunk_tokens=chunk_tokens, overlap_tokens=overlap_tokens,
-        ).select(
-            F.concat_ws("#", F.col("id").cast("string"), F.col("chunk_idx")).alias(id_col),
-            F.col("chunk_text").alias(text_col),
-        )
-        unit = "chunk"
-    else:
-        passages = docs.select(F.col(id_col), F.col(text_col))
-        unit = "doc"
+    ``embed_dim`` (with no ``embeddings``) makes the root fully
+    SELF-CONTAINED from raw text: passage embeddings are generated
+    in-flight by ``embedder.hash_encoder(embed_dim, embed_seed)`` and
+    the encoder geometry is recorded in the manifest, so
+    ``hybrid_search`` can re-instantiate the identical (deterministic)
+    encoder for query text at serve time — no external embedding table
+    or model on either side."""
+    out = out_path.rstrip("/")
+    passages = _as_passages(docs, id_col, text_col, chunk_tokens, overlap_tokens)
+    unit = "chunk" if chunk_tokens is not None else "doc"
     passages.write.mode("overwrite").parquet(f"{out}/passages.parquet")
     passages = spark.read.parquet(f"{out}/passages.parquet")
     counts = {"passages": passages.count()}
@@ -90,17 +120,44 @@ def build_retrieval_index(
               k=1, index_path=f"{out}/bm25", n_buckets=n_term_buckets).collect()
     counts["bm25_built"] = 1
 
+    inflight_dim: int | None = None
+    if embeddings is None and embed_dim is not None:
+        from .embedder import embed_texts, hash_encoder
+
+        inflight_dim = embed_dim
+        embeddings = embed_texts(
+            passages, text_col=text_col,
+            encoder=hash_encoder(embed_dim, seed=embed_seed),
+        ).select(F.col(id_col).alias(emb_id_col), F.col("embedding").alias(vec_col))
+
     if embeddings is not None:
         probe_v = embeddings.limit(1)
         ivf_topk(probe_v, embeddings, id_col=emb_id_col, vec_col=vec_col,
                  k=1, n_centroids=n_centroids, index_path=f"{out}/ann").collect()
         counts["ann_vectors"] = embeddings.count()
 
-    spark.createDataFrame(
-        [(unit, counts["passages"], embeddings is not None)],
-        "unit string, n_passages long, has_ann boolean",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/manifest.parquet")
+    _write_manifest(
+        spark, out,
+        unit=unit, n_passages=counts["passages"],
+        has_ann=embeddings is not None,
+        embed_dim=inflight_dim,
+        embed_seed=embed_seed if inflight_dim is not None else None,
+        chunk_tokens=chunk_tokens,
+        overlap_tokens=overlap_tokens if chunk_tokens is not None else None,
+    )
     return counts
+
+
+def _write_manifest(spark: SparkSession, out: str, **fields) -> None:
+    spark.createDataFrame(
+        [(
+            fields["unit"], fields["n_passages"], fields["has_ann"],
+            fields["embed_dim"], fields["embed_seed"],
+            fields["chunk_tokens"], fields["overlap_tokens"],
+        )],
+        "unit string, n_passages long, has_ann boolean, "
+        "embed_dim int, embed_seed int, chunk_tokens int, overlap_tokens int",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/manifest.parquet")
 
 
 def hybrid_search(
@@ -118,12 +175,31 @@ def hybrid_search(
     ANN over the vector index (``query_embeddings`` keyed like
     ``queries``' query_id), fused by RRF. Returns
     (query_id, doc_id, rrf_score, rk). Refuses a manifest-less root —
-    a crashed build must not serve."""
+    a crashed build must not serve.
+
+    When the root was built self-contained (``embed_dim`` at build time)
+    and no ``query_embeddings`` are passed, query text is embedded
+    IN-FLIGHT with the exact encoder geometry the manifest records —
+    determinism makes build-time and serve-time embeddings the same
+    space, so the vector leg always participates for such roots."""
     base = root.rstrip("/")
     try:
         manifest = spark.read.parquet(f"{base}/manifest.parquet").first()
     except Exception as e:  # AnalysisException: path missing
         raise ValueError(f"no manifest under {root} — incomplete build") from e
+    mdict = manifest.asDict()
+    if query_embeddings is None and mdict.get("embed_dim") is not None:
+        from .embedder import embed_texts, hash_encoder
+
+        query_embeddings = embed_texts(
+            queries, text_col="text",
+            encoder=hash_encoder(
+                int(mdict["embed_dim"]), seed=int(mdict["embed_seed"])
+            ),
+        ).select(
+            F.col("query_id").alias(emb_id_col),
+            F.col("embedding").alias(vec_col),
+        )
     lex = bm25_query(spark, f"{base}/bm25", queries, k=k)
     legs = [lex]
     if query_embeddings is not None:
@@ -247,3 +323,146 @@ def rerank(
         scored.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= k)
     )
+
+
+def append_to_retrieval_root(
+    spark: SparkSession,
+    root: str,
+    new_docs: DataFrame,
+    new_embeddings: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    emb_id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    batch_id: int | None = None,
+) -> dict[str, int]:
+    """Grow a serving root with NEW documents (ids must not already be
+    indexed — the bm25/ivf append contract) without a full rebuild:
+    passages append to the passage table, postings into their term
+    buckets (exact stats re-merge — post-append BM25 scores equal a
+    rebuild's), vectors into their IVF cells, and the manifest count is
+    rewritten LAST. Chunked roots chunk the new docs with the EXACT
+    build-time window (the manifest records chunk geometry); roots
+    built self-contained (``embed_dim``) embed the new passages
+    in-flight with the manifest's encoder — external-embedding roots
+    require ``new_embeddings`` (keyed by PASSAGE id when chunked).
+
+    ``batch_id`` makes the append replay-safe for streaming ingestion:
+    each leg (passages / bm25 / ann) carries its own commit marker, so
+    a crash between legs resumes exactly where it stopped and a full
+    replay of a committed batch is a no-op — the foreachBatch recipe::
+
+        stream.writeStream.foreachBatch(
+            lambda b, bid: append_to_retrieval_root(
+                b.sparkSession, root, b, batch_id=bid)
+        )
+
+    Serving during the append window is eventually consistent (a reader
+    may briefly see appended passages before their postings); the
+    manifest count is advisory. Returns per-leg appended counts
+    (zeros on a fully replayed batch)."""
+    from .bm25 import append_to_bm25_index
+    from .ivf import append_to_ivf_index
+    from .state_swap import batch_committed, commit_batch
+
+    base = root.rstrip("/")
+    try:
+        manifest = spark.read.parquet(f"{base}/manifest.parquet").first()
+    except Exception as e:
+        raise ValueError(f"no manifest under {root} — incomplete build") from e
+    m = manifest.asDict()
+    if m["has_ann"] and m.get("embed_dim") is None and new_embeddings is None:
+        # validate BEFORE any leg mutates state — a half-appended batch
+        # with no replay marker would re-append on retry
+        raise ValueError(
+            f"{root} has an external-embedding ANN index — pass new_embeddings"
+        )
+
+    passages = _as_passages(
+        new_docs, id_col, text_col, m.get("chunk_tokens"),
+        m.get("overlap_tokens") or 32,
+    )
+    # the batch is re-derived per leg (cheap map lineage); persist once
+    # so chunking/embedding don't recompute across the three appends
+    passages = passages.localCheckpoint(eager=True)
+    n_new = passages.count()
+    counts = {"passages_appended": 0, "bm25_appended": 0, "ann_appended": 0}
+
+    def leg(name: str, apply) -> int:
+        if batch_id is not None:
+            marker_dir = f"{base}/appends_{name}"
+            if batch_committed(spark, marker_dir, batch_id):
+                return 0
+            n = apply()
+            commit_batch(spark, marker_dir, batch_id)
+            return n
+        return apply()
+
+    def passages_leg() -> int:
+        passages.write.mode("append").parquet(f"{base}/passages.parquet")
+        return n_new
+
+    counts["passages_appended"] = leg("passages", passages_leg)
+    counts["bm25_appended"] = append_to_bm25_index(
+        spark, f"{base}/bm25", passages,
+        id_col=id_col, text_col=text_col, batch_id=batch_id,
+    )
+
+    if m["has_ann"]:
+        if m.get("embed_dim") is not None:
+            from .embedder import embed_texts, hash_encoder
+
+            vecs = embed_texts(
+                passages, text_col=text_col,
+                encoder=hash_encoder(int(m["embed_dim"]), seed=int(m["embed_seed"])),
+            ).select(F.col(id_col).alias(emb_id_col), F.col("embedding").alias(vec_col))
+        else:
+            vecs = new_embeddings  # presence validated up front
+        counts["ann_appended"] = append_to_ivf_index(
+            spark, f"{base}/ann", vecs,
+            id_col=emb_id_col, vec_col=vec_col, batch_id=batch_id,
+        )
+
+    if counts["passages_appended"] > 0:
+        _write_manifest(
+            spark, base,
+            unit=m["unit"], n_passages=m["n_passages"] + n_new,
+            has_ann=m["has_ann"], embed_dim=m.get("embed_dim"),
+            embed_seed=m.get("embed_seed"), chunk_tokens=m.get("chunk_tokens"),
+            overlap_tokens=m.get("overlap_tokens"),
+        )
+    return counts
+
+
+def streaming_retrieval_append(
+    docs_stream,
+    root: str,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_seconds: int = 5,
+    available_now: bool = False,
+):
+    """Streaming serving-root maintenance: each micro-batch of arriving
+    documents grows the root via ``append_to_retrieval_root`` with the
+    batch id as the replay guard (per-leg commit markers → checkpoint
+    replays of committed batches are no-ops). Only self-contained or
+    lexical-only roots can ride a document stream — an
+    external-embedding root has no way to embed arriving docs (the
+    first micro-batch raises). The root must already exist (bootstrap
+    with build_retrieval_index over the seed corpus)."""
+
+    def handle(batch_df, batch_id: int) -> None:
+        append_to_retrieval_root(
+            batch_df.sparkSession, root, batch_df,
+            id_col=id_col, text_col=text_col, batch_id=int(batch_id),
+        )
+
+    writer = docs_stream.writeStream.foreachBatch(handle).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    else:
+        writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
+    return writer.start()

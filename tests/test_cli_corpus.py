@@ -60,3 +60,38 @@ def test_config_driven_corpus_build(spark, tmp_path):
     missing.write_text("min_quality: 0.5\n")
     with _pytest.raises(ValueError, match="docs_path"):
         build_training_corpus_from_config(spark, str(missing))
+
+
+def test_cli_index_and_search_roundtrip(spark, tmp_path, capsys):
+    """`index --embed-dim` builds a self-contained serving root from a
+    documents parquet; `search` (with and without --rerank) prints
+    ranked (rk, doc_id, score) lines with the expected top hit."""
+    src = str(tmp_path / "docs.parquet")
+    rows = [
+        ("d1", "solar panels convert sunlight into clean electricity"),
+        ("d2", "wind turbines convert moving air into electricity"),
+        ("d3", "medieval knights wore heavy armor into battle"),
+    ]
+    spark.createDataFrame(rows, "doc_id string, text string").write.parquet(src)
+    root = str(tmp_path / "root")
+
+    rc = main([
+        "index", "--docs", src, "--out", root,
+        "--embed-dim", "64", "--term-buckets", "8", "--centroids", "2",
+    ])
+    assert rc == 0
+    printed = capsys.readouterr().out
+    assert "passages=3" in printed and "ann_vectors=3" in printed
+
+    rc = main(["search", "--root", root, "--query",
+               "wind turbines convert moving air into electricity", "--k", "2"])
+    assert rc == 0
+    lines = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0][0] == "1" and lines[0][1] == "d2"
+
+    rc = main(["search", "--root", root, "--query",
+               "wind turbines convert moving air into electricity",
+               "--k", "2", "--rerank"])
+    assert rc == 0
+    lines = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0][1] == "d2" and abs(float(lines[0][2]) - 1.0) < 1e-9

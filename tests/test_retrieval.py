@@ -169,3 +169,182 @@ def test_rerank_plan_broadcasts_candidates_not_corpus(spark, tmp_path):
     assert findings == [], findings
     text = plan_text(out)
     assert "BroadcastHashJoin" in text  # candidates/queries are the broadcast sides
+
+
+def test_self_contained_root_from_raw_text(spark, tmp_path):
+    """embed_dim at build time makes the root self-contained: passage
+    embeddings are generated in-flight, the manifest records the encoder
+    geometry, and hybrid_search embeds query TEXT with the identical
+    deterministic encoder — the vector leg finds the paraphrase that
+    shares almost no exact keywords with the query."""
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    root = str(tmp_path / "selfserve")
+    counts = build_retrieval_index(
+        spark, docs, root, embeddings=None, embed_dim=256,
+        n_term_buckets=8, n_centroids=2,
+    )
+    assert counts.get("ann_vectors") == 4
+    m = spark.read.parquet(root + "/manifest.parquet").first()
+    assert m["has_ann"] is True and m["embed_dim"] == 256 and m["embed_seed"] == 0
+
+    # query shares tokens with d2's text → both legs agree on d2
+    queries = spark.createDataFrame(
+        [("q1", "wind turbines convert moving air into electricity")],
+        "query_id string, text string",
+    )
+    top = hybrid_search(spark, root, queries, k=3)
+    rows = sorted(top.collect(), key=lambda r: r["rk"])
+    assert rows[0]["doc_id"] == "d2"
+    # two fused legs → the top doc's rrf_score reflects both rankings
+    assert rows[0]["rrf_score"] > 1.0 / 61  # more than a single leg's max
+
+
+def test_self_contained_root_seed_is_pinned(spark, tmp_path):
+    """A root built with a non-default seed serves queries with THAT
+    seed (the manifest, not the default, drives the serve-time encoder)."""
+    from binance_data_pipeline_spark.operators.embedder import (
+        embed_texts,
+        hash_encoder,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    root = str(tmp_path / "seeded")
+    build_retrieval_index(
+        spark, docs, root, embed_dim=64, embed_seed=7,
+        n_term_buckets=8, n_centroids=2,
+    )
+    m = spark.read.parquet(root + "/manifest.parquet").first()
+    assert m["embed_seed"] == 7
+    # the persisted ANN index's vectors equal a fresh seed-7 encoding
+    queries = spark.createDataFrame(
+        [("q1", DOCS[0][1])], "query_id string, text string"
+    )
+    rows = hybrid_search(spark, root, queries, k=1).collect()
+    assert rows and rows[0]["doc_id"] == "d1"  # exact text match wins both legs
+
+
+def test_append_grows_self_contained_root(spark, tmp_path):
+    """append_to_retrieval_root on a self-contained root: the new doc
+    becomes searchable through BOTH legs (its embedding generated with
+    the manifest's encoder), the manifest count grows, and a replay of
+    the same batch_id is a complete no-op."""
+    from binance_data_pipeline_spark.operators.retrieval import (
+        append_to_retrieval_root,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    root = str(tmp_path / "grow")
+    build_retrieval_index(
+        spark, docs, root, embed_dim=64, n_term_buckets=8, n_centroids=2,
+    )
+    new = spark.createDataFrame(
+        [("d5", "geothermal plants tap underground heat for electricity")],
+        "doc_id string, text string",
+    )
+    counts = append_to_retrieval_root(spark, root, new, batch_id=0)
+    assert counts == {"passages_appended": 1, "bm25_appended": 1, "ann_appended": 1}
+    m = spark.read.parquet(root + "/manifest.parquet").first()
+    assert m["n_passages"] == 5
+
+    queries = spark.createDataFrame(
+        [("q1", "geothermal plants tap underground heat for electricity")],
+        "query_id string, text string",
+    )
+    rows = sorted(hybrid_search(spark, root, queries, k=3).collect(),
+                  key=lambda r: r["rk"])
+    assert rows[0]["doc_id"] == "d5"
+    assert rows[0]["rrf_score"] > 1.0 / 61  # found by BOTH legs
+
+    # replay: same batch id → nothing appended anywhere
+    replay = append_to_retrieval_root(spark, root, new, batch_id=0)
+    assert replay == {"passages_appended": 0, "bm25_appended": 0, "ann_appended": 0}
+    assert spark.read.parquet(root + "/passages.parquet").count() == 5
+    assert spark.read.parquet(root + "/manifest.parquet").first()["n_passages"] == 5
+
+
+def test_append_chunked_root_reuses_build_geometry(spark, tmp_path):
+    """A chunked root chunks appended docs with the EXACT build-time
+    window (manifest-recorded), producing doc#idx passage ids."""
+    from binance_data_pipeline_spark.operators.retrieval import (
+        append_to_retrieval_root,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    root = str(tmp_path / "chunked")
+    build_retrieval_index(
+        spark, docs, root, chunk_tokens=4, overlap_tokens=1,
+        n_term_buckets=8,
+    )
+    new = spark.createDataFrame(
+        [("d9", "one two three four five six seven")],
+        "doc_id string, text string",
+    )
+    counts = append_to_retrieval_root(spark, root, new)
+    assert counts["passages_appended"] >= 2  # 7 tokens, window 4 step 3
+    ids = {r["doc_id"] for r in
+           spark.read.parquet(root + "/passages.parquet").collect()}
+    assert "d9#0" in ids and "d9#1" in ids
+
+
+def test_append_external_embedding_root_requires_vectors(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.retrieval import (
+        append_to_retrieval_root,
+    )
+
+    root, _ = _build(spark, tmp_path)  # external EMB table
+    new = spark.createDataFrame(
+        [("d5", "geothermal plants tap underground heat")],
+        "doc_id string, text string",
+    )
+    with pytest.raises(ValueError, match="new_embeddings"):
+        append_to_retrieval_root(spark, root, new)
+    counts = append_to_retrieval_root(
+        spark, root, new,
+        new_embeddings=spark.createDataFrame(
+            [("d5", [0.5, 0.5, 0.1])], "vec_id string, embedding array<double>"
+        ),
+    )
+    assert counts["ann_appended"] == 1
+
+
+def test_streaming_retrieval_append_exactly_once(spark, tmp_path):
+    """Document stream → serving root: arriving docs become searchable;
+    a checkpoint-loss replay of the committed batch is a no-op (per-leg
+    commit markers), so passages/postings/cells stay exactly-once."""
+    from binance_data_pipeline_spark.operators.retrieval import (
+        streaming_retrieval_append,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    root = str(tmp_path / "streamroot")
+    build_retrieval_index(
+        spark, docs, root, embed_dim=64, n_term_buckets=8, n_centroids=2,
+    )
+
+    src = str(tmp_path / "arrivals")
+    spark.createDataFrame(
+        [("d5", "geothermal plants tap underground heat for electricity")],
+        "doc_id string, text string",
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id string, text string").parquet(src)
+    q = streaming_retrieval_append(
+        stream, root, str(tmp_path / "ck1"), available_now=True
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(root + "/passages.parquet").count() == 5
+
+    # checkpoint loss: fresh checkpoint re-delivers batch 0 → markers skip
+    stream2 = spark.readStream.schema("doc_id string, text string").parquet(src)
+    q2 = streaming_retrieval_append(
+        stream2, root, str(tmp_path / "ck2"), available_now=True
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(root + "/passages.parquet").count() == 5
+
+    queries = spark.createDataFrame(
+        [("q1", "geothermal plants tap underground heat")],
+        "query_id string, text string",
+    )
+    rows = sorted(hybrid_search(spark, root, queries, k=2).collect(),
+                  key=lambda r: r["rk"])
+    assert rows[0]["doc_id"] == "d5"
