@@ -14,6 +14,8 @@ Airflow tasks, as plain commands:
              --embed-dim makes it self-contained from raw text)
   search     hybrid search (BM25 + ANN, RRF-fused; --rerank for the
              second-stage token-F1 rerank) against a serving root
+  validate   consistency audit of a serving root (exit 1 on any
+             unindexed passage / orphan vector / count drift)
 """
 
 from __future__ import annotations
@@ -89,6 +91,9 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--k", type=int, default=10)
     ps.add_argument("--rerank", action="store_true",
                     help="second-stage rerank (token-F1 scorer)")
+
+    pv = sub.add_parser("validate", help="consistency audit of a serving root")
+    pv.add_argument("--root", required=True)
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -207,6 +212,19 @@ def main(argv: list[str] | None = None) -> int:
         for r in sorted(res.collect(), key=lambda r: r["rk"]):
             print(f"{r['rk']}\t{r['doc_id']}\t{r[score_col]:.6f}")
         return 0
+
+    if args.cmd == "validate":
+        from .operators.retrieval import validate_retrieval_root
+
+        report = validate_retrieval_root(spark, args.root)
+        print(" ".join(f"{k}={v}" for k, v in report.items()))
+        bad = (
+            not report["manifest_count_ok"]
+            or report["n_unindexed_lexical"] > 0
+            or report.get("n_unindexed_vector", 0) > 0
+            or report.get("n_orphan_vectors", 0) > 0
+        )
+        return 1 if bad else 0
 
     return 2
 

@@ -59,17 +59,31 @@ def stub_encoder(texts: list[str]) -> "np.ndarray":
     )
 
 
-def hash_encoder(dim: int = 256, seed: int = 0, lowercase: bool = True) -> Encoder:
-    """Deterministic feature-hashing embedding over word uni- and
-    bi-grams: each n-gram is BLAKE2b-hashed (keyed by ``seed``) to a
-    (bucket, sign) pair, counts are accumulated with sublinear
-    ``1 + log(tf)`` weighting, and the vector is L2-normalised so
-    downstream cosine paths (similarity.py / semdedup.py) can use plain
-    dot products. Pure numpy + hashlib — safe to pickle into bare
-    executors."""
+def hash_encoder(
+    dim: int = 256,
+    seed: int = 0,
+    lowercase: bool = True,
+    analyzer: str = "word",
+    char_ngram: tuple[int, int] = (3, 5),
+) -> Encoder:
+    """Deterministic feature-hashing embedding: each n-gram is
+    BLAKE2b-hashed (keyed by ``seed``) to a (bucket, sign) pair, counts
+    are accumulated with sublinear ``1 + log(tf)`` weighting, and the
+    vector is L2-normalised so downstream cosine paths (similarity.py /
+    semdedup.py) can use plain dot products. Pure numpy + hashlib —
+    safe to pickle into bare executors.
+
+    ``analyzer="word"`` (default) uses word uni- and bi-grams —
+    whitespace languages. ``analyzer="char"`` uses character n-grams in
+    the ``char_ngram`` length range — the langid.py lesson applied to
+    embeddings: scripts without whitespace (CJK, Thai) tokenize to one
+    giant "word", so word mode can't discriminate; char n-grams can."""
     if dim < 2:
         raise ValueError("dim must be >= 2")
+    if analyzer not in ("word", "char"):
+        raise ValueError(f"analyzer must be word|char, got {analyzer!r}")
     key = seed.to_bytes(8, "little", signed=True)
+    lo, hi = char_ngram
 
     def bucket_sign(gram: str) -> tuple[int, float]:
         h = hashlib.blake2b(gram.encode("utf-8"), key=key, digest_size=8).digest()
@@ -79,8 +93,16 @@ def hash_encoder(dim: int = 256, seed: int = 0, lowercase: bool = True) -> Encod
     def encode(texts: list[str]) -> np.ndarray:
         out = np.zeros((len(texts), dim), dtype=np.float64)
         for i, text in enumerate(texts):
-            toks = (text or "").lower().split() if lowercase else (text or "").split()
-            grams = toks + [f"{a}\x00{b}" for a, b in zip(toks, toks[1:])]
+            t = (text or "").lower() if lowercase else (text or "")
+            if analyzer == "word":
+                toks = t.split()
+                grams = toks + [f"{a}\x00{b}" for a, b in zip(toks, toks[1:])]
+            else:
+                grams = [
+                    t[j:j + n]
+                    for n in range(lo, hi + 1)
+                    for j in range(len(t) - n + 1)
+                ]
             if not grams:
                 continue
             counts: dict[str, int] = {}

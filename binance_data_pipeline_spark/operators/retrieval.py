@@ -48,6 +48,7 @@ __all__ = [
     "build_retrieval_index",
     "append_to_retrieval_root",
     "streaming_retrieval_append",
+    "validate_retrieval_root",
     "hybrid_search",
     "rerank",
     "overlap_scorer",
@@ -466,3 +467,51 @@ def streaming_retrieval_append(
     else:
         writer = writer.trigger(processingTime=f"{trigger_seconds} seconds")
     return writer.start()
+
+
+def validate_retrieval_root(
+    spark: SparkSession,
+    root: str,
+    id_col: str = "doc_id",
+) -> dict[str, int | bool]:
+    """Consistency audit of a serving root — the operational probe to
+    run after appends or before promoting a root to serving:
+
+        n_passages            rows in the passage table
+        manifest_count_ok     manifest n_passages == actual (advisory
+                              count can lag only if a writer crashed
+                              between legs)
+        n_unindexed_lexical   passages with NO posting row (un-searchable
+                              through the BM25 leg; empty/stopword-free
+                              texts legitimately land here)
+        n_unindexed_vector    passages missing from the IVF cells
+                              (ann-built roots only)
+        n_orphan_vectors      indexed vectors with no passage row
+
+    All checks are distributed anti-join counts over the real artifacts
+    (postings read in full once — an audit job, not a serve path)."""
+    base = root.rstrip("/")
+    try:
+        m = spark.read.parquet(f"{base}/manifest.parquet").first().asDict()
+    except Exception as e:
+        raise ValueError(f"no manifest under {root} — incomplete build") from e
+    passages = spark.read.parquet(f"{base}/passages.parquet")
+    ids = passages.select(F.col(id_col).alias("__pid"))
+    report: dict[str, int | bool] = {"n_passages": ids.count()}
+    report["manifest_count_ok"] = report["n_passages"] == m["n_passages"]
+
+    posted = (
+        spark.read.parquet(f"{base}/bm25/postings.parquet")
+        .select(F.col("doc").alias("__pid"))
+        .distinct()
+    )
+    report["n_unindexed_lexical"] = ids.join(posted, "__pid", "left_anti").count()
+
+    if m["has_ann"]:
+        vec_ids = spark.read.parquet(f"{base}/ann/cells.parquet").select(
+            F.col("neighbor_id").cast("string").alias("__pid")
+        )
+        sids = ids.select(F.col("__pid").cast("string").alias("__pid"))
+        report["n_unindexed_vector"] = sids.join(vec_ids, "__pid", "left_anti").count()
+        report["n_orphan_vectors"] = vec_ids.join(sids, "__pid", "left_anti").count()
+    return report

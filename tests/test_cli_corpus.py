@@ -95,3 +95,20 @@ def test_cli_index_and_search_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     lines = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
     assert lines[0][1] == "d2" and abs(float(lines[0][2]) - 1.0) < 1e-9
+
+
+def test_cli_validate_root(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [("d1", "solar panels convert sunlight into electricity"),
+         ("d2", "wind turbines convert moving air into electricity")],
+        "doc_id string, text string",
+    ).write.parquet(src)
+    root = str(tmp_path / "root")
+    assert main(["index", "--docs", src, "--out", root,
+                 "--embed-dim", "32", "--term-buckets", "4",
+                 "--centroids", "2"]) == 0
+    capsys.readouterr()
+    assert main(["validate", "--root", root]) == 0
+    out = capsys.readouterr().out
+    assert "n_passages=2" in out and "manifest_count_ok=True" in out

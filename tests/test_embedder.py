@@ -124,3 +124,27 @@ def test_plan_is_map_only_arrow(docs):
     text = plan_text(out)
     assert "ArrowEvalPython" in text or "MapInPandas" in text
     assert "Exchange" not in text  # pure map stage: no shuffle
+
+
+def test_char_analyzer_discriminates_whitespace_free_text(spark):
+    """Scripts without whitespace collapse to one word-gram per doc, so
+    word mode can't tell near-dups from unrelated docs — char n-grams
+    can (the langid.py design rationale, applied to embeddings)."""
+    a = "深度学习模型在大规模数据集上训练效果显著提升性能"
+    b = "深度学习模型在大规模数据集上训练效果显著提升表现"   # near-dup
+    c = "今天天气晴朗适合户外跑步和登山活动呼吸新鲜空气"     # unrelated
+
+    w = hash_encoder(256, analyzer="word")([a, b, c])
+    # one token each, all distinct → word embeddings are orthogonal
+    assert abs(float(w[0] @ w[1])) < 0.1
+
+    ch = hash_encoder(256, analyzer="char")([a, b, c])
+    sim_ab, sim_ac = float(ch[0] @ ch[1]), float(ch[0] @ ch[2])
+    assert sim_ab > 0.6 > sim_ac
+
+
+def test_bad_analyzer_rejected():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="analyzer"):
+        hash_encoder(64, analyzer="subword")

@@ -348,3 +348,47 @@ def test_streaming_retrieval_append_exactly_once(spark, tmp_path):
     rows = sorted(hybrid_search(spark, root, queries, k=2).collect(),
                   key=lambda r: r["rk"])
     assert rows[0]["doc_id"] == "d5"
+
+
+def test_validate_retrieval_root_clean_and_after_append(spark, tmp_path):
+    """validate_retrieval_root: a freshly built self-contained root is
+    fully consistent; after an append it still is (count updated, every
+    passage indexed in both legs); a manually orphaned vector is
+    detected."""
+    from binance_data_pipeline_spark.operators.retrieval import (
+        append_to_retrieval_root,
+        validate_retrieval_root,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    root = str(tmp_path / "audit")
+    build_retrieval_index(
+        spark, docs, root, embed_dim=64, n_term_buckets=8, n_centroids=2,
+    )
+    rep = validate_retrieval_root(spark, root)
+    assert rep == {
+        "n_passages": 4, "manifest_count_ok": True,
+        "n_unindexed_lexical": 0, "n_unindexed_vector": 0,
+        "n_orphan_vectors": 0,
+    }
+
+    new = spark.createDataFrame(
+        [("d5", "geothermal plants tap underground heat for electricity")],
+        "doc_id string, text string",
+    )
+    append_to_retrieval_root(spark, root, new, batch_id=0)
+    rep = validate_retrieval_root(spark, root)
+    assert rep["n_passages"] == 5 and rep["manifest_count_ok"]
+    assert rep["n_unindexed_lexical"] == 0 and rep["n_unindexed_vector"] == 0
+
+    # plant an orphan vector (id indexed in ANN with no passage row)
+    from binance_data_pipeline_spark.operators.ivf import append_to_ivf_index
+
+    append_to_ivf_index(
+        spark, root + "/ann",
+        spark.createDataFrame(
+            [("ghost", [0.1] * 64)], "vec_id string, embedding array<double>"
+        ),
+    )
+    rep = validate_retrieval_root(spark, root)
+    assert rep["n_orphan_vectors"] == 1
