@@ -9,6 +9,7 @@ semdedup         semantic (embedding-cell) dedup, batch + incremental + streamin
 substring        exact-substring span dedup (distributed ExactSubstr)
 similarity       embedding similarity search (brute-force + RP-LSH ANN)
 embedder         text → embedding generation (hash encoder default, model-injectable)
+clustering       topic discovery: k-means clusters + c-TF-IDF cluster keywords
 ivf              persisted IVF ANN index (fingerprinted, build-once/query-many)
 pq               IVF-PQ: product-quantized ANN (M-byte codes, ADC scan, exact refine)
 text             text analysis (tokens, quality, language-ID, fingerprints, PII, chunking)
