@@ -74,10 +74,16 @@ def main() -> None:
     root = f"/tmp/bdp_bench_root_sf{sf}"
 
     def retrieval_hybrid(s, d):
+        # search-shaped queries: first 6 tokens of 16 docs — short
+        # probes exercise the term-bucket partition pruning the index
+        # layout exists for (full-doc queries would touch every bucket)
         qdf = (
             s.read.parquet(f"{d}/documents.parquet")
             .orderBy("doc_id").limit(16)
-            .selectExpr("cast(doc_id as string) as query_id", "text")
+            .selectExpr(
+                "cast(doc_id as string) as query_id",
+                "array_join(slice(split(text, ' '), 1, 6), ' ') as text",
+            )
         )
         return hybrid_search(s, root, qdf, k=10)
 
