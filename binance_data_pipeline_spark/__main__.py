@@ -16,6 +16,8 @@ Airflow tasks, as plain commands:
              second-stage token-F1 rerank) against a serving root
   validate   consistency audit of a serving root (exit 1 on any
              unindexed passage / orphan vector / count drift)
+  topics     topic discovery: k-means clusters + c-TF-IDF keywords
+             over a documents parquet (synthesized domain labels)
 """
 
 from __future__ import annotations
@@ -94,6 +96,14 @@ def main(argv: list[str] | None = None) -> int:
 
     pv = sub.add_parser("validate", help="consistency audit of a serving root")
     pv.add_argument("--root", required=True)
+
+    pp = sub.add_parser("topics", help="topic discovery over a documents parquet")
+    pp.add_argument("--docs", required=True)
+    pp.add_argument("--out", required=True,
+                    help="writes assignments.parquet + keywords.parquet")
+    pp.add_argument("--k", type=int, default=16)
+    pp.add_argument("--embed-dim", type=int, default=256)
+    pp.add_argument("--top-terms", type=int, default=10)
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -225,6 +235,20 @@ def main(argv: list[str] | None = None) -> int:
             or report.get("n_orphan_vectors", 0) > 0
         )
         return 1 if bad else 0
+
+    if args.cmd == "topics":
+        from .operators.clustering import discover_topics
+
+        docs = spark.read.parquet(args.docs)
+        assignments, kw = discover_topics(
+            docs, k=args.k, embed_dim=args.embed_dim, top_terms=args.top_terms
+        )
+        out = args.out.rstrip("/")
+        assignments.write.mode("overwrite").parquet(f"{out}/assignments.parquet")
+        kw.write.mode("overwrite").parquet(f"{out}/keywords.parquet")
+        n = spark.read.parquet(f"{out}/assignments.parquet").count()
+        print(f"docs={n} clusters={args.k}")
+        return 0
 
     return 2
 

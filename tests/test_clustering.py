@@ -88,3 +88,16 @@ def test_plans_are_scale_clean(spark):
             f for f in audit_plan(df) if f.code in ("PY_ROW_EVAL", "CARTESIAN")
         ]
         assert findings == [], findings
+
+
+def test_cli_topics(spark, tmp_path, capsys):
+    from binance_data_pipeline_spark.__main__ import main
+
+    src = str(tmp_path / "docs.parquet")
+    _docs(spark).write.parquet(src)
+    out = str(tmp_path / "topics")
+    assert main(["topics", "--docs", src, "--out", out,
+                 "--k", "2", "--embed-dim", "256", "--top-terms", "4"]) == 0
+    assert "docs=12 clusters=2" in capsys.readouterr().out
+    kw = spark.read.parquet(out + "/keywords.parquet")
+    assert kw.count() == 8  # 2 clusters × 4 terms
