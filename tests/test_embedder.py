@@ -148,3 +148,37 @@ def test_bad_analyzer_rejected():
 
     with _pytest.raises(ValueError, match="analyzer"):
         hash_encoder(64, analyzer="subword")
+
+
+# ---- hypothesis property tests (pure encoder level, no Spark jobs) ----
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_texts = st.lists(st.text(max_size=80), min_size=1, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_texts)
+def test_property_norm_is_zero_or_unit(texts):
+    vecs = hash_encoder(64)(texts)
+    for t, v in zip(texts, vecs):
+        n = float(np.linalg.norm(v))
+        if t.split():
+            assert abs(n - 1.0) < 1e-6
+        else:
+            assert n == 0.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(_texts)
+def test_property_deterministic_and_analyzer_total(texts):
+    enc_w, enc_c = hash_encoder(32), hash_encoder(32, analyzer="char")
+    assert np.array_equal(enc_w(texts), enc_w(texts))
+    cv = enc_c(texts)  # char mode never throws, any unicode
+    assert cv.shape == (len(texts), 32)
+    for t, v in zip(texts, cv):
+        lo = 3
+        n = float(np.linalg.norm(v))
+        # shorter than the smallest n-gram → zero vector; else unit
+        assert (abs(n - 1.0) < 1e-6) if len(t.lower()) >= lo else (n == 0.0)
