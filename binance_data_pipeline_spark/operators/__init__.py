@@ -10,6 +10,7 @@ substring        exact-substring span dedup (distributed ExactSubstr)
 similarity       embedding similarity search (brute-force + RP-LSH ANN)
 embedder         text → embedding generation (hash encoder default, model-injectable)
 clustering       topic discovery: k-means clusters + c-TF-IDF cluster keywords
+evaluation       retrieval metrics: recall/precision@k, MRR, nDCG (TREC defs)
 ivf              persisted IVF ANN index (fingerprinted, build-once/query-many)
 pq               IVF-PQ: product-quantized ANN (M-byte codes, ADC scan, exact refine)
 text             text analysis (tokens, quality, language-ID, fingerprints, PII, chunking)

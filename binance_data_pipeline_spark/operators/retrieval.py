@@ -182,7 +182,12 @@ def hybrid_search(
     and no ``query_embeddings`` are passed, query text is embedded
     IN-FLIGHT with the exact encoder geometry the manifest records —
     determinism makes build-time and serve-time embeddings the same
-    space, so the vector leg always participates for such roots."""
+    space, so the vector leg always participates for such roots.
+
+    Query ids must not collide with passage ids: the ANN leg inherits
+    ``ivf_query``'s self-match exclusion (built for corpus-internal
+    kNN), so a query whose id equals a doc id silently loses that doc
+    from its vector ranking — keep query ids in their own namespace."""
     base = root.rstrip("/")
     try:
         manifest = spark.read.parquet(f"{base}/manifest.parquet").first()
