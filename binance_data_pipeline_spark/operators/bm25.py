@@ -126,12 +126,16 @@ def build_bm25_index(
 def _score_and_rank(
     cand: DataFrame, n_docs: int, avgdl: float, k: int, k1: float, b: float
 ) -> DataFrame:
-    """cand: (query_id, doc, term, tf, doclen, idf) → per-query top-k."""
+    """cand: (query_id, doc, term, tf, doclen, idf[, qw]) → per-query
+    top-k; an optional ``qw`` column weights each query term's
+    contribution (1.0 ≡ classic BM25 — used by the RM3 expansion in
+    operators/retrieval.py)."""
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("doclen") / F.lit(avgdl))
     )
+    qw = F.col("qw") if "qw" in cand.columns else F.lit(1.0)
     scored = (
-        cand.withColumn("contrib", F.col("idf") * tf_part)
+        cand.withColumn("contrib", qw * F.col("idf") * tf_part)
         .groupBy("query_id", "doc")
         .agg(F.round(F.sum("contrib"), 4).alias("score"))
     )
@@ -164,15 +168,24 @@ def bm25_query(
     k1: float = 1.2,
     b: float = 0.75,
     tokenizer: str = "whitespace",
+    weighted_terms: DataFrame | None = None,
 ) -> DataFrame:
     """Serve from a persisted index: the probe reads ONLY the term-hash
     buckets the query vocabulary touches (a `tb isin` partition filter —
     the bucket list is derived from the query terms, bounded by query
     size), broadcast-joins the probe terms, scores, and ranks.
-    Returns (query_id, doc_id, score, rk)."""
+    Returns (query_id, doc_id, score, rk).
+
+    ``weighted_terms`` replaces the tokenized query with an explicit
+    (query_id, term, qw) frame — the RM3 expansion hook: each term's
+    BM25 contribution is scaled by ``qw`` (pass it INSTEAD of relying
+    on ``queries``' text; ``queries`` is ignored then)."""
     stats = spark.read.parquet(os.path.join(index_path, "stats.parquet")).first()
     n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
-    qt = _query_terms(queries, query_id_col, query_text_col, tokenizer)
+    if weighted_terms is not None:
+        qt = weighted_terms.select("query_id", "term", "qw")
+    else:
+        qt = _query_terms(queries, query_id_col, query_text_col, tokenizer)
     buckets = [
         r["tb"]
         for r in qt.select(
@@ -189,10 +202,13 @@ def bm25_query(
     terms = spark.read.parquet(os.path.join(index_path, "terms.parquet")).where(
         F.col("tb").isin(buckets)
     )
+    cols = ["query_id", "doc", "term", "tf", "doclen", "idf"]
+    if weighted_terms is not None:
+        cols.append("qw")
     cand = (
         postings.join(F.broadcast(qt), "term")
         .join(F.broadcast(terms.select("term", "idf")), "term")
-        .select("query_id", "doc", "term", "tf", "doclen", "idf")
+        .select(*cols)
     )
     return _score_and_rank(cand, n_docs, avgdl, k, k1, b)
 

@@ -50,6 +50,7 @@ __all__ = [
     "streaming_retrieval_append",
     "validate_retrieval_root",
     "hybrid_search",
+    "rm3_search",
     "rerank",
     "overlap_scorer",
     "stub_scorer",
@@ -520,3 +521,95 @@ def validate_retrieval_root(
         report["n_unindexed_vector"] = sids.join(vec_ids, "__pid", "left_anti").count()
         report["n_orphan_vectors"] = vec_ids.join(sids, "__pid", "left_anti").count()
     return report
+
+
+def rm3_search(
+    spark: SparkSession,
+    root: str,
+    queries: DataFrame,
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 10,
+    alpha: float = 0.5,
+    min_term_len: int = 3,
+) -> DataFrame:
+    """BM25 with RM3 pseudo-relevance feedback (Lavrenko & Croft 2001;
+    the Anserini default recipe): a first BM25 pass retrieves
+    ``fb_docs`` per query, a relevance model is estimated from their
+    text, and a second weighted pass runs the expanded query
+
+        qw(t) = alpha · P(t|q)  +  (1 − alpha) · P(t|R),
+        P(t|R) = Σ_d P(t|d) · score_d / Σ_d score_d
+
+    with the ``fb_terms`` highest-weight expansion terms. Bridges
+    vocabulary gaps BM25 alone can't cross: a doc sharing no term with
+    the query surfaces when it shares terms with the query's top hits.
+
+    Scale shape: both passes are the partition-pruned BM25 probe;
+    feedback text is fetched by BROADCASTING the |Q|·fb_docs id set
+    into the passages scan (the rerank pattern — the corpus is never
+    shuffled); the relevance model is a few hash aggregates over
+    feedback tokens. Returns (query_id, doc_id, score, rk)."""
+    from .bm25 import _query_terms, bm25_query
+
+    base = root.rstrip("/")
+    passages = spark.read.parquet(f"{base}/passages.parquet")
+    id_col, text_col = passages.columns[0], passages.columns[1]
+
+    first = bm25_query(spark, f"{base}/bm25", queries, k=fb_docs)
+    fb = (
+        passages.join(
+            F.broadcast(
+                first.select(
+                    F.col("query_id").alias("__q"),
+                    F.col("doc_id").alias("__d"),
+                    F.col("score").alias("__s"),
+                )
+            ),
+            on=F.col(id_col) == F.col("__d"),
+        )
+        .select("__q", "__s", F.col(text_col).alias("__t"))
+    )
+    # P(t|d) = tf/len(d), doc-weighted by normalized first-pass score
+    toks = fb.select(
+        "__q", "__s",
+        F.explode(F.split(F.lower(F.col("__t")), r"\s+")).alias("term"),
+    ).where(F.length("term") >= min_term_len)
+    doclen = toks.groupBy("__q", "__s").agg(F.count(F.lit(1)).alias("__len"))
+    ptd = (
+        toks.groupBy("__q", "__s", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .join(doclen, ["__q", "__s"])
+        .withColumn("__ptd", F.col("tf") / F.col("__len"))
+    )
+    score_mass = first.groupBy(F.col("query_id").alias("__q")).agg(
+        F.sum("score").alias("__mass")
+    )
+    ptr = (
+        ptd.join(score_mass, "__q")
+        .groupBy("__q", "term")
+        .agg(F.sum(F.col("__ptd") * F.col("__s") / F.col("__mass")).alias("__ptr"))
+    )
+    w = Window.partitionBy("__q").orderBy(F.desc("__ptr"), F.asc("term"))
+    expansion = (
+        ptr.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= fb_terms)
+        .select(
+            F.col("__q").alias("query_id"), "term",
+            ((1.0 - alpha) * F.col("__ptr")).alias("qw"),
+        )
+    )
+    # P(t|q): uniform over the query's distinct terms
+    qt = _query_terms(queries, "query_id", "text", "whitespace")
+    qn = qt.groupBy("query_id").agg(F.count(F.lit(1)).alias("__n"))
+    original = qt.join(qn, "query_id").select(
+        "query_id", "term", (F.lit(alpha) / F.col("__n")).alias("qw")
+    )
+    weighted = (
+        original.unionByName(expansion)
+        .groupBy("query_id", "term")
+        .agg(F.sum("qw").alias("qw"))
+    )
+    return bm25_query(
+        spark, f"{base}/bm25", queries, k=k, weighted_terms=weighted
+    )

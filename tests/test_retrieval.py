@@ -392,3 +392,60 @@ def test_validate_retrieval_root_clean_and_after_append(spark, tmp_path):
     )
     rep = validate_retrieval_root(spark, root)
     assert rep["n_orphan_vectors"] == 1
+
+
+def test_rm3_expansion_bridges_vocabulary_gap(spark, tmp_path):
+    """RM3: a doc sharing NO term with the query surfaces because it
+    shares vocabulary with the query's top hits; plain BM25 can never
+    return it. Weighted second pass still ranks the direct match first."""
+    from binance_data_pipeline_spark.operators.bm25 import bm25_query
+    from binance_data_pipeline_spark.operators.retrieval import rm3_search
+
+    docs = spark.createDataFrame(
+        [("d1", "solar energy panels photovoltaic cells electricity"),
+         ("d2", "photovoltaic panels electricity output and cells yield"),
+         ("d3", "medieval knights wore heavy armor into battle"),
+         ("d4", "rivers carve canyons through sedimentary rock layers")],
+        "doc_id string, text string",
+    )
+    root = str(tmp_path / "rm3root")
+    build_retrieval_index(spark, docs, root, n_term_buckets=4)
+    queries = spark.createDataFrame(
+        [("q1", "solar energy")], "query_id string, text string"
+    )
+    plain = {r["doc_id"] for r in
+             bm25_query(spark, root + "/bm25", queries, k=4).collect()}
+    assert plain == {"d1"}  # only the direct match carries a query term
+
+    rows = sorted(
+        rm3_search(spark, root, queries, k=4, fb_docs=1, fb_terms=6).collect(),
+        key=lambda r: r["rk"],
+    )
+    got = [r["doc_id"] for r in rows]
+    assert got[0] == "d1" and "d2" in got  # gap bridged, direct match on top
+    assert "d3" not in got and "d4" not in got
+
+
+def test_weighted_terms_unit_weights_match_plain_bm25(spark, tmp_path):
+    """bm25_query(weighted_terms=qw 1.0 per distinct query term)
+    reproduces the unweighted scores bit-for-bit — the RM3 hook is a
+    pure generalization."""
+    from binance_data_pipeline_spark.operators.bm25 import bm25_query
+
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    root = str(tmp_path / "wtroot")
+    build_retrieval_index(spark, docs, root, n_term_buckets=4)
+    queries = spark.createDataFrame(
+        [("q1", "electricity electricity turbines")],
+        "query_id string, text string",
+    )
+    plain = {(r["doc_id"], r["score"], r["rk"]) for r in
+             bm25_query(spark, root + "/bm25", queries, k=4).collect()}
+    wt = spark.createDataFrame(
+        [("q1", "electricity", 1.0), ("q1", "turbines", 1.0)],
+        "query_id string, term string, qw double",
+    )
+    weighted = {(r["doc_id"], r["score"], r["rk"]) for r in
+                bm25_query(spark, root + "/bm25", queries, k=4,
+                           weighted_terms=wt).collect()}
+    assert plain == weighted
