@@ -93,6 +93,8 @@ def main(argv: list[str] | None = None) -> int:
     ps.add_argument("--k", type=int, default=10)
     ps.add_argument("--rerank", action="store_true",
                     help="second-stage rerank (token-F1 scorer)")
+    ps.add_argument("--rm3", action="store_true",
+                    help="lexical-only RM3 query expansion instead of hybrid")
 
     pv = sub.add_parser("validate", help="consistency audit of a serving root")
     pv.add_argument("--root", required=True)
@@ -208,12 +210,16 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "search":
-        from .operators.retrieval import hybrid_search, rerank
+        from .operators.retrieval import hybrid_search, rerank, rm3_search
 
         queries = spark.createDataFrame(
             [("q1", args.query)], "query_id string, text string"
         )
-        res = hybrid_search(spark, args.root, queries, k=args.k)
+        if args.rm3:
+            res = rm3_search(spark, args.root, queries, k=args.k)
+            res = res.withColumnRenamed("score", "rrf_score")
+        else:
+            res = hybrid_search(spark, args.root, queries, k=args.k)
         if args.rerank:
             res = rerank(spark, args.root, res, queries, k=args.k)
             score_col = "rerank_score"

@@ -112,3 +112,21 @@ def test_cli_validate_root(spark, tmp_path, capsys):
     assert main(["validate", "--root", root]) == 0
     out = capsys.readouterr().out
     assert "n_passages=2" in out and "manifest_count_ok=True" in out
+
+
+def test_cli_search_rm3(spark, tmp_path, capsys):
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [("d1", "solar energy panels photovoltaic cells electricity"),
+         ("d2", "photovoltaic panels electricity output and cells yield"),
+         ("d3", "medieval knights wore heavy armor into battle")],
+        "doc_id string, text string",
+    ).write.parquet(src)
+    root = str(tmp_path / "root")
+    assert main(["index", "--docs", src, "--out", root,
+                 "--term-buckets", "4"]) == 0
+    capsys.readouterr()
+    assert main(["search", "--root", root, "--query", "solar energy",
+                 "--k", "3", "--rm3"]) == 0
+    lines = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
+    assert lines[0][1] == "d1" and {l[1] for l in lines} >= {"d1", "d2"}
