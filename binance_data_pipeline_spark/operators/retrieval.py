@@ -430,10 +430,14 @@ def append_to_retrieval_root(
             id_col=emb_id_col, vec_col=vec_col, batch_id=batch_id,
         )
 
-    if counts["passages_appended"] > 0:
+    if any(counts.values()):
+        # self-healing count: a crash between legs leaves the manifest
+        # stale; the resuming replay re-counts the ACTUAL passage table
+        # (the skipped-leg markers guarantee no leg double-applied)
+        n_total = spark.read.parquet(f"{base}/passages.parquet").count()
         _write_manifest(
             spark, base,
-            unit=m["unit"], n_passages=m["n_passages"] + n_new,
+            unit=m["unit"], n_passages=n_total,
             has_ann=m["has_ann"], embed_dim=m.get("embed_dim"),
             embed_seed=m.get("embed_seed"), chunk_tokens=m.get("chunk_tokens"),
             overlap_tokens=m.get("overlap_tokens"),

@@ -449,3 +449,38 @@ def test_weighted_terms_unit_weights_match_plain_bm25(spark, tmp_path):
                 bm25_query(spark, root + "/bm25", queries, k=4,
                            weighted_terms=wt).collect()}
     assert plain == weighted
+
+
+def test_append_resume_after_mid_crash_heals_manifest(spark, tmp_path):
+    """Crash window: the passages leg committed but the run died before
+    bm25/ann/manifest. The replayed batch skips the committed leg,
+    applies the rest, and the manifest is re-counted from the ACTUAL
+    passage table — the root ends fully consistent."""
+    from binance_data_pipeline_spark.operators.retrieval import (
+        append_to_retrieval_root,
+        validate_retrieval_root,
+    )
+    from binance_data_pipeline_spark.operators.state_swap import commit_batch
+
+    docs = spark.createDataFrame(DOCS, "doc_id string, text string")
+    root = str(tmp_path / "crashroot")
+    build_retrieval_index(
+        spark, docs, root, embed_dim=64, n_term_buckets=8, n_centroids=2,
+    )
+    new = spark.createDataFrame(
+        [("d5", "geothermal plants tap underground heat for electricity")],
+        "doc_id string, text string",
+    )
+    # simulate the crash: passages appended + marker committed, nothing else
+    new.write.mode("append").parquet(root + "/passages.parquet")
+    commit_batch(spark, root + "/appends_passages", 9)
+    assert spark.read.parquet(root + "/manifest.parquet").first()["n_passages"] == 4
+
+    counts = append_to_retrieval_root(spark, root, new, batch_id=9)
+    assert counts == {"passages_appended": 0, "bm25_appended": 1, "ann_appended": 1}
+    rep = validate_retrieval_root(spark, root)
+    assert rep == {
+        "n_passages": 5, "manifest_count_ok": True,
+        "n_unindexed_lexical": 0, "n_unindexed_vector": 0,
+        "n_orphan_vectors": 0,
+    }
