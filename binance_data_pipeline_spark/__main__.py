@@ -18,6 +18,8 @@ Airflow tasks, as plain commands:
              unindexed passage / orphan vector / count drift)
   topics     topic discovery: k-means clusters + c-TF-IDF keywords
              over a documents parquet (synthesized domain labels)
+  eval       macro retrieval metrics (recall@k, MRR, nDCG) for judged
+             queries against a serving root (hybrid or --rm3)
 """
 
 from __future__ import annotations
@@ -98,6 +100,16 @@ def main(argv: list[str] | None = None) -> int:
 
     pv = sub.add_parser("validate", help="consistency audit of a serving root")
     pv.add_argument("--root", required=True)
+
+    pe = sub.add_parser("eval", help="retrieval metrics against judged queries")
+    pe.add_argument("--root", required=True)
+    pe.add_argument("--queries", required=True,
+                    help="parquet of (query_id, text)")
+    pe.add_argument("--qrels", required=True,
+                    help="parquet of (query_id, doc_id[, rel])")
+    pe.add_argument("--k", type=int, default=10)
+    pe.add_argument("--rm3", action="store_true",
+                    help="lexical RM3 expansion instead of hybrid")
 
     pp = sub.add_parser("topics", help="topic discovery over a documents parquet")
     pp.add_argument("--docs", required=True)
@@ -241,6 +253,22 @@ def main(argv: list[str] | None = None) -> int:
             or report.get("n_orphan_vectors", 0) > 0
         )
         return 1 if bad else 0
+
+    if args.cmd == "eval":
+        from .operators.evaluation import macro_metrics, retrieval_metrics
+        from .operators.retrieval import hybrid_search, rm3_search
+
+        queries = spark.read.parquet(args.queries)
+        qrels = spark.read.parquet(args.qrels)
+        search = rm3_search if args.rm3 else hybrid_search
+        res = search(spark, args.root, queries, k=args.k)
+        m = macro_metrics(retrieval_metrics(res, qrels, k=args.k)).first()
+        print(
+            f"n_queries={m['n_queries']} recall@{args.k}={m['recall']:.4f} "
+            f"precision@{args.k}={m['precision']:.4f} mrr={m['mrr']:.4f} "
+            f"ndcg@{args.k}={m['ndcg']:.4f}"
+        )
+        return 0
 
     if args.cmd == "topics":
         from .operators.clustering import discover_topics

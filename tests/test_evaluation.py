@@ -94,3 +94,30 @@ def test_metrics_over_hybrid_search(spark, tmp_path):
     mac = macro_metrics(retrieval_metrics(res, qrels, k=1)).first()
     assert mac["n_queries"] == 3
     assert abs(mac["mrr"] - 1.0) < 1e-12 and abs(mac["recall"] - 1.0) < 1e-12
+
+
+def test_cli_eval(spark, tmp_path, capsys):
+    from binance_data_pipeline_spark.__main__ import main
+
+    docs = spark.createDataFrame(
+        [("d1", "solar panels convert sunlight into electricity"),
+         ("d2", "medieval castles defended towns with stone walls")],
+        "doc_id string, text string",
+    )
+    src = str(tmp_path / "docs.parquet"); docs.write.parquet(src)
+    root = str(tmp_path / "root")
+    assert main(["index", "--docs", src, "--out", root,
+                 "--embed-dim", "32", "--term-buckets", "4",
+                 "--centroids", "2"]) == 0
+    spark.createDataFrame(
+        [("q1", "solar sunlight electricity")], "query_id string, text string"
+    ).write.parquet(str(tmp_path / "queries.parquet"))
+    spark.createDataFrame(
+        [("q1", "d1")], "query_id string, doc_id string"
+    ).write.parquet(str(tmp_path / "qrels.parquet"))
+    capsys.readouterr()
+    assert main(["eval", "--root", root,
+                 "--queries", str(tmp_path / "queries.parquet"),
+                 "--qrels", str(tmp_path / "qrels.parquet"), "--k", "1"]) == 0
+    out = capsys.readouterr().out
+    assert "n_queries=1" in out and "mrr=1.0000" in out and "recall@1=1.0000" in out
