@@ -1,0 +1,182 @@
+"""Snapshot-versioned tables: commit visibility, time travel, rollback,
+optimistic-concurrency retry, vacuum retention, crash-orphan hygiene."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import pytest
+
+from binance_data_pipeline_spark.operators.snapshots import (
+    _list_versions,
+    commit_snapshot,
+    read_snapshot,
+    rollback_snapshot,
+    snapshot_history,
+    vacuum_snapshots,
+)
+
+
+def _df(spark, lo, hi, tag="a"):
+    return spark.range(lo, hi).selectExpr("id", f"'{tag}' as tag")
+
+
+def test_append_accumulates_and_time_travel_reads_old_versions(spark, tmp_path):
+    t = str(tmp_path / "t")
+    v0 = commit_snapshot(spark, t, _df(spark, 0, 10))
+    v1 = commit_snapshot(spark, t, _df(spark, 10, 15))
+    assert (v0, v1) == (0, 1)
+    assert read_snapshot(spark, t).count() == 15
+    assert read_snapshot(spark, t, version=0).count() == 10
+    # v0 contents are frozen: later commits never mutate them
+    assert sorted(
+        r["id"] for r in read_snapshot(spark, t, version=0).collect()
+    ) == list(range(10))
+
+
+def test_overwrite_replaces_live_set_but_history_persists(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 10, "old"))
+    commit_snapshot(spark, t, _df(spark, 0, 3, "new"), mode="overwrite")
+    latest = read_snapshot(spark, t)
+    assert latest.count() == 3
+    assert {r["tag"] for r in latest.collect()} == {"new"}
+    assert read_snapshot(spark, t, version=0).count() == 10
+    hist = {r["version"]: r["operation"] for r in snapshot_history(spark, t).collect()}
+    assert hist == {0: "append", 1: "overwrite"}
+
+
+def test_as_of_timestamp_resolution(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 5))
+    ts0 = snapshot_history(spark, t).first()["committed_at"]
+    commit_snapshot(spark, t, _df(spark, 5, 9))
+    assert read_snapshot(spark, t, as_of=ts0).count() == 5
+    assert read_snapshot(spark, t, as_of=ts0 + 10_000).count() == 9
+    with pytest.raises(ValueError, match="at or before"):
+        read_snapshot(spark, t, as_of=ts0 - 10_000)
+    with pytest.raises(ValueError, match="not both"):
+        read_snapshot(spark, t, version=0, as_of=ts0)
+
+
+def test_rollback_is_a_new_commit_pointing_at_old_dirs(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 10, "good"))
+    commit_snapshot(spark, t, _df(spark, 0, 99, "bad"), mode="overwrite")
+    v = rollback_snapshot(spark, t, 0)
+    assert v == 2
+    assert read_snapshot(spark, t).count() == 10
+    assert {r["tag"] for r in read_snapshot(spark, t).collect()} == {"good"}
+    # the bad commit stays inspectable — history is append-only
+    assert read_snapshot(spark, t, version=1).count() == 99
+    ops = {r["version"]: r["operation"] for r in snapshot_history(spark, t).collect()}
+    assert ops[2] == "rollback:0"
+    with pytest.raises(ValueError, match="not in"):
+        rollback_snapshot(spark, t, 77)
+
+
+def test_lost_commit_race_retries_and_preserves_racer_rows(spark, tmp_path):
+    """Simulate losing the version-number race: the racer's manifest
+    appears between our data write and our manifest rename. The commit
+    must land one version later WITH the racer's rows still live."""
+    import binance_data_pipeline_spark.operators.snapshots as snap
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 5, "base"))
+
+    real_list = snap._list_versions
+    fired = {"done": False}
+
+    def racing_list(s, table):
+        vs = real_list(s, table)
+        if not fired["done"]:
+            fired["done"] = True
+            # the racer commits AFTER we read the version list
+            commit_snapshot(s, table, _df(s, 100, 105, "racer"))
+        return vs
+
+    orig = snap._list_versions
+    snap._list_versions = racing_list
+    try:
+        commit_snapshot(spark, t, _df(spark, 200, 203, "late"))
+    finally:
+        snap._list_versions = orig
+    latest = read_snapshot(spark, t)
+    tags = {r["tag"] for r in latest.collect()}
+    assert tags == {"base", "racer", "late"}
+    assert latest.count() == 13
+    assert _list_versions(spark, t) == [0, 1, 2]
+
+
+def test_vacuum_removes_expired_dirs_keeps_retained_versions(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 10, "old"))
+    commit_snapshot(spark, t, _df(spark, 0, 3, "mid"), mode="overwrite")
+    commit_snapshot(spark, t, _df(spark, 0, 4, "new"), mode="overwrite")
+    # a crashed commit's orphans: a data dir with no manifest + a tmp dir
+    _df(spark, 0, 2, "orphan").write.parquet(f"{t}/data/deadbeef")
+    _df(spark, 0, 1).write.parquet(f"{t}/__vtmp_crashed")
+
+    out = vacuum_snapshots(spark, t, keep_versions=2, min_age_seconds=0)
+    # v0's dir ("old") + orphan dir deleted; v1 ("mid") + v2 ("new") kept
+    assert out["removed_data_dirs"] == 2
+    assert out["removed_manifests"] == 1
+    assert out["removed_tmp_dirs"] == 1
+    assert read_snapshot(spark, t).count() == 4
+    assert read_snapshot(spark, t, version=1).count() == 3
+    with pytest.raises(ValueError, match="not in"):
+        read_snapshot(spark, t, version=0)
+    with pytest.raises(ValueError, match=">= 1"):
+        vacuum_snapshots(spark, t, keep_versions=0)
+
+
+def test_vacuum_min_age_protects_inflight_commit_dirs(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 5))
+    # an in-flight commit: data dir written, manifest not yet renamed
+    _df(spark, 0, 2).write.parquet(f"{t}/data/inflight")
+    out = vacuum_snapshots(spark, t, keep_versions=1, min_age_seconds=3600)
+    assert out["removed_data_dirs"] == 0  # too young to reap
+    import os
+
+    assert os.path.isdir(f"{t}/data/inflight")
+
+
+def test_orphan_dirs_invisible_to_readers(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 7))
+    _df(spark, 0, 50, "orphan").write.parquet(f"{t}/data/crashed")
+    assert read_snapshot(spark, t).count() == 7
+
+
+def test_schema_evolution_with_merge_schema(spark, tmp_path):
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, spark.range(0, 3).selectExpr("id"))
+    commit_snapshot(
+        spark, t, spark.range(3, 5).selectExpr("id", "id * 2 as extra")
+    )
+    df = read_snapshot(spark, t, merge_schema=True)
+    assert set(df.columns) == {"id", "extra"}
+    assert df.where("extra is null").count() == 3
+
+
+def test_partitioned_commit_prunes(spark, tmp_path):
+    t = str(tmp_path / "t")
+    df = spark.range(0, 100).selectExpr("id", "cast(id % 4 as int) as bucket")
+    commit_snapshot(spark, t, df, partition_by=["bucket"])
+    got = read_snapshot(spark, t).where("bucket = 2")
+    assert got.count() == 25
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
+
+
+def test_empty_table_and_bad_mode_raise(spark, tmp_path):
+    t = str(tmp_path / "nope")
+    with pytest.raises(ValueError, match="no committed"):
+        read_snapshot(spark, t)
+    with pytest.raises(ValueError, match="no committed"):
+        snapshot_history(spark, t)
+    with pytest.raises(ValueError, match="append"):
+        commit_snapshot(spark, t, _df(spark, 0, 1), mode="upsert")
