@@ -71,18 +71,6 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Statistical aggregates: stddev/variance/correlation/covariance over
-    lineitem price vs discount."""
-    li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
-        F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
-        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
-        F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
-    )
-
-
 def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/vector scalar surface over embeddings: dimension, L2 norm,
     element access, per-label rollup."""
@@ -371,7 +359,6 @@ QUERIES = {
     "asof_purchase_click": q_asof_purchase_click,
     "vwap_daily": q_vwap_daily,
     "grouping_sets": q_grouping_sets,
-    "stats_agg": q_stats_agg,
     "array_functions": q_array_functions,
 }
 
@@ -535,14 +522,6 @@ ORACLE = {
                count(*) AS n, round(sum(o_totalprice), 4) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
-    """,
-    "stats_agg": """
-        SELECT l_returnflag,
-               round(stddev_samp(l_extendedprice), 4) AS price_stddev,
-               round(var_samp(l_discount), 6) AS disc_var,
-               round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
-               round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar
-        FROM lineitem GROUP BY l_returnflag
     """,
     "array_functions": """
         WITH per_vec AS (

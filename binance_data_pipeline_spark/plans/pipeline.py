@@ -198,6 +198,74 @@ def q_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(dup_ids.withColumnRenamed("n", "n_duplicated_ids"))
 
 
+def q_behavior_funnel_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics pair over the event stream in one tagged result
+    (round 6 — the operators landed in round 5 with DuckDB cross-checks
+    in tests; this is their hash-checked catalog face):
+
+    - ``funnel`` leg: ordered view→click→purchase conversion
+      (first-touch; `operators/behavior.funnel_conversion` — a chain of
+      per-user min-aggregates + keyed joins, no whole-table window);
+    - ``cohort`` leg: weekly first-event cohorts × period offsets
+      (`operators/behavior.cohort_retention` — two aggregates + a join).
+
+    ``ratio`` is the raw IEEE division n_active/n_cohort (both engines
+    divide the same exact integers → bit-identical doubles, no rounding
+    needed)."""
+    from ..operators.behavior import cohort_retention, funnel_conversion
+
+    ev = load_table(spark, sf_dir, "events")
+    funnel_leg = funnel_conversion(ev, ["view", "click", "purchase"]).select(
+        F.lit("funnel").alias("leg"),
+        F.col("step").alias("key"),
+        F.col("step_idx").cast("long").alias("k"),
+        F.col("n_users").cast("long").alias("n_active"),
+        F.lit(None).cast("long").alias("n_cohort"),
+        F.lit(None).cast("double").alias("ratio"),
+    )
+    cohort_leg = cohort_retention(ev, period="week").select(
+        F.lit("cohort").alias("leg"),
+        F.date_format("cohort", "yyyy-MM-dd").alias("key"),
+        F.col("period_offset").cast("long").alias("k"),
+        F.col("n_active").cast("long").alias("n_active"),
+        F.col("n_cohort").cast("long").alias("n_cohort"),
+        (F.col("n_active").cast("double") / F.col("n_cohort")).alias("ratio"),
+    )
+    return funnel_leg.unionByName(cohort_leg)
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly flags over the event stream, per
+    event_type series ordered by event_id (unique — deterministic under
+    ties), baseline = the PRECEDING 20 rows only (round 6 catalog face
+    of `operators/anomaly.zscore_anomalies`; the arithmetic parity with
+    DuckDB window SQL is pinned in tests/test_anomaly.py). One window
+    spec = one sort exchange per series; warm-up / zero-variance rows
+    carry NULL scores and is_anomaly=false.
+
+    baseline_mean is deliberately NOT in the hashed face: the fixture's
+    2-decimal values put the true mean on a cents/(100·n) decimal grid
+    whose points routinely sit EXACTLY on 4-decimal rounding boundaries,
+    so cross-engine summation-order ulps flip the round (observed 1/1000
+    rows at sf0.001). std and zscore are sqrt-quotients — off every
+    decimal grid, measure-zero tie risk; the mean arithmetic itself is
+    parity-pinned at 1e-9 tolerance in tests/test_anomaly.py."""
+    from ..operators.anomaly import zscore_anomalies
+
+    ev = load_table(spark, sf_dir, "events")
+    out = zscore_anomalies(
+        ev, "value", "event_id", ["event_type"], window=20, min_baseline=5
+    )
+    return out.select(
+        "event_type",
+        "event_id",
+        F.round("value", 4).alias("value"),
+        F.round("baseline_std", 4).alias("baseline_std"),
+        F.round("zscore", 4).alias("zscore"),
+        "is_anomaly",
+    )
+
+
 QUERIES = {
     "stg_events_clean": q_stg_events_clean,
     "incremental_hwm": q_incremental_hwm,
@@ -206,6 +274,8 @@ QUERIES = {
     "sessionize": q_sessionize,
     "ohlcv_hourly": q_ohlcv_hourly,
     "quality_audit": q_quality_audit,
+    "behavior_funnel_cohort": q_behavior_funnel_cohort,
+    "anomaly_zscore": q_anomaly_zscore,
 }
 
 
@@ -298,6 +368,51 @@ ORACLE = {
                round(sum(value), 4) AS volume,
                count(*) AS n_trades
         FROM numbered GROUP BY event_type, bar_hour
+    """,
+    "behavior_funnel_cohort": """
+        WITH s1 AS (SELECT user_id u, min(ts) t1 FROM events
+                    WHERE event_type = 'view' GROUP BY 1),
+        s2 AS (SELECT e.user_id u, min(e.ts) t2 FROM events e
+               JOIN s1 ON e.user_id = s1.u AND e.ts > s1.t1
+               WHERE e.event_type = 'click' GROUP BY 1),
+        s3 AS (SELECT e.user_id u, min(e.ts) t3 FROM events e
+               JOIN s2 ON e.user_id = s2.u AND e.ts > s2.t2
+               WHERE e.event_type = 'purchase' GROUP BY 1),
+        f AS (SELECT user_id u, min(ts) t0 FROM events GROUP BY 1),
+        sizes AS (SELECT date_trunc('week', t0) cb, count(*) n FROM f GROUP BY 1),
+        a AS (SELECT DISTINCT e.user_id u, date_trunc('week', f.t0) cb,
+                     cast(date_diff('day', cast(date_trunc('week', f.t0) as date),
+                          cast(date_trunc('week', e.ts) as date)) / 7 as int) k
+              FROM events e JOIN f ON e.user_id = f.u)
+        SELECT 'funnel' AS leg, 'view' AS key, 0::BIGINT AS k,
+               (SELECT count(*) FROM s1) AS n_active,
+               NULL::BIGINT AS n_cohort, NULL::DOUBLE AS ratio
+        UNION ALL
+        SELECT 'funnel', 'click', 1, (SELECT count(*) FROM s2), NULL, NULL
+        UNION ALL
+        SELECT 'funnel', 'purchase', 2, (SELECT count(*) FROM s3), NULL, NULL
+        UNION ALL
+        SELECT 'cohort', strftime(a.cb, '%Y-%m-%d'), a.k::BIGINT,
+               count(*), any_value(sizes.n),
+               count(*)::DOUBLE / any_value(sizes.n)
+        FROM a JOIN sizes ON a.cb = sizes.cb GROUP BY a.cb, a.k
+    """,
+    "anomaly_zscore": """
+        SELECT event_type, event_id,
+               round(value, 4) AS value,
+               round(stddev_samp(value) OVER w, 4) AS baseline_std,
+               round(CASE WHEN count(value) OVER w >= 5
+                               AND stddev_samp(value) OVER w > 0
+                          THEN (value - avg(value) OVER w)
+                               / (stddev_samp(value) OVER w) END, 4) AS zscore,
+               coalesce(abs(CASE WHEN count(value) OVER w >= 5
+                                      AND stddev_samp(value) OVER w > 0
+                                 THEN (value - avg(value) OVER w)
+                                      / (stddev_samp(value) OVER w) END) > 3.0,
+                        false) AS is_anomaly
+        FROM events
+        WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+                     ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
     """,
     "quality_audit": """
         SELECT count(*) AS n_rows,

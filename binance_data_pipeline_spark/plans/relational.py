@@ -29,7 +29,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: filter → hash-agg with map-side
     combine. One shuffle on (l_returnflag, l_linestatus) — 6 groups, so the
     reduce side is trivially small at any scale; all math is JVM codegen.
-    Generalizes A1 (groupby-sum, build_fact_fee_tax.py:51-53)."""
+    Generalizes A1 (groupby-sum, build_fact_fee_tax.py:51-53).
+
+    Round 6: absorbed the `stats_agg` catalog entry — the statistical
+    aggregate surface (stddev/variance/correlation/covariance) rides the
+    SAME single hash-agg pass, so the merge costs no extra scan or
+    shuffle and frees one driver slot (the rounds-2/3 consolidation
+    discipline)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-12-01"))
@@ -45,6 +51,10 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
             F.round(F.avg("l_discount"), 4).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
+            F.round(F.stddev_samp("l_extendedprice"), 4).alias("price_stddev"),
+            F.round(F.var_samp("l_discount"), 6).alias("disc_var"),
+            F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("price_qty_corr"),
+            F.round(F.covar_samp("l_extendedprice", "l_discount"), 4).alias("price_disc_covar"),
         )
     )
 
@@ -194,7 +204,12 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 orders by revenue. ORDER BY + LIMIT compiles to
     TakeOrderedAndProject — each partition keeps its local top-10, the driver
     merges; no full sort at any scale. Tie-broken on o_orderkey for
-    determinism."""
+    determinism.
+
+    Round 6: absorbed the `date_functions` catalog entry — the F5-F8/
+    F13-F14 date surface (truncation, extraction, arithmetic, formatting)
+    now rides this projection (pure map-side expressions, folded into the
+    TakeOrderedAndProject project list), freeing one driver slot."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     rev = (
@@ -203,7 +218,18 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(rev, o.o_orderkey == rev.l_orderkey)
-        .select("o_orderkey", "o_orderdate", "revenue")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            "revenue",
+            F.to_date("o_orderdate").alias("order_date"),
+            F.year("o_orderdate").cast("long").alias("order_year"),
+            F.month("o_orderdate").cast("long").alias("order_month"),
+            F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+            F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+            F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).cast("long").alias("age_days"),
+        )
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
     )
@@ -338,22 +364,6 @@ def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Date/time function surface (F5-F8, F13-F14): truncation, extraction,
-    arithmetic, formatting — over the orders date column."""
-    o = load_table(spark, sf_dir, "orders")
-    return o.select(
-        "o_orderkey",
-        F.to_date("o_orderdate").alias("order_date"),
-        F.year("o_orderdate").cast("long").alias("order_year"),
-        F.month("o_orderdate").cast("long").alias("order_month"),
-        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
-        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
-        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
-        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).cast("long").alias("age_days"),
-    )
-
-
 QUERIES = {
     "pricing_summary": q_pricing_summary,
     "forecast_revenue": q_forecast_revenue,
@@ -369,7 +379,6 @@ QUERIES = {
     "window_offsets_rolling": q_window_offsets_rolling,
     "window_rank_dense": q_window_rank_dense,
     "scalar_functions": q_scalar_functions,
-    "date_functions": q_date_functions,
 }
 
 
@@ -383,7 +392,11 @@ ORACLE = {
                round(avg(l_quantity), 4) AS avg_qty,
                round(avg(l_extendedprice), 4) AS avg_price,
                round(avg(l_discount), 4) AS avg_disc,
-               count(*) AS count_order
+               count(*) AS count_order,
+               round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+               round(var_samp(l_discount), 6) AS disc_var,
+               round(corr(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+               round(covar_samp(l_extendedprice, l_discount), 4) AS price_disc_covar
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-12-01'
         GROUP BY l_returnflag, l_linestatus
@@ -454,7 +467,14 @@ ORACLE = {
         GROUP BY o_orderpriority
     """,
     "top_orders": """
-        SELECT o_orderkey, o_orderdate, revenue
+        SELECT o_orderkey, o_orderdate, revenue,
+               o_orderdate::DATE AS order_date,
+               year(o_orderdate)::BIGINT AS order_year,
+               month(o_orderdate)::BIGINT AS order_month,
+               day(o_orderdate)::BIGINT AS order_day,
+               strftime(o_orderdate, '%Y-%m') AS order_ym,
+               o_orderdate::DATE + 30 AS due_date,
+               date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::BIGINT AS age_days
         FROM orders
         JOIN (SELECT l_orderkey,
                      round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
@@ -527,16 +547,5 @@ ORACLE = {
                coalesce(nullif(p_type, 'ECONOMY'), 'OTHER') AS type_or_other,
                greatest(p_size, 10) AS size_at_least_10
         FROM part
-    """,
-    "date_functions": """
-        SELECT o_orderkey,
-               o_orderdate::DATE AS order_date,
-               year(o_orderdate)::BIGINT AS order_year,
-               month(o_orderdate)::BIGINT AS order_month,
-               day(o_orderdate)::BIGINT AS order_day,
-               strftime(o_orderdate, '%Y-%m') AS order_ym,
-               o_orderdate::DATE + 30 AS due_date,
-               date_diff('day', o_orderdate::DATE, DATE '2002-01-01')::BIGINT AS age_days
-        FROM orders
     """,
 }
