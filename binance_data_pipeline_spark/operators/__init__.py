@@ -14,6 +14,7 @@ evaluation       retrieval metrics: recall/precision@k, MRR, nDCG (TREC defs)
 ivf              persisted IVF ANN index (fingerprinted, build-once/query-many)
 pq               IVF-PQ: product-quantized ANN (M-byte codes, ADC scan, exact refine)
 text             text analysis (tokens, quality, language-ID, fingerprints, PII, chunking)
+urls             URL canonicalization, registered-domain, URL dedup, crawl domain stats
 lm_score         CCNet-style n-gram LM fluency scoring (broadcast-join cross-entropy)
 quality_rules    Gopher/C4 structural rule bundles + per-domain gate
 quality_classifier  trainable hashed-n-gram logistic quality filter (FineWeb-Edu recipe)
