@@ -278,6 +278,8 @@ def build_training_corpus(
     dsir_k: int | None = None,
     dsir_buckets: int = 10_000,
     dsir_seed: int = 0,
+    url_col: str | None = None,
+    url_strip_params: list[str] | None = None,
 ) -> dict[str, int]:
     """The end-to-end training-data DAG (extension — no reference
     equivalent): raw documents → PII redaction → quality + repetition
@@ -335,6 +337,12 @@ def build_training_corpus(
     duplicates would each draw their own Gumbel and overselect
     duplicated mass; contaminated docs must never win a slot.
 
+    ``url_col`` (round 6) prepends canonical-URL dedup (operators/urls):
+    re-crawls of the same page — tracking params, host case, param order
+    — collapse to the min-id row BEFORE any content pass is paid, the
+    CCNet/C4/RefinedWeb front door. Unparseable URLs pass through;
+    ``url_strip_params`` overrides the tracking-parameter list.
+
     ``max_repetition`` drops docs whose intra-doc n-gram repetition
     exceeds the bound (looping/boilerplate text); ``probes_path`` points
     at a parquet of benchmark docs (same id/text columns) — kept docs
@@ -371,6 +379,20 @@ def build_training_corpus(
     out = out_path.rstrip("/")
     docs = spark.read.parquet(docs_path)
     counts: dict[str, int] = {"input": docs.count()}
+
+    # URL dedup FIRST (``url_col``): a canonical-URL match is free
+    # compared to every content pass below — CCNet/C4/RefinedWeb all cut
+    # re-crawls this way before touching text (operators/urls; keeper =
+    # min id, unparseable URLs pass through). Counts-only stage: URL dups
+    # never reach the fingerprint passes, so the mapping audit trail
+    # starts from the URL-unique set.
+    if url_col is not None:
+        from .operators.urls import dedup_by_url
+
+        docs = dedup_by_url(
+            docs, url_col=url_col, id_col=id_col, strip_params=url_strip_params
+        )
+        counts["after_url_dedup"] = docs.count()
 
     with barrier_scope(spark):
         red = redact_documents(docs, text_col)

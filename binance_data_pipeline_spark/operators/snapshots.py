@@ -53,6 +53,8 @@ __all__ = [
     "snapshot_history",
     "rollback_snapshot",
     "vacuum_snapshots",
+    "snapshot_append_batch",
+    "streaming_snapshot_append",
 ]
 
 _V_WIDTH = 11  # zero-pad so lexicographic dir order == numeric order
@@ -258,6 +260,64 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
         ):
             return next_v
     raise RuntimeError(f"rollback of {table} lost 10 commit races; giving up")
+
+
+_STREAM_OP = "stream-append"
+
+
+def _max_streamed_batch(spark: SparkSession, table: str) -> int | None:
+    """Highest batch id any manifest records as a stream append — the
+    replay guard. One manifest glob read (KB-scale), never data files."""
+    if not _list_versions(spark, table):
+        return None
+    row = (
+        snapshot_history(spark, table)
+        .where(F.col("operation").startswith(f"{_STREAM_OP}:"))
+        .select(
+            F.max(
+                F.split(F.col("operation"), ":").getItem(1).cast("long")
+            ).alias("b")
+        )
+        .first()
+    )
+    return int(row["b"]) if row is not None and row["b"] is not None else None
+
+
+def snapshot_append_batch(
+    spark: SparkSession, table: str, df: DataFrame, batch_id: int
+) -> int | None:
+    """Append one micro-batch as a snapshot version, exactly once: the
+    batch id rides the manifest's ``operation`` field, so data and
+    applied-id commit in the SAME atomic rename (the state_swap.py
+    recipe, here for free because the manifest already is the commit).
+    A replayed batch (id ≤ the recorded max) appends nothing — a crash
+    between data-dir write and manifest rename leaves an invisible,
+    vacuumable orphan and the replay writes fresh. Single stream writer
+    per table (ids are per-query); ad-hoc batch commits interleave
+    safely — they carry no stream id. Returns the committed version, or
+    None for a skipped replay."""
+    last = _max_streamed_batch(spark, table)
+    if last is not None and int(batch_id) <= last:
+        return None
+    return commit_snapshot(
+        spark, table, df, mode="append", operation=f"{_STREAM_OP}:{int(batch_id)}"
+    )
+
+
+def streaming_snapshot_append(stream: DataFrame, table: str, checkpoint: str):
+    """foreachBatch writer streaming micro-batches into a snapshot table
+    — every batch becomes a time-travelable version, exactly once across
+    checkpoint loss. Returns the UNSTARTED writer (caller picks trigger
+    and calls .start()), the streaming_quantile_rollup convention."""
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_append_batch(batch_df.sparkSession, table, batch_df, batch_id)
+
+    return (
+        stream.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(process)
+    )
 
 
 def vacuum_snapshots(

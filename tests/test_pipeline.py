@@ -408,6 +408,39 @@ def test_build_training_corpus_end_to_end(spark, tmp_path):
     assert a == b
 
 
+def test_build_training_corpus_url_stage(spark, tmp_path):
+    """``url_col`` cuts canonical-URL re-crawls BEFORE any content pass:
+    two crawls of the same page (tracking params / host case differ)
+    collapse to the min-id row even when their text differs slightly."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+
+    body = (
+        "a long enough document about distributed columnar engines and the "
+        "shuffle exchanges their joins schedule across executor partitions"
+    )
+    rows = [
+        (1, body, "en", "https://example.com/p?b=2&a=1"),
+        (2, body + " recrawled later", "en",
+         "https://EXAMPLE.com/p?a=1&b=2&utm_source=tw"),   # same canonical URL
+        (3, body.replace("columnar", "sparse") + " other page", "en",
+         "https://example.com/q"),
+        (4, body.replace("engines", "planners") + " unparseable", "en", "not a url"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, url string"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "corpus")
+    counts = build_training_corpus(
+        spark, src, out, min_quality=0.0, dedup_threshold=0.99, url_col="url"
+    )
+    assert counts["input"] == 4
+    assert counts["after_url_dedup"] == 3       # doc 2 is a URL dup of 1
+    kept = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
+    assert kept == {1, 3, 4}                    # 4's bad URL passes through
+
+
 def test_build_training_corpus_substring_stage(spark, tmp_path):
     """Optional span-level pass: two kept docs sharing a ≥min_len verbatim
     span keep one canonical occurrence; the other doc is rebuilt without

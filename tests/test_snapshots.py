@@ -172,6 +172,53 @@ def test_partitioned_commit_prunes(spark, tmp_path):
     assert "PartitionFilters: [" in plan and "bucket" in plan
 
 
+def test_stream_append_batch_replay_skips(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import (
+        snapshot_append_batch,
+    )
+
+    t = str(tmp_path / "t")
+    assert snapshot_append_batch(spark, t, _df(spark, 0, 5), 0) == 0
+    assert snapshot_append_batch(spark, t, _df(spark, 5, 8), 1) == 1
+    # checkpoint-loss replay of both batches: nothing appends
+    assert snapshot_append_batch(spark, t, _df(spark, 0, 5), 0) is None
+    assert snapshot_append_batch(spark, t, _df(spark, 5, 8), 1) is None
+    assert read_snapshot(spark, t).count() == 8
+    assert len(_list_versions(spark, t)) == 2
+    # an interleaved ad-hoc commit doesn't disturb the stream guard
+    commit_snapshot(spark, t, _df(spark, 100, 101), operation="manual-fix")
+    assert snapshot_append_batch(spark, t, _df(spark, 8, 10), 2) == 3
+    assert read_snapshot(spark, t).count() == 11
+
+
+def test_streaming_snapshot_append_end_to_end(spark, tmp_path):
+    """File stream → snapshot table: every micro-batch a version;
+    restart with a FRESH checkpoint (total checkpoint loss) re-delivers
+    the files and the table must not double-count."""
+    from binance_data_pipeline_spark.operators.snapshots import (
+        streaming_snapshot_append,
+    )
+
+    src = str(tmp_path / "in")
+    t = str(tmp_path / "t")
+    _df(spark, 0, 6, "x").write.parquet(src)
+    stream = spark.readStream.schema("id long, tag string").parquet(src)
+    q = streaming_snapshot_append(
+        stream, t, str(tmp_path / "cp1")
+    ).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert read_snapshot(spark, t).count() == 6
+
+    # fresh checkpoint: the whole source replays as batch 0 again
+    q2 = streaming_snapshot_append(
+        stream, t, str(tmp_path / "cp2")
+    ).trigger(availableNow=True).start()
+    q2.awaitTermination(120)
+    assert read_snapshot(spark, t).count() == 6
+    hist = snapshot_history(spark, t).collect()
+    assert [r["operation"] for r in hist] == ["stream-append:0"]
+
+
 def test_empty_table_and_bad_mode_raise(spark, tmp_path):
     t = str(tmp_path / "nope")
     with pytest.raises(ValueError, match="no committed"):
