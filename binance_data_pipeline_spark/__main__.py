@@ -20,6 +20,8 @@ Airflow tasks, as plain commands:
              over a documents parquet (synthesized domain labels)
   eval       macro retrieval metrics (recall@k, MRR, nDCG) for judged
              queries against a serving root (hybrid or --rm3)
+  snapshot   versioned-table ops (operators/snapshots): print history,
+             commit a parquet as the next version, rollback, vacuum
 """
 
 from __future__ import annotations
@@ -118,6 +120,18 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--k", type=int, default=16)
     pp.add_argument("--embed-dim", type=int, default=256)
     pp.add_argument("--top-terms", type=int, default=10)
+
+    pn = sub.add_parser(
+        "snapshot", help="versioned-table ops: history / commit / rollback / vacuum"
+    )
+    pn.add_argument("--table", required=True, help="snapshot table directory")
+    pn.add_argument("--commit", default=None, help="parquet path to commit as the next version")
+    pn.add_argument("--mode", default="append", choices=["append", "overwrite"])
+    pn.add_argument("--rollback", type=int, default=None, help="restore this version (new commit)")
+    pn.add_argument("--vacuum", action="store_true", help="reap unreferenced data dirs")
+    pn.add_argument("--keep", type=int, default=2, help="versions retained by --vacuum")
+    pn.add_argument("--min-age", type=float, default=3600.0,
+                    help="seconds a dir must age before --vacuum may reap it")
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -282,6 +296,34 @@ def main(argv: list[str] | None = None) -> int:
         kw.write.mode("overwrite").parquet(f"{out}/keywords.parquet")
         n = spark.read.parquet(f"{out}/assignments.parquet").count()
         print(f"docs={n} clusters={args.k}")
+        return 0
+
+    if args.cmd == "snapshot":
+        from .operators.snapshots import (
+            commit_snapshot,
+            rollback_snapshot,
+            snapshot_history,
+            vacuum_snapshots,
+        )
+
+        if args.commit is not None:
+            v = commit_snapshot(
+                spark, args.table, spark.read.parquet(args.commit), mode=args.mode
+            )
+            print(f"committed version={v}")
+        if args.rollback is not None:
+            v = rollback_snapshot(spark, args.table, args.rollback)
+            print(f"rolled back to {args.rollback} as version={v}")
+        if args.vacuum:
+            out = vacuum_snapshots(
+                spark, args.table, keep_versions=args.keep, min_age_seconds=args.min_age
+            )
+            print(" ".join(f"{k}={v}" for k, v in out.items()))
+        for r in snapshot_history(spark, args.table).collect():
+            print(
+                f"v{r['version']}\t{r['operation']}\t{r['n_dirs']} dirs\t"
+                f"committed_at={r['committed_at']:.3f}"
+            )
         return 0
 
     return 2

@@ -219,6 +219,31 @@ def test_streaming_snapshot_append_end_to_end(spark, tmp_path):
     assert [r["operation"] for r in hist] == ["stream-append:0"]
 
 
+def test_cli_snapshot_roundtrip(spark, tmp_path, capsys):
+    """snapshot CLI: commit a parquet, print history, rollback, vacuum."""
+    from binance_data_pipeline_spark.__main__ import main
+
+    t = str(tmp_path / "t")
+    src1, src2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    _df(spark, 0, 10, "a").write.parquet(src1)
+    _df(spark, 0, 3, "b").write.parquet(src2)
+
+    assert main(["snapshot", "--table", t, "--commit", src1]) == 0
+    assert main(["snapshot", "--table", t, "--commit", src2, "--mode", "overwrite"]) == 0
+    out = capsys.readouterr().out
+    assert "committed version=0" in out and "committed version=1" in out
+    assert read_snapshot(spark, t).count() == 3
+
+    assert main(["snapshot", "--table", t, "--rollback", "0"]) == 0
+    assert read_snapshot(spark, t).count() == 10
+    assert main(["snapshot", "--table", t, "--vacuum", "--keep", "1",
+                 "--min-age", "0"]) == 0
+    out = capsys.readouterr().out
+    assert "rolled back to 0 as version=2" in out
+    assert "removed_manifests=2" in out
+    assert read_snapshot(spark, t).count() == 10
+
+
 def test_empty_table_and_bad_mode_raise(spark, tmp_path):
     t = str(tmp_path / "nope")
     with pytest.raises(ValueError, match="no committed"):
