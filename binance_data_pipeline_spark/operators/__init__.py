@@ -21,6 +21,7 @@ quality_classifier  trainable hashed-n-gram logistic quality filter (FineWeb-Edu
 dsir             DSIR importance resampling (target-distribution matching, Gumbel top-k)
 vocab            token/n-gram frequencies, top-k vocab, IDF
 bpe              trainable byte-pair encoding (distributed counts, Arrow apply)
+unigram          trainable unigram-LM tokenizer (SentencePiece recipe: EM + prune, Viterbi apply)
 bm25             BM25 retrieval + persisted term-bucket index + RRF hybrid fusion
 mining           hard-negative mining (BM25 candidates × embedding ceiling)
 retrieval        serving root: BM25+IVF build + RRF hybrid search + injectable rerank
