@@ -36,6 +36,7 @@ sketches         HLL distinct + count-min frequency rollups (mergeable)
 quantiles        MRL/KLL quantile sketch rollups (mergeable, streaming exactly-once)
 heavyhitters     Misra-Gries top-k rollups (mergeable, streaming exactly-once)
 state_swap       shared exactly-once merge-state machinery (atomic dir swap)
+metacache        serve-path index-metadata memo (listing-keyed, self-invalidating)
 gapfill          gap-fill / LOCF / linear interpolation
 interval_join    bucketed interval/range join
 asof             as-of join (trade × quote style)

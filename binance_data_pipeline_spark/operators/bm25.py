@@ -179,9 +179,22 @@ def bm25_query(
     ``weighted_terms`` replaces the tokenized query with an explicit
     (query_id, term, qw) frame — the RM3 expansion hook: each term's
     BM25 contribution is scaled by ``qw`` (pass it INSTEAD of relying
-    on ``queries``' text; ``queries`` is ignored then)."""
-    stats = spark.read.parquet(os.path.join(index_path, "stats.parquet")).first()
-    n_docs, avgdl = int(stats["n_docs"]), float(stats["avgdl"])
+    on ``queries``' text; ``queries`` is ignored then).
+
+    Corpus stats and the bucket count are memoized per process keyed on
+    the stats dir listing (operators/metacache) — repeat queries skip
+    the per-call driver jobs a serving tier would never re-pay; appends
+    rewrite stats.parquet, so the memo invalidates itself."""
+    from .metacache import cached_meta
+
+    stats_path = os.path.join(index_path, "stats.parquet")
+    n_docs, avgdl = cached_meta(
+        spark,
+        stats_path,
+        lambda: (
+            lambda r: (int(r["n_docs"]), float(r["avgdl"]))
+        )(spark.read.parquet(stats_path).first()),
+    )
     if weighted_terms is not None:
         qt = weighted_terms.select("query_id", "term", "qw")
     else:
@@ -215,7 +228,8 @@ def bm25_query(
 
 def _index_buckets(spark: SparkSession, index_path: str) -> int:
     """Bucket count recovered from the partition directory names (the
-    layout is self-describing; no separate metadata to drift)."""
+    layout is self-describing; no separate metadata to drift). One
+    FileSystem listing — cheap enough to skip memoization."""
     fs, p = _hadoop_fs(spark, os.path.join(index_path, "postings.parquet"))
     n = 0
     for st in fs.listStatus(p):

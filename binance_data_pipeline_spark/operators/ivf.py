@@ -243,9 +243,22 @@ def ivf_query(
     """Query a persisted IVF index: nprobe nearest cells per query (against
     the k-row centroid table — driver-side literal, no shuffle), then an
     equi-join on cell_id against the partitioned cell table (only probed
-    cell partitions are listed/read) and an exact cosine re-rank."""
-    cent_rows = spark.read.parquet(os.path.join(index_path, "centroids.parquet")).collect()
-    centroids = [(r["cid"], [float(x) for x in r["vec"]]) for r in cent_rows]
+    cell partitions are listed/read) and an exact cosine re-rank.
+
+    The centroid table is memoized per process keyed on its dir listing
+    (operators/metacache): a serving tier loads centroids once, not per
+    query call; rebuilds swap the dir, so the memo self-invalidates."""
+    from .metacache import cached_meta
+
+    cent_path = os.path.join(index_path, "centroids.parquet")
+    centroids = cached_meta(
+        spark,
+        cent_path,
+        lambda: [
+            (r["cid"], [float(x) for x in r["vec"]])
+            for r in spark.read.parquet(cent_path).collect()
+        ],
+    )
     cents = _centroid_array_col(centroids)
 
     q_exploded = queries.select(

@@ -190,11 +190,16 @@ def hybrid_search(
     kNN), so a query whose id equals a doc id silently loses that doc
     from its vector ranking — keep query ids in their own namespace."""
     base = root.rstrip("/")
+    from .metacache import cached_meta
+
     try:
-        manifest = spark.read.parquet(f"{base}/manifest.parquet").first()
-    except Exception as e:  # AnalysisException: path missing
+        mpath = f"{base}/manifest.parquet"
+        mdict = cached_meta(
+            spark, mpath, lambda: spark.read.parquet(mpath).first().asDict()
+        )
+    except Exception as e:  # AnalysisException / FileNotFound: path missing
         raise ValueError(f"no manifest under {root} — incomplete build") from e
-    mdict = manifest.asDict()
+    manifest = mdict
     if query_embeddings is None and mdict.get("embed_dim") is not None:
         from .embedder import embed_texts, hash_encoder
 
