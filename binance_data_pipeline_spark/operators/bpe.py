@@ -183,3 +183,19 @@ def bpe_token_count(
     regex approximation when a trained model exists)."""
     toks = bpe_tokenize(docs, merges, id_col, text_col, tokenizer)
     return toks.select(id_col, F.size("tokens").cast("long").alias("n_tokens"))
+
+
+def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist the merge list as a parquet artifact (rank, left, right) —
+    the model travels with the corpus it tokenized, and any Spark/DuckDB
+    reader can inspect it. One small file."""
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "rank long, left string, right string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_bpe(spark, path: str) -> list[tuple[str, str]]:
+    """Load a persisted merge list, rank order restored exactly."""
+    rows = spark.read.parquet(path).orderBy("rank").collect()
+    return [(r["left"], r["right"]) for r in rows]

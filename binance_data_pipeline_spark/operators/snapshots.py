@@ -55,6 +55,7 @@ __all__ = [
     "vacuum_snapshots",
     "snapshot_append_batch",
     "streaming_snapshot_append",
+    "compact_snapshot",
 ]
 
 _V_WIDTH = 11  # zero-pad so lexicographic dir order == numeric order
@@ -317,6 +318,49 @@ def streaming_snapshot_append(stream: DataFrame, table: str, checkpoint: str):
         stream.writeStream.outputMode("append")
         .option("checkpointLocation", checkpoint)
         .foreachBatch(process)
+    )
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    table: str,
+    target_file_mb: int = 128,
+    partition_by: list[str] | None = None,
+) -> int:
+    """Rewrite the CURRENT live set as one right-sized commit — the
+    small-files answer for stream-ingested snapshot tables (every 5 s
+    micro-batch is a version; a day of them is 17k tiny dirs). Sizing
+    comes from the live files' actual bytes (one FS listing per live
+    dir), so output files land near ``target_file_mb`` regardless of
+    row width. History is untouched: pre-compaction versions still time
+    travel, and ``vacuum_snapshots`` reclaims the small dirs once they
+    age out of the retention window. Returns the new version."""
+    if target_file_mb <= 0:
+        raise ValueError("target_file_mb must be positive")
+    versions = _list_versions(spark, table)
+    if not versions:
+        raise ValueError(f"{table} has no committed snapshots")
+    live = _live_dirs(spark, table, versions[-1])
+    total = 0
+    for d in live:
+        fs, p = _hadoop_fs(spark, d)
+        it = fs.listFiles(p, True)
+        while it.hasNext():
+            total += it.next().getLen()
+    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))  # ceil
+    df = read_snapshot(spark, table)
+    writer_df = (
+        df.repartition(int(n_files), *partition_by)
+        if partition_by
+        else df.repartition(int(n_files))
+    )
+    return commit_snapshot(
+        spark,
+        table,
+        writer_df,
+        mode="overwrite",
+        operation=f"compact:{len(live)}->{int(n_files)}f",
+        partition_by=partition_by,
     )
 
 

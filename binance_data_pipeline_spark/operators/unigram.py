@@ -287,3 +287,16 @@ def unigram_token_count(
     for budgets/packing/chunking, like bpe_token_count."""
     toks = unigram_tokenize(docs, model, id_col, text_col)
     return toks.select(id_col, F.size("tokens").cast("long").alias("n_tokens"))
+
+
+def save_unigram(spark, model: dict[str, float], path: str) -> None:
+    """Persist the model as a parquet artifact (piece, log_prob) — one
+    small file, inspectable by any reader, shipped beside the corpus."""
+    spark.createDataFrame(
+        sorted(model.items()), "piece string, log_prob double"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_unigram(spark, path: str) -> dict[str, float]:
+    """Load a persisted unigram model; bit-identical to what was saved."""
+    return {r["piece"]: r["log_prob"] for r in spark.read.parquet(path).collect()}

@@ -96,3 +96,25 @@ def test_udf_closure_matches_module_encoder(spark):
     for r in docs.collect():
         expect = [t for w in r["text"].split() for t in bpe_encode_word(w, ranks)]
         assert toks[r["doc_id"]] == expect
+
+
+def test_save_load_bpe_roundtrip(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.bpe import (
+        bpe_tokenize,
+        load_bpe,
+        save_bpe,
+        train_bpe,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "low lower lowest low low"), (2, "newer newest new")],
+        "doc_id long, text string",
+    )
+    merges = train_bpe(docs, num_merges=12)
+    p = str(tmp_path / "bpe.parquet")
+    save_bpe(spark, merges, p)
+    loaded = load_bpe(spark, p)
+    assert loaded == merges  # rank order restored exactly
+    a = bpe_tokenize(docs, merges).orderBy("doc_id").collect()
+    b = bpe_tokenize(docs, loaded).orderBy("doc_id").collect()
+    assert [r["tokens"] for r in a] == [r["tokens"] for r in b]

@@ -219,6 +219,33 @@ def test_streaming_snapshot_append_end_to_end(spark, tmp_path):
     assert [r["operation"] for r in hist] == ["stream-append:0"]
 
 
+def test_compact_snapshot_preserves_rows_and_history(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import compact_snapshot
+
+    t = str(tmp_path / "t")
+    for i in range(6):  # six tiny "micro-batch" commits
+        commit_snapshot(spark, t, _df(spark, i * 10, i * 10 + 10))
+    before = sorted(r["id"] for r in read_snapshot(spark, t).collect())
+    v = compact_snapshot(spark, t, target_file_mb=128)
+    assert v == 6
+    after = read_snapshot(spark, t)
+    assert sorted(r["id"] for r in after.collect()) == before
+    # one live dir, one data file (60 tiny rows << 128 MB)
+    import glob
+
+    from binance_data_pipeline_spark.operators.snapshots import _live_dirs
+
+    hist = {r["version"]: r for r in snapshot_history(spark, t).collect()}
+    assert hist[6]["operation"] == "compact:6->1f"
+    assert hist[6]["n_dirs"] == 1
+    (compacted_dir,) = _live_dirs(spark, t, 6)
+    assert len(glob.glob(f"{compacted_dir}/part-*.parquet")) == 1
+    # pre-compaction version still time travels
+    assert read_snapshot(spark, t, version=2).count() == 30
+    with pytest.raises(ValueError, match="positive"):
+        compact_snapshot(spark, t, target_file_mb=0)
+
+
 def test_cli_snapshot_roundtrip(spark, tmp_path, capsys):
     """snapshot CLI: commit a parquet, print history, rollback, vacuum."""
     from binance_data_pipeline_spark.__main__ import main

@@ -130,3 +130,19 @@ def test_application_plan_is_arrow_only_map(spark, toy_model):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+
+
+def test_save_load_roundtrip_and_tokenize_parity(spark, tmp_path, toy_model):
+    from binance_data_pipeline_spark.operators.unigram import (
+        load_unigram,
+        save_unigram,
+    )
+
+    p = str(tmp_path / "unigram.parquet")
+    save_unigram(spark, toy_model, p)
+    loaded = load_unigram(spark, p)
+    assert loaded == toy_model  # bit-identical log-probs
+    docs = _docs(spark, ["lowest newer zebra"])
+    a = unigram_tokenize(docs, toy_model).first()["tokens"]
+    b = unigram_tokenize(docs, loaded).first()["tokens"]
+    assert a == b
