@@ -22,6 +22,8 @@ Airflow tasks, as plain commands:
              queries against a serving root (hybrid or --rm3)
   snapshot   versioned-table ops (operators/snapshots): print history,
              commit a parquet as the next version, rollback, vacuum
+  profile    per-column table profile (operators/profile): nulls,
+             distinct estimate, range, quantiles, top values
 """
 
 from __future__ import annotations
@@ -120,6 +122,13 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--k", type=int, default=16)
     pp.add_argument("--embed-dim", type=int, default=256)
     pp.add_argument("--top-terms", type=int, default=10)
+
+    pf = sub.add_parser(
+        "profile", help="per-column table profile (nulls, distinct, range, top values)"
+    )
+    pf.add_argument("--table", required=True, help="parquet path to profile")
+    pf.add_argument("--out", default=None, help="optional parquet output for the profile")
+    pf.add_argument("--top-k", type=int, default=5)
 
     pn = sub.add_parser(
         "snapshot", help="versioned-table ops: history / commit / rollback / vacuum"
@@ -296,6 +305,21 @@ def main(argv: list[str] | None = None) -> int:
         kw.write.mode("overwrite").parquet(f"{out}/keywords.parquet")
         n = spark.read.parquet(f"{out}/assignments.parquet").count()
         print(f"docs={n} clusters={args.k}")
+        return 0
+
+    if args.cmd == "profile":
+        from .operators.profile import profile_table
+
+        prof = profile_table(spark.read.parquet(args.table), top_k=args.top_k)
+        if args.out:
+            prof.write.mode("overwrite").parquet(args.out)
+        for r in prof.collect():
+            tops = ", ".join(f"{t['value']}×{t['count']}" for t in r["top_values"][:3])
+            print(
+                f"{r['column']}\t{r['dtype']}\tnulls={r['n_nulls']}/{r['n_rows']}\t"
+                f"distinct≈{r['n_distinct_est']}\t[{r['min_value']} .. {r['max_value']}]\t"
+                f"top: {tops}"
+            )
         return 0
 
     if args.cmd == "snapshot":

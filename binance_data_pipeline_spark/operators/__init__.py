@@ -37,6 +37,7 @@ quantiles        MRL/KLL quantile sketch rollups (mergeable, streaming exactly-o
 heavyhitters     Misra-Gries top-k rollups (mergeable, streaming exactly-once)
 state_swap       shared exactly-once merge-state machinery (atomic dir swap)
 metacache        serve-path index-metadata memo (listing-keyed, self-invalidating)
+profile          per-column table profiling (nulls, distinct, range, quantiles, top values)
 gapfill          gap-fill / LOCF / linear interpolation
 interval_join    bucketed interval/range join
 asof             as-of join (trade × quote style)
