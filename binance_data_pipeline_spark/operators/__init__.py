@@ -31,6 +31,7 @@ scd              SCD Type 2 dimension merge + point-in-time lookup join
 anomaly          rolling z-score / robust IQR / seasonal-residual flags
 langid           trainable language ID (multinomial logistic, char n-grams)
 tfidf            map-only TF-IDF / hashing-trick featurization
+features         fit/transform feature engineering (scaling, binning, one-hot, target encoding)
 sampling         deterministic sampling / token budgets / domain caps / mixing / shuffle / packing / split
 sketches         HLL distinct + count-min frequency rollups (mergeable)
 quantiles        MRL/KLL quantile sketch rollups (mergeable, streaming exactly-once)
