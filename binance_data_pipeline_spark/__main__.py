@@ -24,6 +24,9 @@ Airflow tasks, as plain commands:
              commit a parquet as the next version, rollback, vacuum
   profile    per-column table profile (operators/profile): nulls,
              distinct estimate, range, quantiles, top values
+  audit      physical-plan audit of the whole catalog (plans/audit):
+             CartesianProduct / row-Python / pushdown / wide-scan smells;
+             exit 1 on any non-exempt error
 """
 
 from __future__ import annotations
@@ -122,6 +125,12 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--k", type=int, default=16)
     pp.add_argument("--embed-dim", type=int, default=256)
     pp.add_argument("--top-terms", type=int, default=10)
+
+    pa = sub.add_parser(
+        "audit", help="physical-plan audit of the whole query catalog (scale smells)"
+    )
+    pa.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                    help="testdata dir the plans are built against")
 
     pf = sub.add_parser(
         "profile", help="per-column table profile (nulls, distinct, range, top values)"
@@ -306,6 +315,36 @@ def main(argv: list[str] | None = None) -> int:
         n = spark.read.parquet(f"{out}/assignments.parquet").count()
         print(f"docs={n} clusters={args.k}")
         return 0
+
+    if args.cmd == "audit":
+        from .plans import all_queries
+        from .plans.audit import audit_plan
+
+        # the two documented brute-force baselines pair every row by design
+        exempt = {"embed_knn_brute", "embed_near_dups_brute"}
+        n_err = 0
+        for name, fn in sorted(all_queries().items()):
+            try:
+                findings = audit_plan(fn(spark, args.sf_dir))
+            except Exception as e:  # a query that can't even plan is an error
+                print(f"{name}\tERROR\tplan failed: {e}")
+                n_err += 1
+                continue
+            errors = [f for f in findings if f.severity == "error"]
+            warns = [f for f in findings if f.severity == "warn"]
+            if name in exempt:
+                print(f"{name}\tEXEMPT\t{len(errors)} error(s) allowed (brute baseline)")
+                continue
+            if errors:
+                n_err += 1
+                for f in errors:
+                    print(f"{name}\tERROR\t{f.code}: {f.message}")
+            for f in warns:
+                print(f"{name}\tWARN\t{f.code}: {f.message}")
+            if not errors and not warns:
+                print(f"{name}\tOK")
+        print(f"audited={len(all_queries())} errors={n_err}")
+        return 1 if n_err else 0
 
     if args.cmd == "profile":
         from .operators.profile import profile_table

@@ -130,3 +130,15 @@ def test_cli_search_rm3(spark, tmp_path, capsys):
                  "--k", "3", "--rm3"]) == 0
     lines = [ln.split("\t") for ln in capsys.readouterr().out.strip().splitlines()]
     assert lines[0][1] == "d1" and {l[1] for l in lines} >= {"d1", "d2"}
+
+
+def test_cli_audit_exits_zero_on_clean_catalog(spark, capsys):
+    """The audit subcommand plans every catalog query and exits 0 when
+    no non-exempt scale error is found (the CI gate as a command)."""
+    from binance_data_pipeline_spark.__main__ import main
+
+    rc = main(["audit", "--sf-dir", "/root/testdata/sf0.001"])
+    printed = capsys.readouterr().out
+    assert rc == 0
+    assert "audited=50 errors=0" in printed
+    assert "embed_knn_brute\tEXEMPT" in printed
