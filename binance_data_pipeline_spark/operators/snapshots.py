@@ -56,6 +56,7 @@ __all__ = [
     "snapshot_append_batch",
     "streaming_snapshot_append",
     "compact_snapshot",
+    "snapshot_changes",
 ]
 
 _V_WIDTH = 11  # zero-pad so lexicographic dir order == numeric order
@@ -319,6 +320,40 @@ def streaming_snapshot_append(stream: DataFrame, table: str, checkpoint: str):
         .option("checkpointLocation", checkpoint)
         .foreachBatch(process)
     )
+
+
+def snapshot_changes(
+    spark: SparkSession, table: str, from_version: int, to_version: int | None = None
+) -> DataFrame:
+    """Rows ADDED between two versions — the change feed an incremental
+    consumer tails instead of rescanning the table (the Delta CDF idea
+    for append-mode history). Exact and cheap for append/stream commits:
+    the inserted rows are precisely the data dirs in ``to``'s live set
+    that ``from``'s lacks, so the read touches ONLY new files.
+
+    Refuses ranges that cross an overwrite/rollback/compaction (``to``'s
+    live set must be a superset of ``from``'s): across a rewrite,
+    dir-set difference no longer means row-level inserts — the consumer
+    must resync from a full read instead of silently double-counting."""
+    versions = _list_versions(spark, table)
+    to_version = versions[-1] if to_version is None else to_version
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {table} (have {versions})")
+    if to_version < from_version:
+        raise ValueError(f"to_version {to_version} < from_version {from_version}")
+    old = set(_live_dirs(spark, table, from_version))
+    new = _live_dirs(spark, table, to_version)
+    if not old <= set(new):
+        raise ValueError(
+            f"versions {from_version}..{to_version} of {table} cross a "
+            "rewrite (overwrite/rollback/compact) — dir diff is not a row "
+            "change feed there; resync from a full read"
+        )
+    added = [d for d in new if d not in old]
+    if not added:
+        return read_snapshot(spark, table, version=to_version).limit(0)
+    return spark.read.parquet(*added)
 
 
 def compact_snapshot(

@@ -279,3 +279,33 @@ def test_empty_table_and_bad_mode_raise(spark, tmp_path):
         snapshot_history(spark, t)
     with pytest.raises(ValueError, match="append"):
         commit_snapshot(spark, t, _df(spark, 0, 1), mode="upsert")
+
+
+def test_snapshot_changes_feed(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import (
+        compact_snapshot,
+        snapshot_changes,
+    )
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 5, "b0"))
+    commit_snapshot(spark, t, _df(spark, 5, 8, "b1"))
+    commit_snapshot(spark, t, _df(spark, 8, 12, "b2"))
+    # changes 0 -> latest = batches 1 and 2 only
+    ch = snapshot_changes(spark, t, 0)
+    assert sorted(r["id"] for r in ch.collect()) == list(range(5, 12))
+    assert {r["tag"] for r in ch.collect()} == {"b1", "b2"}
+    # same-version range is empty with the right schema
+    empty = snapshot_changes(spark, t, 2, 2)
+    assert empty.count() == 0 and empty.columns == ["id", "tag"]
+    # a rewrite breaks the feed loudly
+    compact_snapshot(spark, t)
+    with pytest.raises(ValueError, match="cross a rewrite"):
+        snapshot_changes(spark, t, 0)
+    # but post-rewrite appends feed again
+    commit_snapshot(spark, t, _df(spark, 12, 14, "b3"))
+    assert snapshot_changes(spark, t, 3).count() == 2
+    with pytest.raises(ValueError, match="not in"):
+        snapshot_changes(spark, t, 99)
+    with pytest.raises(ValueError, match="<"):
+        snapshot_changes(spark, t, 4, 3)
