@@ -21,7 +21,8 @@ Airflow tasks, as plain commands:
   eval       macro retrieval metrics (recall@k, MRR, nDCG) for judged
              queries against a serving root (hybrid or --rm3)
   snapshot   versioned-table ops (operators/snapshots): print history,
-             commit a parquet as the next version, rollback, vacuum
+             commit a parquet as the next version, rollback, vacuum,
+             keyed CDC diff between two versions (--diff A B --keys k)
   profile    per-column table profile (operators/profile): nulls,
              distinct estimate, range, quantiles, top values
   audit      physical-plan audit of the whole catalog (plans/audit):
@@ -150,6 +151,12 @@ def main(argv: list[str] | None = None) -> int:
     pn.add_argument("--keep", type=int, default=2, help="versions retained by --vacuum")
     pn.add_argument("--min-age", type=float, default=3600.0,
                     help="seconds a dir must age before --vacuum may reap it")
+    pn.add_argument("--diff", nargs=2, type=int, metavar=("FROM", "TO"),
+                    default=None, help="keyed CDC between two versions")
+    pn.add_argument("--keys", default=None,
+                    help="comma-separated key columns for --diff")
+    pn.add_argument("--diff-out", default=None,
+                    help="write --diff rows to this parquet path (else print count)")
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -377,6 +384,30 @@ def main(argv: list[str] | None = None) -> int:
         if args.rollback is not None:
             v = rollback_snapshot(spark, args.table, args.rollback)
             print(f"rolled back to {args.rollback} as version={v}")
+        if args.diff is not None:
+            from pyspark.sql import functions as F
+
+            from .operators.snapshots import snapshot_diff
+
+            if not args.keys:
+                p.error("--diff requires --keys")
+            d = snapshot_diff(
+                spark, args.table, args.keys.split(","), args.diff[0], args.diff[1]
+            )
+            if args.diff_out:
+                d.write.mode("overwrite").parquet(args.diff_out)
+                print(f"diff v{args.diff[0]}..v{args.diff[1]} -> {args.diff_out}")
+            else:
+                counts = {
+                    r["_change_type"]: r["n"]
+                    for r in d.groupBy("_change_type").agg(
+                        F.count(F.lit(1)).alias("n")
+                    ).collect()
+                }
+                print(f"diff v{args.diff[0]}..v{args.diff[1]}: " + " ".join(
+                    f"{k}={counts.get(k, 0)}"
+                    for k in ("insert", "delete", "update_preimage", "update_postimage")
+                ))
         if args.vacuum:
             out = vacuum_snapshots(
                 spark, args.table, keep_versions=args.keep, min_age_seconds=args.min_age

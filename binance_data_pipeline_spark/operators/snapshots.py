@@ -57,6 +57,7 @@ __all__ = [
     "streaming_snapshot_append",
     "compact_snapshot",
     "snapshot_changes",
+    "snapshot_diff",
 ]
 
 _V_WIDTH = 11  # zero-pad so lexicographic dir order == numeric order
@@ -354,6 +355,112 @@ def snapshot_changes(
     if not added:
         return read_snapshot(spark, table, version=to_version).limit(0)
     return spark.read.parquet(*added)
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table: str,
+    key_cols: list[str],
+    from_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Keyed row-level CDC between two versions: the resync path for the
+    ranges ``snapshot_changes`` refuses (overwrite/rollback/compaction),
+    where dir-set difference stops meaning row inserts. Compares the two
+    table states BY KEY and emits one row per change with a
+    ``_change_type`` column: ``insert`` (key only in ``to``), ``delete``
+    (key only in ``from``, carrying the deleted row's values), and
+    ``update_preimage``/``update_postimage`` pairs (key in both, any
+    value column differing — the Delta CDF vocabulary). Unchanged keys
+    are not emitted. Keys must be unique within each version — a
+    duplicate raises at execution (guard folded into the change-type
+    expression so Catalyst cannot prune it, the interval_join
+    discipline), because a keyed diff over duplicate keys is ambiguous.
+
+    Scale: one hash aggregate per side (map-side combine on the key),
+    one shuffle each, a single key-partitioned full-outer join, then a
+    map-side explode — nothing driver-side, no O(n^2). Null-safe
+    throughout: NULL key fields match each other and NULL-vs-NULL value
+    fields are "unchanged". Schema evolution across the range is
+    handled by aligning both sides to the union of columns (absent
+    columns read as NULL). For append-only ranges prefer
+    ``snapshot_changes`` — it reads ONLY the new files, while this scans
+    both versions in full."""
+    versions = _list_versions(spark, table)
+    to_version = versions[-1] if to_version is None else to_version
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {table} (have {versions})")
+    if to_version < from_version:
+        raise ValueError(f"to_version {to_version} < from_version {from_version}")
+    pre = read_snapshot(spark, table, version=from_version, merge_schema=True)
+    post = read_snapshot(spark, table, version=to_version, merge_schema=True)
+    for k in key_cols:
+        if k not in post.columns or k not in pre.columns:
+            raise ValueError(f"key column {k!r} missing from a compared version")
+    # union of columns, post's order first — absent side reads as typed NULL
+    all_cols = list(post.columns) + [c for c in pre.columns if c not in post.columns]
+    val_cols = [c for c in all_cols if c not in key_cols]
+    types = {f.name: f.dataType for f in post.schema.fields}
+    for f in pre.schema.fields:
+        types.setdefault(f.name, f.dataType)
+
+    def _keyed(df: DataFrame) -> DataFrame:
+        aligned = df.select(
+            *[
+                F.col(c) if c in df.columns else F.lit(None).cast(types[c]).alias(c)
+                for c in all_cols
+            ]
+        )
+        return aligned.groupBy(*key_cols).agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.first(F.struct(*[F.col(c) for c in val_cols])).alias("__v"),
+        )
+
+    p, q = _keyed(pre).alias("p"), _keyed(post).alias("q")
+    cond = None
+    for k in key_cols:
+        c = p[k].eqNullSafe(q[k])
+        cond = c if cond is None else cond & c
+    j = p.join(q, cond, "full_outer")
+    # fold the duplicate-key guards into the presence tests themselves
+    # (assert_true is NULL on success → coalesce 0): a standalone guard
+    # column would be pruned by Catalyst and never evaluated, and it
+    # must fire BEFORE the explode drops "unchanged" rows
+    guard = F.coalesce(
+        F.assert_true(
+            (F.coalesce(F.col("p.__n"), F.lit(1)) <= 1)
+            & (F.coalesce(F.col("q.__n"), F.lit(1)) <= 1),
+            F.lit(f"snapshot_diff: duplicate key in {table} "
+                  f"(versions {from_version}..{to_version})"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    pre_n, post_n = F.col("p.__n") + guard, F.col("q.__n") + guard
+    pre_v, post_v = F.col("p.__v"), F.col("q.__v")
+
+    def _tagged(ct: str, v):
+        return F.struct(F.lit(ct).alias("ct"), v.alias("v"))
+
+    changes = (
+        F.when(pre_n.isNull(), F.array(_tagged("insert", post_v)))
+        .when(post_n.isNull(), F.array(_tagged("delete", pre_v)))
+        .when(
+            ~pre_v.eqNullSafe(post_v),
+            F.array(
+                _tagged("update_preimage", pre_v),
+                _tagged("update_postimage", post_v),
+            ),
+        )
+        .otherwise(F.slice(F.array(_tagged("", pre_v)), 1, 0))  # typed empty
+    )
+    keys = [F.coalesce(p[k], q[k]).alias(k) for k in key_cols]
+    out = j.select(*keys, F.explode(changes).alias("__e"))
+    return out.select(
+        *key_cols,
+        *[F.col(f"__e.v.{c}").alias(c) for c in val_cols],
+        F.col("__e.ct").alias("_change_type"),
+    )
 
 
 def compact_snapshot(

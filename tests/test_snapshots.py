@@ -263,10 +263,18 @@ def test_cli_snapshot_roundtrip(spark, tmp_path, capsys):
 
     assert main(["snapshot", "--table", t, "--rollback", "0"]) == 0
     assert read_snapshot(spark, t).count() == 10
+
+    # keyed CDC via the CLI: v1 (3 rows 'b') -> v2 (rollback to the 10
+    # 'a' rows) = 7 re-inserts + 3 tag updates, before vacuum reaps v1
+    assert main(["snapshot", "--table", t, "--diff", "1", "2",
+                 "--keys", "id"]) == 0
+    out = capsys.readouterr().out
+    assert "rolled back to 0 as version=2" in out
+    assert "insert=7 delete=0 update_preimage=3 update_postimage=3" in out
+
     assert main(["snapshot", "--table", t, "--vacuum", "--keep", "1",
                  "--min-age", "0"]) == 0
     out = capsys.readouterr().out
-    assert "rolled back to 0 as version=2" in out
     assert "removed_manifests=2" in out
     assert read_snapshot(spark, t).count() == 10
 
@@ -309,3 +317,70 @@ def test_snapshot_changes_feed(spark, tmp_path):
         snapshot_changes(spark, t, 99)
     with pytest.raises(ValueError, match="<"):
         snapshot_changes(spark, t, 4, 3)
+
+
+def test_snapshot_diff_keyed_cdc_across_rewrite(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import snapshot_diff
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 6, "v0"))  # keys 0..5
+    # rewrite: drop 0-1, keep 2-5 with key 4 mutated, add 6-7
+    post = spark.createDataFrame(
+        [(2, "v0"), (3, "v0"), (4, "CHANGED"), (5, "v0"), (6, "new"), (7, "new")],
+        "id long, tag string",
+    )
+    commit_snapshot(spark, t, post, mode="overwrite")
+    d = snapshot_diff(spark, t, ["id"], 0, 1)
+    got = {(r["id"], r["_change_type"]): r["tag"] for r in d.collect()}
+    assert got == {
+        (0, "delete"): "v0",
+        (1, "delete"): "v0",
+        (4, "update_preimage"): "v0",
+        (4, "update_postimage"): "CHANGED",
+        (6, "insert"): "new",
+        (7, "insert"): "new",
+    }
+    assert d.columns == ["id", "tag", "_change_type"]
+    # unchanged keys (2,3,5) are absent; same-version diff is empty
+    assert snapshot_diff(spark, t, ["id"], 1, 1).count() == 0
+
+
+def test_snapshot_diff_null_safe_and_schema_evolution(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import snapshot_diff
+
+    t = str(tmp_path / "t")
+    v0 = spark.createDataFrame(
+        [(1, None), (2, "x"), (None, "k")], "id long, tag string"
+    )
+    commit_snapshot(spark, t, v0)
+    # schema evolves: new column `score`; NULL tag stays NULL (unchanged),
+    # NULL key matches NULL key
+    v1 = spark.createDataFrame(
+        [(1, None, None), (2, "x", 0.5), (None, "k2", None)],
+        "id long, tag string, score double",
+    )
+    commit_snapshot(spark, t, v1, mode="overwrite")
+    d = snapshot_diff(spark, t, ["id"], 0, 1)
+    rows = {(r["id"], r["_change_type"]): (r["tag"], r["score"]) for r in d.collect()}
+    # key 1: tag NULL==NULL but score gains a NULL column on the pre side
+    # too (aligned) -> unchanged; key 2 gains a score -> update; NULL key
+    # matched null-safely, tag changed -> update
+    assert (1, "update_preimage") not in rows and (1, "insert") not in rows
+    assert rows[(2, "update_preimage")] == ("x", None)
+    assert rows[(2, "update_postimage")] == ("x", 0.5)
+    assert rows[(None, "update_preimage")] == ("k", None)
+    assert rows[(None, "update_postimage")] == ("k2", None)
+    assert len(rows) == 4
+
+
+def test_snapshot_diff_duplicate_key_raises(spark, tmp_path):
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from binance_data_pipeline_spark.operators.snapshots import snapshot_diff
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 3))
+    dup = spark.createDataFrame([(1, "a"), (1, "b"), (9, "c")], "id long, tag string")
+    commit_snapshot(spark, t, dup, mode="overwrite")
+    with pytest.raises((SparkRuntimeException, Exception), match="duplicate key"):
+        snapshot_diff(spark, t, ["id"], 0, 1).collect()
