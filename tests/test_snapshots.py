@@ -384,3 +384,21 @@ def test_snapshot_diff_duplicate_key_raises(spark, tmp_path):
     commit_snapshot(spark, t, dup, mode="overwrite")
     with pytest.raises((SparkRuntimeException, Exception), match="duplicate key"):
         snapshot_diff(spark, t, ["id"], 0, 1).collect()
+
+
+def test_snapshot_diff_plan_is_scale_clean(spark, tmp_path):
+    """Two keyed hash aggs + ONE key-partitioned join + generate; no
+    Python eval, no cartesian. (That the duplicate-key guard survives
+    optimization is pinned behaviorally by
+    test_snapshot_diff_duplicate_key_raises — the plan string truncates
+    long projections, so asserting on its text would be brittle.)"""
+    from binance_data_pipeline_spark.operators.snapshots import snapshot_diff
+    from binance_data_pipeline_spark.plans.audit import assert_scale_clean, plan_text
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 50))
+    commit_snapshot(spark, t, _df(spark, 25, 75, "b"), mode="overwrite")
+    d = snapshot_diff(spark, t, ["id"], 0, 1)
+    assert_scale_clean(d)
+    txt = plan_text(d)
+    assert txt.count("SortMergeJoin") + txt.count("ShuffledHashJoin") == 1
