@@ -157,6 +157,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated key columns for --diff")
     pn.add_argument("--diff-out", default=None,
                     help="write --diff rows to this parquet path (else print count)")
+    pn.add_argument("--merge", default=None,
+                    help="parquet path of update rows to MERGE (upsert) by --keys")
+    pn.add_argument("--delete-col", default=None,
+                    help="boolean column in --merge rows marking deletes")
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -384,6 +388,19 @@ def main(argv: list[str] | None = None) -> int:
         if args.rollback is not None:
             v = rollback_snapshot(spark, args.table, args.rollback)
             print(f"rolled back to {args.rollback} as version={v}")
+        if args.merge is not None:
+            from .operators.snapshots import snapshot_merge
+
+            if not args.keys:
+                p.error("--merge requires --keys")
+            v = snapshot_merge(
+                spark,
+                args.table,
+                spark.read.parquet(args.merge),
+                args.keys.split(","),
+                delete_col=args.delete_col,
+            )
+            print(f"merged as version={v}")
         if args.diff is not None:
             from pyspark.sql import functions as F
 

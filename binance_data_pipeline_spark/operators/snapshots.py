@@ -58,6 +58,7 @@ __all__ = [
     "compact_snapshot",
     "snapshot_changes",
     "snapshot_diff",
+    "snapshot_merge",
 ]
 
 _V_WIDTH = 11  # zero-pad so lexicographic dir order == numeric order
@@ -461,6 +462,161 @@ def snapshot_diff(
         *[F.col(f"__e.v.{c}").alias(c) for c in val_cols],
         F.col("__e.ct").alias("_change_type"),
     )
+
+
+def snapshot_merge(
+    spark: SparkSession,
+    table: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    delete_col: str | None = None,
+    max_retries: int = 3,
+) -> int:
+    """MERGE INTO for snapshot tables — the write-side dual of
+    ``snapshot_diff``: matched keys take the update row's values,
+    unmatched update rows insert, and rows whose ``delete_col`` flag is
+    true delete (a delete of an absent key is a no-op, like SQL MERGE).
+    Commits one new version; history stays time-travelable and
+    ``snapshot_diff`` across the merge reports exactly the applied
+    changes.
+
+    Copy-on-write bounded to TOUCHED dirs (the Delta/Iceberg CoW
+    posture): a key-column-pruned scan + semi-join discovers which live
+    data dirs contain matched keys, ONLY those dirs are read in full and
+    rewritten (merged with the updates), and the new manifest keeps
+    every untouched dir by reference — at 100 TB a small merge batch
+    rewrites megabytes, not the table. Update keys must be unique (an
+    assert_true folded into the plan raises otherwise — one source row
+    per target key, the MERGE ambiguity rule); every matching target row
+    takes the update's values. Schema evolution: output columns are the
+    union of both schemas, absent side NULL. A lost commit race
+    recomputes the whole merge against the winner's table state (the
+    optimistic-concurrency posture; updates are re-resolved, so
+    re-merging is correct by construction)."""
+    if delete_col is not None and delete_col not in updates.columns:
+        raise ValueError(f"delete_col {delete_col!r} not in updates")
+    for k in key_cols:
+        if k not in updates.columns:
+            raise ValueError(f"key column {k!r} missing from updates")
+    base = table.rstrip("/")
+    upd_vals = [c for c in updates.columns if c not in key_cols and c != delete_col]
+    # one row per key, duplicate update keys raise at execution (guard
+    # folded into the kept struct so Catalyst cannot prune it)
+    u_guard = F.coalesce(
+        F.assert_true(
+            F.col("__un") <= 1,
+            F.lit(f"snapshot_merge: duplicate key in updates for {table}"),
+        ).cast("long"),
+        F.lit(0),
+    )
+    uv = (
+        F.first(F.struct(*[F.col(c) for c in upd_vals]))
+        if upd_vals
+        else F.first(F.lit(0))
+    )
+    u1 = (
+        updates.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("__un"),
+            uv.alias("__uv"),
+            (
+                F.max(F.col(delete_col).cast("boolean"))
+                if delete_col is not None
+                else F.max(F.lit(False))
+            ).alias("__udel"),
+        )
+        .select(
+            *key_cols,
+            "__un",
+            "__uv",
+            # u_guard is coalesced to 0 on success, so this OR is a
+            # no-op — it exists to keep the duplicate-key assert in
+            # every consumer of the update rows
+            (F.col("__udel") | (u_guard > 0)).alias("__udel"),
+        )
+    )
+
+    for _ in range(max_retries):
+        versions = _list_versions(spark, table)
+        if not versions:
+            raise ValueError(f"{table} has no committed snapshots")
+        head = versions[-1]
+        live = _live_dirs(spark, table, head)
+        by_name = {d.rstrip("/").rsplit("/", 1)[-1]: d for d in live}
+        tgt = spark.read.option("mergeSchema", "true").parquet(*live)
+        tgt_cols = tgt.columns
+        dirname = F.regexp_extract(F.input_file_name(), "/data/([^/]+)/", 1)
+        touched_names = [
+            r["__dn"]
+            for r in tgt.select(*key_cols, dirname.alias("__dn"))
+            .join(u1.select(*key_cols), key_cols, "left_semi")
+            .select("__dn")
+            .distinct()
+            .collect()
+        ]
+        touched = [by_name[n] for n in touched_names]
+        all_cols = list(tgt_cols) + [c for c in upd_vals if c not in tgt_cols]
+        types = {f.name: f.dataType for f in tgt.schema.fields}
+        for f in updates.schema.fields:
+            types.setdefault(f.name, f.dataType)
+
+        def _aligned_tgt(df: DataFrame) -> DataFrame:
+            return df.select(
+                *[
+                    F.col(c) if c in df.columns else F.lit(None).cast(types[c]).alias(c)
+                    for c in all_cols
+                ]
+            )
+
+        def _from_update(c: str):
+            if c in key_cols:
+                return F.col(f"u.{c}")
+            if c in upd_vals:
+                return F.col(f"u.__uv.{c}")
+            return F.lit(None).cast(types[c])
+
+        def _keys_eq(left: str, right: str):
+            cond = None
+            for k in key_cols:
+                c = F.col(f"{left}.{k}").eqNullSafe(F.col(f"{right}.{k}"))
+                cond = c if cond is None else cond & c
+            return cond
+
+        if touched:
+            t = _aligned_tgt(spark.read.option("mergeSchema", "true").parquet(*touched))
+            j = t.alias("t").join(u1.alias("u"), _keys_eq("t", "u"), "left_outer")
+            matched = F.col("u.__un").isNotNull()
+            kept = j.where(~matched | ~F.col("u.__udel")).select(
+                *[
+                    F.when(matched, _from_update(c))
+                    .otherwise(F.col(f"t.{c}"))
+                    .alias(c)
+                    for c in all_cols
+                ]
+            )
+            existing_keys = t.select(*key_cols)
+        else:
+            kept = None
+            existing_keys = None
+        ins = u1.alias("u")
+        if existing_keys is not None:
+            ins = ins.join(
+                existing_keys.alias("e"), _keys_eq("u", "e"), "left_anti"
+            ).alias("u")
+        inserts = ins.where(~F.col("u.__udel")).select(
+            *[_from_update(c).alias(c) for c in all_cols]
+        )
+        new_rows = inserts if kept is None else kept.unionByName(inserts)
+
+        data_dir = f"{base}/data/{uuid.uuid4().hex}"
+        new_rows.write.mode("errorifexists").parquet(data_dir)
+        new_live = [d for d in live if d not in set(touched)] + [data_dir]
+        op = f"merge:{len(touched)}d"
+        if _write_manifest_commit(spark, table, head + 1, new_live, op, time.time()):
+            return head + 1
+        fs, dp = _hadoop_fs(spark, data_dir)
+        fs.delete(dp, True)  # lost the race: recompute against the winner
+    raise RuntimeError(f"snapshot merge to {table} lost {max_retries} races")
 
 
 def compact_snapshot(

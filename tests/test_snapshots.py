@@ -402,3 +402,81 @@ def test_snapshot_diff_plan_is_scale_clean(spark, tmp_path):
     assert_scale_clean(d)
     txt = plan_text(d)
     assert txt.count("SortMergeJoin") + txt.count("ShuffledHashJoin") == 1
+
+
+def test_snapshot_merge_upsert_delete_and_cow_dirs(spark, tmp_path):
+    """MERGE semantics + the copy-on-write contract: only dirs holding
+    matched keys are rewritten; untouched dirs survive BY REFERENCE in
+    the new manifest."""
+    from binance_data_pipeline_spark.operators.snapshots import (
+        _live_dirs,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 5, "d0"))     # keys 0-4
+    commit_snapshot(spark, t, _df(spark, 5, 10, "d1"))    # keys 5-9
+    commit_snapshot(spark, t, _df(spark, 10, 15, "d2"))   # keys 10-14
+    before = set(_live_dirs(spark, t, 2))
+
+    upd = spark.createDataFrame(
+        # update key 6 (dir d1), delete key 8 (dir d1), insert key 99
+        [(6, "UPD", False), (8, "x", True), (99, "NEW", False), (500, "z", True)],
+        "id long, tag string, is_delete boolean",
+    )
+    v = snapshot_merge(spark, t, upd, ["id"], delete_col="is_delete")
+    assert v == 3
+    got = {r["id"]: r["tag"] for r in read_snapshot(spark, t).collect()}
+    assert got[6] == "UPD" and got[99] == "NEW"
+    assert 8 not in got and 500 not in got  # deleted / delete-of-absent no-op
+    assert len(got) == 15  # 15 - 1 delete + 1 insert
+    assert {got[i] for i in range(5)} == {"d0"}
+    # copy-on-write: d0 and d2 dirs unchanged by reference, d1 replaced
+    after = set(_live_dirs(spark, t, 3))
+    assert len(before & after) == 2 and len(after) == 3
+    # history: pre-merge version still reads the old rows
+    assert read_snapshot(spark, t, version=2).count() == 15
+    ops = {r["version"]: r["operation"] for r in snapshot_history(spark, t).collect()}
+    assert ops[3] == "merge:1d"
+
+
+def test_snapshot_merge_diff_roundtrip_and_schema_evolution(spark, tmp_path):
+    """snapshot_diff across a merge reports exactly the applied changes;
+    an update batch with a NEW column evolves the schema (old rows NULL)."""
+    from binance_data_pipeline_spark.operators.snapshots import (
+        snapshot_diff,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 4))
+    upd = spark.createDataFrame(
+        [(2, "two", 0.9), (7, "seven", 0.1)], "id long, tag string, score double"
+    )
+    v = snapshot_merge(spark, t, upd, ["id"])
+    d = snapshot_diff(spark, t, ["id"], 0, v)
+    got = {(r["id"], r["_change_type"]): (r["tag"], r["score"]) for r in d.collect()}
+    assert got == {
+        (2, "update_preimage"): ("a", None),
+        (2, "update_postimage"): ("two", 0.9),
+        (7, "insert"): ("seven", 0.1),
+    }
+    assert read_snapshot(spark, t, merge_schema=True).where(
+        "score is null"
+    ).count() == 3
+
+
+def test_snapshot_merge_duplicate_update_keys_raise(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import snapshot_merge
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 3))
+    dup = spark.createDataFrame([(1, "a"), (1, "b")], "id long, tag string")
+    with pytest.raises(Exception, match="duplicate key"):
+        snapshot_merge(spark, t, dup, ["id"])
+    # the failed merge must not have committed anything
+    assert _list_versions(spark, t) == [0]
+    with pytest.raises(ValueError, match="missing from updates"):
+        snapshot_merge(spark, t, _df(spark, 0, 1).drop("id"), ["id"])
+    with pytest.raises(ValueError, match="delete_col"):
+        snapshot_merge(spark, t, _df(spark, 0, 1), ["id"], delete_col="nope")
