@@ -470,6 +470,7 @@ def snapshot_merge(
     updates: DataFrame,
     key_cols: list[str],
     delete_col: str | None = None,
+    partition_by: list[str] | None = None,
     max_retries: int = 3,
 ) -> int:
     """MERGE INTO for snapshot tables — the write-side dual of
@@ -609,7 +610,12 @@ def snapshot_merge(
         new_rows = inserts if kept is None else kept.unionByName(inserts)
 
         data_dir = f"{base}/data/{uuid.uuid4().hex}"
-        new_rows.write.mode("errorifexists").parquet(data_dir)
+        writer = new_rows.write.mode("errorifexists")
+        if partition_by:
+            # keep the table's hive layout in the rewritten dir so
+            # partition pruning holds across merges
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
         new_live = [d for d in live if d not in set(touched)] + [data_dir]
         op = f"merge:{len(touched)}d"
         if _write_manifest_commit(spark, table, head + 1, new_live, op, time.time()):

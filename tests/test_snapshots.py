@@ -480,3 +480,20 @@ def test_snapshot_merge_duplicate_update_keys_raise(spark, tmp_path):
         snapshot_merge(spark, t, _df(spark, 0, 1).drop("id"), ["id"])
     with pytest.raises(ValueError, match="delete_col"):
         snapshot_merge(spark, t, _df(spark, 0, 1), ["id"], delete_col="nope")
+
+
+def test_snapshot_merge_preserves_partition_layout(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import snapshot_merge
+
+    t = str(tmp_path / "t")
+    df = spark.range(0, 40).selectExpr(
+        "id", "'a' as tag", "cast(id % 4 as int) as bucket"
+    )
+    commit_snapshot(spark, t, df, partition_by=["bucket"])
+    upd = spark.createDataFrame([(2, "UPD", 2)], "id long, tag string, bucket int")
+    snapshot_merge(spark, t, upd, ["id"], partition_by=["bucket"])
+    got = read_snapshot(spark, t).where("bucket = 2")
+    assert got.count() == 10
+    assert {r["tag"] for r in got.collect()} == {"a", "UPD"}
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "bucket" in plan
