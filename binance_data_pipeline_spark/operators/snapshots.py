@@ -39,6 +39,7 @@ live dir is unchanged.
 
 from __future__ import annotations
 
+import json
 import time
 import uuid
 
@@ -59,6 +60,7 @@ __all__ = [
     "snapshot_changes",
     "snapshot_diff",
     "snapshot_merge",
+    "read_snapshot_range",
 ]
 
 _V_WIDTH = 11  # zero-pad so lexicographic dir order == numeric order
@@ -88,9 +90,111 @@ def _read_manifest(spark: SparkSession, table: str, version: int) -> DataFrame:
     return spark.read.parquet(f"{_versions_dir(table)}/{_vname(version)}")
 
 
+def _live_entries(
+    spark: SparkSession, table: str, version: int
+) -> list[tuple[str, str | None]]:
+    """(path, stats_json|None) per live dir. Manifests written before the
+    stats column existed read as None — every consumer must treat a
+    missing stats entry as 'could contain anything'."""
+    mdf = _read_manifest(spark, table, version)
+    has = "stats" in mdf.columns
+    rows = mdf.select("path", *(["stats"] if has else [])).collect()
+    return [(r["path"], r["stats"] if has else None) for r in rows]
+
+
 def _live_dirs(spark: SparkSession, table: str, version: int) -> list[str]:
-    rows = _read_manifest(spark, table, version).select("path").collect()
-    return [r["path"] for r in rows]
+    return [p for p, _ in _live_entries(spark, table, version)]
+
+
+def _json_scalar(v):
+    return v if v is None or isinstance(v, (int, float, bool)) else str(v)
+
+
+def _dir_stats_json(
+    spark: SparkSession, data_dir: str, stats_cols: list[str]
+) -> str | None:
+    """Per-dir min/max for ``stats_cols``, read back from the freshly
+    written files (column-pruned scan of one dir — footer-cheap, and
+    exact for whatever the writer actually put there). Only types whose
+    JSON/str encoding preserves ordering are recorded (numerics compare
+    as numbers; strings and ISO-formatted date/timestamp compare
+    lexicographically) — a Decimal or binary column is silently skipped
+    rather than risk a wrong prune."""
+    from pyspark.sql import types as T
+
+    safe = (
+        T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+        T.FloatType, T.DoubleType, T.StringType, T.DateType,
+        T.TimestampType, T.TimestampNTZType,
+    )
+    df = spark.read.parquet(data_dir)
+    present = [
+        c
+        for c in stats_cols
+        if c in df.columns and isinstance(df.schema[c].dataType, safe)
+    ]
+    if not present:
+        return None
+    row = df.agg(
+        *[
+            a
+            for c in present
+            for a in (F.min(c).alias(f"n_{c}"), F.max(c).alias(f"x_{c}"))
+        ]
+    ).first()
+    return json.dumps(
+        {
+            c: {
+                "min": _json_scalar(row[f"n_{c}"]),
+                "max": _json_scalar(row[f"x_{c}"]),
+            }
+            for c in present
+        },
+        default=str,
+        sort_keys=True,
+    )
+
+
+def _stats_cols_of(entries: list[tuple[str, str | None]]) -> list[str]:
+    """The union of columns any live dir carries stats for — how
+    rewriting operations (merge, compact) keep collecting the stats the
+    table was committed with, without the caller re-stating them."""
+    cols: set[str] = set()
+    for _, s in entries:
+        if s:
+            cols.update(json.loads(s))
+    return sorted(cols)
+
+
+def _ranges_overlap(mn, mx, lo, hi) -> bool:
+    """Conservative [mn,mx] vs [lo,hi] overlap: any None bound or
+    cross-type comparison counts as overlapping (never skip a dir we
+    cannot reason about)."""
+    try:
+        if lo is not None and mx is not None and mx < lo:
+            return False
+        if hi is not None and mn is not None and mn > hi:
+            return False
+    except TypeError:
+        return True
+    return True
+
+
+def _prune_entries(
+    entries: list[tuple[str, str | None]], col: str, lo, hi
+) -> list[str]:
+    """Dirs that could hold rows with ``col`` in [lo, hi]: stats-less
+    dirs always survive; a pruned dir provably has no qualifying row."""
+    keep = []
+    for path, s in entries:
+        if s:
+            st = json.loads(s).get(col)
+            if st is not None and not _ranges_overlap(
+                st.get("min"), st.get("max"), lo, hi
+            ):
+                continue
+        keep.append(path)
+    return keep
 
 
 def _claim_version(spark: SparkSession, tmp: str, dest: str) -> bool:
@@ -120,16 +224,24 @@ def _write_manifest_commit(
     spark: SparkSession,
     table: str,
     next_v: int,
-    live: list[str],
+    live: list,
     operation: str,
     committed_at: float,
 ) -> bool:
-    """One manifest-write + version-claim attempt; True on success."""
+    """One manifest-write + version-claim attempt; True on success.
+    ``live`` entries are dir paths or (path, stats_json) pairs."""
     base = table.rstrip("/")
-    rows = [(p, int(next_v), operation, float(committed_at)) for p in live]
+    rows = [
+        (e[0], int(next_v), operation, float(committed_at), e[1])
+        if isinstance(e, tuple)
+        else (e, int(next_v), operation, float(committed_at), None)
+        for e in live
+    ]
     tmp = f"{base}/__vtmp_{uuid.uuid4().hex[:12]}"
     spark.createDataFrame(
-        rows, "path string, version long, operation string, committed_at double"
+        rows,
+        "path string, version long, operation string, committed_at double,"
+        " stats string",
     ).coalesce(1).write.mode("overwrite").parquet(tmp)
     fs, vdir = _hadoop_fs(spark, _versions_dir(table))
     fs.mkdirs(vdir)
@@ -143,12 +255,23 @@ def commit_snapshot(
     mode: str = "append",
     operation: str | None = None,
     partition_by: list[str] | None = None,
+    stats_cols: list[str] | None = None,
     max_retries: int = 10,
 ) -> int:
     """Commit ``df`` as the next version of ``table``; returns the
     version number. ``mode='append'`` keeps every prior live dir plus
     the new one; ``mode='overwrite'`` makes the new dir the whole live
     set (prior versions stay readable — nothing is deleted here).
+
+    ``stats_cols`` records per-dir min/max for those columns IN THE
+    MANIFEST (the Iceberg manifest-stats idea): one column-pruned
+    read-back of the freshly written dir, KBs of metadata, and every
+    later reader/merger can skip whole dirs whose range cannot match
+    (``read_snapshot_range``, ``snapshot_merge`` discovery). Omitted →
+    the new dir carries no stats and is never skipped. When omitted on
+    a table whose live dirs already carry stats, the new dir inherits
+    THEIR column set automatically, so one stats-aware writer is enough
+    to keep the whole table prunable.
 
     The data dir lands BEFORE the manifest rename, so a crash between
     the two leaves an invisible orphan, never a half-visible commit.
@@ -168,13 +291,20 @@ def commit_snapshot(
 
     op = operation or mode
     committed_at = time.time()
+    new_stats: str | None = None
+    stats_done = False
     for _ in range(max_retries):
         versions = _list_versions(spark, table)
         next_v = (versions[-1] + 1) if versions else 0
+        prior = _live_entries(spark, table, versions[-1]) if versions else []
+        if not stats_done:
+            cols = stats_cols or _stats_cols_of(prior)
+            new_stats = _dir_stats_json(spark, data_dir, cols) if cols else None
+            stats_done = True  # retries re-derive the live set, not our stats
         if mode == "append" and versions:
-            live = _live_dirs(spark, table, versions[-1]) + [data_dir]
+            live = prior + [(data_dir, new_stats)]
         else:
-            live = [data_dir]
+            live = [(data_dir, new_stats)]
         # a lost claim re-derives the live set from the WINNER's commit
         if _write_manifest_commit(spark, table, next_v, live, op, committed_at):
             return next_v
@@ -228,6 +358,36 @@ def read_snapshot(
     return reader.parquet(*dirs)
 
 
+def read_snapshot_range(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    lo=None,
+    hi=None,
+    version: int | None = None,
+) -> DataFrame:
+    """``read_snapshot`` + manifest-stats dir skipping: live dirs whose
+    recorded [min,max] for ``col`` cannot meet [lo, hi] are not even
+    LISTED into the scan — at 100 TB a time- or key-ranged query reads
+    the few dirs that qualify instead of footer-probing thousands.
+    Exact: stats are a superset filter (stats-less dirs always scanned)
+    and the residual ``col BETWEEN`` filter still applies row-level,
+    pushed to parquet. Bounds compare as the stats are stored — numbers
+    numerically, strings (and ISO date/timestamp strings) lexically.
+    Either bound may be None (open interval)."""
+    v = _resolve_version(spark, table, version, None)
+    entries = _live_entries(spark, table, v)
+    dirs = _prune_entries(entries, col, _json_scalar(lo), _json_scalar(hi))
+    if not dirs:
+        return read_snapshot(spark, table, version=v).limit(0)
+    df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    if lo is not None:
+        df = df.where(F.col(col) >= F.lit(lo))
+    if hi is not None:
+        df = df.where(F.col(col) <= F.lit(hi))
+    return df
+
+
 def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
     """(version, operation, committed_at, n_dirs) per commit, one glob
     read over every manifest — KB-scale metadata, never data files."""
@@ -258,7 +418,7 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
     committed_at = time.time()
     for _ in range(10):
         next_v = _list_versions(spark, table)[-1] + 1
-        live = _live_dirs(spark, table, version)
+        live = _live_entries(spark, table, version)  # stats ride along
         if _write_manifest_commit(
             spark, table, next_v, live, f"rollback:{version}", committed_at
         ):
@@ -537,24 +697,43 @@ def snapshot_merge(
         )
     )
 
+    # one tiny agg: the update batch's key range, for manifest-stats
+    # dir skipping in the discovery scan (first key column only)
+    k0 = key_cols[0]
+    krow = u1.agg(F.min(k0).alias("n"), F.max(k0).alias("x")).first()
+    k_lo, k_hi = _json_scalar(krow["n"]), _json_scalar(krow["x"])
+
     for _ in range(max_retries):
         versions = _list_versions(spark, table)
         if not versions:
             raise ValueError(f"{table} has no committed snapshots")
         head = versions[-1]
-        live = _live_dirs(spark, table, head)
+        entries = _live_entries(spark, table, head)
+        live = [p for p, _ in entries]
+        # manifest-stats pruning: dirs whose k0 range cannot meet the
+        # update batch need not even be SCANNED for discovery — they
+        # are untouched by construction (min/max is a superset filter)
+        candidates = (
+            _prune_entries(entries, k0, k_lo, k_hi)
+            if k_lo is not None or k_hi is not None
+            else list(live)
+        )
         by_name = {d.rstrip("/").rsplit("/", 1)[-1]: d for d in live}
         tgt = spark.read.option("mergeSchema", "true").parquet(*live)
         tgt_cols = tgt.columns
         dirname = F.regexp_extract(F.input_file_name(), "/data/([^/]+)/", 1)
-        touched_names = [
-            r["__dn"]
-            for r in tgt.select(*key_cols, dirname.alias("__dn"))
-            .join(u1.select(*key_cols), key_cols, "left_semi")
-            .select("__dn")
-            .distinct()
-            .collect()
-        ]
+        if candidates:
+            scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
+            touched_names = [
+                r["__dn"]
+                for r in scan.select(*key_cols, dirname.alias("__dn"))
+                .join(u1.select(*key_cols), key_cols, "left_semi")
+                .select("__dn")
+                .distinct()
+                .collect()
+            ]
+        else:
+            touched_names = []
         touched = [by_name[n] for n in touched_names]
         all_cols = list(tgt_cols) + [c for c in upd_vals if c not in tgt_cols]
         types = {f.name: f.dataType for f in tgt.schema.fields}
@@ -616,7 +795,11 @@ def snapshot_merge(
             # partition pruning holds across merges
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
-        new_live = [d for d in live if d not in set(touched)] + [data_dir]
+        scols = _stats_cols_of(entries)
+        new_stats = _dir_stats_json(spark, data_dir, scols) if scols else None
+        new_live = [e for e in entries if e[0] not in set(touched)] + [
+            (data_dir, new_stats)
+        ]
         op = f"merge:{len(touched)}d"
         if _write_manifest_commit(spark, table, head + 1, new_live, op, time.time()):
             return head + 1

@@ -497,3 +497,92 @@ def test_snapshot_merge_preserves_partition_layout(spark, tmp_path):
     assert {r["tag"] for r in got.collect()} == {"a", "UPD"}
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "bucket" in plan
+
+
+def test_manifest_stats_recorded_inherited_and_pruning_reads(spark, tmp_path):
+    """stats_cols records per-dir min/max in the manifest; later
+    stats-less writers inherit the column set; read_snapshot_range
+    scans ONLY dirs whose range can match (observed via inputFiles)."""
+    import json as _json
+
+    from binance_data_pipeline_spark.operators.snapshots import (
+        _live_entries,
+        read_snapshot_range,
+    )
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 5), stats_cols=["id"])
+    commit_snapshot(spark, t, _df(spark, 100, 105))   # inherits ["id"]
+    commit_snapshot(spark, t, _df(spark, 200, 205))
+    entries = _live_entries(spark, t, 2)
+    stats = {p: _json.loads(s)["id"] for p, s in entries}
+    assert sorted((v["min"], v["max"]) for v in stats.values()) == [
+        (0, 4), (100, 104), (200, 204),
+    ]
+    # ranged read: only the matching dir's files are listed into the scan
+    got = read_snapshot_range(spark, t, "id", 100, 104)
+    assert sorted(r["id"] for r in got.collect()) == list(range(100, 105))
+    files = got.inputFiles()
+    assert files and all("/data/" in f for f in files)
+    matching = {p for p, v in stats.items() if v["min"] == 100}
+    assert {f.rsplit("/data/", 1)[1].split("/")[0] for f in files} == {
+        p.rsplit("/", 1)[-1] for p in matching
+    }
+    # open bounds + miss range
+    assert read_snapshot_range(spark, t, "id", lo=200).count() == 5
+    assert read_snapshot_range(spark, t, "id", 300, 400).count() == 0
+    # residual row-level filter still applies inside a surviving dir
+    assert read_snapshot_range(spark, t, "id", 101, 102).count() == 2
+
+
+def test_prune_entries_unit_semantics(spark):
+    from binance_data_pipeline_spark.operators.snapshots import _prune_entries
+
+    e = [
+        ("/d/a", '{"id": {"min": 0, "max": 4}}'),
+        ("/d/b", '{"id": {"min": 10, "max": 14}}'),
+        ("/d/c", None),                       # stats-less: never skipped
+        ("/d/d", '{"other": {"min": 1, "max": 2}}'),  # no stats for col
+        ("/d/e", '{"id": {"min": null, "max": null}}'),  # empty dir
+    ]
+    assert _prune_entries(e, "id", 11, 12) == ["/d/b", "/d/c", "/d/d", "/d/e"]
+    assert _prune_entries(e, "id", None, None) == [p for p, _ in e]
+    # string stats compare lexically; cross-type comparison never skips
+    s = [("/d/s", '{"k": {"min": "apple", "max": "mango"}}')]
+    assert _prune_entries(s, "k", "melon", None) == []
+    assert _prune_entries(s, "k", "lemon", None) == ["/d/s"]
+    assert _prune_entries(s, "k", 5, None) == ["/d/s"]
+
+
+def test_merge_and_rollback_and_compact_carry_stats(spark, tmp_path):
+    """Every rewriting op keeps the manifest stats alive: merge computes
+    them for its new dir, rollback/compact carry or recompute, and a
+    stats-pruned merge produces the same table as an unpruned one."""
+    import json as _json
+
+    from binance_data_pipeline_spark.operators.snapshots import (
+        _live_entries,
+        snapshot_merge,
+    )
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 5), stats_cols=["id"])
+    commit_snapshot(spark, t, _df(spark, 100, 105))
+    upd = spark.createDataFrame([(103, "UPD"), (50, "NEW")], "id long, tag string")
+    v = snapshot_merge(spark, t, upd, ["id"])  # prunes dir [0,4] by stats
+    got = {r["id"]: r["tag"] for r in read_snapshot(spark, t).collect()}
+    assert got[103] == "UPD" and got[50] == "NEW" and len(got) == 11
+    ents = {p: s for p, s in _live_entries(spark, t, v)}
+    assert all(s is not None for s in ents.values())
+    # untouched dir keeps (0,4); the rewritten dir spans insert..kept-max
+    assert sorted(
+        (_json.loads(s)["id"]["min"], _json.loads(s)["id"]["max"])
+        for s in ents.values()
+    ) == [(0, 4), (50, 104)]
+    rb = rollback_snapshot(spark, t, 1)
+    assert all(s is not None for _, s in _live_entries(spark, t, rb))
+    from binance_data_pipeline_spark.operators.snapshots import compact_snapshot
+
+    cv = compact_snapshot(spark, t)
+    (pc, sc), = _live_entries(spark, t, cv)
+    assert _json.loads(sc)["id"] == {"min": 0, "max": 104}
