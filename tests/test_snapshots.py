@@ -586,3 +586,32 @@ def test_merge_and_rollback_and_compact_carry_stats(spark, tmp_path):
     cv = compact_snapshot(spark, t)
     (pc, sc), = _live_entries(spark, t, cv)
     assert _json.loads(sc)["id"] == {"min": 0, "max": 104}
+
+
+def test_compact_cluster_by_gives_file_level_locality(spark, tmp_path):
+    """cluster_by compaction: rows preserved exactly, and each output
+    file covers a near-disjoint id range (footer min/max pruning then
+    skips whole files on ranged scans)."""
+    import pyarrow.parquet as pq
+
+    from binance_data_pipeline_spark.operators.snapshots import compact_snapshot
+
+    t = str(tmp_path / "t")
+    # interleaved commits so ids are scattered across dirs pre-compaction
+    commit_snapshot(spark, t, spark.range(0, 1000, 3).selectExpr("id"))
+    commit_snapshot(spark, t, spark.range(1, 1000, 3).selectExpr("id"))
+    commit_snapshot(spark, t, spark.range(2, 1000, 3).selectExpr("id"))
+    v = compact_snapshot(spark, t, target_file_mb=1, cluster_by=["id"])
+    got = read_snapshot(spark, t, version=v)
+    assert sorted(r["id"] for r in got.collect()) == list(range(1000))
+    files = [f.replace("file:", "") for f in got.inputFiles()]
+    spans = []
+    for f in files:
+        col = pq.read_table(f, columns=["id"])["id"].to_pylist()
+        if col:
+            spans.append((min(col), max(col)))
+    spans.sort()
+    # ranges are pairwise disjoint = range-partitioned and sorted
+    assert all(a_hi < b_lo for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        compact_snapshot(spark, t, cluster_by=["id"], partition_by=["id"])
