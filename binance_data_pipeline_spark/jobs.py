@@ -280,6 +280,7 @@ def build_training_corpus(
     dsir_seed: int = 0,
     url_col: str | None = None,
     url_strip_params: list[str] | None = None,
+    snapshot: bool = False,
 ) -> dict[str, int]:
     """The end-to-end training-data DAG (extension — no reference
     equivalent): raw documents → PII redaction → quality + repetition
@@ -363,7 +364,15 @@ def build_training_corpus(
     Returns the per-stage counts dict. Everything before the final
     shuffle is map-side or bucket-bounded (see operators/dedup.py); the
     shuffle is one range exchange. Barriers created by dedup are released
-    on exit (lifecycle.barrier_scope)."""
+    on exit (lifecycle.barrier_scope).
+
+    ``snapshot=True`` publishes the corpus as a version of the snapshot
+    table ``{out}/corpus`` instead of an in-place overwrite of
+    ``corpus.parquet``: the swap is one atomic manifest rename (readers
+    and a training run launched mid-build keep the previous corpus), a
+    crashed build leaves an invisible orphan, prior builds stay
+    time-travelable for run reproducibility, and two builds diff with
+    ``snapshot_diff``."""
     from pyspark.sql import functions as F
 
     from .lifecycle import barrier_scope
@@ -555,9 +564,29 @@ def build_training_corpus(
         shuffled = shuffle_deterministic(export, key, seed=shuffle_seed)
         if key == "__export_id":
             shuffled = shuffled.drop("__export_id")
-        shuffled.write.mode("overwrite").parquet(f"{out}/corpus.parquet")
+        if snapshot:
+            # atomic, versioned publish: readers keep seeing the PREVIOUS
+            # corpus until the manifest rename lands; failed builds leave
+            # an invisible orphan, and two builds are diffable with
+            # snapshot_diff / time-travelable for training reproducibility
+            from .operators.snapshots import commit_snapshot
 
-    counts["exported"] = spark.read.parquet(f"{out}/corpus.parquet").count()
+            commit_snapshot(
+                spark,
+                f"{out}/corpus",
+                shuffled,
+                mode="overwrite",
+                operation="corpus-build",
+            )
+        else:
+            shuffled.write.mode("overwrite").parquet(f"{out}/corpus.parquet")
+
+    if snapshot:
+        from .operators.snapshots import read_snapshot
+
+        counts["exported"] = read_snapshot(spark, f"{out}/corpus").count()
+    else:
+        counts["exported"] = spark.read.parquet(f"{out}/corpus.parquet").count()
     spark.createDataFrame(
         [tuple(counts.values())], ", ".join(f"{k} long" for k in counts)
     ).coalesce(1).write.mode("overwrite").parquet(f"{out}/stats.parquet")

@@ -862,3 +862,46 @@ def test_build_training_corpus_inflight_embeddings(spark, tmp_path):
     assert len(dropped) == 1 and mapping[dropped[0]][0] == 3 - dropped[0]
     exported = {r["doc_id"] for r in spark.read.parquet(f"{out}/corpus.parquet").collect()}
     assert exported == {3 - dropped[0], 3}
+
+
+def test_build_training_corpus_snapshot_publish(spark, tmp_path):
+    """snapshot=True: each build is an atomic snapshot version of
+    {out}/corpus — a rebuild leaves the previous corpus time-travelable
+    and the two builds diffable."""
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+    from binance_data_pipeline_spark.operators.snapshots import (
+        read_snapshot,
+        snapshot_history,
+    )
+
+    body = (
+        "a long enough document about distributed columnar engines and the "
+        "shuffle exchanges their joins schedule across executor partitions"
+    )
+    rows = [
+        (1, body, "en"),
+        (2, body.replace("engines", "systems") + " more drift words", "en"),
+    ]
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(src)
+
+    out = str(tmp_path / "corpus_out")
+    counts = build_training_corpus(
+        spark, src, out, min_quality=0.0, dedup_threshold=0.95, snapshot=True
+    )
+    assert counts["exported"] == 2
+    assert read_snapshot(spark, f"{out}/corpus").count() == 2
+
+    # rebuild from a smaller source: version 1 replaces, version 0 remains
+    spark.createDataFrame(
+        rows[:1], "doc_id long, text string, lang string"
+    ).write.mode("overwrite").parquet(src)
+    build_training_corpus(
+        spark, src, out, min_quality=0.0, dedup_threshold=0.95, snapshot=True
+    )
+    assert read_snapshot(spark, f"{out}/corpus").count() == 1
+    assert read_snapshot(spark, f"{out}/corpus", version=0).count() == 2
+    ops = [r["operation"] for r in snapshot_history(spark, f"{out}/corpus").collect()]
+    assert ops == ["corpus-build", "corpus-build"]
