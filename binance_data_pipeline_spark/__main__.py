@@ -86,6 +86,8 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--embed-dim", type=int, default=None,
                     help="semantic dedup on IN-FLIGHT hash embeddings (no --embeddings needed)")
     pc.add_argument("--seed", type=int, default=0)
+    pc.add_argument("--snapshot", action="store_true",
+                    help="publish the corpus as an atomic snapshot version")
 
     px = sub.add_parser("index", help="build a retrieval serving root (BM25 [+ ANN])")
     px.add_argument("--docs", required=True, help="documents parquet (doc_id, text)")
@@ -246,6 +248,7 @@ def main(argv: list[str] | None = None) -> int:
             dsir_k=args.dsir_k,
             embed_dim=args.embed_dim,
             shuffle_seed=args.seed,
+            snapshot=args.snapshot,
         )
         print(" ".join(f"{k}={v}" for k, v in counts.items()))
         return 0

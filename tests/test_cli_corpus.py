@@ -142,3 +142,24 @@ def test_cli_audit_exits_zero_on_clean_catalog(spark, capsys):
     assert rc == 0
     assert "audited=50 errors=0" in printed
     assert "embed_knn_brute\tEXEMPT" in printed
+
+
+def test_cli_corpus_snapshot_publish(spark, tmp_path, capsys):
+    from binance_data_pipeline_spark.operators.snapshots import read_snapshot
+
+    src = str(tmp_path / "docs.parquet")
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog by the river", "en"),
+        (2, "completely different text about mountains and weather patterns", "en"),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string"
+    ).write.parquet(src)
+    out = str(tmp_path / "corpus")
+    rc = main([
+        "corpus", "--docs", src, "--out", out,
+        "--min-quality", "0.0", "--dedup-threshold", "0.9", "--snapshot",
+    ])
+    assert rc == 0
+    assert "exported=2" in capsys.readouterr().out
+    assert read_snapshot(spark, f"{out}/corpus").count() == 2
