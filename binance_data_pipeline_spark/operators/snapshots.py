@@ -814,6 +814,7 @@ def compact_snapshot(
     target_file_mb: int = 128,
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
+    only_small_mb: int | None = None,
 ) -> int:
     """Rewrite the CURRENT live set as one right-sized commit — the
     small-files answer for stream-ingested snapshot tables (every 5 s
@@ -830,39 +831,84 @@ def compact_snapshot(
     range, so parquet footer min/max pruning — which Spark applies on
     every later filtered scan — skips whole files, compounding with the
     manifest-level dir skipping. Mutually exclusive with
-    ``partition_by`` (hive dirs already cluster those columns)."""
+    ``partition_by`` (hive dirs already cluster those columns).
+
+    ``only_small_mb`` makes compaction INCREMENTAL (Delta's OPTIMIZE on
+    a live table): only dirs totalling under that many MB are read and
+    coalesced into one new right-sized dir; already-right-sized dirs
+    survive BY REFERENCE with their stats. The steady-state cost of
+    keeping a stream-ingested table tidy is then proportional to the
+    day's micro-batches, not the table — at 100 TB the difference
+    between a nightly job and an impossible one. No-op (returns the
+    current version) when fewer than two dirs qualify."""
     if target_file_mb <= 0:
         raise ValueError("target_file_mb must be positive")
-    versions = _list_versions(spark, table)
-    if not versions:
-        raise ValueError(f"{table} has no committed snapshots")
-    live = _live_dirs(spark, table, versions[-1])
-    total = 0
-    for d in live:
+    if cluster_by and partition_by:
+        raise ValueError("cluster_by and partition_by are mutually exclusive")
+
+    def _sized(n_files: int, df: DataFrame) -> DataFrame:
+        if cluster_by:
+            return df.repartitionByRange(
+                n_files, *cluster_by
+            ).sortWithinPartitions(*cluster_by)
+        if partition_by:
+            return df.repartition(n_files, *partition_by)
+        return df.repartition(n_files)
+
+    def _dir_bytes(d: str) -> int:
         fs, p = _hadoop_fs(spark, d)
+        total = 0
         it = fs.listFiles(p, True)
         while it.hasNext():
             total += it.next().getLen()
-    n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))  # ceil
-    if cluster_by and partition_by:
-        raise ValueError("cluster_by and partition_by are mutually exclusive")
-    df = read_snapshot(spark, table)
-    if cluster_by:
-        writer_df = df.repartitionByRange(
-            int(n_files), *cluster_by
-        ).sortWithinPartitions(*cluster_by)
-    elif partition_by:
-        writer_df = df.repartition(int(n_files), *partition_by)
-    else:
-        writer_df = df.repartition(int(n_files))
-    return commit_snapshot(
-        spark,
-        table,
-        writer_df,
-        mode="overwrite",
-        operation=f"compact:{len(live)}->{int(n_files)}f",
-        partition_by=partition_by,
-    )
+        return total
+
+    versions = _list_versions(spark, table)
+    if not versions:
+        raise ValueError(f"{table} has no committed snapshots")
+
+    if only_small_mb is None:
+        live = _live_dirs(spark, table, versions[-1])
+        total = sum(_dir_bytes(d) for d in live)
+        n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))  # ceil
+        return commit_snapshot(
+            spark,
+            table,
+            _sized(int(n_files), read_snapshot(spark, table)),
+            mode="overwrite",
+            operation=f"compact:{len(live)}->{int(n_files)}f",
+            partition_by=partition_by,
+        )
+
+    base = table.rstrip("/")
+    for _ in range(10):
+        head = _list_versions(spark, table)[-1]
+        entries = _live_entries(spark, table, head)
+        sizes = {p: _dir_bytes(p) for p, _ in entries}
+        small = [p for p, _ in entries if sizes[p] < only_small_mb * 1024 * 1024]
+        if len(small) < 2:
+            return head  # nothing worth coalescing
+        total = sum(sizes[p] for p in small)
+        n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))  # ceil
+        data_dir = f"{base}/data/{uuid.uuid4().hex}"
+        writer = _sized(
+            int(n_files),
+            spark.read.option("mergeSchema", "true").parquet(*small),
+        ).write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        scols = _stats_cols_of(entries)
+        new_stats = _dir_stats_json(spark, data_dir, scols) if scols else None
+        new_live = [e for e in entries if e[0] not in set(small)] + [
+            (data_dir, new_stats)
+        ]
+        op = f"compact:{len(small)}->{int(n_files)}f"
+        if _write_manifest_commit(spark, table, head + 1, new_live, op, time.time()):
+            return head + 1
+        fs, dp = _hadoop_fs(spark, data_dir)
+        fs.delete(dp, True)  # lost the race: re-derive the live set
+    raise RuntimeError(f"incremental compaction of {table} lost 10 commit races")
 
 
 def vacuum_snapshots(

@@ -615,3 +615,44 @@ def test_compact_cluster_by_gives_file_level_locality(spark, tmp_path):
     assert all(a_hi < b_lo for (_, a_hi), (b_lo, _) in zip(spans, spans[1:]))
     with pytest.raises(ValueError, match="mutually exclusive"):
         compact_snapshot(spark, t, cluster_by=["id"], partition_by=["id"])
+
+
+def test_incremental_compaction_coalesces_only_small_dirs(spark, tmp_path):
+    """only_small_mb: tiny micro-batch dirs merge into one; the big dir
+    survives BY REFERENCE (same path, stats intact); a second run with
+    nothing left to coalesce is a version-preserving no-op."""
+    import json as _json
+
+    from binance_data_pipeline_spark.operators.snapshots import (
+        _live_entries,
+        compact_snapshot,
+    )
+
+    t = str(tmp_path / "t")
+    # one "big" dir (incompressible rows to clear the threshold) + 3 tiny
+    big = spark.range(0, 40000).selectExpr(
+        "id", "sha2(cast(id as string), 512) as tag"
+    )
+    commit_snapshot(spark, t, big, stats_cols=["id"])
+    for i in range(3):
+        commit_snapshot(
+            spark, t, spark.range(100000 + i, 100001 + i).selectExpr(
+                "id", "'s' as tag"
+            )
+        )
+    before = {p for p, _ in _live_entries(spark, t, 3)}
+    assert len(before) == 4
+    v = compact_snapshot(spark, t, target_file_mb=64, only_small_mb=1)
+    entries = _live_entries(spark, t, v)
+    after = {p for p, _ in entries}
+    assert len(after) == 2 and len(before & after) == 1  # big kept by ref
+    assert read_snapshot(spark, t).count() == 40003
+    stats = {
+        (_json.loads(s)["id"]["min"], _json.loads(s)["id"]["max"]) for _, s in entries
+    }
+    assert stats == {(0, 39999), (100000, 100002)}
+    hist = {r["version"]: r["operation"] for r in snapshot_history(spark, t).collect()}
+    assert hist[v] == "compact:3->1f"
+    # nothing small left (the coalesced dir + big dir both exceed... the
+    # coalesced dir is tiny, so one small dir remains -> still a no-op)
+    assert compact_snapshot(spark, t, target_file_mb=64, only_small_mb=1) == v
