@@ -22,7 +22,9 @@ Airflow tasks, as plain commands:
              queries against a serving root (hybrid or --rm3)
   snapshot   versioned-table ops (operators/snapshots): print history,
              commit a parquet as the next version, rollback, vacuum,
-             keyed CDC diff between two versions (--diff A B --keys k)
+             keyed CDC diff (--diff A B --keys k), MERGE upsert
+             (--merge upd.parquet --keys k), compaction (--compact
+             [--only-small-mb N] [--cluster-by c])
   profile    per-column table profile (operators/profile): nulls,
              distinct estimate, range, quantiles, top values
   audit      physical-plan audit of the whole catalog (plans/audit):
@@ -163,6 +165,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet path of update rows to MERGE (upsert) by --keys")
     pn.add_argument("--delete-col", default=None,
                     help="boolean column in --merge rows marking deletes")
+    pn.add_argument("--compact", action="store_true",
+                    help="rewrite the live set into right-sized files")
+    pn.add_argument("--target-file-mb", type=int, default=128)
+    pn.add_argument("--only-small-mb", type=int, default=None,
+                    help="incremental compaction: only coalesce dirs under this size")
+    pn.add_argument("--cluster-by", default=None,
+                    help="comma-separated columns to range-sort the compaction by")
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -428,6 +437,17 @@ def main(argv: list[str] | None = None) -> int:
                     f"{k}={counts.get(k, 0)}"
                     for k in ("insert", "delete", "update_preimage", "update_postimage")
                 ))
+        if args.compact:
+            from .operators.snapshots import compact_snapshot
+
+            v = compact_snapshot(
+                spark,
+                args.table,
+                target_file_mb=args.target_file_mb,
+                only_small_mb=args.only_small_mb,
+                cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+            )
+            print(f"compacted as version={v}")
         if args.vacuum:
             out = vacuum_snapshots(
                 spark, args.table, keep_versions=args.keep, min_age_seconds=args.min_age

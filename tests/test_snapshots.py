@@ -656,3 +656,20 @@ def test_incremental_compaction_coalesces_only_small_dirs(spark, tmp_path):
     # nothing small left (the coalesced dir + big dir both exceed... the
     # coalesced dir is tiny, so one small dir remains -> still a no-op)
     assert compact_snapshot(spark, t, target_file_mb=64, only_small_mb=1) == v
+
+
+def test_cli_snapshot_compact(spark, tmp_path, capsys):
+    from binance_data_pipeline_spark.__main__ import main
+
+    t = str(tmp_path / "t")
+    src = str(tmp_path / "s.parquet")
+    _df(spark, 0, 6).write.parquet(src)
+    assert main(["snapshot", "--table", t, "--commit", src]) == 0
+    src2 = str(tmp_path / "s2.parquet")
+    _df(spark, 6, 9).write.parquet(src2)
+    assert main(["snapshot", "--table", t, "--commit", src2]) == 0
+    assert main(["snapshot", "--table", t, "--compact",
+                 "--only-small-mb", "64", "--cluster-by", "id"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted as version=2" in out
+    assert read_snapshot(spark, t).count() == 9
