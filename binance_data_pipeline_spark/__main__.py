@@ -155,6 +155,8 @@ def main(argv: list[str] | None = None) -> int:
     pn.add_argument("--keep", type=int, default=2, help="versions retained by --vacuum")
     pn.add_argument("--min-age", type=float, default=3600.0,
                     help="seconds a dir must age before --vacuum may reap it")
+    pn.add_argument("--keep-hours", type=float, default=None,
+                    help="--vacuum also retains versions committed in this window")
     pn.add_argument("--diff", nargs=2, type=int, metavar=("FROM", "TO"),
                     default=None, help="keyed CDC between two versions")
     pn.add_argument("--keys", default=None,
@@ -450,7 +452,11 @@ def main(argv: list[str] | None = None) -> int:
             print(f"compacted as version={v}")
         if args.vacuum:
             out = vacuum_snapshots(
-                spark, args.table, keep_versions=args.keep, min_age_seconds=args.min_age
+                spark,
+                args.table,
+                keep_versions=args.keep,
+                min_age_seconds=args.min_age,
+                keep_hours=args.keep_hours,
             )
             print(" ".join(f"{k}={v}" for k, v in out.items()))
         for r in snapshot_history(spark, args.table).collect():

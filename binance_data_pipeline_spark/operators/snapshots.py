@@ -916,12 +916,21 @@ def vacuum_snapshots(
     table: str,
     keep_versions: int = 2,
     min_age_seconds: float = 3600.0,
+    keep_hours: float | None = None,
 ) -> dict[str, int]:
     """Delete data dirs referenced by NO retained manifest, plus expired
     manifests and orphaned temp/data dirs from crashed commits. Retains
     the last ``keep_versions`` manifests (≥1 — the live table is never
     vacuumable). Destructive by design: time travel beyond the retained
     window is gone after this. Returns counts for the audit log.
+
+    ``keep_hours`` adds TIME-based retention on top (Delta's
+    ``VACUUM ... RETAIN`` semantics): every version committed within the
+    last N hours is ALSO retained, whatever ``keep_versions`` says — so
+    a burst of stream micro-batch versions inside the window survives a
+    ``keep_versions=2`` nightly vacuum, and a consumer tailing
+    ``snapshot_changes`` from a version inside the window cannot have
+    its anchor reaped mid-catch-up.
 
     ``min_age_seconds`` protects IN-FLIGHT commits: a concurrent
     committer's data dir exists before its manifest does and would look
@@ -935,6 +944,15 @@ def vacuum_snapshots(
     if not versions:
         raise ValueError(f"{table} has no committed snapshots")
     keep = versions[-keep_versions:]
+    if keep_hours is not None:
+        cutoff = time.time() - keep_hours * 3600.0
+        recent = {
+            int(r["version"])
+            for r in snapshot_history(spark, table)
+            .where(F.col("committed_at") >= cutoff)
+            .collect()
+        }
+        keep = sorted(set(keep) | recent)
     referenced: set[str] = set()
     for v in keep:
         referenced.update(_live_dirs(spark, table, v))

@@ -673,3 +673,24 @@ def test_cli_snapshot_compact(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "compacted as version=2" in out
     assert read_snapshot(spark, t).count() == 9
+
+
+def test_vacuum_keep_hours_time_retention(spark, tmp_path):
+    """keep_hours retains every version committed inside the window even
+    when keep_versions alone would reap it; outside the window the
+    count-based floor still applies."""
+    from binance_data_pipeline_spark.operators.snapshots import vacuum_snapshots
+
+    t = str(tmp_path / "t")
+    for i in range(4):
+        commit_snapshot(spark, t, _df(spark, i * 5, (i + 1) * 5))
+    # all four versions are seconds old: a 1-hour window keeps them all
+    out = vacuum_snapshots(spark, t, keep_versions=1, min_age_seconds=0,
+                           keep_hours=1.0)
+    assert out["removed_manifests"] == 0 and out["retained_versions"] == 4
+    assert read_snapshot(spark, t, version=0).count() == 5
+    # a zero-hour window degrades to pure count-based retention
+    out = vacuum_snapshots(spark, t, keep_versions=2, min_age_seconds=0,
+                           keep_hours=0.0)
+    assert out["removed_manifests"] == 2 and out["retained_versions"] == 2
+    assert read_snapshot(spark, t).count() == 20  # latest live set intact
