@@ -60,6 +60,7 @@ __all__ = [
     "snapshot_changes",
     "snapshot_diff",
     "snapshot_merge",
+    "snapshot_sync",
     "read_snapshot_range",
 ]
 
@@ -516,6 +517,37 @@ def snapshot_changes(
     if not added:
         return read_snapshot(spark, table, version=to_version).limit(0)
     return spark.read.parquet(*added)
+
+
+def snapshot_sync(
+    spark: SparkSession,
+    table: str,
+    from_version: int,
+    key_cols: list[str] | None = None,
+    to_version: int | None = None,
+) -> DataFrame:
+    """The incremental consumer's one call: rows to apply to catch up
+    from ``from_version``. Append-only ranges take the file-diff fast
+    path (``snapshot_changes`` — reads ONLY new files, every row tagged
+    ``_change_type='insert'``); a range crossing a rewrite falls back to
+    the keyed CDC diff when ``key_cols`` is given, or re-raises the
+    rewrite refusal when it is not (a keyless consumer must full-resync
+    — silently switching to a table scan would hide a 100 TB read
+    behind a tail call). With ``key_cols`` both paths emit the same
+    column order (keys, values, ``_change_type``), so a
+    foreachBatch-style consumer handles either."""
+    try:
+        fast = snapshot_changes(spark, table, from_version, to_version).withColumn(
+            "_change_type", F.lit("insert")
+        )
+        if key_cols:
+            rest = [c for c in fast.columns if c not in key_cols and c != "_change_type"]
+            fast = fast.select(*key_cols, *rest, "_change_type")
+        return fast
+    except ValueError as e:
+        if "cross a rewrite" not in str(e) or key_cols is None:
+            raise
+    return snapshot_diff(spark, table, key_cols, from_version, to_version)
 
 
 def snapshot_diff(

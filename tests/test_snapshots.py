@@ -694,3 +694,27 @@ def test_vacuum_keep_hours_time_retention(spark, tmp_path):
                            keep_hours=0.0)
     assert out["removed_manifests"] == 2 and out["retained_versions"] == 2
     assert read_snapshot(spark, t).count() == 20  # latest live set intact
+
+
+def test_snapshot_sync_routes_fast_path_and_cdc_fallback(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import (
+        compact_snapshot,
+        snapshot_sync,
+    )
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 5))
+    commit_snapshot(spark, t, _df(spark, 5, 8, "b"))
+    # append-only range: fast path, inserts only, keyed column order
+    s = snapshot_sync(spark, t, 0, key_cols=["id"])
+    assert s.columns == ["id", "tag", "_change_type"]
+    got = {(r["id"], r["_change_type"]) for r in s.collect()}
+    assert got == {(i, "insert") for i in range(5, 8)}
+    # rewrite crosses: keyed fallback produces the CDC diff
+    compact_snapshot(spark, t)
+    s2 = snapshot_sync(spark, t, 1, key_cols=["id"])
+    assert s2.columns == ["id", "tag", "_change_type"]
+    assert s2.count() == 0  # compaction changed no rows
+    # keyless consumer gets the loud refusal
+    with pytest.raises(ValueError, match="cross a rewrite"):
+        snapshot_sync(spark, t, 1)
