@@ -718,3 +718,53 @@ def test_snapshot_sync_routes_fast_path_and_cdc_fallback(spark, tmp_path):
     # keyless consumer gets the loud refusal
     with pytest.raises(ValueError, match="cross a rewrite"):
         snapshot_sync(spark, t, 1)
+
+
+def test_merge_then_diff_randomized_model_check(spark, tmp_path):
+    """Randomized (seeded) model check: apply a random MERGE batch, then
+    snapshot_diff across it must equal an independent Python model of
+    MERGE semantics — inserts/deletes/update pairs, nothing else."""
+    import random
+
+    from binance_data_pipeline_spark.operators.snapshots import (
+        snapshot_diff,
+        snapshot_merge,
+    )
+
+    for seed in (7, 23):
+        rng = random.Random(seed)
+        t = str(tmp_path / f"t{seed}")
+        base = {i: rng.choice("abcde") for i in rng.sample(range(100), 40)}
+        commit_snapshot(
+            spark,
+            t,
+            spark.createDataFrame(sorted(base.items()), "id long, tag string"),
+        )
+        upd_keys = rng.sample(range(100), 25)
+        upd = [
+            (k, rng.choice("vwxyz"), rng.random() < 0.3) for k in upd_keys
+        ]
+        v = snapshot_merge(
+            spark,
+            t,
+            spark.createDataFrame(upd, "id long, tag string, del boolean"),
+            ["id"],
+            delete_col="del",
+        )
+        # python model of the expected change set
+        expected = {}
+        for k, tag, is_del in upd:
+            if is_del:
+                if k in base:
+                    expected[(k, "delete")] = base[k]
+            elif k in base:
+                if base[k] != tag:
+                    expected[(k, "update_preimage")] = base[k]
+                    expected[(k, "update_postimage")] = tag
+            else:
+                expected[(k, "insert")] = tag
+        got = {
+            (r["id"], r["_change_type"]): r["tag"]
+            for r in snapshot_diff(spark, t, ["id"], 0, v).collect()
+        }
+        assert got == expected, f"seed {seed}"
