@@ -174,6 +174,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="incremental compaction: only coalesce dirs under this size")
     pn.add_argument("--cluster-by", default=None,
                     help="comma-separated columns to range-sort the compaction by")
+    pn.add_argument("--range", nargs=3, metavar=("COL", "LO", "HI"), default=None,
+                    help="stats-pruned ranged read; prints the matching row count")
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -439,6 +441,24 @@ def main(argv: list[str] | None = None) -> int:
                     f"{k}={counts.get(k, 0)}"
                     for k in ("insert", "delete", "update_preimage", "update_postimage")
                 ))
+        if args.range is not None:
+            from .operators.snapshots import read_snapshot_range
+
+            def _bound(s: str):
+                # numeric-looking bounds compare against numeric stats;
+                # anything else stays a string (dates, symbols)
+                for cast in (int, float):
+                    try:
+                        return cast(s)
+                    except ValueError:
+                        pass
+                return s
+
+            col, lo, hi = args.range
+            n = read_snapshot_range(
+                spark, args.table, col, _bound(lo), _bound(hi)
+            ).count()
+            print(f"range {col} in [{lo}, {hi}]: {n} rows")
         if args.compact:
             from .operators.snapshots import compact_snapshot
 

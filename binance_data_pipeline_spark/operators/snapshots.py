@@ -62,6 +62,7 @@ __all__ = [
     "snapshot_merge",
     "snapshot_sync",
     "read_snapshot_range",
+    "register_snapshot_view",
 ]
 
 _V_WIDTH = 11  # zero-pad so lexicographic dir order == numeric order
@@ -387,6 +388,23 @@ def read_snapshot_range(
     if hi is not None:
         df = df.where(F.col(col) <= F.lit(hi))
     return df
+
+
+def register_snapshot_view(
+    spark: SparkSession,
+    table: str,
+    name: str,
+    version: int | None = None,
+    as_of: float | None = None,
+) -> None:
+    """Expose a snapshot (latest, pinned version, or as-of timestamp) to
+    SQL users as a temp view — `spark.sql(f"SELECT ... FROM {name}")`
+    over the manifest-resolved live set. The view binds the live-dir
+    list at registration time (the snapshot-isolation read contract);
+    re-register to pick up later commits."""
+    read_snapshot(spark, table, version=version, as_of=as_of).createOrReplaceTempView(
+        name
+    )
 
 
 def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
