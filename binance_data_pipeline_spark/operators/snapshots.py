@@ -229,21 +229,27 @@ def _write_manifest_commit(
     live: list,
     operation: str,
     committed_at: float,
+    stream_hwm: int | None = None,
 ) -> bool:
     """One manifest-write + version-claim attempt; True on success.
-    ``live`` entries are dir paths or (path, stats_json) pairs."""
+    ``live`` entries are dir paths or (path, stats_json) pairs.
+    ``stream_hwm`` is the high-water stream batch id carried forward on
+    EVERY commit (not just stream appends) so vacuuming the original
+    stream-append manifests cannot erase the exactly-once replay guard
+    — the surviving head manifest always still records it."""
     base = table.rstrip("/")
+    hwm = None if stream_hwm is None else int(stream_hwm)
     rows = [
-        (e[0], int(next_v), operation, float(committed_at), e[1])
+        (e[0], int(next_v), operation, float(committed_at), e[1], hwm)
         if isinstance(e, tuple)
-        else (e, int(next_v), operation, float(committed_at), None)
+        else (e, int(next_v), operation, float(committed_at), None, hwm)
         for e in live
     ]
     tmp = f"{base}/__vtmp_{uuid.uuid4().hex[:12]}"
     spark.createDataFrame(
         rows,
         "path string, version long, operation string, committed_at double,"
-        " stats string",
+        " stats string, stream_hwm long",
     ).coalesce(1).write.mode("overwrite").parquet(tmp)
     fs, vdir = _hadoop_fs(spark, _versions_dir(table))
     fs.mkdirs(vdir)
@@ -292,13 +298,17 @@ def commit_snapshot(
     writer.parquet(data_dir)
 
     op = operation or mode
-    committed_at = time.time()
     new_stats: str | None = None
     stats_done = False
     for _ in range(max_retries):
         versions = _list_versions(spark, table)
         next_v = (versions[-1] + 1) if versions else 0
         prior = _live_entries(spark, table, versions[-1]) if versions else []
+        # stamped per ATTEMPT, not per call: a race loser re-stamps, so
+        # committed_at stays monotonic in version and as_of resolution
+        # (max version with committed_at <= t) cannot return a version
+        # whose live set postdates the requested time
+        committed_at = time.time()
         if not stats_done:
             cols = stats_cols or _stats_cols_of(prior)
             new_stats = _dir_stats_json(spark, data_dir, cols) if cols else None
@@ -307,8 +317,17 @@ def commit_snapshot(
             live = prior + [(data_dir, new_stats)]
         else:
             live = [(data_dir, new_stats)]
+        # carry the stream high-water mark forward (and raise it if this
+        # commit IS a stream append) — re-derived per attempt so a race
+        # loser picks up ids the winner just applied
+        hwm = _max_streamed_batch(spark, table) if versions else None
+        if op.startswith(f"{_STREAM_OP}:"):
+            own = int(op.split(":", 1)[1])
+            hwm = own if hwm is None else max(hwm, own)
         # a lost claim re-derives the live set from the WINNER's commit
-        if _write_manifest_commit(spark, table, next_v, live, op, committed_at):
+        if _write_manifest_commit(
+            spark, table, next_v, live, op, committed_at, stream_hwm=hwm
+        ):
             return next_v
     fs, dp = _hadoop_fs(spark, data_dir)
     fs.delete(dp, True)
@@ -434,12 +453,18 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
     versions = _list_versions(spark, table)
     if version not in versions:
         raise ValueError(f"version {version} not in {table} (have {versions})")
-    committed_at = time.time()
     for _ in range(10):
         next_v = _list_versions(spark, table)[-1] + 1
         live = _live_entries(spark, table, version)  # stats ride along
+        # per-attempt stamp: keeps committed_at monotonic in version
         if _write_manifest_commit(
-            spark, table, next_v, live, f"rollback:{version}", committed_at
+            spark,
+            table,
+            next_v,
+            live,
+            f"rollback:{version}",
+            time.time(),
+            stream_hwm=_max_streamed_batch(spark, table),
         ):
             return next_v
     raise RuntimeError(f"rollback of {table} lost 10 commit races; giving up")
@@ -449,21 +474,33 @@ _STREAM_OP = "stream-append"
 
 
 def _max_streamed_batch(spark: SparkSession, table: str) -> int | None:
-    """Highest batch id any manifest records as a stream append — the
-    replay guard. One manifest glob read (KB-scale), never data files."""
-    if not _list_versions(spark, table):
+    """Highest stream batch id the table has applied — the replay guard.
+    Reads BOTH signals from one manifest glob read (KB-scale, never data
+    files): ids parsed from ``stream-append:N`` operations, and the
+    ``stream_hwm`` column every later commit carries forward — so the
+    guard survives ``vacuum_snapshots`` deleting the original
+    stream-append manifests (rows live on via merge/compact commits,
+    and so does the high-water mark)."""
+    versions = _list_versions(spark, table)
+    if not versions:
         return None
-    row = (
-        snapshot_history(spark, table)
-        .where(F.col("operation").startswith(f"{_STREAM_OP}:"))
-        .select(
-            F.max(
-                F.split(F.col("operation"), ":").getItem(1).cast("long")
-            ).alias("b")
-        )
-        .first()
+    m = spark.read.option("mergeSchema", "true").parquet(
+        *(f"{_versions_dir(table)}/{_vname(v)}" for v in versions)
     )
-    return int(row["b"]) if row is not None and row["b"] is not None else None
+    parsed = F.max(
+        F.when(
+            F.col("operation").startswith(f"{_STREAM_OP}:"),
+            F.split(F.col("operation"), ":").getItem(1).cast("long"),
+        )
+    ).alias("a")
+    carried = (
+        F.max(F.col("stream_hwm").cast("long"))
+        if "stream_hwm" in m.columns
+        else F.max(F.lit(None).cast("long"))
+    ).alias("b")
+    row = m.agg(parsed, carried).first()
+    vals = [v for v in (row["a"], row["b"]) if v is not None]
+    return max(int(v) for v in vals) if vals else None
 
 
 def snapshot_append_batch(
@@ -748,10 +785,23 @@ def snapshot_merge(
     )
 
     # one tiny agg: the update batch's key range, for manifest-stats
-    # dir skipping in the discovery scan (first key column only)
+    # dir skipping in the discovery scan (first key column only). NULL
+    # key fields matter: min/max ignore NULLs and a manifest's stats do
+    # too, so when ANY update row carries a NULL key field the range
+    # prune is disabled — a NULL-keyed match could live in any dir.
     k0 = key_cols[0]
-    krow = u1.agg(F.min(k0).alias("n"), F.max(k0).alias("x")).first()
+    null_key = None
+    for k in key_cols:
+        t = F.col(k).isNull()
+        null_key = t if null_key is None else (null_key | t)
+    krow = u1.agg(
+        F.min(k0).alias("n"),
+        F.max(k0).alias("x"),
+        F.max(null_key).alias("hasnull"),
+    ).first()
     k_lo, k_hi = _json_scalar(krow["n"]), _json_scalar(krow["x"])
+    if krow["hasnull"]:
+        k_lo = k_hi = None
 
     for _ in range(max_retries):
         versions = _list_versions(spark, table)
@@ -774,10 +824,19 @@ def snapshot_merge(
         dirname = F.regexp_extract(F.input_file_name(), "/data/([^/]+)/", 1)
         if candidates:
             scan = spark.read.option("mergeSchema", "true").parquet(*candidates)
+            # null-SAFE discovery join: the merge join below matches on
+            # eqNullSafe, so discovery must too — a name-list semi-join
+            # would use null-unsafe equality and miss NULL-keyed
+            # matches, leaving their dir unrewritten (duplicate keys)
+            s = scan.select(*key_cols, dirname.alias("__dn")).alias("s")
+            u_keys = u1.select(*key_cols).alias("uk")
+            disc = None
+            for k in key_cols:
+                c = F.col(f"s.{k}").eqNullSafe(F.col(f"uk.{k}"))
+                disc = c if disc is None else disc & c
             touched_names = [
                 r["__dn"]
-                for r in scan.select(*key_cols, dirname.alias("__dn"))
-                .join(u1.select(*key_cols), key_cols, "left_semi")
+                for r in s.join(u_keys, disc, "left_semi")
                 .select("__dn")
                 .distinct()
                 .collect()
@@ -851,7 +910,15 @@ def snapshot_merge(
             (data_dir, new_stats)
         ]
         op = f"merge:{len(touched)}d"
-        if _write_manifest_commit(spark, table, head + 1, new_live, op, time.time()):
+        if _write_manifest_commit(
+            spark,
+            table,
+            head + 1,
+            new_live,
+            op,
+            time.time(),
+            stream_hwm=_max_streamed_batch(spark, table),
+        ):
             return head + 1
         fs, dp = _hadoop_fs(spark, data_dir)
         fs.delete(dp, True)  # lost the race: recompute against the winner
@@ -913,31 +980,31 @@ def compact_snapshot(
             total += it.next().getLen()
         return total
 
-    versions = _list_versions(spark, table)
-    if not versions:
+    if not _list_versions(spark, table):
         raise ValueError(f"{table} has no committed snapshots")
 
-    if only_small_mb is None:
-        live = _live_dirs(spark, table, versions[-1])
-        total = sum(_dir_bytes(d) for d in live)
-        n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))  # ceil
-        return commit_snapshot(
-            spark,
-            table,
-            _sized(int(n_files), read_snapshot(spark, table)),
-            mode="overwrite",
-            operation=f"compact:{len(live)}->{int(n_files)}f",
-            partition_by=partition_by,
-        )
-
+    # Both modes share ONE optimistic-concurrency loop: every attempt
+    # re-lists the head version, re-derives which dirs to rewrite, and
+    # keeps everything else BY REFERENCE — so a concurrent append that
+    # lands between source-set resolution and the version claim makes
+    # our claim lose, and the retry picks the new dir up by reference
+    # instead of silently dropping it (full compaction previously
+    # committed a blind overwrite here: a lost-update window).
     base = table.rstrip("/")
     for _ in range(10):
         head = _list_versions(spark, table)[-1]
         entries = _live_entries(spark, table, head)
         sizes = {p: _dir_bytes(p) for p, _ in entries}
-        small = [p for p, _ in entries if sizes[p] < only_small_mb * 1024 * 1024]
-        if len(small) < 2:
-            return head  # nothing worth coalescing
+        if only_small_mb is None:
+            small = [p for p, _ in entries]  # full: rewrite the whole head set
+            if not small:
+                return head
+        else:
+            small = [
+                p for p, _ in entries if sizes[p] < only_small_mb * 1024 * 1024
+            ]
+            if len(small) < 2:
+                return head  # nothing worth coalescing
         total = sum(sizes[p] for p in small)
         n_files = max(1, -(-total // (target_file_mb * 1024 * 1024)))  # ceil
         data_dir = f"{base}/data/{uuid.uuid4().hex}"
@@ -954,7 +1021,15 @@ def compact_snapshot(
             (data_dir, new_stats)
         ]
         op = f"compact:{len(small)}->{int(n_files)}f"
-        if _write_manifest_commit(spark, table, head + 1, new_live, op, time.time()):
+        if _write_manifest_commit(
+            spark,
+            table,
+            head + 1,
+            new_live,
+            op,
+            time.time(),
+            stream_hwm=_max_streamed_batch(spark, table),
+        ):
             return head + 1
         fs, dp = _hadoop_fs(spark, data_dir)
         fs.delete(dp, True)  # lost the race: re-derive the live set
@@ -1003,9 +1078,16 @@ def vacuum_snapshots(
             .collect()
         }
         keep = sorted(set(keep) | recent)
+    # Liveness is decided by dir BASENAME under {base}/data — the uuid
+    # is the identity. Comparing full manifest paths against a path
+    # rebuilt from THIS call's table argument silently deletes the live
+    # table whenever the spellings differ (file:// URI vs bare path,
+    # trailing slash, symlink) even though reads work either way.
     referenced: set[str] = set()
     for v in keep:
-        referenced.update(_live_dirs(spark, table, v))
+        referenced.update(
+            d.rstrip("/").rsplit("/", 1)[-1] for d in _live_dirs(spark, table, v)
+        )
 
     fs, data_root = _hadoop_fs(spark, f"{base}/data")
     now_ms = time.time() * 1000.0
@@ -1014,7 +1096,7 @@ def vacuum_snapshots(
         for st in fs.listStatus(data_root):
             p = st.getPath()
             young = now_ms - st.getModificationTime() < min_age_seconds * 1000.0
-            if f"{base}/data/{p.getName()}" not in referenced and not young:
+            if p.getName() not in referenced and not young:
                 fs.delete(p, True)
                 removed_dirs += 1
     removed_manifests = 0
