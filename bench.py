@@ -53,6 +53,40 @@ HEADLINE = [
 ]
 
 
+#: Reference wall time of the calibration query on a quiet host
+#: (min of repeated samples, this container, local[32]). The emitted
+#: ``host_drag`` = measured/ref; ``queries_normalized`` divides every
+#: per-query time by host_drag so cross-round numbers are comparable
+#: without paired reruns on the same host state.
+CALIBRATION_REF_SEC = 0.41
+
+
+def calibration_query(spark):
+    """Fixed, data-independent workload with a pinned plan shape
+    (Range -> project -> 32-partition hash agg): no parquet, no sf
+    dependence, no caches — pure CPU + one small shuffle. Its wall time
+    moves ONLY with host conditions (CPU steal, kernel stalls, JVM
+    health), which is exactly the signal the normalization needs."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 40_000_000, 1, 32)
+    return (
+        df.select(
+            (F.col("id") % 4096).alias("g"),
+            F.xxhash64("id").alias("h1"),
+            F.xxhash64("id", F.lit(1)).alias("h2"),
+        )
+        .groupBy("g")
+        .agg(
+            # sums over modded hashes: ANSI mode faults on long overflow,
+            # so keep partials within signed-64 (the dedup.py discipline)
+            F.sum(F.col("h1") % 1000003).alias("s1"),
+            F.sum(F.col("h2") % 999983).alias("s2"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -119,9 +153,18 @@ def main() -> None:
         )
         release_barriers(spark)
 
+    def time_calibration() -> float:
+        t0 = time.time()
+        force(calibration_query(spark))
+        return round(time.time() - t0, 3)
+
     # Two passes, report per-query min: the container shows intermittent
     # multi-second kernel-time stalls (host jitter) that would otherwise
-    # randomly dominate a single measurement.
+    # randomly dominate a single measurement. The calibration query is
+    # sampled before, between, and after the passes; its MIN tracks the
+    # best host state the measured mins were taken under.
+    time_calibration()  # calibration's own codegen warmup, untimed
+    cal_samples = [time_calibration()]
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in HEADLINE:
@@ -132,7 +175,11 @@ def main() -> None:
                 timings[name] = dt
             spark.catalog.clearCache()      # cached tables/DataFrames
             release_barriers(spark)         # eager localCheckpoint blocks
+        cal_samples.append(time_calibration())
 
+    cal = min(cal_samples)
+    drag = round(cal / CALIBRATION_REF_SEC, 3)
+    normalized = {n: round(t / max(drag, 1.0), 3) for n, t in timings.items()}
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -142,6 +189,17 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                # Calibration protocol (VERDICT r6 task 1): a pinned
+                # synthetic query whose time moves only with host state.
+                # host_drag > 1 → the host was slower than the reference
+                # state; *_normalized rescale by it (never scaling UP a
+                # quiet-host run: drag floors at 1.0).
+                "calibration_sec": cal,
+                "calibration_samples": cal_samples,
+                "calibration_ref_sec": CALIBRATION_REF_SEC,
+                "host_drag": drag,
+                "value_normalized": round(sum(normalized.values()), 3),
+                "queries_normalized": normalized,
             }
         )
     )

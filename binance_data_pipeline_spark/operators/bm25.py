@@ -195,20 +195,46 @@ def bm25_query(
             lambda r: (int(r["n_docs"]), float(r["avgdl"]))
         )(spark.read.parquet(stats_path).first()),
     )
+    # ONE probe-planning job: collect the (tiny, query-vocabulary-bounded)
+    # probe terms WITH their bucket ids — shuffle-free (the term-set
+    # dedup the BM25 Σ needs runs driver-side over the collected rows,
+    # not as a distinct() exchange) — then rebuild qt as a single-slice
+    # local relation: the bucket list and the broadcast build then cost
+    # zero further jobs, and the query-side plan (often a scan+sort
+    # upstream) never re-executes per leg. Over-large probes (a mis-used
+    # API, not a serving call) keep the distributed plan.
+    n_buckets = _index_buckets(spark, index_path)
+    probe_cap = 100_000
     if weighted_terms is not None:
-        qt = weighted_terms.select("query_id", "term", "qw")
+        qt_plan = weighted_terms.select("query_id", "term", "qw")
     else:
-        qt = _query_terms(queries, query_id_col, query_text_col, tokenizer)
-    buckets = [
-        r["tb"]
-        for r in qt.select(
-            F.pmod(F.xxhash64(F.col("term")), F.lit(_index_buckets(spark, index_path)))
-            .cast("int")
-            .alias("tb")
+        qt_plan = queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.explode(_token_array(query_text_col, tokenizer)).alias("term"),
         )
-        .distinct()
-        .collect()
-    ]
+    qt_b = qt_plan.withColumn(
+        "tb", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
+    )
+    probe_rows = qt_b.limit(probe_cap + 1).collect()
+    if len(probe_rows) <= probe_cap:
+        if weighted_terms is None:
+            # BM25's Σ is over the query's term SET (bag-of-words form
+            # ignores duplicate query terms) — same dedup _query_terms'
+            # distinct() does, minus the exchange
+            probe_rows = list(dict.fromkeys(tuple(r) for r in probe_rows))
+        else:
+            probe_rows = [tuple(r) for r in probe_rows]
+        from .metacache import local_relation
+
+        buckets = sorted({r[-1] for r in probe_rows})
+        qt = local_relation(spark, probe_rows, qt_b.schema).drop("tb")
+    else:
+        qt = (
+            qt_plan
+            if weighted_terms is not None
+            else _query_terms(queries, query_id_col, query_text_col, tokenizer)
+        )
+        buckets = [r["tb"] for r in qt_b.select("tb").distinct().collect()]
     postings = spark.read.parquet(os.path.join(index_path, "postings.parquet")).where(
         F.col("tb").isin(buckets)
     )

@@ -185,10 +185,9 @@ def hybrid_search(
     determinism makes build-time and serve-time embeddings the same
     space, so the vector leg always participates for such roots.
 
-    Query ids must not collide with passage ids: the ANN leg inherits
-    ``ivf_query``'s self-match exclusion (built for corpus-internal
-    kNN), so a query whose id equals a doc id silently loses that doc
-    from its vector ranking — keep query ids in their own namespace."""
+    Query ids are their OWN namespace: the ANN leg runs with
+    ``exclude_self=False``, so a query id that happens to equal a doc id
+    still ranks that doc normally (no silent self-match drop)."""
     base = root.rstrip("/")
     from .metacache import cached_meta
 
@@ -200,18 +199,49 @@ def hybrid_search(
     except Exception as e:  # AnalysisException / FileNotFound: path missing
         raise ValueError(f"no manifest under {root} — incomplete build") from e
     manifest = mdict
+    # Localize the query batch ONCE (bounded: the serving contract is a
+    # small per-call batch). Every leg below re-evaluates the query-side
+    # plan (tokenize probe, embed, broadcast builds); against an
+    # arbitrary upstream plan (a parquet scan + sort, say) each
+    # re-evaluation is a repeat Spark job — against a local relation
+    # they are all sub-millisecond plan fragments.
+    from .metacache import local_relation
+
+    qcap = 4096
+    _qrows = queries.limit(qcap + 1).collect()
+    if len(_qrows) <= qcap:
+        queries = local_relation(spark, _qrows, queries.schema)
     if query_embeddings is None and mdict.get("embed_dim") is not None:
         from .embedder import embed_texts, hash_encoder
 
-        query_embeddings = embed_texts(
-            queries, text_col="text",
-            encoder=hash_encoder(
-                int(mdict["embed_dim"]), seed=int(mdict["embed_seed"])
-            ),
-        ).select(
-            F.col("query_id").alias(emb_id_col),
-            F.col("embedding").alias(vec_col),
-        )
+        enc = hash_encoder(int(mdict["embed_dim"]), seed=int(mdict["embed_seed"]))
+        if len(_qrows) <= qcap:
+            # localized batch: the hash encoder is a plain numpy
+            # callable — run it driver-side on the collected texts
+            # (identical float32 values to the embed_texts map stage,
+            # which this replaces) instead of paying an Arrow UDF job
+            # for a handful of rows
+            import numpy as np
+
+            vecs = np.asarray(
+                enc([r["text"] for r in _qrows]), dtype=np.float32
+            )
+            qid_type = queries.schema["query_id"].dataType.simpleString()
+            query_embeddings = local_relation(
+                spark,
+                [
+                    (r["query_id"], [float(x) for x in vecs[i]])
+                    for i, r in enumerate(_qrows)
+                ],
+                f"{emb_id_col} {qid_type}, {vec_col} array<float>",
+            )
+        else:
+            query_embeddings = embed_texts(
+                queries, text_col="text", encoder=enc,
+            ).select(
+                F.col("query_id").alias(emb_id_col),
+                F.col("embedding").alias(vec_col),
+            )
     lex = bm25_query(spark, f"{base}/bm25", queries, k=k)
     legs = [lex]
     if query_embeddings is not None:
@@ -220,6 +250,7 @@ def hybrid_search(
         vec = ivf_query(
             spark, f"{base}/ann", query_embeddings,
             id_col=emb_id_col, vec_col=vec_col, k=k, nprobe=nprobe,
+            exclude_self=False,
         ).select(
             F.col("query_id"), F.col("neighbor_id").alias("doc_id"), F.col("rk")
         )

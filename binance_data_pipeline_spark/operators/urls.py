@@ -19,10 +19,10 @@ the industry-standard tracking-parameter strip):
   the same parameters collapse (`?a=1&b=2` ≡ `?b=2&a=1`).
 
 `registered_domain` is the grouping key for per-site caps/budgets
-(sampling.cap_per_group / quality gates): the public-suffix idea reduced
-to a compact two-level-TLD table — exact for the common ccTLD patterns,
-documented-approximate for the long tail (a full PSL is a swap-in
-broadcast table; the column contract doesn't change).
+(sampling.cap_per_group / quality gates): the real Public Suffix List
+algorithm (operators/psl.py — wildcards, exceptions, longest match,
+private hosting suffixes) over a packaged snapshot of the public list,
+with `rules=parse_psl(...)` accepting the full official file.
 """
 
 from __future__ import annotations
@@ -41,7 +41,6 @@ __all__ = [
     "dedup_by_url",
     "domain_stats",
     "DEFAULT_TRACKING_PARAMS",
-    "MULTI_SUFFIXES",
 ]
 
 #: Query parameters that identify campaigns/sessions, never content.
@@ -49,21 +48,6 @@ DEFAULT_TRACKING_PARAMS = [
     "utm_source", "utm_medium", "utm_campaign", "utm_term", "utm_content",
     "gclid", "fbclid", "msclkid", "dclid", "igshid", "mc_cid", "mc_eid",
     "ref", "ref_src", "spm", "_ga",
-]
-
-#: Common two-level public suffixes (registered domain = one more label).
-MULTI_SUFFIXES = [
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
-    "com.au", "net.au", "org.au", "edu.au", "gov.au",
-    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
-    "co.kr", "or.kr", "go.kr",
-    "com.br", "org.br", "gov.br",
-    "com.cn", "org.cn", "net.cn", "gov.cn",
-    "com.mx", "org.mx",
-    "co.in", "org.in", "net.in", "gov.in",
-    "co.nz", "org.nz", "net.nz",
-    "com.sg", "com.tr", "com.ar", "com.co", "co.za", "org.za",
-    "com.hk", "com.tw", "org.tw",
 ]
 
 _AUTHORITY = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#@]*@)?([^/?#:]+)(?::([0-9]+))?"
@@ -100,26 +84,28 @@ def url_query(col: Column | str) -> Column:
     return F.regexp_extract(_c(col), r"\?([^#]*)", 1)
 
 
-def registered_domain(host: Column | str) -> Column:
-    """The registrable domain of a hostname: last label + public suffix
-    (two labels normally, three when the last two form a known
-    multi-suffix like co.uk). IPv4 literals pass through whole. Compact
-    approximation of the Mozilla PSL — swap in the full list as a
-    broadcast join if the long tail matters."""
+def registered_domain(host: Column | str, rules=None) -> Column:
+    """The registrable domain of a hostname per the Public Suffix List
+    algorithm (operators/psl.py: exceptions beat all, longest rule wins,
+    default ``*`` rule otherwise): public suffix + one more label. So
+    ``a.github.io`` and ``b.github.io`` are DIFFERENT domains (private
+    hosting suffix), ``city.kawasaki.jp`` is itself a registrable domain
+    (exception rule), and ``foo.bar.ck`` groups under ``foo.bar.ck``
+    (wildcard TLD). A host that IS a public suffix, and IPv4 literals,
+    pass through whole — the right grouping key either way. All
+    map-side literal-array checks, zero Python, zero joins; pass
+    ``rules=psl.parse_psl(open("public_suffix_list.dat").read())`` to
+    serve the full official list instead of the packaged snapshot."""
+    from .psl import public_suffix_parts
+
     h = _c(host)
     labels = F.split(h, r"\.")
     n = F.size(labels)
-    last2 = F.concat_ws(".", F.element_at(labels, -2), F.element_at(labels, -1))
-    last3 = F.concat_ws(
-        ".", F.element_at(labels, -3), F.element_at(labels, -2), F.element_at(labels, -1)
-    )
-    suffixes = F.array(*[F.lit(s) for s in MULTI_SUFFIXES])
+    ps_parts = public_suffix_parts(h, rules)
+    reg_parts = ps_parts + F.lit(1)
+    reg = F.array_join(F.slice(labels, n - reg_parts + 1, reg_parts), ".")
     is_ip = h.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
-    return (
-        F.when(is_ip | (n <= 2), h)
-        .when(F.array_contains(suffixes, last2) & (n >= 3), last3)
-        .otherwise(last2)
-    )
+    return F.when(is_ip | (n <= ps_parts), h).otherwise(reg)
 
 
 def canonicalize_url(

@@ -135,10 +135,12 @@ def _with_recall(
     miss-path exact side is always sample-bounded, never full-corpus O(n²);
     the 1-row collect is bounded metadata, not a data path.
 
-    STRICT MODE: with ``BDP_STRICT_RECALL`` set (1/true/yes), a recall
-    below the floor RAISES instead of just flagging ``recall_ok=false`` —
-    the evidence column becomes an assertion, so a parameter change that
-    silently tanks recall fails the run (cache hits are checked too)."""
+    STRICT BY DEFAULT: a recall below the floor RAISES instead of just
+    flagging ``recall_ok=false`` — the evidence column is an assertion,
+    so a banding/parameter change that silently tanks recall fails the
+    driver's correctness run, not just a local pytest floor (cache hits
+    are checked too). Set ``BDP_STRICT_RECALL=0`` to opt back down to
+    flag-only (exploratory parameter sweeps)."""
     import hashlib
     import tempfile
 
@@ -186,12 +188,16 @@ def _with_recall(
             "recall_vs_exact double, recall_ok boolean, fingerprint string",
         ).coalesce(1).write.mode("overwrite").parquet(cache)
     _RECALL_MEMO[key] = (fp, cached_row)
-    if not bool(cached_row[1]) and os.environ.get(
-        "BDP_STRICT_RECALL", ""
-    ).lower() in ("1", "true", "yes"):
+    strict = os.environ.get("BDP_STRICT_RECALL", "1").lower() not in (
+        "0",
+        "false",
+        "no",
+    )
+    if not bool(cached_row[1]) and strict:
         raise RuntimeError(
             f"{qname}: recall_vs_exact={cached_row[0]} is below the "
-            f"floor {floor} and BDP_STRICT_RECALL is set"
+            f"floor {floor} (strict recall is on by default; set "
+            "BDP_STRICT_RECALL=0 for flag-only)"
         )
     # the summary is a driver-side scalar by now — attach as literals
     # (zero plan cost; a broadcast crossJoin here measured ~0.4 s/query)

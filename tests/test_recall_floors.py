@@ -6,8 +6,8 @@ is the self-measured ``recall_vs_exact``/``recall_ok`` columns
 
   1. the floors HOLD on the real fixtures — an LSH/IVF parameter change
      that silently tanks recall turns this file red;
-  2. strict mode (BDP_STRICT_RECALL) turns a floor breach into a raise,
-     so a driver/bench run can be made to fail instead of just flagging.
+  2. strict mode is the DEFAULT: a floor breach raises, failing the
+     driver/bench run; BDP_STRICT_RECALL=0 opts down to flag-only.
 """
 
 from __future__ import annotations
@@ -46,10 +46,10 @@ def test_recall_floor_holds_on_fixtures(spark, qname):
 
 
 def test_strict_mode_raises_below_floor(spark, monkeypatch):
-    """A breached floor must RAISE under BDP_STRICT_RECALL and only flag
-    without it — driven through _with_recall with a fabricated empty
-    approx set (recall 0.0) so the test doesn't depend on breaking a
-    real operator."""
+    """A breached floor must RAISE by default (and with the env var
+    unset or truthy) and only flag under BDP_STRICT_RECALL=0 — driven
+    through _with_recall with a fabricated empty approx set (recall
+    0.0) so the test doesn't depend on breaking a real operator."""
     probe = f"strict-probe-{uuid.uuid4().hex[:8]}"
     result = spark.range(3).select(F.col("id").alias("query_id"))
     approx = result.where(F.lit(False)).select("query_id")  # recall = 0
@@ -62,11 +62,17 @@ def test_strict_mode_raises_below_floor(spark, monkeypatch):
             ["query_id"], floor=0.5,
         )
 
-    monkeypatch.delenv("BDP_STRICT_RECALL", raising=False)
+    monkeypatch.setenv("BDP_STRICT_RECALL", "0")
     flagged = run().first()
     assert flagged["recall_vs_exact"] == 0.0 and flagged["recall_ok"] is False
 
-    monkeypatch.setenv("BDP_STRICT_RECALL", "1")
+    # default (unset) = strict: the same breach raises
+    monkeypatch.delenv("BDP_STRICT_RECALL", raising=False)
     N._RECALL_MEMO.clear()  # force re-evaluation of the strict check
+    with pytest.raises(RuntimeError, match="below the floor"):
+        run()
+
+    monkeypatch.setenv("BDP_STRICT_RECALL", "1")
+    N._RECALL_MEMO.clear()
     with pytest.raises(RuntimeError, match="below the floor"):
         run()

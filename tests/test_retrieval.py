@@ -83,6 +83,24 @@ def test_hybrid_search_fuses_lexical_and_vector(spark, tmp_path):
     assert fused[0]["doc_id"] in ("d1", "d2")
 
 
+def test_hybrid_query_id_colliding_with_doc_id_keeps_the_doc(spark, tmp_path):
+    """Query ids live in their own namespace: a query whose id EQUALS a
+    doc id must still rank that doc in the vector leg (the corpus-kNN
+    self-match exclusion must not leak into the serving path, where it
+    silently deleted the colliding doc from the ranking)."""
+    root, _ = _build(spark, tmp_path)
+    # query id "d1" collides with doc d1; vector sits ON d1's embedding
+    queries = spark.createDataFrame(
+        [("d1", "electricity from sunlight")], "query_id string, text string"
+    )
+    qv = spark.createDataFrame(
+        [("d1", [1.0, 0.1, 0.0])], "vec_id string, embedding array<double>"
+    )
+    rows = hybrid_search(spark, root, queries, qv, k=3).orderBy("rk").collect()
+    assert rows, "no results for colliding-id query"
+    assert rows[0]["doc_id"] == "d1"  # the collision must not drop d1
+
+
 def test_chunked_build_indexes_passages(spark, tmp_path):
     root, counts = _build(spark, tmp_path, embeddings=False, chunk_tokens=4)
     assert counts["passages"] > 4  # docs split into windows

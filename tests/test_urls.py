@@ -85,6 +85,73 @@ def test_registered_domain(spark):
         assert r["d"] == r["want"], (r["d"], r["want"])
 
 
+def test_registered_domain_psl_semantics(spark):
+    """Real PSL shapes: private hosting suffixes, wildcard TLDs, and
+    exception rules — the cases the old two-level table grouped wrong."""
+    rows = [
+        # private-section suffix: each github.io subdomain is its own site
+        ("a.github.io", "a.github.io"),
+        ("deep.a.github.io", "a.github.io"),
+        ("github.io", "github.io"),            # is itself a public suffix
+        ("x.blogspot.com", "x.blogspot.com"),
+        # wildcard TLD *.ck: every second-level label is a suffix
+        ("foo.bar.ck", "foo.bar.ck"),
+        ("bar.ck", "bar.ck"),                  # is itself a public suffix
+        # ...except the exception rule !www.ck
+        ("www.ck", "www.ck"),
+        ("sub.www.ck", "www.ck"),
+        # *.kawasaki.jp wildcard with the !city.kawasaki.jp exception
+        ("city.kawasaki.jp", "city.kawasaki.jp"),
+        ("ward.city.kawasaki.jp", "city.kawasaki.jp"),
+        ("corp.kawasaki.jp", "corp.kawasaki.jp"),   # suffix by wildcard
+        ("x.corp.kawasaki.jp", "x.corp.kawasaki.jp"),
+        # longest-rule-wins ordinary cases
+        ("www.city.nagoya.jp", "city.nagoya.jp"),  # exception ps=nagoya.jp
+        ("city.nagoya.jp", "city.nagoya.jp"),
+        ("a.co.jp", "a.co.jp"),
+        ("b.a.co.jp", "a.co.jp"),
+    ]
+    df = spark.createDataFrame(rows, "host string, want string")
+    got = df.select(registered_domain("host").alias("d"), "want").collect()
+    for r in got:
+        assert r["d"] == r["want"], (r["d"], r["want"])
+
+
+def test_psl_parser_official_format(spark):
+    """parse_psl reads the official dat format (comments, sections,
+    wildcards, exceptions) so the full public file drops in."""
+    from binance_data_pipeline_spark.operators.psl import parse_psl
+
+    rules = parse_psl(
+        """
+// ===BEGIN ICANN DOMAINS===
+// ck : https://en.wikipedia.org/wiki/.ck
+*.ck
+!www.ck
+
+uk
+co.uk
+
+// ===END ICANN DOMAINS===
+// ===BEGIN PRIVATE DOMAINS===
+github.io
+// ===END PRIVATE DOMAINS===
+"""
+    )
+    assert rules.wildcard == ["ck"]
+    assert rules.exceptions == ["www.ck"]
+    assert rules.exact == ["co.uk", "github.io"]  # bare "uk" → default rule
+
+    df = spark.createDataFrame([("x.www.ck",), ("y.z.ck",)], "host string")
+    got = {
+        r["host"]: r["d"]
+        for r in df.select(
+            "host", registered_domain("host", rules=rules).alias("d")
+        ).collect()
+    }
+    assert got == {"x.www.ck": "www.ck", "y.z.ck": "y.z.ck"}
+
+
 def test_dedup_by_url_keeps_min_id_and_unparseable(spark):
     rows = [
         (1, "https://example.com/p?b=2&a=1"),
