@@ -61,6 +61,8 @@ __all__ = [
     "snapshot_diff",
     "snapshot_merge",
     "snapshot_sync",
+    "snapshot_tail",
+    "tail_cursor",
     "read_snapshot_range",
     "register_snapshot_view",
 ]
@@ -603,6 +605,114 @@ def snapshot_sync(
         if "cross a rewrite" not in str(e) or key_cols is None:
             raise
     return snapshot_diff(spark, table, key_cols, from_version, to_version)
+
+
+def tail_cursor(spark: SparkSession, cursor_path: str) -> int | None:
+    """Last fully-consumed table version recorded under ``cursor_path``
+    (None = the tail has never committed a batch)."""
+    fs, p = _hadoop_fs(spark, cursor_path.rstrip("/"))
+    if not fs.exists(p):
+        return None
+    best = None
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("c") and name[1:].isdigit():
+            v = int(name[1:])
+            if best is None or v > best:
+                best = v
+    return best
+
+
+def _commit_cursor(spark: SparkSession, cursor_path: str, version: int) -> None:
+    base = cursor_path.rstrip("/")
+    tmp = f"{base}/__ctmp_{uuid.uuid4().hex[:12]}"
+    fs, tmp_p = _hadoop_fs(spark, tmp)
+    fs.mkdirs(tmp_p)
+    # losing the claim is fine: a marker for this version already exists,
+    # i.e. the batch is already recorded as consumed
+    _claim_version(spark, tmp, f"{base}/c{version:0{_V_WIDTH}d}")
+
+
+def snapshot_tail(
+    spark: SparkSession,
+    table: str,
+    cursor_path: str,
+    process,
+    key_cols: list[str] | None = None,
+    max_rounds: int = 1,
+    poll=None,
+    on_rewrite: str = "raise",
+) -> int | None:
+    """Continuous consumer over a snapshot table's change feed — the
+    piece that closes the produce→consume loop: producers stream in via
+    ``streaming_snapshot_append`` (exactly-once), downstream consumers
+    tail the table out with this, and neither rescans history.
+
+    Each round resolves the table head and, when it moved past the
+    durable cursor, delivers ONE batch to ``process(batch_df,
+    from_version, to_version, mode)``:
+
+    - ``mode='bootstrap'`` (``from_version=None``): the full table state
+      at head — the first call ever, and (with
+      ``on_rewrite='bootstrap'``) a keyless tail crossing a
+      rewrite/compaction, where dir-diff stops meaning row inserts and
+      the consumer must rebuild downstream state from this batch.
+    - ``mode='changes'``: ``snapshot_sync``'s output for
+      ``(cursor, head]`` — file-diff inserts on append-only ranges
+      (reads ONLY new files), keyed CDC rows when ``key_cols`` is given
+      and the range crossed a rewrite. Every row carries
+      ``_change_type``.
+
+    The cursor (max marker under ``cursor_path``, committed via the same
+    atomic rename discipline as table versions) advances AFTER
+    ``process`` returns — a crash in between redelivers the same range,
+    so delivery is at-least-once and ``to_version`` is the batch id a
+    consumer dedupes on (the foreachBatch contract). Single logical
+    consumer per cursor_path; concurrent processes sharing one cursor
+    may both deliver a range, never skip one.
+
+    ``max_rounds`` bounds the loop; ``poll()`` (e.g. a sleep) runs
+    between rounds when provided, letting tests and schedulers inject
+    cadence. Returns the final cursor. Caught-up rounds are no-ops
+    (``process`` not called)."""
+    if on_rewrite not in ("raise", "bootstrap"):
+        raise ValueError(f"on_rewrite must be 'raise' or 'bootstrap', got {on_rewrite!r}")
+
+    def _ordered(df: DataFrame) -> DataFrame:
+        if key_cols:
+            rest = [c for c in df.columns if c not in key_cols and c != "_change_type"]
+            return df.select(*key_cols, *rest, "_change_type")
+        return df
+
+    cursor = tail_cursor(spark, cursor_path)
+    for rnd in range(int(max_rounds)):
+        if rnd and poll is not None:
+            poll()
+        versions = _list_versions(spark, table)
+        head = versions[-1] if versions else None
+        if head is None or (cursor is not None and head <= cursor):
+            continue
+        if cursor is None:
+            batch = _ordered(
+                read_snapshot(spark, table, version=head, merge_schema=True)
+                .withColumn("_change_type", F.lit("insert"))
+            )
+            process(batch, None, head, "bootstrap")
+        else:
+            try:
+                batch = snapshot_sync(spark, table, cursor, key_cols, head)
+                process(batch, cursor, head, "changes")
+            except ValueError as e:
+                if "cross a rewrite" not in str(e) or on_rewrite != "bootstrap":
+                    raise
+                batch = _ordered(
+                    read_snapshot(spark, table, version=head, merge_schema=True)
+                    .withColumn("_change_type", F.lit("insert"))
+                )
+                process(batch, None, head, "bootstrap")
+        _commit_cursor(spark, cursor_path, head)
+        cursor = head
+    return cursor
 
 
 def snapshot_diff(

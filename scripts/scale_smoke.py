@@ -1,0 +1,235 @@
+"""Reproducible scale smoke for the scale-argued operator families.
+
+Synthesizes an N-times-sf0.1 dataset (default --mult 10: 50k documents,
+20k embeddings, 6M lineitem rows as N deterministic perturbed copies —
+half of each copy's docs drift by one token so BOTH the exact- and
+near-dup pipelines get work) and runs the families whose 100 TB posture
+rests on design arguments: MinHash/SimHash near-dup, IVF build + serve,
+dedup_corpus, the minimal build_training_corpus DAG, and snapshot
+commit + stats-pruned copy-on-write MERGE. Wall times and per-phase
+shuffle volumes come from the Spark stages REST API, so the output pins
+(a) the wall-clock scaling RATIO vs the sf0.1 bench numbers and (b)
+that no stage's shuffle grows quadratically or moves driver-side.
+
+Usage:
+    python scripts/scale_smoke.py [--mult 10] [--base /tmp/bdp_scale]
+        [--sf-dir /root/testdata/sf0.1]
+
+Prints one `FINAL {json}` line; round records live in BASELINE.md
+("Measured (round 7)" has the --mult 10 table).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10, help="copies of the sf0.1 inputs")
+    ap.add_argument("--base", default=None, help="scratch dir (default /tmp/bdp_scale_m{mult})")
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    args = ap.parse_args()
+    mult = args.mult
+    base = args.base or f"/tmp/bdp_scale_m{mult}"
+
+    spark = get_spark("scale-smoke", extra_conf={"spark.ui.enabled": "true"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- data generation (mult perturbed copies, deterministic) ----------
+    def gen():
+        if os.path.exists(f"{base}/_READY"):
+            return
+        docs = spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+        parts = []
+        for c in range(mult):
+            d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(c * 10_000_000))
+            if c > 0:
+                # half of each copy drifts by a token (near dups), half
+                # stays byte-identical (exact dups) — both pipelines get work
+                d = d.withColumn(
+                    "text",
+                    F.when(
+                        F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0,
+                        F.concat(F.col("text"), F.lit(f" rev{c}")),
+                    ).otherwise(F.col("text")),
+                )
+            parts.append(d)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(32).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+
+        emb = spark.read.parquet(f"{args.sf_dir}/embeddings.parquet")
+        parts = []
+        for c in range(mult):
+            e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(c * 10_000_000))
+            if c > 0:
+                e = e.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x: (x + F.lit(float(c) * 1e-3)).cast("float"),
+                    ),
+                )
+            parts.append(e)
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        u.repartition(32).write.mode("overwrite").parquet(f"{base}/embeddings.parquet")
+
+        li = spark.read.parquet(f"{args.sf_dir}/lineitem.parquet")
+        for c in range(mult):
+            li.withColumn(
+                "l_orderkey", F.col("l_orderkey") + F.lit(c * 10_000_000)
+            ).write.mode("overwrite").parquet(f"{base}/lineitem_chunks/c{c}.parquet")
+        open(f"{base}/_READY", "w").close()
+
+    gen()
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    print("rows:", docs.count(), emb.count(), flush=True)
+
+    # ---- stage metrics via the Spark REST API -----------------------------
+    ui = spark.sparkContext.uiWebUrl
+    app = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))[0]["id"]
+
+    def stages():
+        data = json.load(
+            urllib.request.urlopen(
+                f"{ui}/api/v1/applications/{app}/stages?status=complete"
+            )
+        )
+        return {s["stageId"]: s for s in data}
+
+    results = {"mult": mult}
+
+    def smoke(name, fn):
+        before = set(stages())
+        t0 = time.time()
+        extra = fn()
+        wall = round(time.time() - t0, 2)
+        time.sleep(1.0)
+        st = stages()
+        new = [s for sid, s in st.items() if sid not in before]
+        sw = sum(s.get("shuffleWriteBytes", 0) for s in new)
+        sr = sum(s.get("shuffleReadBytes", 0) for s in new)
+        peak = max((s.get("shuffleWriteBytes", 0) for s in new), default=0)
+        results[name] = {
+            "wall_sec": wall,
+            "n_stages": len(new),
+            "shuffle_write_mb": round(sw / 1e6, 1),
+            "shuffle_read_mb": round(sr / 1e6, 1),
+            "peak_stage_shuffle_write_mb": round(peak / 1e6, 1),
+            **(extra or {}),
+        }
+        print(name, results[name], flush=True)
+
+    # 1-2. near-dup families
+    from binance_data_pipeline_spark.operators import dedup as D
+
+    smoke(
+        "minhash_near_dups",
+        lambda: {"pairs": D.minhash_near_dups(docs, threshold=0.5).count()},
+    )
+    smoke("simhash_near_dups", lambda: {"pairs": D.simhash_near_dups(docs).count()})
+
+    # 3. IVF build + serve
+    from binance_data_pipeline_spark.operators.ivf import build_ivf_index, ivf_query
+
+    idx = f"{base}/ivf_index"
+    smoke("ivf_build", lambda: build_ivf_index(emb, idx, n_centroids=64) or {})
+    smoke(
+        "ivf_serve",
+        lambda: {
+            "rows": ivf_query(
+                spark, idx, emb.where(F.col("vec_id") < 10), k=10, nprobe=8
+            ).count()
+        },
+    )
+
+    # 4. dedup_corpus (exact + near + connected components + audit mapping)
+    def run_dedup_corpus():
+        kept, mapping = D.dedup_corpus(docs, threshold=0.85, max_bucket_size=5000)
+        return {"kept": kept.count(), "mapping": mapping.count()}
+
+    smoke("dedup_corpus", run_dedup_corpus)
+
+    # 5. minimal training-corpus DAG
+    from binance_data_pipeline_spark.jobs import build_training_corpus
+
+    def run_corpus():
+        rep = build_training_corpus(
+            spark,
+            f"{base}/documents.parquet",
+            f"{base}/corpus_out",
+            min_quality=0.3,
+            dedup_threshold=0.85,
+        )
+        return {k: int(v) for k, v in rep.items() if isinstance(v, (int, float))}
+
+    smoke("build_training_corpus", run_corpus)
+
+    # 6. snapshot commits (mult dirs) + stats-pruned copy-on-write MERGE
+    from binance_data_pipeline_spark.operators.snapshots import (
+        commit_snapshot,
+        read_snapshot,
+        snapshot_history,
+        snapshot_merge,
+    )
+
+    tbl = f"{base}/snap_lineitem"
+
+    def run_commits():
+        if os.path.exists(f"{tbl}/versions"):
+            return {}
+        for c in range(mult):
+            commit_snapshot(
+                spark,
+                tbl,
+                spark.read.parquet(f"{base}/lineitem_chunks/c{c}.parquet"),
+                stats_cols=["l_orderkey"],
+            )
+        return {}
+
+    smoke("snapshot_commits", run_commits)
+
+    def run_merge():
+        # the synthetic lineitem is not key-unique on (orderkey, linenumber);
+        # a MERGE update batch must be — aggregate to one row per key
+        upd = (
+            spark.read.parquet(f"{base}/lineitem_chunks/c3.parquet")
+            .where(F.col("l_orderkey") % 100 == 0)
+            .groupBy("l_orderkey", "l_linenumber")
+            .agg((F.max("l_quantity") + 1).alias("l_quantity"))
+        )
+        nup = upd.count()
+        v = snapshot_merge(spark, tbl, upd, key_cols=["l_orderkey", "l_linenumber"])
+        op = (
+            snapshot_history(spark, tbl)
+            .where(F.col("version") == v)
+            .first()["operation"]
+        )
+        return {
+            "updates": nup,
+            "version": v,
+            "op": op,
+            "rows_after": read_snapshot(spark, tbl).count(),
+        }
+
+    smoke("snapshot_merge", run_merge)
+
+    print("FINAL " + json.dumps(results), flush=True)
+
+
+if __name__ == "__main__":
+    main()

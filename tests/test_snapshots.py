@@ -793,3 +793,130 @@ def test_register_snapshot_view_and_cli_range(spark, tmp_path, capsys):
 
     assert main(["snapshot", "--table", t, "--range", "id", "3", "12"]) == 0
     assert "range id in [3, 12]: 10 rows" in capsys.readouterr().out
+
+
+def test_snapshot_tail_bootstrap_then_incremental_then_noop(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import (
+        snapshot_tail,
+        tail_cursor,
+    )
+
+    t = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor")
+    commit_snapshot(spark, t, _df(spark, 0, 5))
+    seen = []
+
+    def proc(batch, frm, to, mode):
+        seen.append((frm, to, mode, {(r["id"], r["_change_type"]) for r in batch.collect()}))
+
+    # first call ever: full-state bootstrap, cursor lands on head
+    assert snapshot_tail(spark, t, cur, proc, key_cols=["id"]) == 0
+    assert tail_cursor(spark, cur) == 0
+    assert seen == [(None, 0, "bootstrap", {(i, "insert") for i in range(5)})]
+
+    # two more commits, one tail round: ONE changes batch covering both
+    commit_snapshot(spark, t, _df(spark, 5, 7, "b"))
+    commit_snapshot(spark, t, _df(spark, 7, 9, "c"))
+    assert snapshot_tail(spark, t, cur, proc, key_cols=["id"]) == 2
+    assert seen[-1] == (0, 2, "changes", {(i, "insert") for i in range(5, 9)})
+
+    # caught up: no-op round, process not called, cursor unchanged
+    n = len(seen)
+    assert snapshot_tail(spark, t, cur, proc, key_cols=["id"]) == 2
+    assert len(seen) == n
+
+
+def test_snapshot_tail_redelivers_after_process_crash(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import (
+        snapshot_tail,
+        tail_cursor,
+    )
+
+    t = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor")
+    commit_snapshot(spark, t, _df(spark, 0, 3))
+    snapshot_tail(spark, t, cur, lambda *a: None)
+    commit_snapshot(spark, t, _df(spark, 3, 6, "b"))
+
+    def boom(batch, frm, to, mode):
+        raise RuntimeError("sink down")
+
+    with pytest.raises(RuntimeError, match="sink down"):
+        snapshot_tail(spark, t, cur, boom)
+    # cursor did NOT advance past the failed batch
+    assert tail_cursor(spark, cur) == 0
+
+    seen = []
+    snapshot_tail(
+        spark, t, cur,
+        lambda b, f, to, m: seen.append((f, to, m, sorted(r["id"] for r in b.collect()))),
+    )
+    # the SAME range is redelivered (at-least-once; to_version = batch id)
+    assert seen == [(0, 1, "changes", [3, 4, 5])]
+    assert tail_cursor(spark, cur) == 1
+
+
+def test_snapshot_tail_rewrite_refusal_and_bootstrap_resync(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import (
+        compact_snapshot,
+        snapshot_tail,
+        tail_cursor,
+    )
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 5))
+    commit_snapshot(spark, t, _df(spark, 5, 8, "b"))
+
+    # keyless tail bootstraps at v1, then a compaction rewrites the live set
+    cur_a = str(tmp_path / "cur_a")
+    snapshot_tail(spark, t, cur_a, lambda *a: None, max_rounds=1)
+    compact_snapshot(spark, t)
+    with pytest.raises(ValueError, match="cross a rewrite"):
+        snapshot_tail(spark, t, cur_a, lambda *a: None)
+    assert tail_cursor(spark, cur_a) == 1  # refused round left the cursor put
+
+    seen = []
+    snapshot_tail(
+        spark, t, cur_a,
+        lambda b, f, to, m: seen.append((f, to, m, b.count())),
+        on_rewrite="bootstrap",
+    )
+    assert seen == [(None, 2, "bootstrap", 8)]
+    assert tail_cursor(spark, cur_a) == 2
+
+    # a KEYED tail crosses the same rewrite via the CDC fallback instead
+    cur_b = str(tmp_path / "cur_b")
+    snapshot_tail(spark, t, cur_b, lambda *a: None, key_cols=["id"])  # bootstrap at head
+    commit_snapshot(spark, t, _df(spark, 8, 9, "d"))
+    compact_snapshot(spark, t)
+    keyed = []
+    snapshot_tail(
+        spark, t, cur_b,
+        lambda b, f, to, m: keyed.append((f, to, m, {(r["id"], r["_change_type"]) for r in b.collect()})),
+        key_cols=["id"],
+    )
+    assert keyed == [(2, 4, "changes", {(8, "insert")})]
+
+
+def test_snapshot_tail_multi_round_with_injected_poll(spark, tmp_path):
+    from binance_data_pipeline_spark.operators.snapshots import snapshot_tail
+
+    t = str(tmp_path / "t")
+    cur = str(tmp_path / "cursor")
+    commit_snapshot(spark, t, _df(spark, 0, 2))
+    polls = []
+
+    def poll():
+        polls.append(1)
+        # a new commit lands while the tail sleeps
+        if len(polls) == 1:
+            commit_snapshot(spark, t, _df(spark, 2, 4, "b"))
+
+    seen = []
+    snapshot_tail(
+        spark, t, cur,
+        lambda b, f, to, m: seen.append((f, to, m)),
+        max_rounds=3, poll=poll,
+    )
+    assert polls == [1, 1]  # poll runs BETWEEN rounds, not before the first
+    assert seen == [(None, 0, "bootstrap"), (0, 1, "changes")]
