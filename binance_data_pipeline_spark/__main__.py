@@ -176,6 +176,17 @@ def main(argv: list[str] | None = None) -> int:
                     help="comma-separated columns to range-sort the compaction by")
     pn.add_argument("--range", nargs=3, metavar=("COL", "LO", "HI"), default=None,
                     help="stats-pruned ranged read; prints the matching row count")
+    pn.add_argument("--tail", default=None, metavar="DEST",
+                    help="drain the change feed: write each batch to DEST/v{N} "
+                         "(idempotent per to-version), cursor advances after the write")
+    pn.add_argument("--cursor", default=None,
+                    help="durable cursor directory for --tail (required with it)")
+    pn.add_argument("--rounds", type=int, default=1,
+                    help="tail rounds to run (with --poll-seconds between them)")
+    pn.add_argument("--poll-seconds", type=float, default=5.0,
+                    help="sleep between --tail rounds")
+    pn.add_argument("--on-rewrite", default="raise", choices=["raise", "bootstrap"],
+                    help="keyless --tail crossing a rewrite: refuse or full resync")
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -459,6 +470,33 @@ def main(argv: list[str] | None = None) -> int:
                 spark, args.table, col, _bound(lo), _bound(hi)
             ).count()
             print(f"range {col} in [{lo}, {hi}]: {n} rows")
+        if args.tail is not None:
+            import time as _time
+
+            from .operators.snapshots import snapshot_tail
+
+            if not args.cursor:
+                p.error("--tail requires --cursor")
+            dest = args.tail.rstrip("/")
+
+            def _apply(batch, frm, to, mode):
+                # one dir per consumed head version: a redelivered range
+                # (crash between write and cursor commit) overwrites the
+                # same dir — the at-least-once dedupe the contract asks for
+                batch.write.mode("overwrite").parquet(f"{dest}/v{to:011d}")
+                print(f"tail {mode} v{frm}->v{to} -> {dest}/v{to:011d}")
+
+            cur = snapshot_tail(
+                spark,
+                args.table,
+                args.cursor,
+                _apply,
+                key_cols=args.keys.split(",") if args.keys else None,
+                max_rounds=args.rounds,
+                poll=lambda: _time.sleep(args.poll_seconds),
+                on_rewrite=args.on_rewrite,
+            )
+            print(f"tail cursor={cur}")
         if args.compact:
             from .operators.snapshots import compact_snapshot
 

@@ -920,3 +920,27 @@ def test_snapshot_tail_multi_round_with_injected_poll(spark, tmp_path):
     )
     assert polls == [1, 1]  # poll runs BETWEEN rounds, not before the first
     assert seen == [(None, 0, "bootstrap"), (0, 1, "changes")]
+
+
+def test_cli_snapshot_tail_drains_to_dest(spark, tmp_path, capsys):
+    from binance_data_pipeline_spark.__main__ import main
+
+    t = str(tmp_path / "t")
+    src = str(tmp_path / "s.parquet")
+    _df(spark, 0, 6).write.parquet(src)
+    assert main(["snapshot", "--table", t, "--commit", src]) == 0
+    dest = str(tmp_path / "drain")
+    cur = str(tmp_path / "cursor")
+    assert main(["snapshot", "--table", t, "--tail", dest, "--cursor", cur]) == 0
+    out = capsys.readouterr().out
+    assert "tail bootstrap vNone->v0" in out and "tail cursor=0" in out
+    got = spark.read.parquet(f"{dest}/v00000000000")
+    assert got.count() == 6 and "_change_type" in got.columns
+
+    # second commit, second invocation: only the delta lands, new dir
+    src2 = str(tmp_path / "s2.parquet")
+    _df(spark, 6, 9, "b").write.parquet(src2)
+    assert main(["snapshot", "--table", t, "--commit", src2]) == 0
+    assert main(["snapshot", "--table", t, "--tail", dest, "--cursor", cur]) == 0
+    assert "tail changes v0->v1" in capsys.readouterr().out
+    assert spark.read.parquet(f"{dest}/v00000000001").count() == 3
