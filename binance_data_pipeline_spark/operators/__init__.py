@@ -12,9 +12,11 @@ embedder         text → embedding generation (hash encoder default, model-inje
 clustering       topic discovery: k-means clusters + c-TF-IDF cluster keywords
 evaluation       retrieval metrics: recall/precision@k, MRR, nDCG (TREC defs)
 ivf              persisted IVF ANN index (fingerprinted, build-once/query-many)
+lsh_index        persisted multi-table LSH index (bucket-pruned serve kernel)
 pq               IVF-PQ: product-quantized ANN (M-byte codes, ADC scan, exact refine)
 text             text analysis (tokens, quality, language-ID, fingerprints, PII, chunking)
 urls             URL canonicalization, registered-domain, URL dedup, crawl domain stats
+psl              Public Suffix List snapshot + longest-match registrable-domain rules
 lm_score         CCNet-style n-gram LM fluency scoring (broadcast-join cross-entropy)
 quality_rules    Gopher/C4 structural rule bundles + per-domain gate
 quality_classifier  trainable hashed-n-gram logistic quality filter (FineWeb-Edu recipe)

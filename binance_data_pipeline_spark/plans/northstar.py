@@ -209,12 +209,24 @@ def _with_recall(
 def q_embed_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via random-hyperplane LSH + exact re-rank
     (Spark-only: rows-only driver check; tests measure recall vs brute).
-    Queries are corpus rows, so one shared signature table serves both
-    sides of the bucket join. Output carries recall_vs_exact against the
+    Served from the PERSISTED multi-table signature index
+    (operators/lsh_index): built once per corpus fingerprint, queries
+    signed driver-side, only the probed tbl=/sig= bucket partitions
+    read, one Arrow matmul kernel — the ivf serve-path discipline for
+    the LSH leg. Identical ids to the in-memory ann_lsh_topk (same
+    hyperplanes → same buckets → same re-rank; pinned by
+    tests/test_lsh_index.py). Output carries recall_vs_exact against the
     brute-force top-k of the same 10 queries (one extra corpus scan)."""
+    import hashlib
+    import tempfile
+
+    from ..operators.lsh_index import lsh_topk
+
     e = load_table(spark, sf_dir, "embeddings")
+    key = hashlib.sha1(f"{os.path.abspath(sf_dir)}|p4|t12".encode()).hexdigest()[:16]
+    index_path = os.path.join(tempfile.gettempdir(), f"bdp_lsh_{key}")
     q = e.where(F.col("vec_id") < 10)
-    ann = S.ann_lsh_topk(q, e, k=3, queries_within_corpus=True)
+    ann = lsh_topk(q, e, k=3, index_path=index_path)
     return _with_recall(
         spark, sf_dir, "embeddings", "embed_ann_lsh", "k3|q10",
         ann, ann.select("query_id", "neighbor_id"),
