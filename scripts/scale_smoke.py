@@ -157,6 +157,23 @@ def main() -> None:
         },
     )
 
+    # 3b. LSH index build + bucket-pruned serve
+    from binance_data_pipeline_spark.operators.lsh_index import (
+        build_lsh_index,
+        lsh_query,
+    )
+
+    lidx = f"{base}/lsh_index"
+    smoke("lsh_build", lambda: build_lsh_index(emb, lidx) or {})
+    smoke(
+        "lsh_serve",
+        lambda: {
+            "rows": lsh_query(
+                spark, lidx, emb.where(F.col("vec_id") < 10), k=10
+            ).count()
+        },
+    )
+
     # 4. dedup_corpus (exact + near + connected components + audit mapping)
     def run_dedup_corpus():
         kept, mapping = D.dedup_corpus(docs, threshold=0.85, max_bucket_size=5000)
