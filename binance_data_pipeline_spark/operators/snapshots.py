@@ -43,6 +43,8 @@ import json
 import time
 import uuid
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -64,6 +66,7 @@ __all__ = [
     "snapshot_tail",
     "tail_cursor",
     "read_snapshot_range",
+    "snapshot_lookup",
     "register_snapshot_view",
 ]
 
@@ -115,7 +118,10 @@ def _json_scalar(v):
 
 
 def _dir_stats_json(
-    spark: SparkSession, data_dir: str, stats_cols: list[str]
+    spark: SparkSession,
+    data_dir: str,
+    stats_cols: list[str],
+    bloom_spec: dict[str, dict] | None = None,
 ) -> str | None:
     """Per-dir min/max for ``stats_cols``, read back from the freshly
     written files (column-pruned scan of one dir — footer-cheap, and
@@ -123,7 +129,22 @@ def _dir_stats_json(
     JSON/str encoding preserves ordering are recorded (numerics compare
     as numbers; strings and ISO-formatted date/timestamp compare
     lexicographically) — a Decimal or binary column is silently skipped
-    rather than risk a wrong prune."""
+    rather than risk a wrong prune.
+
+    ``bloom_spec`` ({col: {"m": bits, "k": hashes}}) additionally
+    records a per-dir Bloom filter under the reserved ``__bloom__`` key:
+    the POINT-lookup complement to the min/max range stats, for
+    high-cardinality unsorted keys (uuid-style ids) where every dir's
+    [min,max] spans the whole key space and range pruning cannot skip
+    anything. Bits come from the same JVM ``xxhash64(col, seed_i)``
+    expressions the probe side recomputes, collected as the DISTINCT bit
+    positions (bounded by m, never by row count) and packed driver-side
+    — one extra distributed pass over the freshly written dir, KBs of
+    manifest metadata per column. NULL values hash like any other value
+    on both sides, so bloom pruning stays exact for NULL-keyed merges
+    (the min/max prune must disable itself there). A saturated bloom
+    (too many distinct keys for m) degrades to pruning nothing — a
+    superset filter by construction, never a wrong skip."""
     from pyspark.sql import types as T
 
     safe = (
@@ -137,26 +158,68 @@ def _dir_stats_json(
         for c in stats_cols
         if c in df.columns and isinstance(df.schema[c].dataType, safe)
     ]
-    if not present:
-        return None
-    row = df.agg(
-        *[
-            a
-            for c in present
-            for a in (F.min(c).alias(f"n_{c}"), F.max(c).alias(f"x_{c}"))
-        ]
-    ).first()
-    return json.dumps(
-        {
+    out: dict = {}
+    if present:
+        row = df.agg(
+            *[
+                a
+                for c in present
+                for a in (F.min(c).alias(f"n_{c}"), F.max(c).alias(f"x_{c}"))
+            ]
+        ).first()
+        out = {
             c: {
                 "min": _json_scalar(row[f"n_{c}"]),
                 "max": _json_scalar(row[f"x_{c}"]),
             }
             for c in present
-        },
-        default=str,
-        sort_keys=True,
-    )
+        }
+    b_items = [
+        (c, sp) for c, sp in (bloom_spec or {}).items() if c in df.columns
+    ]
+    if b_items:
+        import base64
+
+        # one job for every bloom column: positions are block-offset so
+        # a single explode+distinct covers them all; the distinct set is
+        # bounded by sum(m_c) bits, independent of the dir's row count
+        exprs, offs, offset = [], [], 0
+        for c, sp in b_items:
+            m, k = int(sp["m"]), int(sp["k"])
+            exprs += [
+                F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m)) + F.lit(offset)
+                for i in range(k)
+            ]
+            offs.append(offset)
+            offset += m
+        pos = np.asarray(
+            [
+                r[0]
+                for r in df.select(F.explode(F.array(*exprs)).alias("p"))
+                .distinct()
+                .collect()
+            ],
+            dtype=np.int64,
+        )
+        blooms = {}
+        for (c, sp), off in zip(b_items, offs):
+            m, k = int(sp["m"]), int(sp["k"])
+            sel = pos[(pos >= off) & (pos < off + m)] - off
+            bits = np.zeros((m + 7) // 8, dtype=np.uint8)
+            np.bitwise_or.at(bits, sel // 8, (1 << (sel % 8)).astype(np.uint8))
+            blooms[c] = {
+                "m": m,
+                "k": k,
+                # probe-side bit positions only match when the hashed
+                # JVM type matches (xxhash64 of int 5 != long 5) — the
+                # probe skips blooms whose recorded type differs
+                "t": df.schema[c].dataType.simpleString(),
+                "b64": base64.b64encode(bits.tobytes()).decode(),
+            }
+        out[_BLOOM_KEY] = blooms
+    if not out:
+        return None
+    return json.dumps(out, default=str, sort_keys=True)
 
 
 def _stats_cols_of(entries: list[tuple[str, str | None]]) -> list[str]:
@@ -166,8 +229,25 @@ def _stats_cols_of(entries: list[tuple[str, str | None]]) -> list[str]:
     cols: set[str] = set()
     for _, s in entries:
         if s:
-            cols.update(json.loads(s))
+            cols.update(k for k in json.loads(s) if k != _BLOOM_KEY)
     return sorted(cols)
+
+
+_BLOOM_KEY = "__bloom__"  # reserved slot inside the per-dir stats JSON
+
+
+def _bloom_spec_of(entries: list[tuple[str, str | None]]) -> dict[str, dict]:
+    """{col: {"m": bits, "k": hashes}} — the union of bloom columns any
+    live dir carries, first-seen parameters win. Rewriting operations
+    (merge, compact) use this the way ``_stats_cols_of`` is used for
+    min/max stats: one bloom-aware writer keeps the whole table
+    bloom-prunable."""
+    spec: dict[str, dict] = {}
+    for _, s in entries:
+        if s:
+            for col, b in (json.loads(s).get(_BLOOM_KEY) or {}).items():
+                spec.setdefault(col, {"m": int(b["m"]), "k": int(b["k"])})
+    return spec
 
 
 def _ranges_overlap(mn, mx, lo, hi) -> bool:
@@ -199,6 +279,103 @@ def _prune_entries(
                 continue
         keep.append(path)
     return keep
+
+
+def _bloom_prune_dirs(
+    updates: DataFrame,
+    key_cols: list[str],
+    entries: list[tuple[str, str | None]],
+) -> list[str]:
+    """Dirs from ``entries`` that could contain a row matching SOME
+    update row on ``key_cols``, decided by the per-dir manifest blooms
+    — the point-lookup prune for keys min/max ranges cannot separate.
+
+    A dir is kept unless every update row misses it: per update row and
+    usable key column, all k of the column's bit positions must be set
+    (the standard Bloom membership test), and a multi-column key must
+    hit on EVERY usable column of the same row. Conservative by
+    construction: dirs without a bloom, columns whose recorded build
+    type differs from the update column's type (different JVM hash
+    bytes), and saturated blooms all fall back to "keep".
+
+    Plan shape: the probe recomputes the build side's
+    ``xxhash64(col, seed_i)`` expressions on the (already one-row-per-
+    key) update frame, an Arrow-batched kernel tests all dirs' bitmaps
+    per batch against numpy bit ops, and the only driver transfer is
+    the DISTINCT set of hit dir indices — bounded by the number of live
+    dirs, never by update rows. The bitmaps ride the closure (KBs per
+    dir), the update frame is scanned once."""
+    import base64
+    import json as _json
+
+    types = {f.name: f.dataType.simpleString() for f in updates.schema.fields}
+    kept: list[str] = []
+    probed_paths: list[str] = []
+    probe_tests: list[list[tuple[int, int, int, np.ndarray]]] = []
+    cols_used: list[str] = []
+    for path, s in entries:
+        blooms = (_json.loads(s).get(_BLOOM_KEY) or {}) if s else {}
+        usable = []
+        for c in key_cols:
+            b = blooms.get(c)
+            if b is not None and b.get("t") == types.get(c):
+                if c not in cols_used:
+                    cols_used.append(c)
+                usable.append(
+                    (
+                        cols_used.index(c),
+                        int(b["m"]),
+                        int(b["k"]),
+                        np.frombuffer(
+                            base64.b64decode(b["b64"]), dtype=np.uint8
+                        ),
+                    )
+                )
+        if usable:
+            probed_paths.append(path)
+            probe_tests.append(usable)
+        else:
+            kept.append(path)  # no usable bloom: cannot rule this dir out
+    if not probed_paths:
+        return kept
+    k_max = max(k for us in probe_tests for _, _, k, _ in us)
+    # one flat array column: block j of width k_max holds cols_used[j]'s
+    # per-seed hashes (varargs pandas_udf signatures are unsupported)
+    hashes = F.array(
+        *[
+            F.xxhash64(F.col(c), F.lit(i))
+            for c in cols_used
+            for i in range(k_max)
+        ]
+    )
+
+    @F.pandas_udf("array<int>")
+    def _hits(h: pd.Series) -> pd.Series:
+        n = len(h)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        H = np.asarray(h.tolist(), dtype=np.int64)  # (rows, n_cols*k_max)
+        out: list[list[int]] = [[] for _ in range(n)]
+        for d, usable in enumerate(probe_tests):
+            ok = np.ones(n, dtype=bool)
+            for cj, m, k, bits in usable:
+                pos = H[:, cj * k_max : cj * k_max + k] % m  # % positive -> [0, m)
+                hit = (bits[pos // 8] & (1 << (pos % 8)).astype(np.uint8)) != 0
+                ok &= hit.all(axis=1)
+                if not ok.any():
+                    break
+            for r in np.nonzero(ok)[0]:
+                out[r].append(d)
+        return pd.Series(out)
+
+    rows = (
+        updates.select(_hits(hashes).alias("__d"))
+        .select(F.explode("__d").alias("d"))
+        .distinct()
+        .collect()
+    )
+    hit = {int(r["d"]) for r in rows}
+    return kept + [p for i, p in enumerate(probed_paths) if i in hit]
 
 
 def _claim_version(spark: SparkSession, tmp: str, dest: str) -> bool:
@@ -266,6 +443,9 @@ def commit_snapshot(
     operation: str | None = None,
     partition_by: list[str] | None = None,
     stats_cols: list[str] | None = None,
+    bloom_cols: list[str] | None = None,
+    bloom_bits: int = 1 << 16,
+    bloom_hashes: int = 5,
     max_retries: int = 10,
 ) -> int:
     """Commit ``df`` as the next version of ``table``; returns the
@@ -282,6 +462,17 @@ def commit_snapshot(
     a table whose live dirs already carry stats, the new dir inherits
     THEIR column set automatically, so one stats-aware writer is enough
     to keep the whole table prunable.
+
+    ``bloom_cols`` records a per-dir Bloom filter per column IN THE
+    MANIFEST — the point-lookup complement to min/max stats for
+    high-cardinality unsorted keys (uuid ids) whose per-dir ranges all
+    span the key space: ``snapshot_merge`` discovery and
+    ``snapshot_lookup`` then skip dirs whose bloom proves the probed
+    keys absent, without reading any data file. Size ``bloom_bits`` at
+    ~10× the expected DISTINCT keys per commit dir (the default 64Ki
+    bits ≈ 1% false positives at ~6k keys; an undersized bloom
+    saturates and simply prunes nothing). Like stats, bloom columns and
+    parameters are inherited from the live entries when omitted.
 
     The data dir lands BEFORE the manifest rename, so a crash between
     the two leaves an invisible orphan, never a half-visible commit.
@@ -313,7 +504,16 @@ def commit_snapshot(
         committed_at = time.time()
         if not stats_done:
             cols = stats_cols or _stats_cols_of(prior)
-            new_stats = _dir_stats_json(spark, data_dir, cols) if cols else None
+            bspec = (
+                {c: {"m": int(bloom_bits), "k": int(bloom_hashes)} for c in bloom_cols}
+                if bloom_cols
+                else _bloom_spec_of(prior)
+            )
+            new_stats = (
+                _dir_stats_json(spark, data_dir, cols, bspec)
+                if cols or bspec
+                else None
+            )
             stats_done = True  # retries re-derive the live set, not our stats
         if mode == "append" and versions:
             live = prior + [(data_dir, new_stats)]
@@ -409,6 +609,55 @@ def read_snapshot_range(
     if hi is not None:
         df = df.where(F.col(col) <= F.lit(hi))
     return df
+
+
+def snapshot_lookup(
+    spark: SparkSession,
+    table: str,
+    col: str,
+    values: list,
+    version: int | None = None,
+) -> DataFrame:
+    """Point lookup: rows of ``table`` whose ``col`` is in ``values``
+    (a small driver-side list — id fetches, not joins), touching the
+    fewest dirs the manifest metadata can prove sufficient. Two prunes
+    stack before any data file is opened: min/max range stats against
+    [min(values), max(values)] (a superset of the IN-set), then per-dir
+    Bloom membership of each value when the table was committed with
+    ``bloom_cols`` — the prune that still works for uuid-style keys
+    whose per-dir ranges all overlap. Residual ``col IN (...)`` filter
+    applies row-level, pushed to parquet, so both prunes are
+    superset-exact. At 100 TB an id fetch reads the one or two dirs
+    that can hold it instead of listing the table."""
+    if not values:
+        raise ValueError("values must be a non-empty list")
+    v = _resolve_version(spark, table, version, None)
+    entries = _live_entries(spark, table, v)
+    non_null = [x for x in values if x is not None]
+    if non_null and len(non_null) == len(values):
+        lo = _json_scalar(min(non_null))
+        hi = _json_scalar(max(non_null))
+        keep = set(_prune_entries(entries, col, lo, hi))
+        entries = [e for e in entries if e[0] in keep]
+    if entries:
+        # probe the manifest blooms with the values themselves, hashed
+        # by the SAME JVM expressions the build side used — the typed
+        # one-column frame keeps int-vs-long hash bytes consistent
+        from pyspark.sql import types as T
+
+        dt = read_snapshot(spark, table, version=v).schema[col].dataType
+        probe = spark.createDataFrame(
+            [(x,) for x in values],
+            schema=T.StructType([T.StructField(col, dt, True)]),
+        )
+        dirs = _bloom_prune_dirs(probe, [col], entries)
+    else:
+        dirs = []
+    if not dirs:
+        return read_snapshot(spark, table, version=v).limit(0)
+    df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    return df.where(F.col(col).isin(values) if None not in values
+                    else (F.col(col).isin(non_null) | F.col(col).isNull()))
 
 
 def register_snapshot_view(
@@ -928,6 +1177,16 @@ def snapshot_merge(
             if k_lo is not None or k_hi is not None
             else list(live)
         )
+        if candidates:
+            # bloom pruning stacks on the range prune: dirs whose
+            # manifest bloom proves no update key present are dropped
+            # from discovery WITHOUT reading their files — the prune
+            # that still works when every dir's [min,max] spans the key
+            # space (uuid keys) or the update batch carries NULL keys
+            cset = set(candidates)
+            candidates = _bloom_prune_dirs(
+                u1, key_cols, [e for e in entries if e[0] in cset]
+            )
         by_name = {d.rstrip("/").rsplit("/", 1)[-1]: d for d in live}
         tgt = spark.read.option("mergeSchema", "true").parquet(*live)
         tgt_cols = tgt.columns
@@ -1015,7 +1274,12 @@ def snapshot_merge(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
         scols = _stats_cols_of(entries)
-        new_stats = _dir_stats_json(spark, data_dir, scols) if scols else None
+        bspec = _bloom_spec_of(entries)
+        new_stats = (
+            _dir_stats_json(spark, data_dir, scols, bspec)
+            if scols or bspec
+            else None
+        )
         new_live = [e for e in entries if e[0] not in set(touched)] + [
             (data_dir, new_stats)
         ]
@@ -1126,7 +1390,12 @@ def compact_snapshot(
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data_dir)
         scols = _stats_cols_of(entries)
-        new_stats = _dir_stats_json(spark, data_dir, scols) if scols else None
+        bspec = _bloom_spec_of(entries)
+        new_stats = (
+            _dir_stats_json(spark, data_dir, scols, bspec)
+            if scols or bspec
+            else None
+        )
         new_live = [e for e in entries if e[0] not in set(small)] + [
             (data_dir, new_stats)
         ]
