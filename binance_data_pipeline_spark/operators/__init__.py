@@ -49,6 +49,7 @@ revenue          fee/tax revenue fact (§3.4 flagship)
 scale            compaction, bucketing, salting, Z-order
 skipping         file-level min/max data-skipping index
 snapshots        snapshot-versioned tables (atomic commits, time travel, rollback, vacuum, exactly-once streaming appends)
+mview            incrementally maintained materialized aggregate views (change-feed fold, exactly-once cursor-in-manifest)
 export           sharded manifest-gated training-data export (jsonl[.gz]/parquet/WebDataset tar)
 multimodal       binary-column plumbing; real PPM/PNG/WAV codecs, PIL autodetect
 jpeg             dependency-free baseline JPEG codec (T.81 sequential, JFIF)

@@ -1,0 +1,207 @@
+"""Incrementally maintained materialized aggregate views over snapshot
+tables.
+
+The reference maintains its rollups by re-running dbt models over the
+whole warehouse (reference dbt/models/marts/fct_revenue_daily.sql — a
+full-table GROUP BY per run; the incremental high-watermark model only
+bounds the STAGING scan). This module is the table-format-native
+version: a view = ``GROUP BY key_cols`` with associative aggregates
+(count/sum/min/max/avg) over a snapshot source table, refreshed by
+
+1. reading ONLY the source rows added since the last applied source
+   version (``snapshot_changes`` — the file-diff change feed, new files
+   only, no table rescan),
+2. partially aggregating that delta (map-side combine, one shuffle the
+   size of the DELTA's key set), and
+3. folding the partials into the view with ``snapshot_merge``'s
+   combine-on-match ``update_exprs`` — copy-on-write bounded to the
+   view dirs that actually hold touched keys.
+
+At 100 TB the steady-state refresh cost is O(new data + touched view
+dirs), never O(source) or O(view).
+
+Exactly-once across crashes and re-runs: the applied source version
+rides the VIEW manifest's operation field (``mview:{src_version}``), so
+delta data and cursor commit in one atomic rename — the
+``snapshot_append_batch`` recipe. A replayed refresh (applied >= source
+head) is a no-op. Like the stream-append contract, one refresher per
+view; ad-hoc readers are unrestricted.
+
+A source range that crosses a rewrite (overwrite/rollback/compaction
+changed dir identity, so dir-diff stops meaning row inserts) cannot be
+folded incrementally: count/sum would need retractions and min/max a
+re-scan of affected groups. The refresher then recomputes the view in
+full as ONE overwrite commit (still atomic, still tagged with the
+applied version) — correct for every supported aggregate, and the view
+stays time-travelable across the recompute. ``on_rewrite='raise'``
+surfaces the crossing instead when a full source scan must not hide
+behind a refresh call.
+
+``avg`` is stored as its sum/count partials (hidden ``{out}__sum`` /
+``{out}__cnt`` columns — the only decomposition that merges
+associatively) and re-derived at read; ``mview_read`` is the one reader
+that knows to project it back.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .snapshots import (
+    _list_versions,
+    commit_snapshot,
+    read_snapshot,
+    snapshot_changes,
+    snapshot_history,
+    snapshot_merge,
+)
+
+__all__ = ["mview_refresh", "mview_read", "mview_applied_version"]
+
+_OP = "mview"
+
+_SUPPORTED = ("count", "sum", "min", "max", "avg")
+
+
+def _expand(aggs: dict) -> list[tuple[str, str, object]]:
+    """[(physical_col, fn, input)] — avg expands to its sum/cnt pair."""
+    out = []
+    for name, (fn, expr) in aggs.items():
+        if fn not in _SUPPORTED:
+            raise ValueError(f"unsupported aggregate {fn!r} (have {_SUPPORTED})")
+        if fn == "avg":
+            if expr is None:
+                raise ValueError("avg requires an input expression")
+            out.append((f"{name}__sum", "sum", expr))
+            out.append((f"{name}__cnt", "count", expr))
+        else:
+            out.append((name, fn, expr))
+    return out
+
+
+def _partial(fn: str, expr) -> Column:
+    col = F.expr(expr) if isinstance(expr, str) else expr
+    if fn == "count":
+        return F.count(F.lit(1)) if expr is None else F.count(col)
+    return {"sum": F.sum, "min": F.min, "max": F.max}[fn](col)
+
+
+def _combine(fn: str):
+    """existing ⊕ incoming, with SQL aggregate NULL semantics: count is
+    never NULL; sum of two partials is NULL only when both are (least/
+    greatest already skip NULLs, matching min/max over a group)."""
+    if fn in ("count",):
+        return lambda t, u: t + u
+    if fn == "sum":
+        return lambda t, u: (
+            F.when(t.isNull(), u).when(u.isNull(), t).otherwise(t + u)
+        )
+    if fn == "min":
+        return lambda t, u: F.least(t, u)
+    return lambda t, u: F.greatest(t, u)
+
+
+def mview_applied_version(spark: SparkSession, view_table: str) -> int | None:
+    """Highest source version the view has applied — parsed from the
+    ``mview:{N}`` operation tags its own manifests carry (KB-scale
+    metadata read). None when the view has never been refreshed."""
+    if not _list_versions(spark, view_table):
+        return None
+    row = (
+        snapshot_history(spark, view_table)
+        .where(F.col("operation").startswith(f"{_OP}:"))
+        .agg(
+            F.max(
+                F.split(F.col("operation"), ":").getItem(1).cast("long")
+            ).alias("v")
+        )
+        .first()
+    )
+    return None if row is None or row["v"] is None else int(row["v"])
+
+
+def mview_refresh(
+    spark: SparkSession,
+    src_table: str,
+    view_table: str,
+    key_cols: list[str],
+    aggs: dict,
+    on_rewrite: str = "recompute",
+) -> int | None:
+    """Bring ``view_table`` up to ``src_table``'s head; returns the
+    applied source version, or None when already caught up.
+
+    ``aggs``: {out_col: (fn, input)} with fn in count/sum/min/max/avg;
+    input is a column name / SQL expression string (None for count(*)).
+    The first call bootstraps the view with a full aggregation; later
+    calls fold only the source delta (see module docstring for the
+    exactly-once and rewrite contracts)."""
+    if on_rewrite not in ("recompute", "raise"):
+        raise ValueError(f"on_rewrite must be recompute|raise, got {on_rewrite!r}")
+    phys = _expand(aggs)
+    src_versions = _list_versions(spark, src_table)
+    if not src_versions:
+        raise ValueError(f"{src_table} has no committed snapshots")
+    head = src_versions[-1]
+    applied = mview_applied_version(spark, view_table)
+    if applied is not None and head <= applied:
+        return None
+
+    def _aggregate(df: DataFrame) -> DataFrame:
+        return df.groupBy(*key_cols).agg(
+            *[_partial(fn, expr).alias(name) for name, fn, expr in phys]
+        )
+
+    if applied is None:
+        full = _aggregate(read_snapshot(spark, src_table, version=head))
+        commit_snapshot(
+            spark, view_table, full, mode="overwrite", operation=f"{_OP}:{head}"
+        )
+        return head
+    try:
+        delta = snapshot_changes(spark, src_table, applied, head)
+    except ValueError as e:
+        if "cross a rewrite" not in str(e):
+            raise
+        if on_rewrite == "raise":
+            raise
+        full = _aggregate(read_snapshot(spark, src_table, version=head))
+        commit_snapshot(
+            spark, view_table, full, mode="overwrite", operation=f"{_OP}:{head}"
+        )
+        return head
+    snapshot_merge(
+        spark,
+        view_table,
+        _aggregate(delta),
+        key_cols,
+        update_exprs={name: _combine(fn) for name, fn, _ in phys},
+        operation=f"{_OP}:{head}",
+    )
+    return head
+
+
+def mview_read(
+    spark: SparkSession,
+    view_table: str,
+    aggs: dict,
+    version: int | None = None,
+) -> DataFrame:
+    """The view with derived aggregates projected back: avg columns are
+    recombined from their stored sum/cnt partials (NULL when the group
+    counted nothing non-null, matching SQL AVG); everything else reads
+    as stored."""
+    df = read_snapshot(spark, view_table, version=version)
+    drop, add = [], []
+    for name, (fn, _) in aggs.items():
+        if fn == "avg":
+            s, c = f"{name}__sum", f"{name}__cnt"
+            add.append(
+                F.when(F.col(c) > 0, F.col(s) / F.col(c)).alias(name)
+            )
+            drop += [s, c]
+    if not add:
+        return df
+    keep = [c for c in df.columns if c not in drop]
+    return df.select(*keep, *add)

@@ -1077,6 +1077,8 @@ def snapshot_merge(
     key_cols: list[str],
     delete_col: str | None = None,
     partition_by: list[str] | None = None,
+    update_exprs: dict | None = None,
+    operation: str | None = None,
     max_retries: int = 3,
 ) -> int:
     """MERGE INTO for snapshot tables — the write-side dual of
@@ -1086,6 +1088,18 @@ def snapshot_merge(
     Commits one new version; history stays time-travelable and
     ``snapshot_diff`` across the merge reports exactly the applied
     changes.
+
+    ``update_exprs`` ({col: fn(existing, update) -> Column}) overrides
+    the matched-row value for those columns with a COMBINE of the
+    existing and incoming values instead of a replace — SQL MERGE's
+    ``UPDATE SET c = t.c + s.c`` shape, the primitive counter upserts
+    and incremental materialized views are built on. Unmatched update
+    rows still insert their own values verbatim (for associative
+    combines like sum/count/min/max the incoming partial IS the correct
+    initial state). Keys cannot be combined. ``operation`` overrides the
+    manifest's recorded operation string (default ``merge:{n}d``) —
+    consumers like the mview refresher ride their replay cursor on it so
+    data and cursor commit in ONE atomic rename.
 
     Copy-on-write bounded to TOUCHED dirs (the Delta/Iceberg CoW
     posture): a key-column-pruned scan + semi-join discovers which live
@@ -1105,6 +1119,11 @@ def snapshot_merge(
     for k in key_cols:
         if k not in updates.columns:
             raise ValueError(f"key column {k!r} missing from updates")
+    for c in update_exprs or {}:
+        if c in key_cols:
+            raise ValueError(f"update_exprs cannot target key column {c!r}")
+        if c not in updates.columns:
+            raise ValueError(f"update_exprs column {c!r} not in updates")
     base = table.rstrip("/")
     upd_vals = [c for c in updates.columns if c not in key_cols and c != delete_col]
     # one row per key, duplicate update keys raise at execution (guard
@@ -1244,9 +1263,15 @@ def snapshot_merge(
             t = _aligned_tgt(spark.read.option("mergeSchema", "true").parquet(*touched))
             j = t.alias("t").join(u1.alias("u"), _keys_eq("t", "u"), "left_outer")
             matched = F.col("u.__un").isNotNull()
+            def _matched_value(c: str):
+                fn = (update_exprs or {}).get(c)
+                if fn is not None:
+                    return fn(F.col(f"t.{c}"), _from_update(c))
+                return _from_update(c)
+
             kept = j.where(~matched | ~F.col("u.__udel")).select(
                 *[
-                    F.when(matched, _from_update(c))
+                    F.when(matched, _matched_value(c))
                     .otherwise(F.col(f"t.{c}"))
                     .alias(c)
                     for c in all_cols
@@ -1283,7 +1308,7 @@ def snapshot_merge(
         new_live = [e for e in entries if e[0] not in set(touched)] + [
             (data_dir, new_stats)
         ]
-        op = f"merge:{len(touched)}d"
+        op = operation or f"merge:{len(touched)}d"
         if _write_manifest_commit(
             spark,
             table,
