@@ -21,10 +21,14 @@ Airflow tasks, as plain commands:
   eval       macro retrieval metrics (recall@k, MRR, nDCG) for judged
              queries against a serving root (hybrid or --rm3)
   snapshot   versioned-table ops (operators/snapshots): print history,
-             commit a parquet as the next version, rollback, vacuum,
-             keyed CDC diff (--diff A B --keys k), MERGE upsert
-             (--merge upd.parquet --keys k), compaction (--compact
-             [--only-small-mb N] [--cluster-by c])
+             commit a parquet as the next version (--bloom-cols adds
+             per-dir Bloom indexes), rollback, vacuum, keyed CDC diff
+             (--diff A B --keys k), MERGE upsert (--merge upd.parquet
+             --keys k), compaction (--compact [--only-small-mb N]
+             [--cluster-by c]), point lookup (--lookup col v1,v2)
+  mview      incrementally maintained materialized aggregate view:
+             refresh folds only the source delta, exactly-once
+             (--src --view --keys k --aggs n:count,total:sum:amount)
   profile    per-column table profile (operators/profile): nulls,
              distinct estimate, range, quantiles, top values
   audit      physical-plan audit of the whole catalog (plans/audit):
@@ -150,6 +154,14 @@ def main(argv: list[str] | None = None) -> int:
     pn.add_argument("--table", required=True, help="snapshot table directory")
     pn.add_argument("--commit", default=None, help="parquet path to commit as the next version")
     pn.add_argument("--mode", default="append", choices=["append", "overwrite"])
+    pn.add_argument("--bloom-cols", default=None,
+                    help="comma-separated columns to record per-dir Bloom "
+                         "filters for on --commit (point-lookup dir skipping)")
+    pn.add_argument("--bloom-bits", type=int, default=1 << 16,
+                    help="bloom size in bits (~10x expected distinct keys/dir)")
+    pn.add_argument("--lookup", nargs=2, metavar=("COL", "VALUES"), default=None,
+                    help="bloom+stats-pruned point lookup: comma-separated "
+                         "values; prints the matching row count")
     pn.add_argument("--rollback", type=int, default=None, help="restore this version (new commit)")
     pn.add_argument("--vacuum", action="store_true", help="reap unreferenced data dirs")
     pn.add_argument("--keep", type=int, default=2, help="versions retained by --vacuum")
@@ -187,6 +199,26 @@ def main(argv: list[str] | None = None) -> int:
                     help="sleep between --tail rounds")
     pn.add_argument("--on-rewrite", default="raise", choices=["raise", "bootstrap"],
                     help="keyless --tail crossing a rewrite: refuse or full resync")
+
+    pm = sub.add_parser(
+        "mview",
+        help="incrementally maintained materialized aggregate view "
+             "(refresh folds only the source delta, exactly-once)",
+    )
+    pm.add_argument("--src", required=True, help="source snapshot table")
+    pm.add_argument("--view", required=True, help="view snapshot table")
+    pm.add_argument("--keys", required=True, help="comma-separated group-by keys")
+    pm.add_argument(
+        "--aggs",
+        required=True,
+        help="comma-separated out:fn[:input] specs, fn in "
+             "count|sum|min|max|avg, e.g. n:count,total:sum:amount,mean:avg:amount",
+    )
+    pm.add_argument("--on-rewrite", default="recompute",
+                    choices=["recompute", "raise"],
+                    help="source range crossing a rewrite: full recompute or refuse")
+    pm.add_argument("--show", type=int, default=0,
+                    help="print this many view rows after the refresh")
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -409,9 +441,31 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.commit is not None:
             v = commit_snapshot(
-                spark, args.table, spark.read.parquet(args.commit), mode=args.mode
+                spark,
+                args.table,
+                spark.read.parquet(args.commit),
+                mode=args.mode,
+                bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
+                bloom_bits=args.bloom_bits,
             )
             print(f"committed version={v}")
+        if args.lookup is not None:
+            from .operators.snapshots import snapshot_lookup
+
+            col, raw = args.lookup
+
+            def _val(s: str):
+                for cast in (int, float):
+                    try:
+                        return cast(s)
+                    except ValueError:
+                        pass
+                return s
+
+            n = snapshot_lookup(
+                spark, args.table, col, [_val(x) for x in raw.split(",")]
+            ).count()
+            print(f"lookup {col} in ({raw}): {n} rows")
         if args.rollback is not None:
             v = rollback_snapshot(spark, args.table, args.rollback)
             print(f"rolled back to {args.rollback} as version={v}")
@@ -522,6 +576,36 @@ def main(argv: list[str] | None = None) -> int:
                 f"v{r['version']}\t{r['operation']}\t{r['n_dirs']} dirs\t"
                 f"committed_at={r['committed_at']:.3f}"
             )
+        return 0
+
+    if args.cmd == "mview":
+        from .operators.mview import mview_read, mview_refresh
+
+        aggs = {}
+        for spec in args.aggs.split(","):
+            parts = spec.split(":")
+            if len(parts) == 2:
+                aggs[parts[0]] = (parts[1], None)
+            elif len(parts) == 3:
+                aggs[parts[0]] = (parts[1], parts[2])
+            else:
+                p.error(f"bad agg spec {spec!r} (want out:fn[:input])")
+        applied = mview_refresh(
+            spark,
+            args.src,
+            args.view,
+            args.keys.split(","),
+            aggs,
+            on_rewrite=args.on_rewrite,
+        )
+        print(
+            "already caught up"
+            if applied is None
+            else f"refreshed through source version={applied}"
+        )
+        if args.show:
+            for r in mview_read(spark, args.view, aggs).limit(args.show).collect():
+                print(r)
         return 0
 
     return 2

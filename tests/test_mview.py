@@ -148,6 +148,31 @@ def test_merge_update_exprs_counter_upsert(spark, tmp_path):
     assert got == {"x": 15, "y": 1, "z": 7}
 
 
+def test_cli_mview_and_lookup_roundtrip(spark, tmp_path):
+    """CLI surface: snapshot --commit --bloom-cols, --lookup, and the
+    mview subcommand's spec parser drive the same code paths."""
+    from binance_data_pipeline_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    batch = str(tmp_path / "in.parquet")
+    _batch(spark, [("a", 1.0), ("b", 2.0)]).write.parquet(batch)
+    assert (
+        main(["snapshot", "--table", src, "--commit", batch,
+              "--bloom-cols", "grp"]) == 0
+    )
+    assert main(["snapshot", "--table", src, "--lookup", "grp", "a"]) == 0
+    view = str(tmp_path / "view")
+    assert (
+        main(["mview", "--src", src, "--view", view, "--keys", "grp",
+              "--aggs", "n:count,total:sum:amount,mean:avg:amount",
+              "--show", "2"]) == 0
+    )
+    aggs = {"n": ("count", None), "total": ("sum", "amount"),
+            "mean": ("avg", "amount")}
+    got = {r["grp"]: r["total"] for r in mview_read(spark, view, aggs).collect()}
+    assert got == {"a": 1.0, "b": 2.0}
+
+
 def test_avg_null_group_reads_as_null(spark, tmp_path):
     src, view = str(tmp_path / "src"), str(tmp_path / "view")
     commit_snapshot(spark, src, _batch(spark, [("a", None), ("b", 2.0)]))
