@@ -245,6 +245,92 @@ def main() -> None:
 
     smoke("snapshot_merge", run_merge)
 
+    # 7. bloom-indexed table: point lookup + bloom-pruned merge discovery.
+    # Keys are uuid-style (hash-scrambled) so every dir's [min,max] spans
+    # the key space and the range prune can do NOTHING — the bloom is the
+    # only thing standing between a 3-row merge and a full discovery scan.
+    from binance_data_pipeline_spark.operators.snapshots import snapshot_lookup
+
+    btbl = f"{base}/snap_bloom"
+
+    def run_bloom_commits():
+        if os.path.exists(f"{btbl}/versions"):
+            return {}
+        for c in range(mult):
+            chunk = (
+                spark.read.parquet(f"{base}/lineitem_chunks/c{c}.parquet")
+                .select(
+                    F.concat(
+                        F.lit("u"), F.abs(F.xxhash64("l_orderkey", "l_linenumber"))
+                    ).alias("uid"),
+                    "l_orderkey",
+                    "l_quantity",
+                )
+                .dropDuplicates(["uid"])
+            )
+            commit_snapshot(
+                spark, btbl, chunk, bloom_cols=["uid"], bloom_bits=1 << 23
+            )
+        return {}
+
+    smoke("bloom_commits", run_bloom_commits)
+
+    def run_bloom_lookup():
+        ids = [
+            r["uid"]
+            for r in read_snapshot(spark, btbl).select("uid").limit(3).collect()
+        ]
+        got = snapshot_lookup(spark, btbl, "uid", ids)
+        return {"rows": got.count(), "files_read": len(got.inputFiles())}
+
+    smoke("bloom_lookup", run_bloom_lookup)
+
+    def run_bloom_merge():
+        ids = [
+            r["uid"]
+            for r in read_snapshot(spark, btbl).select("uid").limit(3).collect()
+        ]
+        upd = spark.createDataFrame([(i, 999.0) for i in ids], "uid string, l_quantity double")
+        v = snapshot_merge(spark, btbl, upd, key_cols=["uid"])
+        op = (
+            snapshot_history(spark, btbl)
+            .where(F.col("version") == v)
+            .first()["operation"]
+        )
+        return {"version": v, "op": op}
+
+    smoke("bloom_merge", run_bloom_merge)
+
+    # 8. materialized view: bootstrap over the snapshot table, then a
+    # delta refresh after one more commit — steady-state must cost the
+    # delta, not the source
+    from binance_data_pipeline_spark.operators.mview import (
+        mview_read,
+        mview_refresh,
+    )
+
+    view = f"{base}/mv_lineitem"
+    aggs = {
+        "n": ("count", None),
+        "qty": ("sum", "l_quantity"),
+        "mean_qty": ("avg", "l_quantity"),
+    }
+
+    def run_mview_bootstrap():
+        v = mview_refresh(spark, tbl, view, ["l_orderkey"], aggs)
+        return {"applied_src_version": v, "groups": mview_read(spark, view, aggs).count()}
+
+    smoke("mview_bootstrap", run_mview_bootstrap)
+
+    def run_mview_delta():
+        commit_snapshot(
+            spark, tbl, spark.read.parquet(f"{base}/lineitem_chunks/c1.parquet").limit(50_000)
+        )
+        v = mview_refresh(spark, tbl, view, ["l_orderkey"], aggs)
+        return {"applied_src_version": v}
+
+    smoke("mview_delta_refresh", run_mview_delta)
+
     print("FINAL " + json.dumps(results), flush=True)
 
 
