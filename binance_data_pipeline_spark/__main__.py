@@ -217,6 +217,10 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--on-rewrite", default="recompute",
                     choices=["recompute", "raise"],
                     help="source range crossing a rewrite: full recompute or refuse")
+    pm.add_argument("--derived-key", action="append", default=None,
+                    metavar="NAME=SQL_EXPR",
+                    help="grouping key the source doesn't materialize, e.g. "
+                         "hour=date_trunc('hour', event_time); repeatable")
     pm.add_argument("--show", type=int, default=0,
                     help="print this many view rows after the refresh")
 
@@ -590,6 +594,14 @@ def main(argv: list[str] | None = None) -> int:
                 aggs[parts[0]] = (parts[1], parts[2])
             else:
                 p.error(f"bad agg spec {spec!r} (want out:fn[:input])")
+        derived = None
+        if args.derived_key:
+            derived = {}
+            for spec in args.derived_key:
+                if "=" not in spec:
+                    p.error(f"bad --derived-key {spec!r} (want NAME=SQL_EXPR)")
+                name, sql = spec.split("=", 1)
+                derived[name] = sql
         applied = mview_refresh(
             spark,
             args.src,
@@ -597,6 +609,7 @@ def main(argv: list[str] | None = None) -> int:
             args.keys.split(","),
             aggs,
             on_rewrite=args.on_rewrite,
+            derived_keys=derived,
         )
         print(
             "already caught up"

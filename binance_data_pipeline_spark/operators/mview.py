@@ -128,6 +128,7 @@ def mview_refresh(
     key_cols: list[str],
     aggs: dict,
     on_rewrite: str = "recompute",
+    derived_keys: dict[str, str] | None = None,
 ) -> int | None:
     """Bring ``view_table`` up to ``src_table``'s head; returns the
     applied source version, or None when already caught up.
@@ -136,7 +137,15 @@ def mview_refresh(
     input is a column name / SQL expression string (None for count(*)).
     The first call bootstraps the view with a full aggregation; later
     calls fold only the source delta (see module docstring for the
-    exactly-once and rewrite contracts)."""
+    exactly-once and rewrite contracts).
+
+    ``derived_keys`` ({key_name: sql_expr}) projects grouping keys the
+    source doesn't materialize — the time-bucket rollup shape
+    (``{"hour": "date_trunc('hour', event_time)"}``) — evaluated
+    map-side on the delta before aggregation; names then appear in
+    ``key_cols`` like any physical column. Deterministic expressions
+    only: the fold assumes a source row buckets identically on every
+    refresh."""
     if on_rewrite not in ("recompute", "raise"):
         raise ValueError(f"on_rewrite must be recompute|raise, got {on_rewrite!r}")
     phys = _expand(aggs)
@@ -149,6 +158,8 @@ def mview_refresh(
         return None
 
     def _aggregate(df: DataFrame) -> DataFrame:
+        for name, sql in (derived_keys or {}).items():
+            df = df.withColumn(name, F.expr(sql))
         return df.groupBy(*key_cols).agg(
             *[_partial(fn, expr).alias(name) for name, fn, expr in phys]
         )

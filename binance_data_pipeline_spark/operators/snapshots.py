@@ -775,14 +775,36 @@ def snapshot_append_batch(
     )
 
 
-def streaming_snapshot_append(stream: DataFrame, table: str, checkpoint: str):
+def streaming_snapshot_append(
+    stream: DataFrame,
+    table: str,
+    checkpoint: str,
+    refresh_views: list[dict] | None = None,
+):
     """foreachBatch writer streaming micro-batches into a snapshot table
     — every batch becomes a time-travelable version, exactly once across
     checkpoint loss. Returns the UNSTARTED writer (caller picks trigger
-    and calls .start()), the streaming_quantile_rollup convention."""
+    and calls .start()), the streaming_quantile_rollup convention.
+
+    ``refresh_views`` chains incrementally maintained rollups onto the
+    ingest (each dict = ``mview_refresh`` kwargs minus spark/src_table:
+    ``view_table``, ``key_cols``, ``aggs``, optional ``derived_keys``):
+    after a batch commits, each view folds exactly the new rows — the
+    streaming end of the reference's dbt rollup models, with no rescan.
+    Exactly-once composes: a replayed batch appends nothing AND the
+    view's applied-version cursor makes its refresh a no-op; a crash
+    between append and refresh just means the NEXT batch's refresh
+    folds both deltas (the view lags the table by at most one batch,
+    it never double-counts or loses one)."""
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        snapshot_append_batch(batch_df.sparkSession, table, batch_df, batch_id)
+        spark = batch_df.sparkSession
+        snapshot_append_batch(spark, table, batch_df, batch_id)
+        if refresh_views:
+            from .mview import mview_refresh
+
+            for spec in refresh_views:
+                mview_refresh(spark, table, **spec)
 
     return (
         stream.writeStream.outputMode("append")

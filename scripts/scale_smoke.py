@@ -224,7 +224,7 @@ def main() -> None:
         # the synthetic lineitem is not key-unique on (orderkey, linenumber);
         # a MERGE update batch must be — aggregate to one row per key
         upd = (
-            spark.read.parquet(f"{base}/lineitem_chunks/c3.parquet")
+            spark.read.parquet(f"{base}/lineitem_chunks/c{min(3, mult - 1)}.parquet")
             .where(F.col("l_orderkey") % 100 == 0)
             .groupBy("l_orderkey", "l_linenumber")
             .agg((F.max("l_quantity") + 1).alias("l_quantity"))

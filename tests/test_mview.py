@@ -173,6 +173,107 @@ def test_cli_mview_and_lookup_roundtrip(spark, tmp_path):
     assert got == {"a": 1.0, "b": 2.0}
 
 
+def test_derived_time_bucket_keys(spark, tmp_path):
+    """The hourly-rollup shape: grouping key is an expression the source
+    never materializes, evaluated map-side on each delta."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    rows1 = [("2024-01-01 10:05:00", 1.0), ("2024-01-01 10:55:00", 3.0)]
+    rows2 = [("2024-01-01 10:59:00", 5.0), ("2024-01-01 11:01:00", 7.0)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "ts string, amount double"
+    ).selectExpr("cast(ts as timestamp) as ts", "amount")
+    aggs = {"n": ("count", None), "total": ("sum", "amount")}
+    dk = {"hour": "date_trunc('hour', ts)"}
+    commit_snapshot(spark, src, mk(rows1))
+    mview_refresh(spark, src, view, ["hour"], aggs, derived_keys=dk)
+    commit_snapshot(spark, src, mk(rows2))
+    mview_refresh(spark, src, view, ["hour"], aggs, derived_keys=dk)
+    got = {
+        str(r["hour"]): (r["n"], r["total"])
+        for r in mview_read(spark, view, aggs).collect()
+    }
+    assert got == {
+        "2024-01-01 10:00:00": (3, 9.0),
+        "2024-01-01 11:00:00": (1, 7.0),
+    }
+
+
+def test_randomized_refresh_model_check(spark, tmp_path):
+    """Random interleaving of source appends, compactions, and refreshes
+    must keep every refreshed view state equal to the from-scratch
+    aggregation of the source at that moment — the independent model."""
+    import random
+
+    rng = random.Random(7)
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    groups = ["a", "b", "c", "d"]
+
+    def rand_batch():
+        n = rng.randint(1, 5)
+        return _batch(
+            spark,
+            [
+                (rng.choice(groups), rng.choice([None, round(rng.uniform(-5, 5), 2)]))
+                for _ in range(n)
+            ],
+        )
+
+    commit_snapshot(spark, src, rand_batch())
+    mview_refresh(spark, src, view, ["grp"], AGGS)
+    checks = 0
+    for step in range(10):
+        op = rng.choice(["append", "append", "refresh", "compact"])
+        if op == "append":
+            commit_snapshot(spark, src, rand_batch())
+        elif op == "compact":
+            compact_snapshot(spark, src)
+        else:
+            mview_refresh(spark, src, view, ["grp"], AGGS)
+            assert _norm(mview_read(spark, view, AGGS)) == _norm(
+                _oracle(spark, src)
+            ), f"model divergence at step {step}"
+            checks += 1
+    mview_refresh(spark, src, view, ["grp"], AGGS)
+    assert _norm(mview_read(spark, view, AGGS)) == _norm(_oracle(spark, src))
+    assert checks >= 1
+
+
+def test_streaming_ingest_chains_view_refresh(spark, tmp_path):
+    """streaming_snapshot_append(refresh_views=...) keeps a rollup live
+    as micro-batches land, and total checkpoint loss double-counts
+    neither the table nor the view (both replay guards compose)."""
+    from binance_data_pipeline_spark.operators.snapshots import (
+        streaming_snapshot_append,
+    )
+
+    src_files = str(tmp_path / "in")
+    tbl, view = str(tmp_path / "t"), str(tmp_path / "view")
+    _batch(spark, [("a", 1.0), ("a", 3.0), ("b", 2.0)]).write.parquet(src_files)
+    stream = spark.readStream.schema("grp string, amount double").parquet(src_files)
+    spec = {"view_table": view, "key_cols": ["grp"], "aggs": AGGS}
+    q = (
+        streaming_snapshot_append(
+            stream, tbl, str(tmp_path / "cp1"), refresh_views=[spec]
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert _norm(mview_read(spark, view, AGGS)) == _norm(_oracle(spark, tbl))
+    # fresh checkpoint: the source replays; table skips the batch and
+    # the view's cursor makes its refresh a no-op
+    q2 = (
+        streaming_snapshot_append(
+            stream, tbl, str(tmp_path / "cp2"), refresh_views=[spec]
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    assert read_snapshot(spark, tbl).count() == 3
+    assert _norm(mview_read(spark, view, AGGS)) == _norm(_oracle(spark, tbl))
+
+
 def test_avg_null_group_reads_as_null(spark, tmp_path):
     src, view = str(tmp_path / "src"), str(tmp_path / "view")
     commit_snapshot(spark, src, _batch(spark, [("a", None), ("b", 2.0)]))
