@@ -174,6 +174,66 @@ def test_snapshot_lookup_reads_only_proven_dirs(spark, tmp_path):
     assert files and all(by_tag["b"] in f for f in files), files
 
 
+def test_lookup_superset_exact_property(spark, tmp_path):
+    """Property: for random typed key populations (ints and strings,
+    with NULLs, split across dirs) and random probe sets, the
+    bloom+stats-pruned lookup returns EXACTLY the full-scan filter —
+    pruning may keep too much, never drop a matching row."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    import itertools
+
+    counter = itertools.count()
+
+    @settings(max_examples=5, deadline=None)
+    @given(
+        data=st.lists(
+            st.lists(
+                st.one_of(
+                    st.none(),
+                    st.integers(min_value=-(2**31), max_value=2**31),
+                ),
+                min_size=1,
+                max_size=8,
+            ),
+            min_size=1,
+            max_size=3,
+        ),
+        probes=st.lists(
+            st.integers(min_value=-(2**31), max_value=2**31),
+            min_size=1,
+            max_size=4,
+        ),
+        as_string=st.booleans(),
+    )
+    def check(data, probes, as_string):
+        t = str(tmp_path / f"t{next(counter)}")
+        typ = "string" if as_string else "long"
+        conv = (lambda x: None if x is None else str(x)) if as_string else (
+            lambda x: x
+        )
+        for i, chunk in enumerate(data):
+            df = spark.createDataFrame(
+                [(conv(x), i) for x in chunk], f"id {typ}, src int"
+            )
+            commit_snapshot(spark, t, df, bloom_cols=["id"], bloom_bits=256)
+        vals = [conv(x) for x in probes]
+        got = sorted(
+            (r["id"], r["src"])
+            for r in snapshot_lookup(spark, t, "id", vals).collect()
+        )
+        want = sorted(
+            (r["id"], r["src"])
+            for r in read_snapshot(spark, t)
+            .where(F.col("id").isin([v for v in vals if v is not None]))
+            .collect()
+        )
+        assert got == want, (vals, got, want)
+
+    check()
+
+
 def test_merge_and_compact_rewrites_carry_blooms(spark, tmp_path):
     t = str(tmp_path / "t")
     commit_snapshot(spark, t, _keys_df(spark, "a"), bloom_cols=["id"])
