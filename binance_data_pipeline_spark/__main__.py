@@ -25,7 +25,8 @@ Airflow tasks, as plain commands:
              per-dir Bloom indexes), rollback, vacuum, keyed CDC diff
              (--diff A B --keys k), MERGE upsert (--merge upd.parquet
              --keys k), compaction (--compact [--only-small-mb N]
-             [--cluster-by c]), point lookup (--lookup col v1,v2)
+             [--cluster-by c]), point lookup (--lookup col v1,v2),
+             predicate DML (--delete-where p; --set c=e [--where p])
   mview      incrementally maintained materialized aggregate view:
              refresh folds only the source delta, exactly-once
              (--src --view --keys k --aggs n:count,total:sum:amount)
@@ -179,6 +180,15 @@ def main(argv: list[str] | None = None) -> int:
                     help="parquet path of update rows to MERGE (upsert) by --keys")
     pn.add_argument("--delete-col", default=None,
                     help="boolean column in --merge rows marking deletes")
+    pn.add_argument("--delete-where", default=None, metavar="SQL_PRED",
+                    help="DELETE FROM ... WHERE: copy-on-write, only "
+                         "matching dirs rewrite")
+    pn.add_argument("--set", action="append", default=None,
+                    metavar="COL=SQL_EXPR",
+                    help="UPDATE ... SET assignment (repeatable; with "
+                         "optional --where)")
+    pn.add_argument("--where", default=None, metavar="SQL_PRED",
+                    help="predicate for --set (default: all rows)")
     pn.add_argument("--compact", action="store_true",
                     help="rewrite the live set into right-sized files")
     pn.add_argument("--target-file-mb", type=int, default=128)
@@ -486,6 +496,22 @@ def main(argv: list[str] | None = None) -> int:
                 delete_col=args.delete_col,
             )
             print(f"merged as version={v}")
+        if args.delete_where is not None:
+            from .operators.snapshots import snapshot_delete
+
+            v = snapshot_delete(spark, args.table, args.delete_where)
+            print(f"delete where {args.delete_where!r}: head version={v}")
+        if args.set is not None:
+            from .operators.snapshots import snapshot_update
+
+            sets = {}
+            for spec in args.set:
+                if "=" not in spec:
+                    p.error(f"bad --set {spec!r} (want COL=SQL_EXPR)")
+                c, e = spec.split("=", 1)
+                sets[c] = e
+            v = snapshot_update(spark, args.table, sets, predicate=args.where)
+            print(f"update set {sets} where {args.where!r}: head version={v}")
         if args.diff is not None:
             from pyspark.sql import functions as F
 

@@ -62,6 +62,8 @@ __all__ = [
     "snapshot_changes",
     "snapshot_diff",
     "snapshot_merge",
+    "snapshot_delete",
+    "snapshot_update",
     "snapshot_sync",
     "snapshot_tail",
     "tail_cursor",
@@ -1344,6 +1346,177 @@ def snapshot_merge(
         fs, dp = _hadoop_fs(spark, data_dir)
         fs.delete(dp, True)  # lost the race: recompute against the winner
     raise RuntimeError(f"snapshot merge to {table} lost {max_retries} races")
+
+
+def _predicate_touched_dirs(
+    spark: SparkSession, live: list[str], pred
+) -> list[str]:
+    """Live dirs containing at least one row where ``pred`` is TRUE —
+    the discovery scan for predicate DML. Column-pruned to the
+    predicate's columns (plus the file-name metadata expression) and
+    parquet-footer-pruned, so at 100 TB discovery reads the predicate
+    columns of candidate row groups, never whole rows; the driver
+    transfer is dir names only."""
+    dirname = F.regexp_extract(F.input_file_name(), "/data/([^/]+)/", 1)
+    scan = spark.read.option("mergeSchema", "true").parquet(*live)
+    names = {
+        r["__dn"]
+        for r in scan.where(F.coalesce(pred, F.lit(False)))
+        .select(dirname.alias("__dn"))
+        .distinct()
+        .collect()
+    }
+    by_name = {d.rstrip("/").rsplit("/", 1)[-1]: d for d in live}
+    return [by_name[n] for n in names]
+
+
+def _dml_rewrite(
+    spark: SparkSession,
+    table: str,
+    pred,
+    rewrite,
+    op_of,
+    partition_by: list[str] | None,
+    max_retries: int,
+) -> int:
+    """Shared copy-on-write loop for predicate DML (DELETE/UPDATE):
+    discover touched dirs, rewrite ONLY those through ``rewrite``, keep
+    everything else by reference, commit optimistically (a lost race
+    re-derives discovery against the winner's live set). No matching
+    row anywhere → no commit, the current head is returned."""
+    base = table.rstrip("/")
+    if not _list_versions(spark, table):
+        raise ValueError(f"{table} has no committed snapshots")
+    for _ in range(max_retries):
+        head = _list_versions(spark, table)[-1]
+        entries = _live_entries(spark, table, head)
+        live = [p for p, _ in entries]
+        touched = _predicate_touched_dirs(spark, live, pred)
+        if not touched:
+            return head
+        new_rows = rewrite(
+            spark.read.option("mergeSchema", "true").parquet(*touched)
+        )
+        data_dir = f"{base}/data/{uuid.uuid4().hex}"
+        writer = new_rows.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        scols = _stats_cols_of(entries)
+        bspec = _bloom_spec_of(entries)
+        new_stats = (
+            _dir_stats_json(spark, data_dir, scols, bspec)
+            if scols or bspec
+            else None
+        )
+        new_live = [e for e in entries if e[0] not in set(touched)] + [
+            (data_dir, new_stats)
+        ]
+        if _write_manifest_commit(
+            spark,
+            table,
+            head + 1,
+            new_live,
+            op_of(len(touched)),
+            time.time(),
+            stream_hwm=_max_streamed_batch(spark, table),
+        ):
+            return head + 1
+        fs, dp = _hadoop_fs(spark, data_dir)
+        fs.delete(dp, True)  # lost the race: re-discover against the winner
+    raise RuntimeError(f"snapshot DML on {table} lost {max_retries} races")
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    partition_by: list[str] | None = None,
+    max_retries: int = 3,
+) -> int:
+    """DELETE FROM ``table`` WHERE ``predicate`` (SQL string or Column)
+    as one new copy-on-write version — the takedown/opt-out primitive a
+    training-data table needs (purge a domain, a license class, a
+    user's documents) with history intact for audit: pre-delete
+    versions still time travel until vacuumed, and ``snapshot_diff``
+    across the delete reports exactly the removed rows.
+
+    SQL DELETE semantics: rows where the predicate is TRUE go; FALSE
+    and NULL stay. Only dirs containing a matching row are read in full
+    and rewritten (discovery is a column-pruned scan of the predicate
+    columns); everything else survives by reference — deleting one
+    domain from a 100 TB table rewrites that domain's dirs, not the
+    table. Matches nothing → no commit, returns the current head. For
+    key-list deletes prefer ``snapshot_merge(delete_col=...)``, whose
+    discovery is bloom/stats-pruned and never scans clean dirs."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    return _dml_rewrite(
+        spark,
+        table,
+        pred,
+        lambda df: df.where(~F.coalesce(pred, F.lit(False))),
+        lambda n: f"delete:{n}d",
+        partition_by,
+        max_retries,
+    )
+
+
+def snapshot_update(
+    spark: SparkSession,
+    table: str,
+    set_exprs: dict,
+    predicate=None,
+    partition_by: list[str] | None = None,
+    max_retries: int = 3,
+) -> int:
+    """UPDATE ``table`` SET col = expr [WHERE ``predicate``] as one new
+    copy-on-write version. ``set_exprs`` maps existing columns to SQL
+    strings or Columns evaluated against the OLD row (standard UPDATE:
+    ``{"price": "price * 1.1"}``); new values are cast back to the
+    column's current type so untouched dirs and rewritten dirs keep ONE
+    schema. Rows where the predicate is FALSE or NULL are untouched;
+    only dirs holding a matching row rewrite, the rest survive by
+    reference. Matches nothing → no commit. Adding NEW columns is
+    schema evolution — use a merge or a fresh commit for that."""
+    if not set_exprs:
+        raise ValueError("set_exprs must not be empty")
+    pred = (
+        F.expr(predicate)
+        if isinstance(predicate, str)
+        else (F.lit(True) if predicate is None else predicate)
+    )
+    head_df = read_snapshot(spark, table)
+    types = {f.name: f.dataType for f in head_df.schema.fields}
+    for c in set_exprs:
+        if c not in types:
+            raise ValueError(
+                f"update column {c!r} not in {table} (UPDATE cannot add "
+                "columns — commit or merge for schema evolution)"
+            )
+
+    def _set_col(c: str):
+        e = set_exprs.get(c)
+        if e is None:
+            return F.col(c)
+        new = (F.expr(e) if isinstance(e, str) else e).cast(types[c])
+        return (
+            F.when(F.coalesce(pred, F.lit(False)), new)
+            .otherwise(F.col(c))
+            .alias(c)
+        )
+
+    def _rewrite(df: DataFrame) -> DataFrame:
+        return df.select(*[_set_col(c) for c in df.columns])
+
+    return _dml_rewrite(
+        spark,
+        table,
+        pred,
+        _rewrite,
+        lambda n: f"update:{n}d",
+        partition_by,
+        max_retries,
+    )
 
 
 def compact_snapshot(
