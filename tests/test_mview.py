@@ -222,11 +222,19 @@ def test_randomized_refresh_model_check(spark, tmp_path):
     mview_refresh(spark, src, view, ["grp"], AGGS)
     checks = 0
     for step in range(10):
-        op = rng.choice(["append", "append", "refresh", "compact"])
+        op = rng.choice(["append", "append", "refresh", "compact", "delete"])
         if op == "append":
             commit_snapshot(spark, src, rand_batch())
         elif op == "compact":
             compact_snapshot(spark, src)
+        elif op == "delete":
+            # source DML is a rewrite crossing: the next refresh must
+            # recompute, and the recomputed view must match the model
+            from binance_data_pipeline_spark.operators.snapshots import (
+                snapshot_delete,
+            )
+
+            snapshot_delete(spark, src, F.col("grp") == rng.choice(groups))
         else:
             mview_refresh(spark, src, view, ["grp"], AGGS)
             assert _norm(mview_read(spark, view, AGGS)) == _norm(
