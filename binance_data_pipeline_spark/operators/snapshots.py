@@ -182,33 +182,46 @@ def _dir_stats_json(
     if b_items:
         import base64
 
-        # one job for every bloom column: positions are block-offset so
-        # a single explode+distinct covers them all; the distinct set is
-        # bounded by sum(m_c) bits, independent of the dir's row count
+        # one job for every bloom column: positions are block-offset
+        # (each m rounded to whole bytes so blocks stay byte-aligned)
+        # into one shared bit space; each partition packs ITS positions
+        # into a local bitmap and the driver ORs the per-partition
+        # bitmaps — transfer is partitions × sum(m_c)/8 bytes,
+        # independent of the dir's row count
         exprs, offs, offset = [], [], 0
+        norm_items = []
         for c, sp in b_items:
-            m, k = int(sp["m"]), int(sp["k"])
+            m = ((int(sp["m"]) + 7) // 8) * 8
+            k = int(sp["k"])
+            norm_items.append((c, m, k))
             exprs += [
                 F.pmod(F.xxhash64(F.col(c), F.lit(i)), F.lit(m)) + F.lit(offset)
                 for i in range(k)
             ]
             offs.append(offset)
             offset += m
-        pos = np.asarray(
-            [
-                r[0]
-                for r in df.select(F.explode(F.array(*exprs)).alias("p"))
-                .distinct()
-                .collect()
-            ],
-            dtype=np.int64,
-        )
+        nbytes = offset // 8
+
+        def _partition_bitmaps(it):
+            bits = np.zeros(nbytes, dtype=np.uint8)
+            for pdf in it:
+                if len(pdf):
+                    arr = np.concatenate(pdf["p"].to_numpy()).astype(np.int64)
+                    np.bitwise_or.at(
+                        bits, arr // 8, (1 << (arr % 8)).astype(np.uint8)
+                    )
+            yield pd.DataFrame({"bm": [bits.tobytes()]})
+
+        agg = np.zeros(nbytes, dtype=np.uint8)
+        for r in (
+            df.select(F.array(*exprs).alias("p"))
+            .mapInPandas(_partition_bitmaps, "bm binary")
+            .collect()
+        ):
+            agg |= np.frombuffer(r["bm"], dtype=np.uint8)
         blooms = {}
-        for (c, sp), off in zip(b_items, offs):
-            m, k = int(sp["m"]), int(sp["k"])
-            sel = pos[(pos >= off) & (pos < off + m)] - off
-            bits = np.zeros((m + 7) // 8, dtype=np.uint8)
-            np.bitwise_or.at(bits, sel // 8, (1 << (sel % 8)).astype(np.uint8))
+        for (c, m, k), off in zip(norm_items, offs):
+            bits = agg[off // 8 : (off + m) // 8]
             blooms[c] = {
                 "m": m,
                 "k": k,
