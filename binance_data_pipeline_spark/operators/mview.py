@@ -182,10 +182,34 @@ def mview_refresh(
             spark, view_table, full, mode="overwrite", operation=f"{_OP}:{head}"
         )
         return head
+    partials = _aggregate(delta)
+    if partials.isEmpty():
+        # head advanced with no rows (empty appends): advance the cursor
+        # with a METADATA-ONLY commit (same live set, new manifest — the
+        # rollback-to-self shape) instead of a merge whose discovery
+        # would scan every view dir for zero update keys
+        import time as _time
+
+        from .snapshots import _max_streamed_batch, _write_manifest_commit
+        from .snapshots import _live_entries as _entries
+
+        for _ in range(10):
+            vs = _list_versions(spark, view_table)
+            if _write_manifest_commit(
+                spark,
+                view_table,
+                vs[-1] + 1,
+                _entries(spark, view_table, vs[-1]),
+                f"{_OP}:{head}",
+                _time.time(),
+                stream_hwm=_max_streamed_batch(spark, view_table),
+            ):
+                return head
+        raise RuntimeError(f"mview cursor commit to {view_table} lost 10 races")
     snapshot_merge(
         spark,
         view_table,
-        _aggregate(delta),
+        partials,
         key_cols,
         update_exprs={name: _combine(fn) for name, fn, _ in phys},
         operation=f"{_OP}:{head}",

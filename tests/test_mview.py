@@ -282,6 +282,25 @@ def test_streaming_ingest_chains_view_refresh(spark, tmp_path):
     assert _norm(mview_read(spark, view, AGGS)) == _norm(_oracle(spark, tbl))
 
 
+def test_empty_delta_advances_cursor_without_data_commit(spark, tmp_path):
+    """A source head that advanced with no rows (empty append) must move
+    the view's cursor via a metadata-only commit — no merge discovery
+    scan, no new data dir, same live set."""
+    from binance_data_pipeline_spark.operators.snapshots import _live_dirs
+
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    commit_snapshot(spark, src, _batch(spark, [("a", 1.0)]))
+    mview_refresh(spark, src, view, ["grp"], AGGS)
+    commit_snapshot(spark, src, _batch(spark, []).limit(0))
+    dirs_before = _live_dirs(spark, view, 0)
+    assert mview_refresh(spark, src, view, ["grp"], AGGS) == 1
+    assert mview_applied_version(spark, view) == 1
+    assert _live_dirs(spark, view, 1) == dirs_before
+    assert _norm(mview_read(spark, view, AGGS)) == _norm(_oracle(spark, src))
+    # caught up: nothing further
+    assert mview_refresh(spark, src, view, ["grp"], AGGS) is None
+
+
 def test_avg_null_group_reads_as_null(spark, tmp_path):
     src, view = str(tmp_path / "src"), str(tmp_path / "view")
     commit_snapshot(spark, src, _batch(spark, [("a", None), ("b", 2.0)]))
