@@ -196,6 +196,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="incremental compaction: only coalesce dirs under this size")
     pn.add_argument("--cluster-by", default=None,
                     help="comma-separated columns to range-sort the compaction by")
+    pn.add_argument("--zorder-by", default=None,
+                    help="comma-separated columns to Morton-interleave the "
+                         "compaction by (multi-column file pruning)")
     pn.add_argument("--range", nargs=3, metavar=("COL", "LO", "HI"), default=None,
                     help="stats-pruned ranged read; prints the matching row count")
     pn.add_argument("--tail", default=None, metavar="DEST",
@@ -209,6 +212,21 @@ def main(argv: list[str] | None = None) -> int:
                     help="sleep between --tail rounds")
     pn.add_argument("--on-rewrite", default="raise", choices=["raise", "bootstrap"],
                     help="keyless --tail crossing a rewrite: refuse or full resync")
+    pn.add_argument("--evolve-schema", action="store_true",
+                    help="--commit may add NEW columns (schema evolution "
+                         "intent; type conflicts are always rejected)")
+    pn.add_argument("--set-constraint", action="append", default=None,
+                    metavar="NAME=SQL_EXPR",
+                    help="add a CHECK constraint (repeatable; validates "
+                         "existing data first)")
+    pn.add_argument("--no-validate", action="store_true",
+                    help="--set-constraint enforces future writes only")
+    pn.add_argument("--drop-constraint", default=None, metavar="NAME",
+                    help="remove one named CHECK constraint")
+    pn.add_argument("--constraints", action="store_true",
+                    help="print the active CHECK constraints")
+    pn.add_argument("--schema", action="store_true",
+                    help="print the manifest-recorded table schema")
 
     pm = sub.add_parser(
         "mview",
@@ -461,8 +479,37 @@ def main(argv: list[str] | None = None) -> int:
                 mode=args.mode,
                 bloom_cols=args.bloom_cols.split(",") if args.bloom_cols else None,
                 bloom_bits=args.bloom_bits,
+                evolve_schema=args.evolve_schema,
             )
             print(f"committed version={v}")
+        if args.set_constraint:
+            from .operators.snapshots import set_snapshot_constraints
+
+            cons = {}
+            for spec in args.set_constraint:
+                name, _, expr = spec.partition("=")
+                if not name or not expr:
+                    raise SystemExit(f"--set-constraint wants NAME=SQL_EXPR, got {spec!r}")
+                cons[name] = expr
+            active = set_snapshot_constraints(
+                spark, args.table, cons, validate=not args.no_validate
+            )
+            print(f"constraints active={sorted(active)}")
+        if args.drop_constraint is not None:
+            from .operators.snapshots import drop_snapshot_constraint
+
+            active = drop_snapshot_constraint(spark, args.table, args.drop_constraint)
+            print(f"constraints active={sorted(active)}")
+        if args.constraints:
+            from .operators.snapshots import get_snapshot_constraints
+
+            for name, expr in sorted(get_snapshot_constraints(spark, args.table).items()):
+                print(f"CHECK {name}: {expr}")
+        if args.schema:
+            from .operators.snapshots import table_schema
+
+            for f in table_schema(spark, args.table).fields:
+                print(f"{f.name}\t{f.dataType.simpleString()}")
         if args.lookup is not None:
             from .operators.snapshots import snapshot_lookup
 
@@ -590,6 +637,7 @@ def main(argv: list[str] | None = None) -> int:
                 target_file_mb=args.target_file_mb,
                 only_small_mb=args.only_small_mb,
                 cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+                zorder_by=args.zorder_by.split(",") if args.zorder_by else None,
             )
             print(f"compacted as version={v}")
         if args.vacuum:

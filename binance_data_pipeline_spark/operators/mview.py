@@ -192,6 +192,7 @@ def mview_refresh(
 
         from .snapshots import _max_streamed_batch, _write_manifest_commit
         from .snapshots import _live_entries as _entries
+        from .snapshots import table_schema as _tschema
 
         for _ in range(10):
             vs = _list_versions(spark, view_table)
@@ -203,6 +204,7 @@ def mview_refresh(
                 f"{_OP}:{head}",
                 _time.time(),
                 stream_hwm=_max_streamed_batch(spark, view_table),
+                table_schema_json=_tschema(spark, view_table, vs[-1]).json(),
             ):
                 return head
         raise RuntimeError(f"mview cursor commit to {view_table} lost 10 races")

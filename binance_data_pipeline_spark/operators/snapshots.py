@@ -70,6 +70,10 @@ __all__ = [
     "read_snapshot_range",
     "snapshot_lookup",
     "register_snapshot_view",
+    "set_snapshot_constraints",
+    "get_snapshot_constraints",
+    "drop_snapshot_constraint",
+    "table_schema",
 ]
 
 _V_WIDTH = 11  # zero-pad so lexicographic dir order == numeric order
@@ -416,6 +420,259 @@ def _claim_version(spark: SparkSession, tmp: str, dest: str) -> bool:
     return True
 
 
+def table_schema(
+    spark: SparkSession, table: str, version: int | None = None
+):
+    """The table's schema (StructType) as of ``version`` (default head),
+    from the manifest's recorded ``table_schema`` when present — a KB
+    metadata read, no data files touched. Manifests written before the
+    column existed fall back to ONE parquet union read over the live
+    dirs (footer-cheap); the next commit re-records the schema, so a
+    legacy table pays the fallback once."""
+    from pyspark.sql import types as T
+
+    v = _resolve_version(spark, table, version, None)
+    mdf = _read_manifest(spark, table, v)
+    if "table_schema" in mdf.columns:
+        row = mdf.select("table_schema").first()
+        if row is not None and row["table_schema"] is not None:
+            return T.StructType.fromJson(json.loads(row["table_schema"]))
+    dirs = _live_dirs(spark, table, v)
+    return spark.read.option("mergeSchema", "true").parquet(*dirs).schema
+
+
+def _merged_schema_json(head_schema, df: DataFrame) -> str:
+    """Union of the table's schema and ``df``'s (head's column order
+    first, new columns appended) — what the manifest records after an
+    evolving append/merge."""
+    from pyspark.sql import types as T
+
+    if head_schema is None:
+        return df.schema.json()
+    fields = list(head_schema.fields)
+    have = {f.name for f in fields}
+    fields += [f for f in df.schema.fields if f.name not in have]
+    return T.StructType(fields).json()
+
+
+def _check_append_schema(
+    head_schema, df: DataFrame, evolve_schema: bool, table: str
+) -> None:
+    """Write-side schema enforcement for append commits (the Delta
+    default): shared columns must keep their exact type (no silent
+    widening — cast explicitly), and NEW columns are rejected unless the
+    caller states evolution intent with ``evolve_schema=True``. Missing
+    columns are fine — readers see typed NULLs under merge_schema."""
+    if head_schema is None:
+        return
+    types = {f.name: f.dataType for f in head_schema.fields}
+    conflicts = [
+        (c, str(types[c]), str(df.schema[c].dataType))
+        for c in df.columns
+        if c in types and df.schema[c].dataType != types[c]
+    ]
+    if conflicts:
+        detail = ", ".join(f"{c}: table {a} vs commit {b}" for c, a, b in conflicts)
+        raise ValueError(
+            f"schema enforcement: type conflict appending to {table} "
+            f"({detail}); cast the commit to the table's types"
+        )
+    new_cols = [c for c in df.columns if c not in types]
+    if new_cols and not evolve_schema:
+        raise ValueError(
+            f"schema enforcement: commit adds column(s) {new_cols} to "
+            f"{table}; pass evolve_schema=True to evolve the schema"
+        )
+
+
+# --- CHECK constraints -------------------------------------------------
+# Stored under {table}/constraints/k{N}/ as a tiny parquet (name, expr),
+# claimed with the same atomic-rename discipline as versions — latest N
+# wins, concurrent setters cannot tear the set. Enforcement folds an
+# assert_true filter into every WRITE plan (commit/merge/DML), so a
+# violating row aborts the data write before any manifest is claimed —
+# zero extra scan, the check rides the write's own pass. SQL CHECK
+# semantics: a constraint passes when its expression is TRUE or NULL.
+
+_C_WIDTH = _V_WIDTH
+
+
+def _constraints_dir(table: str) -> str:
+    return f"{table.rstrip('/')}/constraints"
+
+
+def _list_constraint_versions(spark: SparkSession, table: str) -> list[int]:
+    fs, p = _hadoop_fs(spark, _constraints_dir(table))
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("k") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def get_snapshot_constraints(spark: SparkSession, table: str) -> dict[str, str]:
+    """The table's active CHECK constraints, {name: sql_expr}. Empty
+    dict when none were ever set (one FS existence probe — the no-
+    constraints fast path costs commits nothing)."""
+    ks = _list_constraint_versions(spark, table)
+    if not ks:
+        return {}
+    rows = spark.read.parquet(
+        f"{_constraints_dir(table)}/k{ks[-1]:0{_C_WIDTH}d}"
+    ).collect()
+    return {r["name"]: r["expr"] for r in rows}
+
+
+def _write_constraints(
+    spark: SparkSession, table: str, constraints: dict[str, str]
+) -> dict[str, str]:
+    base = table.rstrip("/")
+    for _ in range(10):
+        ks = _list_constraint_versions(spark, table)
+        nxt = (ks[-1] + 1) if ks else 0
+        tmp = f"{base}/__ktmp_{uuid.uuid4().hex[:12]}"
+        spark.createDataFrame(
+            sorted(constraints.items()) or [(None, None)],
+            "name string, expr string",
+        ).where(F.col("name").isNotNull()).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        fs, kdir = _hadoop_fs(spark, _constraints_dir(table))
+        fs.mkdirs(kdir)
+        if _claim_version(
+            spark, tmp, f"{_constraints_dir(table)}/k{nxt:0{_C_WIDTH}d}"
+        ):
+            return dict(constraints)
+    raise RuntimeError(f"constraint update on {table} lost 10 claim races")
+
+
+def set_snapshot_constraints(
+    spark: SparkSession,
+    table: str,
+    constraints: dict[str, str],
+    validate: bool = True,
+    replace: bool = False,
+) -> dict[str, str]:
+    """Add (or with ``replace=True``, replace the whole set with) CHECK
+    constraints on a snapshot table: {name: sql_expr}, SQL semantics —
+    a row passes when the expression is TRUE or NULL, so
+    ``"price IS NOT NULL"`` and ``"qty >= 0"`` both behave like their
+    SQL DDL counterparts. Every later ``commit_snapshot`` /
+    ``snapshot_merge`` / ``snapshot_update`` enforces the set inside the
+    write plan itself (a violating row aborts the write before the
+    version is claimed — the table never goes bad, and the check costs
+    no extra scan).
+
+    ``validate=True`` (the ADD CONSTRAINT contract) first proves the
+    CURRENT head satisfies the new expressions — one aggregating scan
+    counting violations per constraint; refused with the counts when
+    existing data violates. Expressions are also resolved against the
+    head schema at set time so a typo fails HERE, not at the next
+    commit. Both steps are skipped for a table with no commits yet (the
+    constraints then bind from its first commit). Returns the active
+    set."""
+    if not constraints:
+        raise ValueError("constraints must be a non-empty {name: expr} dict")
+    current = get_snapshot_constraints(spark, table)
+    merged = dict(constraints) if replace else {**current, **constraints}
+    if _list_versions(spark, table):
+        from pyspark.errors import AnalysisException, ParseException
+
+        head = read_snapshot(spark, table, merge_schema=True)
+        checks = []
+        for name, expr in sorted(merged.items()):
+            cond = F.coalesce(F.expr(expr), F.lit(True))
+            # parse + resolution check per constraint (driver-side
+            # analysis, no job): a typo fails HERE, named, not at the
+            # next commit
+            try:
+                head.select(cond)
+            except ParseException as e:
+                raise ValueError(
+                    f"constraint {name!r} does not parse: {expr!r}"
+                ) from e
+            except AnalysisException as e:
+                raise ValueError(
+                    f"constraint {name!r} does not resolve against "
+                    f"{table}'s schema: {expr!r} ({e})"
+                ) from e
+            checks.append(F.sum((~cond).cast("long")).alias(name))
+        if validate:
+            row = head.select(*checks).first()
+            bad = {n: int(row[n]) for n in merged if row[n]}
+            if bad:
+                raise ValueError(
+                    f"existing data in {table} violates constraint(s) "
+                    f"{bad} (rows in violation); fix the data or pass "
+                    "validate=False to enforce on future writes only"
+                )
+    return _write_constraints(spark, table, merged)
+
+
+def drop_snapshot_constraint(
+    spark: SparkSession, table: str, name: str
+) -> dict[str, str]:
+    """Remove one named constraint; returns the remaining active set.
+    Unknown names raise (a typo must not silently leave the constraint
+    enforced)."""
+    current = get_snapshot_constraints(spark, table)
+    if name not in current:
+        raise ValueError(
+            f"no constraint {name!r} on {table} (have {sorted(current)})"
+        )
+    current.pop(name)
+    return _write_constraints(spark, table, current)
+
+
+def _apply_check_constraints(
+    df: DataFrame,
+    constraints: dict[str, str],
+    table: str,
+    head_schema=None,
+) -> DataFrame:
+    """Fold the active constraints into ``df``'s plan as a raising
+    filter: assert_true is NULL on success, so the coalesced guard
+    passes every compliant row and a violation aborts the enclosing
+    write action. Columns a constraint references that ``df`` lacks
+    (a missing-column append) evaluate as typed NULL — exactly how the
+    committed rows will read back, so CHECK's NULL-passes rule applies
+    consistently."""
+    if not constraints:
+        return df
+    missing = [
+        f
+        for f in (head_schema.fields if head_schema is not None else [])
+        if f.name not in df.columns
+    ]
+    aug = (
+        df.select(
+            "*",
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in missing],
+        )
+        if missing
+        else df
+    )
+    guard = None
+    for name, expr in sorted(constraints.items()):
+        ok = F.coalesce(F.expr(expr), F.lit(True))
+        g = F.coalesce(
+            F.assert_true(
+                ok,
+                F.lit(
+                    f"snapshot constraint {name!r} violated on {table}: "
+                    f"CHECK ({expr})"
+                ),
+            ).cast("boolean"),
+            F.lit(True),
+        )
+        guard = g if guard is None else (guard & g)
+    out = aug.where(guard)
+    return out.select(*df.columns) if missing else out
+
+
 def _write_manifest_commit(
     spark: SparkSession,
     table: str,
@@ -424,26 +681,35 @@ def _write_manifest_commit(
     operation: str,
     committed_at: float,
     stream_hwm: int | None = None,
+    table_schema_json: str | None = None,
 ) -> bool:
     """One manifest-write + version-claim attempt; True on success.
     ``live`` entries are dir paths or (path, stats_json) pairs.
     ``stream_hwm`` is the high-water stream batch id carried forward on
     EVERY commit (not just stream appends) so vacuuming the original
     stream-append manifests cannot erase the exactly-once replay guard
-    — the surviving head manifest always still records it."""
+    — the surviving head manifest always still records it.
+    ``table_schema_json`` is the table's UNION schema as of this commit
+    (StructType.json()), recorded in the manifest so write-side schema
+    enforcement reads KBs of metadata instead of footer-probing every
+    live dir (the Delta schema-in-the-log posture). None on manifests
+    written by legacy paths — consumers fall back to a one-off parquet
+    union read and the next commit re-records it."""
     base = table.rstrip("/")
     hwm = None if stream_hwm is None else int(stream_hwm)
     rows = [
-        (e[0], int(next_v), operation, float(committed_at), e[1], hwm)
+        (e[0], int(next_v), operation, float(committed_at), e[1], hwm,
+         table_schema_json)
         if isinstance(e, tuple)
-        else (e, int(next_v), operation, float(committed_at), None, hwm)
+        else (e, int(next_v), operation, float(committed_at), None, hwm,
+              table_schema_json)
         for e in live
     ]
     tmp = f"{base}/__vtmp_{uuid.uuid4().hex[:12]}"
     spark.createDataFrame(
         rows,
         "path string, version long, operation string, committed_at double,"
-        " stats string, stream_hwm long",
+        " stats string, stream_hwm long, table_schema string",
     ).coalesce(1).write.mode("overwrite").parquet(tmp)
     fs, vdir = _hadoop_fs(spark, _versions_dir(table))
     fs.mkdirs(vdir)
@@ -462,6 +728,7 @@ def commit_snapshot(
     bloom_bits: int = 1 << 16,
     bloom_hashes: int = 5,
     max_retries: int = 10,
+    evolve_schema: bool = False,
 ) -> int:
     """Commit ``df`` as the next version of ``table``; returns the
     version number. ``mode='append'`` keeps every prior live dir plus
@@ -499,6 +766,24 @@ def commit_snapshot(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     base = table.rstrip("/")
+    # schema enforcement + CHECK constraints bind BEFORE the data write:
+    # a violating commit aborts with no dir on disk and no version
+    # claimed. Head schema comes from the manifest's recorded
+    # table_schema (KB metadata), so the steady-state cost is one tiny
+    # read — not a footer probe of every live dir.
+    pre_versions = _list_versions(spark, table)
+    head_schema = (
+        table_schema(spark, table, pre_versions[-1]) if pre_versions else None
+    )
+    if mode == "append":
+        _check_append_schema(head_schema, df, evolve_schema, table)
+    constraints = get_snapshot_constraints(spark, table)
+    df = _apply_check_constraints(df, constraints, table, head_schema)
+    schema_json = (
+        df.schema.json()
+        if mode == "overwrite" or head_schema is None
+        else _merged_schema_json(head_schema, df)
+    )
     data_dir = f"{base}/data/{uuid.uuid4().hex}"
     writer = df.write.mode("errorifexists")
     if partition_by:
@@ -508,10 +793,17 @@ def commit_snapshot(
     op = operation or mode
     new_stats: str | None = None
     stats_done = False
-    for _ in range(max_retries):
+    for attempt in range(max_retries):
         versions = _list_versions(spark, table)
         next_v = (versions[-1] + 1) if versions else 0
         prior = _live_entries(spark, table, versions[-1]) if versions else []
+        if attempt and mode == "append" and versions:
+            # lost a race: the winner may have evolved the schema —
+            # re-merge against ITS recorded schema so the manifest we
+            # commit doesn't drop the winner's new columns
+            head_schema = table_schema(spark, table, versions[-1])
+            _check_append_schema(head_schema, df, evolve_schema, table)
+            schema_json = _merged_schema_json(head_schema, df)
         # stamped per ATTEMPT, not per call: a race loser re-stamps, so
         # committed_at stays monotonic in version and as_of resolution
         # (max version with committed_at <= t) cannot return a version
@@ -543,7 +835,8 @@ def commit_snapshot(
             hwm = own if hwm is None else max(hwm, own)
         # a lost claim re-derives the live set from the WINNER's commit
         if _write_manifest_commit(
-            spark, table, next_v, live, op, committed_at, stream_hwm=hwm
+            spark, table, next_v, live, op, committed_at, stream_hwm=hwm,
+            table_schema_json=schema_json,
         ):
             return next_v
     fs, dp = _hadoop_fs(spark, data_dir)
@@ -719,6 +1012,7 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
     versions = _list_versions(spark, table)
     if version not in versions:
         raise ValueError(f"version {version} not in {table} (have {versions})")
+    restored_schema = table_schema(spark, table, version)
     for _ in range(10):
         next_v = _list_versions(spark, table)[-1] + 1
         live = _live_entries(spark, table, version)  # stats ride along
@@ -731,6 +1025,7 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
             f"rollback:{version}",
             time.time(),
             stream_hwm=_max_streamed_batch(spark, table),
+            table_schema_json=restored_schema.json(),
         ):
             return next_v
     raise RuntimeError(f"rollback of {table} lost 10 commit races; giving up")
@@ -1217,6 +1512,7 @@ def snapshot_merge(
     k_lo, k_hi = _json_scalar(krow["n"]), _json_scalar(krow["x"])
     if krow["hasnull"]:
         k_lo = k_hi = None
+    constraints = get_snapshot_constraints(spark, table)
 
     for _ in range(max_retries):
         versions = _list_versions(spark, table)
@@ -1327,6 +1623,13 @@ def snapshot_merge(
             *[_from_update(c).alias(c) for c in all_cols]
         )
         new_rows = inserts if kept is None else kept.unionByName(inserts)
+        # CHECK constraints ride the rewrite's own pass: a violating
+        # update/insert aborts the write, no version is claimed, the
+        # table stays at head
+        new_rows = _apply_check_constraints(new_rows, constraints, table)
+        merged_schema_json = _merged_schema_json(
+            table_schema(spark, table, head), new_rows
+        )
 
         data_dir = f"{base}/data/{uuid.uuid4().hex}"
         writer = new_rows.write.mode("errorifexists")
@@ -1354,6 +1657,7 @@ def snapshot_merge(
             op,
             time.time(),
             stream_hwm=_max_streamed_batch(spark, table),
+            table_schema_json=merged_schema_json,
         ):
             return head + 1
         fs, dp = _hadoop_fs(spark, data_dir)
@@ -1400,6 +1704,7 @@ def _dml_rewrite(
     base = table.rstrip("/")
     if not _list_versions(spark, table):
         raise ValueError(f"{table} has no committed snapshots")
+    constraints = get_snapshot_constraints(spark, table)
     for _ in range(max_retries):
         head = _list_versions(spark, table)[-1]
         entries = _live_entries(spark, table, head)
@@ -1407,8 +1712,12 @@ def _dml_rewrite(
         touched = _predicate_touched_dirs(spark, live, pred)
         if not touched:
             return head
-        new_rows = rewrite(
-            spark.read.option("mergeSchema", "true").parquet(*touched)
+        head_schema = table_schema(spark, table, head)
+        new_rows = _apply_check_constraints(
+            rewrite(spark.read.option("mergeSchema", "true").parquet(*touched)),
+            constraints,
+            table,
+            head_schema,
         )
         data_dir = f"{base}/data/{uuid.uuid4().hex}"
         writer = new_rows.write.mode("errorifexists")
@@ -1433,6 +1742,7 @@ def _dml_rewrite(
             op_of(len(touched)),
             time.time(),
             stream_hwm=_max_streamed_batch(spark, table),
+            table_schema_json=head_schema.json(),
         ):
             return head + 1
         fs, dp = _hadoop_fs(spark, data_dir)
@@ -1539,6 +1849,8 @@ def compact_snapshot(
     partition_by: list[str] | None = None,
     cluster_by: list[str] | None = None,
     only_small_mb: int | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_bits: int = 6,
 ) -> int:
     """Rewrite the CURRENT live set as one right-sized commit — the
     small-files answer for stream-ingested snapshot tables (every 5 s
@@ -1564,13 +1876,27 @@ def compact_snapshot(
     keeping a stream-ingested table tidy is then proportional to the
     day's micro-batches, not the table — at 100 TB the difference
     between a nightly job and an impossible one. No-op (returns the
-    current version) when fewer than two dirs qualify."""
+    current version) when fewer than two dirs qualify.
+
+    ``zorder_by`` lays the rewrite out along the MORTON CURVE of 2+
+    columns (Delta's OPTIMIZE ZORDER, operators/zorder.py): each output
+    file covers a small hyper-rectangle of the value space, so footer
+    min/max pruning skips files for predicates on ANY subset of the
+    columns — where ``cluster_by``'s lexicographic sort helps only the
+    leading one. Mutually exclusive with cluster_by/partition_by."""
     if target_file_mb <= 0:
         raise ValueError("target_file_mb must be positive")
-    if cluster_by and partition_by:
-        raise ValueError("cluster_by and partition_by are mutually exclusive")
+    layouts = [x for x in (cluster_by, partition_by, zorder_by) if x]
+    if len(layouts) > 1:
+        raise ValueError(
+            "cluster_by, partition_by and zorder_by are mutually exclusive"
+        )
 
     def _sized(n_files: int, df: DataFrame) -> DataFrame:
+        if zorder_by:
+            from .zorder import zorder_layout
+
+            return zorder_layout(df, zorder_by, n_files, bits=zorder_bits)
         if cluster_by:
             return df.repartitionByRange(
                 n_files, *cluster_by
@@ -1641,6 +1967,7 @@ def compact_snapshot(
             op,
             time.time(),
             stream_hwm=_max_streamed_batch(spark, table),
+            table_schema_json=table_schema(spark, table, head).json(),
         ):
             return head + 1
         fs, dp = _hadoop_fs(spark, data_dir)
@@ -1721,7 +2048,8 @@ def vacuum_snapshots(
     _, root = _hadoop_fs(spark, base)
     for st in fs.listStatus(root):
         young = now_ms - st.getModificationTime() < min_age_seconds * 1000.0
-        if st.getPath().getName().startswith("__vtmp_") and not young:
+        name = st.getPath().getName()
+        if (name.startswith("__vtmp_") or name.startswith("__ktmp_")) and not young:
             fs.delete(st.getPath(), True)
             removed_tmp += 1
     return {

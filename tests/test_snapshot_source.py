@@ -144,6 +144,7 @@ def test_stream_aligns_evolved_schema_to_pinned(spark, tmp_path):
     commit_snapshot(
         spark, t,
         spark.range(2, 4).selectExpr("id", "'extra' as other"),
+        evolve_schema=True,
     )
     q = (
         stream.writeStream.format("memory")

@@ -155,7 +155,10 @@ def test_schema_evolution_with_merge_schema(spark, tmp_path):
     t = str(tmp_path / "t")
     commit_snapshot(spark, t, spark.range(0, 3).selectExpr("id"))
     commit_snapshot(
-        spark, t, spark.range(3, 5).selectExpr("id", "id * 2 as extra")
+        spark,
+        t,
+        spark.range(3, 5).selectExpr("id", "id * 2 as extra"),
+        evolve_schema=True,
     )
     df = read_snapshot(spark, t, merge_schema=True)
     assert set(df.columns) == {"id", "extra"}
