@@ -6,7 +6,8 @@ whole warehouse (reference dbt/models/marts/fct_revenue_daily.sql — a
 full-table GROUP BY per run; the incremental high-watermark model only
 bounds the STAGING scan). This module is the table-format-native
 version: a view = ``GROUP BY key_cols`` with associative aggregates
-(count/sum/min/max/avg) over a snapshot source table, refreshed by
+(count/sum/min/max/avg/approx_distinct) over a snapshot source table,
+refreshed by
 
 1. reading ONLY the source rows added since the last applied source
    version (``snapshot_changes`` — the file-diff change feed, new files
@@ -39,8 +40,13 @@ behind a refresh call.
 
 ``avg`` is stored as its sum/count partials (hidden ``{out}__sum`` /
 ``{out}__cnt`` columns — the only decomposition that merges
-associatively) and re-derived at read; ``mview_read`` is the one reader
-that knows to project it back.
+associatively) and re-derived at read; ``approx_distinct`` is stored as
+its Datasketches HLL sketch (hidden ``{out}__hll`` binary, ~2^lgK
+bytes/group — estimates don't fold, sketches union losslessly) and
+estimated at read; ``mview_read`` is the one reader that knows to
+project both back. COUNT DISTINCT is the aggregate full-rescan rollups
+exist for — here a per-group KB sketch makes it incrementally
+maintainable with the same exactly-once fold as sum/count.
 """
 
 from __future__ import annotations
@@ -61,11 +67,16 @@ __all__ = ["mview_refresh", "mview_read", "mview_applied_version"]
 
 _OP = "mview"
 
-_SUPPORTED = ("count", "sum", "min", "max", "avg")
+_SUPPORTED = ("count", "sum", "min", "max", "avg", "approx_distinct")
+
+#: lgConfigK for approx_distinct partials — fixed for a view's lifetime
+#: (sketches with different K never union; the Spark default).
+_HLL_LGK = 12
 
 
 def _expand(aggs: dict) -> list[tuple[str, str, object]]:
-    """[(physical_col, fn, input)] — avg expands to its sum/cnt pair."""
+    """[(physical_col, fn, input)] — avg expands to its sum/cnt pair,
+    approx_distinct to its hidden HLL sketch column."""
     out = []
     for name, (fn, expr) in aggs.items():
         if fn not in _SUPPORTED:
@@ -75,6 +86,13 @@ def _expand(aggs: dict) -> list[tuple[str, str, object]]:
                 raise ValueError("avg requires an input expression")
             out.append((f"{name}__sum", "sum", expr))
             out.append((f"{name}__cnt", "count", expr))
+        elif fn == "approx_distinct":
+            if expr is None:
+                raise ValueError("approx_distinct requires an input expression")
+            # stored as the MERGEABLE state (Datasketches HLL binary),
+            # not the estimate: estimates don't fold, sketches do —
+            # the same partial-aggregation law the other five rest on
+            out.append((f"{name}__hll", "approx_distinct", expr))
         else:
             out.append((name, fn, expr))
     return out
@@ -84,13 +102,16 @@ def _partial(fn: str, expr) -> Column:
     col = F.expr(expr) if isinstance(expr, str) else expr
     if fn == "count":
         return F.count(F.lit(1)) if expr is None else F.count(col)
+    if fn == "approx_distinct":
+        return F.hll_sketch_agg(col, _HLL_LGK)
     return {"sum": F.sum, "min": F.min, "max": F.max}[fn](col)
 
 
 def _combine(fn: str):
     """existing ⊕ incoming, with SQL aggregate NULL semantics: count is
     never NULL; sum of two partials is NULL only when both are (least/
-    greatest already skip NULLs, matching min/max over a group)."""
+    greatest already skip NULLs, matching min/max over a group); an HLL
+    sketch union treats a NULL side (all-NULL input delta) as empty."""
     if fn in ("count",):
         return lambda t, u: t + u
     if fn == "sum":
@@ -99,6 +120,12 @@ def _combine(fn: str):
         )
     if fn == "min":
         return lambda t, u: F.least(t, u)
+    if fn == "approx_distinct":
+        return lambda t, u: (
+            F.when(t.isNull(), u)
+            .when(u.isNull(), t)
+            .otherwise(F.hll_union(t, u))
+        )
     return lambda t, u: F.greatest(t, u)
 
 
@@ -133,8 +160,9 @@ def mview_refresh(
     """Bring ``view_table`` up to ``src_table``'s head; returns the
     applied source version, or None when already caught up.
 
-    ``aggs``: {out_col: (fn, input)} with fn in count/sum/min/max/avg;
-    input is a column name / SQL expression string (None for count(*)).
+    ``aggs``: {out_col: (fn, input)} with fn in count/sum/min/max/avg/
+    approx_distinct; input is a column name / SQL expression string
+    (None for count(*)).
     The first call bootstraps the view with a full aggregation; later
     calls fold only the source delta (see module docstring for the
     exactly-once and rewrite contracts).
@@ -227,8 +255,9 @@ def mview_read(
 ) -> DataFrame:
     """The view with derived aggregates projected back: avg columns are
     recombined from their stored sum/cnt partials (NULL when the group
-    counted nothing non-null, matching SQL AVG); everything else reads
-    as stored."""
+    counted nothing non-null, matching SQL AVG), approx_distinct columns
+    estimated from their stored HLL sketches (0 for an all-NULL group,
+    matching approx_count_distinct); everything else reads as stored."""
     df = read_snapshot(spark, view_table, version=version)
     drop, add = [], []
     for name, (fn, _) in aggs.items():
@@ -238,6 +267,16 @@ def mview_read(
                 F.when(F.col(c) > 0, F.col(s) / F.col(c)).alias(name)
             )
             drop += [s, c]
+        elif fn == "approx_distinct":
+            h = f"{name}__hll"
+            add.append(
+                F.when(
+                    F.col(h).isNotNull(), F.hll_sketch_estimate(F.col(h))
+                )
+                .otherwise(F.lit(0))
+                .alias(name)
+            )
+            drop.append(h)
     if not add:
         return df
     keep = [c for c in df.columns if c not in drop]

@@ -310,3 +310,68 @@ def test_avg_null_group_reads_as_null(spark, tmp_path):
     assert rows["b"]["mean"] == 2.0
     # hidden partials are projected away
     assert "mean__sum" not in mview_read(spark, view, AGGS).columns
+
+
+def test_approx_distinct_folds_sketches_not_estimates(spark, tmp_path):
+    """approx_distinct: the view stores the mergeable HLL sketch, so an
+    incremental fold over overlapping deltas equals the from-scratch
+    sketch of the whole source — estimates would double-count the
+    overlap, unions cannot. Small cardinalities estimate exactly."""
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    aggs = {"users": ("approx_distinct", "uid"), "n": ("count", None)}
+
+    def batch(rows):
+        return spark.createDataFrame(rows, "grp string, uid string")
+
+    commit_snapshot(
+        spark, src, batch([("a", "u1"), ("a", "u2"), ("b", "u1")])
+    )
+    mview_refresh(spark, src, view, ["grp"], aggs)
+    got = {
+        r["grp"]: (r["users"], r["n"])
+        for r in mview_read(spark, view, aggs).collect()
+    }
+    assert got == {"a": (2, 2), "b": (1, 1)}
+    # hidden sketch column never surfaces through the reader
+    assert "users__hll" not in mview_read(spark, view, aggs).columns
+
+    # delta OVERLAPS the seen uids: u1/u2 again plus new u3, new group c
+    commit_snapshot(
+        spark,
+        src,
+        batch([("a", "u1"), ("a", "u3"), ("b", "u2"), ("c", "u9")]),
+    )
+    mview_refresh(spark, src, view, ["grp"], aggs)
+    got = {
+        r["grp"]: (r["users"], r["n"])
+        for r in mview_read(spark, view, aggs).collect()
+    }
+    # a: {u1,u2,u3}=3 (estimate-addition would say 4), b: {u1,u2}=2
+    assert got == {"a": (3, 4), "b": (2, 2), "c": (1, 1)}
+
+    # replay is a no-op
+    assert mview_refresh(spark, src, view, ["grp"], aggs) is None
+
+    # equals the from-scratch estimate over the head
+    oracle = {
+        r["grp"]: r["d"]
+        for r in read_snapshot(spark, src)
+        .groupBy("grp")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("uid", 12)).alias("d"))
+        .collect()
+    }
+    assert {g: d for g, (d, _) in got.items()} == oracle
+
+
+def test_approx_distinct_all_null_group_reads_zero(spark, tmp_path):
+    src, view = str(tmp_path / "src"), str(tmp_path / "view")
+    aggs = {"users": ("approx_distinct", "uid")}
+    df = spark.createDataFrame(
+        [("a", None), ("a", None), ("b", "u1")], "grp string, uid string"
+    )
+    commit_snapshot(spark, src, df)
+    mview_refresh(spark, src, view, ["grp"], aggs)
+    got = {
+        r["grp"]: r["users"] for r in mview_read(spark, view, aggs).collect()
+    }
+    assert got == {"a": 0, "b": 1}
