@@ -227,6 +227,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="print the active CHECK constraints")
     pn.add_argument("--schema", action="store_true",
                     help="print the manifest-recorded table schema")
+    pn.add_argument("--detail", action="store_true",
+                    help="print the table's DESCRIBE dict (head version, "
+                         "live dirs/files/bytes, schema, constraints)")
+    pn.add_argument("--dry-run", action="store_true",
+                    help="--vacuum reports what it WOULD delete, deletes nothing")
 
     pm = sub.add_parser(
         "mview",
@@ -510,6 +515,12 @@ def main(argv: list[str] | None = None) -> int:
 
             for f in table_schema(spark, args.table).fields:
                 print(f"{f.name}\t{f.dataType.simpleString()}")
+        if args.detail:
+            import json as _json
+
+            from .operators.snapshots import snapshot_detail
+
+            print(_json.dumps(snapshot_detail(spark, args.table), default=str))
         if args.lookup is not None:
             from .operators.snapshots import snapshot_lookup
 
@@ -647,6 +658,7 @@ def main(argv: list[str] | None = None) -> int:
                 keep_versions=args.keep,
                 min_age_seconds=args.min_age,
                 keep_hours=args.keep_hours,
+                dry_run=args.dry_run,
             )
             print(" ".join(f"{k}={v}" for k, v in out.items()))
         for r in snapshot_history(spark, args.table).collect():

@@ -74,6 +74,7 @@ __all__ = [
     "get_snapshot_constraints",
     "drop_snapshot_constraint",
     "table_schema",
+    "snapshot_detail",
 ]
 
 _V_WIDTH = 11  # zero-pad so lexicographic dir order == numeric order
@@ -1975,12 +1976,56 @@ def compact_snapshot(
     raise RuntimeError(f"incremental compaction of {table} lost 10 commit races")
 
 
+def snapshot_detail(spark: SparkSession, table: str) -> dict:
+    """DESCRIBE for a snapshot table: one dict for dashboards/ops from
+    metadata plus one FS listing per live dir — head version, commit
+    count, live dir/file/byte totals, recorded schema, active
+    constraints, stream high-water mark. Never reads data rows."""
+    versions = _list_versions(spark, table)
+    if not versions:
+        raise ValueError(f"{table} has no committed snapshots")
+    head = versions[-1]
+    entries = _live_entries(spark, table, head)
+    fs, _ = _hadoop_fs(spark, table)
+    n_files = 0
+    n_bytes = 0
+    for p, _s in entries:
+        _, dp = _hadoop_fs(spark, p)
+        it = fs.listFiles(dp, True)
+        while it.hasNext():
+            st = it.next()
+            if not st.getPath().getName().startswith(("_", ".")):
+                n_files += 1
+                n_bytes += st.getLen()
+    hist = snapshot_history(spark, table).collect()
+    by_v = {int(r["version"]): r for r in hist}
+    return {
+        "table": table.rstrip("/"),
+        "head_version": head,
+        "versions_retained": len(versions),
+        "head_operation": by_v[head]["operation"],
+        "head_committed_at": float(by_v[head]["committed_at"]),
+        "live_dirs": len(entries),
+        "live_files": n_files,
+        "live_bytes": n_bytes,
+        "stats_cols": _stats_cols_of(entries),
+        "bloom_cols": sorted(_bloom_spec_of(entries)),
+        "schema": {
+            f.name: f.dataType.simpleString()
+            for f in table_schema(spark, table, head).fields
+        },
+        "constraints": get_snapshot_constraints(spark, table),
+        "stream_hwm": _max_streamed_batch(spark, table),
+    }
+
+
 def vacuum_snapshots(
     spark: SparkSession,
     table: str,
     keep_versions: int = 2,
     min_age_seconds: float = 3600.0,
     keep_hours: float | None = None,
+    dry_run: bool = False,
 ) -> dict[str, int]:
     """Delete data dirs referenced by NO retained manifest, plus expired
     manifests and orphaned temp/data dirs from crashed commits. Retains
@@ -2000,7 +2045,12 @@ def vacuum_snapshots(
     committer's data dir exists before its manifest does and would look
     orphaned — dirs younger than the threshold are left alone (the
     Delta retention-window posture). Set 0 only when no writer can be
-    active."""
+    active.
+
+    ``dry_run=True`` reports exactly what a real run would delete —
+    same listing, same liveness decisions, zero deletions — the sanity
+    check to schedule before pointing a destructive nightly job at a
+    production table."""
     if keep_versions < 1:
         raise ValueError("keep_versions must be >= 1")
     base = table.rstrip("/")
@@ -2036,13 +2086,15 @@ def vacuum_snapshots(
             p = st.getPath()
             young = now_ms - st.getModificationTime() < min_age_seconds * 1000.0
             if p.getName() not in referenced and not young:
-                fs.delete(p, True)
+                if not dry_run:
+                    fs.delete(p, True)
                 removed_dirs += 1
     removed_manifests = 0
     for v in versions:
         if v not in keep:
             _, vp = _hadoop_fs(spark, f"{_versions_dir(table)}/{_vname(v)}")
-            fs.delete(vp, True)
+            if not dry_run:
+                fs.delete(vp, True)
             removed_manifests += 1
     removed_tmp = 0
     _, root = _hadoop_fs(spark, base)
@@ -2050,11 +2102,13 @@ def vacuum_snapshots(
         young = now_ms - st.getModificationTime() < min_age_seconds * 1000.0
         name = st.getPath().getName()
         if (name.startswith("__vtmp_") or name.startswith("__ktmp_")) and not young:
-            fs.delete(st.getPath(), True)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
             removed_tmp += 1
     return {
         "removed_data_dirs": removed_dirs,
         "removed_manifests": removed_manifests,
         "removed_tmp_dirs": removed_tmp,
         "retained_versions": len(keep),
+        "dry_run": bool(dry_run),
     }

@@ -331,6 +331,91 @@ def main() -> None:
 
     smoke("mview_delta_refresh", run_mview_delta)
 
+    # 9. Z-order compaction of the multi-dir table: both clustered
+    # columns' per-file spans must shrink (the multi-column pruning
+    # property), and the rewrite is the only heavy phase.
+    def run_zorder_compact():
+        from binance_data_pipeline_spark.operators.snapshots import (
+            compact_snapshot,
+        )
+
+        v = compact_snapshot(
+            spark,
+            tbl,
+            target_file_mb=8,
+            zorder_by=["l_orderkey", "l_partkey"],
+        )
+        after = read_snapshot(spark, tbl, version=v)
+        spans = (
+            after.groupBy(F.input_file_name())
+            .agg(
+                (F.max("l_orderkey") - F.min("l_orderkey")).alias("ok"),
+                (F.max("l_partkey") - F.min("l_partkey")).alias("pk"),
+            )
+            .agg(
+                F.expr("percentile(ok, 0.5)").alias("median_ok_span"),
+                F.expr("percentile(pk, 0.5)").alias("median_pk_span"),
+                F.max("ok").alias("max_ok_span"),
+                F.count(F.lit(1)).alias("files"),
+            )
+            .first()
+        )
+        glob = after.agg(
+            (F.max("l_orderkey") - F.min("l_orderkey")).alias("ok"),
+            (F.max("l_partkey") - F.min("l_partkey")).alias("pk"),
+        ).first()
+        return {
+            "version": v,
+            "files": int(spans["files"]),
+            "median_ok_span_frac": round(spans["median_ok_span"] / glob["ok"], 3),
+            "median_pk_span_frac": round(spans["median_pk_span"] / glob["pk"], 3),
+        }
+
+    smoke("zorder_compact", run_zorder_compact)
+
+    # 10. CHECK constraints at volume: enforcement rides the write's own
+    # pass — a constrained commit's wall time must sit within noise of
+    # the unconstrained ones above, and a violating commit aborts with
+    # the head untouched.
+    def run_constrained_commit():
+        from binance_data_pipeline_spark.operators.snapshots import (
+            _list_versions,
+            set_snapshot_constraints,
+        )
+
+        set_snapshot_constraints(
+            spark,
+            tbl,
+            {"qty_pos": "l_quantity >= 0", "ok_nn": "l_orderkey IS NOT NULL"},
+            validate=True,
+        )
+        v = commit_snapshot(
+            spark,
+            tbl,
+            spark.read.parquet(
+                f"{base}/lineitem_chunks/c{min(2, mult - 1)}.parquet"
+            ).limit(100_000),
+        )
+        head = _list_versions(spark, tbl)[-1]
+        try:
+            commit_snapshot(
+                spark,
+                tbl,
+                spark.read.parquet(f"{base}/lineitem_chunks/c0.parquet")
+                .limit(1000)
+                .withColumn("l_quantity", F.lit(-1.0)),
+            )
+            aborted = False
+        except Exception:
+            aborted = True
+        return {
+            "committed": v,
+            "violating_commit_aborted": aborted,
+            "head_unchanged": _list_versions(spark, tbl)[-1] == head,
+        }
+
+    smoke("constrained_commit", run_constrained_commit)
+
     print("FINAL " + json.dumps(results), flush=True)
 
 
