@@ -183,6 +183,24 @@ def test_compact_snapshot_zorder_by_integration(spark, tmp_path):
     assert any(op.startswith("compact:") for op in ops)
 
 
+def test_zorder_plan_is_jvm_only_single_exchange(spark):
+    """Scale shape: the z-key is a generated CASE + shift/OR expression
+    (whole-stage codegen, no Python eval anywhere), and the layout's
+    only data movement is the one range-partition Exchange the rewrite
+    needed anyway."""
+    df = _grid(spark, 32)
+    out = zorder_layout(df, ["x", "y"], n_files=4, bits=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan, plan  # no Batch/ArrowEvalPython
+    assert plan.count("Exchange rangepartitioning") == 1, plan
+    # the sort is WITHIN partitions (SortExec global flag false) — a
+    # second, global sort would mean a second exchange
+    import re
+
+    sorts = re.findall(r"Sort \[[^\]]*\], (\w+), \d+", plan)
+    assert sorts and all(s == "false" for s in sorts), (sorts, plan)
+
+
 def test_zorder_by_mutually_exclusive_with_other_layouts(spark, tmp_path):
     from binance_data_pipeline_spark.operators.snapshots import (
         commit_snapshot,
