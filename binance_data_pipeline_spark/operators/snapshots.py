@@ -670,7 +670,18 @@ def _apply_check_constraints(
             F.lit(True),
         )
         guard = g if guard is None else (guard & g)
-    out = aug.where(guard)
+    try:
+        out = aug.where(guard)
+    except Exception as e:
+        # most common cause: an overwrite dropped a column an active
+        # constraint still references — surface WHICH constraint blocks
+        # the write instead of a bare unresolved-column error
+        raise ValueError(
+            f"active constraint(s) {sorted(constraints)} on {table} no "
+            f"longer resolve against this write's schema (did an "
+            f"overwrite drop a constrained column?); drop or update the "
+            f"constraint: {e}"
+        ) from e
     return out.select(*df.columns) if missing else out
 
 

@@ -165,6 +165,25 @@ def test_constraints_survive_vacuum(spark, tmp_path):
         commit_snapshot(spark, t, _df(spark, 100, 101, qty=-1))
 
 
+def test_overwrite_dropping_constrained_column_blocks_later_writes_loudly(
+    spark, tmp_path
+):
+    # an overwrite may drop a column an active constraint references;
+    # the NEXT write must then fail naming the constraint, not with a
+    # bare unresolved-column error
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 3))
+    set_snapshot_constraints(spark, t, {"qty_pos": "qty > 0"})
+    commit_snapshot(
+        spark, t, spark.range(0, 2).selectExpr("id"), mode="overwrite"
+    )
+    with pytest.raises(ValueError, match="qty_pos.*no longer resolve"):
+        commit_snapshot(spark, t, spark.range(2, 4).selectExpr("id"))
+    drop_snapshot_constraint(spark, t, "qty_pos")
+    commit_snapshot(spark, t, spark.range(2, 4).selectExpr("id"))
+    assert read_snapshot(spark, t).count() == 4
+
+
 def test_replace_swaps_the_whole_set(spark, tmp_path):
     t = str(tmp_path / "t")
     commit_snapshot(spark, t, _df(spark, 0, 3))
