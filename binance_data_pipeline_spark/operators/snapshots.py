@@ -68,7 +68,9 @@ __all__ = [
     "snapshot_tail",
     "tail_cursor",
     "read_snapshot_range",
+    "read_snapshot_ranges",
     "snapshot_lookup",
+    "snapshot_lookup_keys",
     "register_snapshot_view",
     "set_snapshot_constraints",
     "get_snapshot_constraints",
@@ -931,6 +933,42 @@ def read_snapshot_range(
     return df
 
 
+def read_snapshot_ranges(
+    spark: SparkSession,
+    table: str,
+    ranges: dict[str, tuple],
+    version: int | None = None,
+) -> DataFrame:
+    """``read_snapshot_range`` over a CONJUNCTION of columns: ``ranges``
+    = {col: (lo, hi)} (either bound may be None), a dir survives only if
+    EVERY column's recorded [min,max] can meet its interval — the prunes
+    stack multiplicatively, so a time-AND-key slice of a 100 TB table
+    lists the few dirs in the intersection. Same exactness contract as
+    the single-column form: stats-less dirs always scan, residual
+    BETWEEN filters apply row-level (pushed to parquet footers, which a
+    Z-ordered layout then prunes file-by-file on the same columns)."""
+    if not ranges:
+        raise ValueError("ranges must be a non-empty {col: (lo, hi)} dict")
+    v = _resolve_version(spark, table, version, None)
+    entries = _live_entries(spark, table, v)
+    for col, (lo, hi) in ranges.items():
+        keep = set(
+            _prune_entries(entries, col, _json_scalar(lo), _json_scalar(hi))
+        )
+        entries = [e for e in entries if e[0] in keep]
+    if not entries:
+        return read_snapshot(spark, table, version=v).limit(0)
+    df = spark.read.option("mergeSchema", "true").parquet(
+        *[p for p, _ in entries]
+    )
+    for col, (lo, hi) in ranges.items():
+        if lo is not None:
+            df = df.where(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.where(F.col(col) <= F.lit(hi))
+    return df
+
+
 def snapshot_lookup(
     spark: SparkSession,
     table: str,
@@ -978,6 +1016,67 @@ def snapshot_lookup(
     df = spark.read.option("mergeSchema", "true").parquet(*dirs)
     return df.where(F.col(col).isin(values) if None not in values
                     else (F.col(col).isin(non_null) | F.col(col).isNull()))
+
+
+def snapshot_lookup_keys(
+    spark: SparkSession,
+    table: str,
+    keys: list[dict],
+    version: int | None = None,
+) -> DataFrame:
+    """Composite-key point lookup: rows matching ANY of the given key
+    dicts (all dicts must share one column set — e.g. ``[{"sym": "BTC",
+    "day": 3}, ...]``). The same two metadata prunes as the
+    single-column form, per key column: min/max range stats against each
+    column's value span, then the per-dir Blooms for every bloom-indexed
+    key column — a dir survives only if every usable prune keeps it.
+    Residual exact row filter (null-safe per-key conjunction, OR across
+    keys) applies after, so the prunes stay superset-exact. At 100 TB a
+    composite-id fetch opens the dirs the manifest cannot rule out, not
+    the table."""
+    if not keys:
+        raise ValueError("keys must be a non-empty list of {col: value} dicts")
+    cols = sorted(keys[0])
+    if not cols or any(sorted(k) != cols for k in keys):
+        raise ValueError("every key dict must share one non-empty column set")
+    v = _resolve_version(spark, table, version, None)
+    entries = _live_entries(spark, table, v)
+    for c in cols:
+        vals = [k[c] for k in keys if k[c] is not None]
+        if vals and len(vals) == len(keys):
+            keep = set(
+                _prune_entries(
+                    entries, c, _json_scalar(min(vals)), _json_scalar(max(vals))
+                )
+            )
+            entries = [e for e in entries if e[0] in keep]
+    if entries:
+        from pyspark.sql import types as T
+
+        head = read_snapshot(spark, table, version=v, merge_schema=True)
+        for c in cols:
+            if c not in head.columns:
+                raise ValueError(f"key column {c!r} not in {table}")
+        schema = T.StructType(
+            [T.StructField(c, head.schema[c].dataType, True) for c in cols]
+        )
+        probe = spark.createDataFrame(
+            [tuple(k[c] for c in cols) for k in keys], schema=schema
+        )
+        dirs = _bloom_prune_dirs(probe.dropDuplicates(cols), cols, entries)
+    else:
+        dirs = []
+    if not dirs:
+        return read_snapshot(spark, table, version=v).limit(0)
+    df = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    cond = None
+    for k in keys:
+        kc = None
+        for c in cols:
+            t = F.col(c).eqNullSafe(F.lit(k[c]))
+            kc = t if kc is None else (kc & t)
+        cond = kc if cond is None else (cond | kc)
+    return df.where(cond)
 
 
 def register_snapshot_view(

@@ -302,3 +302,26 @@ def test_missing_column_append_allowed_without_evolution(spark, tmp_path):
         "qty",
         "tag",
     }
+
+
+def test_streaming_append_enforces_constraints(spark, tmp_path):
+    """Constraints gate streaming ingest too (snapshot_append_batch ->
+    commit_snapshot): a violating micro-batch fails the query before any
+    version is claimed; the table keeps serving its last good state."""
+    from binance_data_pipeline_spark.operators.snapshots import (
+        snapshot_append_batch,
+    )
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 3))
+    set_snapshot_constraints(spark, t, {"qty_pos": "qty > 0"})
+    assert snapshot_append_batch(spark, t, _df(spark, 3, 5), batch_id=1) == 1
+    head = _list_versions(spark, t)[-1]
+    with pytest.raises(SparkRuntimeException) as e:
+        snapshot_append_batch(spark, t, _df(spark, 5, 7, qty=-4), batch_id=2)
+    assert _violates(e, "qty_pos")
+    assert _list_versions(spark, t)[-1] == head
+    assert read_snapshot(spark, t).count() == 5
+    # the retried (fixed) batch 2 still applies exactly once
+    assert snapshot_append_batch(spark, t, _df(spark, 5, 7), batch_id=2) == head + 1
+    assert snapshot_append_batch(spark, t, _df(spark, 5, 7), batch_id=2) is None
