@@ -1201,6 +1201,9 @@ def streaming_snapshot_append(
     table: str,
     checkpoint: str,
     refresh_views: list[dict] | None = None,
+    compact_every: int | None = None,
+    compact_small_mb: int = 64,
+    compact_target_mb: int = 128,
 ):
     """foreachBatch writer streaming micro-batches into a snapshot table
     — every batch becomes a time-travelable version, exactly once across
@@ -1216,16 +1219,45 @@ def streaming_snapshot_append(
     view's applied-version cursor makes its refresh a no-op; a crash
     between append and refresh just means the NEXT batch's refresh
     folds both deltas (the view lags the table by at most one batch,
-    it never double-counts or loses one)."""
+    it never double-counts or loses one).
+
+    ``compact_every=N`` runs INCREMENTAL compaction
+    (``compact_snapshot(only_small_mb=…)``) inline after every N-th
+    batch commit — the self-tidying ingest loop: a day of 5 s
+    micro-batch dirs coalesces as it lands instead of waiting for a
+    nightly job, and already-right-sized dirs survive by reference so
+    the steady-state cost stays proportional to the last N batches.
+    Exactly-once composes untouched: compaction is its own atomic
+    commit of the SAME rows (replay guard carried forward), a crash
+    between append and compaction just defers tidying, and a replayed
+    batch triggers no compaction (the append was a no-op). NOTE:
+    downstream ``snapshot_changes``/DataSource tails see compaction as
+    a rewrite crossing — pair with keyed consumers or
+    ``on_rewrite='bootstrap'``; mview refreshes chained via
+    ``refresh_views`` run BEFORE the compaction of their trigger batch
+    and recompute-on-crossing by default, so they stay exact."""
+    if compact_every is not None and compact_every < 1:
+        raise ValueError("compact_every must be a positive batch count")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        snapshot_append_batch(spark, table, batch_df, batch_id)
+        committed = snapshot_append_batch(spark, table, batch_df, batch_id)
         if refresh_views:
             from .mview import mview_refresh
 
             for spec in refresh_views:
                 mview_refresh(spark, table, **spec)
+        if (
+            compact_every
+            and committed is not None
+            and int(batch_id) % int(compact_every) == 0
+        ):
+            compact_snapshot(
+                spark,
+                table,
+                target_file_mb=compact_target_mb,
+                only_small_mb=compact_small_mb,
+            )
 
     return (
         stream.writeStream.outputMode("append")

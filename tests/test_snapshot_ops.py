@@ -135,3 +135,45 @@ def test_snapshot_lookup_keys_composite(spark, tmp_path):
         snapshot_lookup_keys(spark, t, [{"sym": "BTC"}, {"day": 1}])
     with pytest.raises(ValueError, match="non-empty"):
         snapshot_lookup_keys(spark, t, [])
+
+
+def test_streaming_append_auto_compacts_every_n_batches(spark, tmp_path):
+    """compact_every: the ingest loop tidies its own small files — after
+    each committed batch an incremental compaction commit can follow the
+    stream-append commit, rows intact, and a replayed batch (append
+    no-op) triggers no compaction."""
+    from binance_data_pipeline_spark.operators.snapshots import (
+        snapshot_history,
+        streaming_snapshot_append,
+    )
+
+    src = str(tmp_path / "in")
+    t = str(tmp_path / "t")
+    cp = str(tmp_path / "cp")
+
+    def run(checkpoint):
+        stream = spark.readStream.schema("id long, qty int").parquet(src)
+        q = (
+            streaming_snapshot_append(
+                stream, t, checkpoint, compact_every=1, compact_small_mb=64
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    _df(spark, 0, 8).write.mode("append").parquet(src)
+    run(cp)  # batch 0: append; compaction no-ops (single live dir)
+    _df(spark, 8, 12).write.mode("append").parquet(src)
+    run(cp)  # batch 1: append -> 2 small dirs -> compaction commit
+    ops = [r["operation"] for r in snapshot_history(spark, t).collect()]
+    assert ops[:2] == ["stream-append:0", "stream-append:1"]
+    assert sum(1 for o in ops if o.startswith("compact:")) == 1
+    assert read_snapshot(spark, t).count() == 12
+
+    # total checkpoint loss: everything replays as batch 0 <= hwm 1 —
+    # the append no-ops and NO compaction commit is added
+    run(str(tmp_path / "cp_fresh"))
+    ops2 = [r["operation"] for r in snapshot_history(spark, t).collect()]
+    assert ops2 == ops
+    assert read_snapshot(spark, t).count() == 12
