@@ -46,7 +46,7 @@ interval_join    bucketed interval/range join
 bloomjoin        Bloom-prefiltered joins (map-side shuffle reduction for selective joins)
 asof             as-of join (trade × quote style)
 revenue          fee/tax revenue fact (§3.4 flagship)
-scale            compaction, bucketing, salting, Z-order path writes (numeric quantize)
+scale            compaction, bucketing, salted agg + salted skew join, Z-order path writes
 zorder           Morton keys for snapshot compaction (any orderable type, sampled quantile cuts)
 skipping         file-level min/max data-skipping index
 snapshots        snapshot-versioned tables (atomic commits, time travel, rollback, vacuum, exactly-once streaming appends)
