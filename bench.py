@@ -87,10 +87,70 @@ def calibration_query(spark):
     )
 
 
+def run_suite(spark, sf_dir, sf, queries, names, metric) -> None:
+    """The headline protocol applied to an alternate query set: untimed
+    warmup of the first query, calibration samples before/between/after,
+    two passes with per-query min, one JSON line."""
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def time_calibration() -> float:
+        t0 = time.time()
+        force(calibration_query(spark))
+        return round(time.time() - t0, 3)
+
+    force(queries[names[0]](spark, sf_dir))
+    time_calibration()
+    cal_samples = [time_calibration()]
+    timings: dict[str, float] = {}
+    for _pass in range(2):
+        for name in names:
+            t0 = time.time()
+            force(queries[name](spark, sf_dir))
+            dt = round(time.time() - t0, 3)
+            if name not in timings or dt < timings[name]:
+                timings[name] = dt
+            spark.catalog.clearCache()
+            release_barriers(spark)
+        cal_samples.append(time_calibration())
+    cal = min(cal_samples)
+    drag = round(cal / CALIBRATION_REF_SEC, 3)
+    normalized = {n: round(t / max(drag, 1.0), 3) for n, t in timings.items()}
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "calibration_sec": cal,
+                "calibration_samples": cal_samples,
+                "calibration_ref_sec": CALIBRATION_REF_SEC,
+                "host_drag": drag,
+                "value_normalized": round(sum(normalized.values()), 3),
+                "queries_normalized": normalized,
+            }
+        )
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+
+    # Optional suites (the driver's per-round run passes no args and gets
+    # the unchanged 25-query headline set): `bench.py --suite tpch` times
+    # the TPC-H completion tier (plans/tpch.py) under the same protocol
+    # (noop sink, two passes, per-query min, calibration normalization)
+    # and prints ONE JSON line with metric "tpch_total_wall".
+    suite = "headline"
+    if "--suite" in sys.argv:
+        suite = sys.argv[sys.argv.index("--suite") + 1]
+    if suite not in ("headline", "tpch"):
+        raise SystemExit(f"unknown suite {suite!r} (headline|tpch)")
 
     spark = get_spark("bdp-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -125,6 +185,15 @@ def main() -> None:
 
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
+
+    if suite == "tpch":
+        from binance_data_pipeline_spark.plans import tpch as _tpch
+
+        run_suite(
+            spark, sf_dir, sf, dict(_tpch.QUERIES), sorted(_tpch.QUERIES),
+            metric="tpch_total_wall",
+        )
+        return
 
     # warmup: exercise parquet reader + codegen before measuring
     force(queries["pricing_summary"](spark, sf_dir))
