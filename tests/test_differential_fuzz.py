@@ -1,0 +1,182 @@
+"""Differential fuzzing: randomized (seeded, deterministic) filter /
+group / aggregate / join plans are generated ONCE as a neutral pure-data
+spec, then lowered twice — to a DataFrame plan for Spark and to ANSI SQL
+for DuckDB — and the results compared value-level through the oracle
+harness. This is the SQLancer-style differential bar on top of the fixed-
+query parity tests: any systematic divergence in predicate evaluation,
+null handling, grouping, or aggregate semantics between the engine's
+DataFrame lowering and a reference SQL engine shows up as a mismatch on
+some generated case.
+
+Seeded RNG (no hypothesis shrinking needed — a failing case prints its
+spec verbatim, which IS the reproducer)."""
+
+from __future__ import annotations
+
+import random
+
+from conftest import SF_SMALL
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.catalog import load_table
+from oracle_harness import compare, duck_connection
+
+N_CASES = 30
+SEED = 42
+
+
+# ---- neutral pure-data predicate specs ------------------------------------
+
+def _num_pred(rng):
+    col, lo, hi = rng.choice(
+        [("l_quantity", 1.0, 50.0), ("l_extendedprice", 1000.0, 90000.0), ("l_discount", 0.0, 0.1)]
+    )
+    op = rng.choice(["<", ">=", "between"])
+    if op == "between":
+        a = round(rng.uniform(lo, hi), 4)
+        b = round(rng.uniform(a, hi), 4)
+        return ("between", col, a, b)
+    v = round(rng.uniform(lo, hi), 4)
+    return (op, col, v)
+
+
+def _cat_pred(rng):
+    col, dom = rng.choice(
+        [("l_returnflag", ["A", "N", "R"]), ("l_linestatus", ["F", "O"])]
+    )
+    vals = sorted(rng.sample(dom, rng.randint(1, len(dom))))
+    return ("isin", col, vals)
+
+
+def _date_pred(rng):
+    y1 = rng.randint(1995, 2000)
+    y2 = rng.randint(y1, 2001)
+    a, b = f"{y1}-0{rng.randint(1, 9)}-01", f"{y2}-{10 + rng.randint(0, 2)}-01"
+    return ("daterange", "l_shipdate", a, b)
+
+
+def _gen_case(rng):
+    gens = [_num_pred, _cat_pred, _date_pred]
+    preds = [g(rng) for g in rng.sample(gens, rng.randint(1, 3))]
+    keys = rng.sample(["l_returnflag", "l_linestatus", "ship_year"], rng.randint(0, 2))
+    aggs = rng.sample(sorted(AGG_SQL), rng.randint(1, 3))
+    return {"preds": preds, "keys": keys, "aggs": aggs, "join": rng.random() < 0.4}
+
+
+AGG_SQL = {
+    # Float sums are rounded at 4 on both sides (catalog policy); the
+    # harness's rel-tolerance float compare absorbs residual ulp.
+    "n": "count(*) AS n",
+    "sum_qty": "sum(l_quantity) AS sum_qty",
+    "sum_price": "round(sum(l_extendedprice), 4) AS sum_price",
+    "min_disc": "min(l_discount) AS min_disc",
+    "max_price": "max(l_extendedprice) AS max_price",
+    "avg_qty": "avg(l_quantity) AS avg_qty",
+}
+
+
+# ---- lowering: spec -> Spark DataFrame ------------------------------------
+
+def _pred_col(p):
+    kind = p[0]
+    if kind == "between":
+        return F.col(p[1]).between(p[2], p[3])
+    if kind == "<":
+        return F.col(p[1]) < p[2]
+    if kind == ">=":
+        return F.col(p[1]) >= p[2]
+    if kind == "isin":
+        return F.col(p[1]).isin(p[2])
+    if kind == "daterange":
+        return (F.col(p[1]) >= F.lit(p[2])) & (F.col(p[1]) < F.lit(p[3]))
+    raise ValueError(kind)
+
+
+def _agg_col(name):
+    return {
+        "n": F.count(F.lit(1)),
+        "sum_qty": F.sum("l_quantity"),
+        "sum_price": F.round(F.sum("l_extendedprice"), 4),
+        "min_disc": F.min("l_discount"),
+        "max_price": F.max("l_extendedprice"),
+        "avg_qty": F.avg("l_quantity"),
+    }[name].alias(name)
+
+
+def _spark_df(spark, case):
+    cond = _pred_col(case["preds"][0])
+    for p in case["preds"][1:]:
+        cond = cond & _pred_col(p)
+    df = load_table(spark, SF_SMALL, "lineitem").where(cond)
+    if case["join"]:
+        o = load_table(spark, SF_SMALL, "orders").where(F.col("o_orderstatus") != "P")
+        df = df.join(o, df.l_orderkey == o.o_orderkey)
+    key_cols = [
+        F.year("l_shipdate").cast("long").alias("ship_year") if k == "ship_year" else F.col(k)
+        for k in case["keys"]
+    ]
+    agg_cols = [_agg_col(a) for a in case["aggs"]]
+    return df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
+
+
+# ---- lowering: spec -> DuckDB SQL ------------------------------------------
+
+def _pred_sql(p):
+    kind = p[0]
+    if kind == "between":
+        return f"{p[1]} BETWEEN {p[2]} AND {p[3]}"
+    if kind in ("<", ">="):
+        return f"{p[1]} {kind} {p[2]}"
+    if kind == "isin":
+        vals = ", ".join(f"'{v}'" for v in p[2])
+        return f"{p[1]} IN ({vals})"
+    if kind == "daterange":
+        return f"{p[1]} >= TIMESTAMP '{p[2]}' AND {p[1]} < TIMESTAMP '{p[3]}'"
+    raise ValueError(kind)
+
+
+def _key_sql(k):
+    return "year(l_shipdate)::BIGINT" if k == "ship_year" else k
+
+
+def _duck_sql(case):
+    src = "lineitem"
+    if case["join"]:
+        src = "lineitem JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus <> 'P'"
+    select = [f"{_key_sql(k)} AS {k}" if k == "ship_year" else k for k in case["keys"]]
+    select += [AGG_SQL[a] for a in case["aggs"]]
+    sql = f"SELECT {', '.join(select)} FROM {src} WHERE " + " AND ".join(
+        _pred_sql(p) for p in case["preds"]
+    )
+    if case["keys"]:
+        sql += " GROUP BY " + ", ".join(_key_sql(k) for k in case["keys"])
+    return sql
+
+
+CASES = [_gen_case(random.Random(SEED * 1000 + i)) for i in range(N_CASES)]
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMALL)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("i", range(N_CASES))
+def test_differential_case(spark, duck, i):
+    case = CASES[i]
+    sql = _duck_sql(case)
+    oracle = duck.sql(sql).df()
+    df = _spark_df(spark, case)
+    errors = compare(df, oracle, f"fuzz[{i}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_fuzz_cases_are_not_vacuous(duck):
+    """At least 60% of the generated cases must return rows — a fuzz
+    corpus of empty results proves nothing."""
+    nonempty = sum(1 for c in CASES if len(duck.sql(_duck_sql(c)).df()) > 0)
+    assert nonempty >= 0.6 * N_CASES, f"only {nonempty}/{N_CASES} cases return rows"
