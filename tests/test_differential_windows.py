@@ -1,0 +1,187 @@
+"""Window-function differential bar: every major window shape (ranking,
+offsets, running/sliding frames, distribution functions) evaluated by
+Spark's Window API and by DuckDB over the same rows, compared value-level.
+Windows are the classic cross-engine divergence surface (tie handling,
+default frames, null ordering), so each case pins one shape with either a
+unique order key (making RANGE≡ROWS and results total-ordered) or a
+tie-tolerant function (rank/dense_rank depend only on order VALUES).
+
+l_quantity is integer-valued, so running sums / bounded-frame averages are
+IEEE-exact on both engines; no rounding games needed."""
+
+from __future__ import annotations
+
+from conftest import SF_SMALL
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.catalog import load_table
+from oracle_harness import compare, duck_connection
+
+# Keep the row set small but non-trivial: one ship-month (~hundreds of rows).
+FILTER_SQL = "l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'"
+
+
+def _base(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01")) & (F.col("l_shipdate") < F.lit("1997-04-01"))
+    )
+
+
+def _w_unique(part):
+    return Window.partitionBy(part).orderBy("l_orderkey", "l_linenumber")
+
+
+ID_COLS = ["l_orderkey", "l_linenumber"]
+ID_SQL = "l_orderkey, l_linenumber"
+
+
+def case_row_number(spark):
+    df = _base(spark).select(
+        *ID_COLS, F.row_number().over(_w_unique("l_returnflag")).alias("rn")
+    )
+    sql = f"""SELECT {ID_SQL},
+              row_number() OVER (PARTITION BY l_returnflag
+                                 ORDER BY l_orderkey, l_linenumber) AS rn
+              FROM lineitem WHERE {FILTER_SQL}"""
+    return df, sql
+
+
+def case_rank_with_ties(spark):
+    w = Window.partitionBy("l_linestatus").orderBy("l_quantity")
+    df = _base(spark).select(
+        *ID_COLS, F.rank().over(w).alias("rnk"), F.dense_rank().over(w).alias("drnk")
+    )
+    sql = f"""SELECT {ID_SQL},
+              rank() OVER (PARTITION BY l_linestatus ORDER BY l_quantity) AS rnk,
+              dense_rank() OVER (PARTITION BY l_linestatus ORDER BY l_quantity) AS drnk
+              FROM lineitem WHERE {FILTER_SQL}"""
+    return df, sql
+
+
+def case_lag_lead(spark):
+    w = _w_unique("l_returnflag")
+    df = _base(spark).select(
+        *ID_COLS,
+        F.lag("l_quantity", 1).over(w).alias("prev_qty"),
+        F.lead("l_quantity", 2, -1.0).over(w).alias("next2_qty"),
+    )
+    sql = f"""SELECT {ID_SQL},
+              lag(l_quantity, 1) OVER (PARTITION BY l_returnflag
+                                       ORDER BY l_orderkey, l_linenumber) AS prev_qty,
+              lead(l_quantity, 2, -1.0) OVER (PARTITION BY l_returnflag
+                                              ORDER BY l_orderkey, l_linenumber) AS next2_qty
+              FROM lineitem WHERE {FILTER_SQL}"""
+    return df, sql
+
+
+def case_running_sum(spark):
+    w = _w_unique("l_returnflag").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df = _base(spark).select(*ID_COLS, F.sum("l_quantity").over(w).alias("run_qty"))
+    sql = f"""SELECT {ID_SQL},
+              sum(l_quantity) OVER (PARTITION BY l_returnflag
+                                    ORDER BY l_orderkey, l_linenumber
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
+              FROM lineitem WHERE {FILTER_SQL}"""
+    return df, sql
+
+
+def case_sliding_avg(spark):
+    w = _w_unique("l_linestatus").rowsBetween(-3, Window.currentRow)
+    df = _base(spark).select(*ID_COLS, F.avg("l_quantity").over(w).alias("ma4"))
+    sql = f"""SELECT {ID_SQL},
+              avg(l_quantity) OVER (PARTITION BY l_linestatus
+                                    ORDER BY l_orderkey, l_linenumber
+                                    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4
+              FROM lineitem WHERE {FILTER_SQL}"""
+    return df, sql
+
+
+def case_first_last_value(spark):
+    w = _w_unique("l_returnflag").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    df = _base(spark).select(
+        *ID_COLS,
+        F.first("l_quantity").over(w).alias("first_qty"),
+        F.last("l_quantity").over(w).alias("last_qty"),
+    )
+    sql = f"""SELECT {ID_SQL},
+              first_value(l_quantity) OVER (PARTITION BY l_returnflag
+                  ORDER BY l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_qty,
+              last_value(l_quantity) OVER (PARTITION BY l_returnflag
+                  ORDER BY l_orderkey, l_linenumber
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_qty
+              FROM lineitem WHERE {FILTER_SQL}"""
+    return df, sql
+
+
+def case_ntile(spark):
+    df = _base(spark).select(
+        *ID_COLS, F.ntile(4).over(_w_unique("l_linestatus")).alias("quartile")
+    )
+    sql = f"""SELECT {ID_SQL},
+              ntile(4) OVER (PARTITION BY l_linestatus
+                             ORDER BY l_orderkey, l_linenumber) AS quartile
+              FROM lineitem WHERE {FILTER_SQL}"""
+    return df, sql
+
+
+def case_distribution(spark):
+    w = _w_unique("l_returnflag")
+    df = _base(spark).select(
+        *ID_COLS,
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    sql = f"""SELECT {ID_SQL},
+              percent_rank() OVER (PARTITION BY l_returnflag
+                                   ORDER BY l_orderkey, l_linenumber) AS pr,
+              cume_dist() OVER (PARTITION BY l_returnflag
+                                ORDER BY l_orderkey, l_linenumber) AS cd
+              FROM lineitem WHERE {FILTER_SQL}"""
+    return df, sql
+
+
+def case_unpartitioned_global(spark):
+    # No PARTITION BY: the single-partition window a naive engine chokes
+    # on; row set is one month so the collapse is bounded here.
+    w = Window.orderBy("l_orderkey", "l_linenumber")
+    df = _base(spark).select(*ID_COLS, F.row_number().over(w).alias("rn"))
+    sql = f"""SELECT {ID_SQL},
+              row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+              FROM lineitem WHERE {FILTER_SQL}"""
+    return df, sql
+
+
+CASES = {
+    "row_number": case_row_number,
+    "rank_with_ties": case_rank_with_ties,
+    "lag_lead": case_lag_lead,
+    "running_sum": case_running_sum,
+    "sliding_avg": case_sliding_avg,
+    "first_last_value": case_first_last_value,
+    "ntile": case_ntile,
+    "distribution": case_distribution,
+    "unpartitioned_global": case_unpartitioned_global,
+}
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duck_connection(SF_SMALL)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_window_differential(spark, duck, name):
+    df, sql = CASES[name](spark)
+    oracle = duck.sql(sql).df()
+    assert len(oracle) > 0
+    errors = compare(df, oracle, name)
+    assert not errors, "\n".join(errors)
