@@ -1,0 +1,234 @@
+"""SQL model DAG runner (sql_models.py) — the dbt-project workflow the
+reference ships (dbt_project/models/*: ref()/source() wiring, config()
+materializations incl. incremental with unique_key + is_incremental()/
+{{ this }} watermark, schema.yml tests, folder defaults). Models here are
+reference-SHAPED (same constructs over this corpus's columns), not copies."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from binance_data_pipeline_spark.sql_models import (
+    load_project,
+    model_df,
+    parse_model,
+    run_models,
+    suite_from_dbt_schema,
+    topo_order,
+)
+
+# Reference-shaped models (dbt_project/models/staging/stg_binance_trades.sql
+# and marts/fact_trades.sql): staging view renames/casts with BQ type names,
+# mart is incremental on unique_key with an is_incremental() watermark.
+STAGING_SQL = """
+with source as (
+    select * from {{ source('bronze', 'trades_raw') }}
+),
+renamed as (
+    select
+        cast(trade_id as string) as trade_id,
+        symbol,
+        event_time,
+        cast(price as float64) as price,
+        cast(quantity as float64) as quantity,
+        date(event_time) as event_date
+    from source
+)
+select * from renamed
+"""
+
+MART_SQL = """
+{{
+    config(
+        materialized='incremental',
+        unique_key='trade_id',
+        partition_by={
+            "field": "event_date",
+            "data_type": "date",
+            "granularity": "day"
+        }
+    )
+}}
+select
+    trade_id, symbol, event_time, event_date, price, quantity,
+    (price * quantity) as total_notional
+from {{ ref('stg_trades') }}
+{% if is_incremental() %}
+  where event_time > (select max(event_time) from {{ this }})
+{% endif %}
+"""
+
+
+def _bronze(spark, rows):
+    return spark.createDataFrame(
+        rows, "trade_id long, symbol string, event_time timestamp, price string, quantity string"
+    ).withColumn("event_time", F.col("event_time"))
+
+
+ROWS_V1 = [
+    (1, "BTCUSDT", "2024-06-10 10:00:00", "100.0", "2.0"),
+    (2, "BTCUSDT", "2024-06-10 11:00:00", "101.0", "1.0"),
+    (3, "ETHUSDT", "2024-06-11 09:00:00", "50.0", "4.0"),
+]
+# run 2: one brand-new trade + one UPDATE of trade 2 (newer event_time)
+ROWS_V2 = ROWS_V1 + [
+    (4, "ETHUSDT", "2024-06-12 08:00:00", "55.0", "1.0"),
+    (2, "BTCUSDT", "2024-06-12 09:00:00", "999.0", "1.0"),
+]
+
+
+def _rows(spark, raw):
+    import datetime as dt
+
+    conv = [
+        (t, s, dt.datetime.fromisoformat(ts), p, q) for (t, s, ts, p, q) in raw
+    ]
+    return _bronze(spark, conv)
+
+
+MODELS = {"stg_trades": STAGING_SQL, "fct_trades": MART_SQL}
+
+
+def test_parse_and_topo():
+    parsed = {n: parse_model(n, s) for n, s in MODELS.items()}
+    assert parsed["fct_trades"].refs == ("stg_trades",)
+    assert parsed["stg_trades"].sources == (("bronze", "trades_raw"),)
+    cfg = parsed["fct_trades"].config
+    assert cfg["materialized"] == "incremental" and cfg["unique_key"] == "trade_id"
+    assert cfg["partition_by"]["field"] == "event_date"
+    assert topo_order(parsed) == ["stg_trades", "fct_trades"]
+
+    cyc = {
+        "a": parse_model("a", "select * from {{ ref('b') }}"),
+        "b": parse_model("b", "select * from {{ ref('a') }}"),
+    }
+    with pytest.raises(ValueError, match="cycle"):
+        topo_order(cyc)
+    with pytest.raises(ValueError, match="unknown model"):
+        topo_order({"a": parse_model("a", "select * from {{ ref('nope') }}")})
+
+
+def test_reference_shaped_project_end_to_end(spark, tmp_path):
+    target = str(tmp_path / "wh")
+    report = run_models(
+        spark, MODELS, sources={"bronze.trades_raw": _rows(spark, ROWS_V1)},
+        target_dir=target,
+    )
+    assert report["stg_trades"]["materialized"] == "view"
+    assert report["fct_trades"] == {"materialized": "incremental", "rows": 3, "version": 0}
+    fct = model_df(spark, "fct_trades")
+    # BQ float64 shim -> double; notional computed through the view chain
+    assert dict(fct.dtypes)["price"] == "double"
+    got = {r["trade_id"]: r["total_notional"] for r in fct.collect()}
+    assert got == {"1": 200.0, "2": 101.0, "3": 200.0}  # trade_id cast to string in staging
+    # day partitioning reached the snapshot data layout
+    snap_data = os.path.join(target, "fct_trades", "data")
+    dirs = [p for d in os.listdir(snap_data) for p in os.listdir(os.path.join(snap_data, d))]
+    assert any(p.startswith("event_date=") for p in dirs)
+
+    # run 2: watermark delta (2 rows pass the is_incremental filter) and
+    # unique_key MERGE semantics — trade 2 is REPLACED, not duplicated
+    report2 = run_models(
+        spark, MODELS, sources={"bronze.trades_raw": _rows(spark, ROWS_V2)},
+        target_dir=target,
+    )
+    assert report2["fct_trades"]["rows"] == 4
+    assert report2["fct_trades"]["version"] == 1
+    got2 = {r["trade_id"]: r["total_notional"] for r in model_df(spark, "fct_trades").collect()}
+    assert got2 == {"1": 200.0, "2": 999.0, "3": 200.0, "4": 55.0}
+
+    # full_refresh rebuilds from the whole source
+    report3 = run_models(
+        spark, MODELS, sources={"bronze.trades_raw": _rows(spark, ROWS_V2)},
+        target_dir=target, full_refresh=True,
+    )
+    # dbt --full-refresh is a plain rebuild of the SELECT — the duplicated
+    # trade-2 source row lands twice (no unique_key dedup outside MERGE),
+    # exactly dbt's behavior
+    assert report3["fct_trades"]["rows"] == 5
+
+
+def test_schema_tests_gate_downstream(spark, tmp_path):
+    schema_yml = """
+version: 2
+models:
+  - name: stg_trades
+    columns:
+      - name: trade_id
+        tests: [unique, not_null]
+"""
+    suite = suite_from_dbt_schema(schema_yml, "stg_trades")
+    assert suite == {"columns": {"trade_id": ["unique", "not_null"]}}
+    dup = ROWS_V1 + [(1, "BTCUSDT", "2024-06-10 12:00:00", "1.0", "1.0")]
+    with pytest.raises(AssertionError, match="trade_id_unique"):
+        run_models(
+            spark, MODELS, sources={"bronze.trades_raw": _rows(spark, dup)},
+            target_dir=str(tmp_path / "wh2"), tests={"stg_trades": suite},
+        )
+    # the failing parent stopped the mart from materializing
+    assert not os.path.exists(os.path.join(str(tmp_path / "wh2"), "fct_trades", "versions"))
+
+
+def test_load_project_folder_defaults(spark, tmp_path):
+    mdir = tmp_path / "models"
+    (mdir / "staging").mkdir(parents=True)
+    (mdir / "marts").mkdir()
+    (mdir / "staging" / "stg_trades.sql").write_text(STAGING_SQL)
+    # mart WITHOUT model-level config: folder default decides (table)
+    (mdir / "marts" / "daily_volume.sql").write_text(
+        "select event_date, symbol, round(sum(price * quantity), 4) as vol\n"
+        "from {{ ref('stg_trades') }} group by event_date, symbol"
+    )
+    models = load_project(str(mdir))
+    assert models["daily_volume"].folder == "marts"
+    report = run_models(
+        spark, models, sources={"bronze.trades_raw": _rows(spark, ROWS_V1)},
+        target_dir=str(tmp_path / "wh3"),
+        folder_defaults={"staging": "view", "marts": "table"},
+    )
+    assert report["daily_volume"]["materialized"] == "table"
+    assert os.path.exists(str(tmp_path / "wh3" / "daily_volume"))
+    assert model_df(spark, "daily_volume").count() == report["daily_volume"]["rows"] == 2
+
+
+def test_env_var_and_append_strategy(spark, tmp_path):
+    m = {
+        "filtered": parse_model(
+            "filtered",
+            "{{ config(materialized='incremental') }}\n"
+            "select * from {{ source('bronze', 'trades_raw') }} "
+            "where symbol = '{{ env_var(\"BDP_SYM\", \"BTCUSDT\") }}'"
+            "{% if is_incremental() %} and trade_id > (select max(trade_id) from {{ this }}){% endif %}",
+        )
+    }
+    target = str(tmp_path / "wh4")
+    r1 = run_models(
+        spark, m, sources={"bronze.trades_raw": _rows(spark, ROWS_V1)}, target_dir=target
+    )
+    assert r1["filtered"]["rows"] == 2  # BTC only
+    # append strategy (no unique_key): second run appends the delta only —
+    # switch the env filter to ETH so the is_incremental trade_id watermark
+    # admits trades 3 and 4 on top of the 2 committed BTC rows
+    r2 = run_models(
+        spark, m, sources={"bronze.trades_raw": _rows(spark, ROWS_V2)}, target_dir=target,
+        env={"BDP_SYM": "ETHUSDT"},
+    )
+    assert r2["filtered"]["rows"] == 4
+    with pytest.raises(KeyError, match="NOPE"):
+        run_models(
+            spark,
+            {"x": parse_model("x", "select '{{ env_var(\"NOPE\") }}' as c")},
+            sources={},
+        )
+
+
+def test_missing_source_and_target_validation(spark):
+    with pytest.raises(ValueError, match="needs source"):
+        run_models(spark, {"s": parse_model("s", "select * from {{ source('a', 'b') }}")})
+    with pytest.raises(ValueError, match="target_dir"):
+        run_models(spark, {"t": parse_model("t", "{{ config(materialized='table') }} select 1 as c")})
+    with pytest.raises(ValueError, match="unsupported materialized"):
+        run_models(spark, {"u": parse_model("u", "{{ config(materialized='exotic') }} select 1 as c")})
