@@ -257,6 +257,27 @@ def main(argv: list[str] | None = None) -> int:
     pm.add_argument("--show", type=int, default=0,
                     help="print this many view rows after the refresh")
 
+    pq = sub.add_parser(
+        "models",
+        help="run a dbt-style SQL model project (ref/source wiring, "
+             "view/table/incremental materializations, schema.yml tests)",
+    )
+    pq.add_argument("--models-dir", required=True, help="directory of .sql models")
+    pq.add_argument("--target", default=None,
+                    help="warehouse dir for table/incremental models")
+    pq.add_argument("--source", action="append", default=[],
+                    metavar="NAME.TABLE=PATH",
+                    help="bind {{ source('NAME','TABLE') }} to a parquet path; repeatable")
+    pq.add_argument("--folder-default", action="append", default=[],
+                    metavar="FOLDER=MATERIALIZATION",
+                    help="dbt_project.yml-style folder default, e.g. marts=table; repeatable")
+    pq.add_argument("--schema-yml", default=None,
+                    help="dbt schema.yml whose model tests gate the run")
+    pq.add_argument("--env", action="append", default=[], metavar="NAME=VAL",
+                    help="env_var() binding; repeatable")
+    pq.add_argument("--full-refresh", action="store_true",
+                    help="rebuild incremental models from scratch")
+
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
     spark.sparkContext.setLogLevel("WARN")
@@ -705,6 +726,47 @@ def main(argv: list[str] | None = None) -> int:
         if args.show:
             for r in mview_read(spark, args.view, aggs).limit(args.show).collect():
                 print(r)
+        return 0
+
+    if args.cmd == "models":
+        from .sql_models import load_project, run_models, suite_from_dbt_schema
+
+        def _kv(items, what):
+            out = {}
+            for spec in items:
+                if "=" not in spec:
+                    p.error(f"bad {what} {spec!r} (want KEY=VALUE)")
+                k, v = spec.split("=", 1)
+                out[k] = v
+            return out
+
+        models = load_project(args.models_dir)
+        tests = None
+        if args.schema_yml:
+            with open(args.schema_yml) as fh:
+                text = fh.read()
+            tests = {}
+            for name in models:
+                try:
+                    suite = suite_from_dbt_schema(text, name)
+                except ValueError:
+                    continue
+                if suite.get("columns"):
+                    tests[name] = suite
+        report = run_models(
+            spark,
+            models,
+            sources=_kv(args.source, "--source"),
+            target_dir=args.target,
+            folder_defaults=_kv(args.folder_default, "--folder-default") or None,
+            tests=tests,
+            env=_kv(args.env, "--env") or None,
+            full_refresh=args.full_refresh,
+        )
+        for name, info in report.items():
+            ver = "" if info["version"] is None else f"\tversion={info['version']}"
+            rows = "" if info["rows"] is None else f"\trows={info['rows']}"
+            print(f"{name}\t{info['materialized']}{rows}{ver}")
         return 0
 
     return 2

@@ -232,3 +232,33 @@ def test_missing_source_and_target_validation(spark):
         run_models(spark, {"t": parse_model("t", "{{ config(materialized='table') }} select 1 as c")})
     with pytest.raises(ValueError, match="unsupported materialized"):
         run_models(spark, {"u": parse_model("u", "{{ config(materialized='exotic') }} select 1 as c")})
+
+
+def test_cli_models_roundtrip(spark, tmp_path, capsys):
+    """`python -m binance_data_pipeline_spark models` runs a project dir
+    with source bindings, folder defaults, schema.yml gating, env vars."""
+    from binance_data_pipeline_spark.__main__ import main
+
+    src = str(tmp_path / "bronze.parquet")
+    _rows(spark, ROWS_V1).write.parquet(src)
+    mdir = tmp_path / "models"
+    (mdir / "staging").mkdir(parents=True)
+    (mdir / "marts").mkdir()
+    (mdir / "staging" / "stg_trades.sql").write_text(STAGING_SQL)
+    (mdir / "marts" / "fct_trades.sql").write_text(MART_SQL)
+    schema_yml = tmp_path / "schema.yml"
+    schema_yml.write_text(
+        "version: 2\nmodels:\n  - name: stg_trades\n    columns:\n"
+        "      - name: trade_id\n        tests: [unique, not_null]\n"
+    )
+    rc = main([
+        "models", "--models-dir", str(mdir), "--target", str(tmp_path / "wh"),
+        "--source", f"bronze.trades_raw={src}",
+        "--folder-default", "staging=view", "--folder-default", "marts=table",
+        "--schema-yml", str(schema_yml),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stg_trades\tview" in out
+    # model-level config (incremental) beats the marts=table folder default
+    assert "fct_trades\tincremental\trows=3\tversion=0" in out
