@@ -262,3 +262,48 @@ def test_cli_models_roundtrip(spark, tmp_path, capsys):
     assert "stg_trades\tview" in out
     # model-level config (incremental) beats the marts=table folder default
     assert "fct_trades\tincremental\trows=3\tversion=0" in out
+
+
+def test_incremental_equals_full_recompute_randomized(spark, tmp_path):
+    """Property: after any sequence of source batches (inserts + updates
+    with advancing event_time), the incrementally maintained mart equals
+    upserting each watermark delta in order — and for update-only-newer
+    streams, equals the latest-row-per-key of a full recompute."""
+    import random
+
+    rng = random.Random(7)
+    target = str(tmp_path / "whp")
+    base_ts = 1_700_000_000
+
+    all_rows: list = []
+    next_id = 1
+    expected: dict = {}  # trade_id -> (price, quantity) latest applied
+    for batch in range(4):
+        n_new = rng.randint(1, 4)
+        batch_rows = []
+        for _ in range(n_new):
+            batch_rows.append((next_id, rng.choice(["BTCUSDT", "ETHUSDT"]),
+                               base_ts, round(rng.uniform(1, 100), 2), 1.0))
+            next_id += 1
+            base_ts += 3600
+        if all_rows and rng.random() < 0.7:
+            victim = rng.choice(all_rows)[0]
+            batch_rows.append((victim, "BTCUSDT", base_ts, 777.0, 2.0))
+            base_ts += 3600
+        all_rows.extend(batch_rows)
+        for tid, _s, _t, pr, q in batch_rows:
+            expected[str(tid)] = round(pr * q, 4)
+
+        import datetime as dt
+
+        src = spark.createDataFrame(
+            [(t, s, dt.datetime.utcfromtimestamp(ts), str(p), str(q))
+             for (t, s, ts, p, q) in all_rows],
+            "trade_id long, symbol string, event_time timestamp, price string, quantity string",
+        )
+        run_models(spark, MODELS, sources={"bronze.trades_raw": src}, target_dir=target)
+        got = {
+            r["trade_id"]: round(r["total_notional"], 4)
+            for r in model_df(spark, "fct_trades").collect()
+        }
+        assert got == expected, f"batch {batch}: {got} != {expected}"
