@@ -313,6 +313,105 @@ def model_df(spark: SparkSession, name: str) -> DataFrame:
     return spark.table(_view_name(name))
 
 
+_SNAPSHOT_BLOCK_RE = re.compile(
+    r"\{%\s*snapshot\s+(\w+)\s*%\}(.*?)\{%\s*endsnapshot\s*%\}", re.DOTALL
+)
+
+
+def run_dbt_snapshots(
+    spark: SparkSession,
+    text: str,
+    sources: dict | None = None,
+    target_dir: str | None = None,
+    env: dict | None = None,
+) -> dict[str, dict]:
+    """dbt ``snapshots/`` blocks (``{% snapshot name %} config + SELECT
+    {% endsnapshot %}``) — the reference project reserves the directory
+    (``dbt_project/dbt_project.yml`` snapshot-paths) — maintained as SCD
+    Type 2 history via ``operators/scd.py::scd2_merge`` and STORED as a
+    snapshot table (run-level time travel on top of row-level history).
+
+    Strategy mapping:
+    - ``strategy='check'``: ``check_cols`` (list, or ``'all'`` = every
+      non-key column) are the tracked attributes; the effective
+      timestamp is the run time (dbt's dbt_updated_at). Unchanged
+      re-deliveries collapse (idempotent re-runs).
+    - ``strategy='timestamp'``: ``updated_at`` is the effective
+      timestamp; tracked attributes are all non-key, non-ts columns.
+      Divergence from dbt, documented: a newer ``updated_at`` with
+      byte-identical attributes does NOT open a new version here
+      (no-change rows collapse — dbt would version the timestamp churn).
+
+    Returns ``{name: {"version", "rows", "open_rows"}}``."""
+    from .operators.scd import scd2_merge
+
+    blocks = _SNAPSHOT_BLOCK_RE.findall(text)
+    if not blocks:
+        raise ValueError("no {% snapshot %} blocks found")
+    if not target_dir:
+        raise ValueError("target_dir required for dbt snapshots")
+    for key, src in (sources or {}).items():
+        sname, tname = key.split(".", 1)
+        df = src if isinstance(src, DataFrame) else spark.read.parquet(src)
+        df.createOrReplaceTempView(_src_view_name(sname, tname))
+
+    report: dict[str, dict] = {}
+    for name, body in blocks:
+        model = parse_model(name, body)
+        if model.refs:
+            raise ValueError(
+                f"snapshot {name!r} uses ref() — build it from sources; "
+                "model views don't exist at snapshot time"
+            )
+        cfg = model.config
+        key = cfg.get("unique_key")
+        if not key:
+            raise ValueError(f"snapshot {name!r}: unique_key is required")
+        keys = [key] if isinstance(key, str) else list(key)
+        strategy = cfg.get("strategy", "check")
+        updates = spark.sql(_render(model, incremental=False, env=env))
+
+        if strategy == "timestamp":
+            ts_col = cfg.get("updated_at")
+            if not ts_col or ts_col not in updates.columns:
+                raise ValueError(f"snapshot {name!r}: updated_at column missing")
+            tracked = [c for c in updates.columns if c not in keys and c != ts_col]
+        elif strategy == "check":
+            from pyspark.sql import functions as F
+
+            check = cfg.get("check_cols", "all")
+            tracked = (
+                [c for c in updates.columns if c not in keys]
+                if check == "all"
+                else list(check)
+            )
+            ts_col = "__run_ts"
+            updates = updates.withColumn(ts_col, F.current_timestamp())
+        else:
+            raise ValueError(f"snapshot {name!r}: unsupported strategy {strategy!r}")
+        if not tracked:
+            raise ValueError(f"snapshot {name!r}: no tracked columns")
+
+        path = f"{target_dir}/{name}"
+        dim = (
+            read_snapshot(spark, path)
+            if os.path.exists(os.path.join(path, "versions"))
+            else None
+        )
+        merged = scd2_merge(dim, updates, keys, tracked, ts_col=ts_col)
+        version = commit_snapshot(
+            spark, path, merged, mode="overwrite", operation=f"dbt_snapshot:{name}"
+        )
+        out = read_snapshot(spark, path)
+        out.createOrReplaceTempView(_view_name(name))
+        report[name] = {
+            "version": version,
+            "rows": out.count(),
+            "open_rows": out.where("is_current").count(),
+        }
+    return report
+
+
 def suite_from_dbt_schema(text: str, model: str) -> dict:
     """Convert a dbt ``schema.yml`` (``models: [{name, columns: [{name,
     tests: [...]}]}]`` — reference ``dbt_project/models/staging/

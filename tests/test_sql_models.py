@@ -307,3 +307,57 @@ def test_incremental_equals_full_recompute_randomized(spark, tmp_path):
             for r in model_df(spark, "fct_trades").collect()
         }
         assert got == expected, f"batch {batch}: {got} != {expected}"
+
+
+def test_dbt_snapshot_scd2(spark, tmp_path):
+    """{% snapshot %} blocks maintain SCD2 history in a snapshot-table
+    store: check strategy versions attribute changes, collapses no-op
+    re-deliveries, and keeps run-level time travel on top."""
+    from binance_data_pipeline_spark.sql_models import run_dbt_snapshots
+
+    text = """
+{% snapshot dim_symbols %}
+{{ config(strategy='check', unique_key='symbol', check_cols=['status']) }}
+select symbol, status from {{ source('ref_data', 'symbols') }}
+{% endsnapshot %}
+"""
+    target = str(tmp_path / "snaps")
+    src1 = spark.createDataFrame(
+        [("BTCUSDT", "TRADING"), ("ETHUSDT", "TRADING")], "symbol string, status string"
+    )
+    r1 = run_dbt_snapshots(spark, text, {"ref_data.symbols": src1}, target)
+    assert r1["dim_symbols"] == {"version": 0, "rows": 2, "open_rows": 2}
+
+    # no-change re-delivery: idempotent (new table version, same rows)
+    r2 = run_dbt_snapshots(spark, text, {"ref_data.symbols": src1}, target)
+    assert r2["dim_symbols"]["rows"] == 2 and r2["dim_symbols"]["open_rows"] == 2
+
+    # one status flips: old version closes, new one opens
+    src2 = spark.createDataFrame(
+        [("BTCUSDT", "HALTED"), ("ETHUSDT", "TRADING")], "symbol string, status string"
+    )
+    r3 = run_dbt_snapshots(spark, text, {"ref_data.symbols": src2}, target)
+    assert r3["dim_symbols"]["rows"] == 3 and r3["dim_symbols"]["open_rows"] == 2
+    from binance_data_pipeline_spark.sql_models import model_df
+
+    hist = {
+        (r["symbol"], r["status"]): r["is_current"]
+        for r in model_df(spark, "dim_symbols").collect()
+    }
+    assert hist[("BTCUSDT", "TRADING")] is False
+    assert hist[("BTCUSDT", "HALTED")] is True
+    assert hist[("ETHUSDT", "TRADING")] is True
+
+    # run-level time travel: the pre-flip dimension is still readable
+    from binance_data_pipeline_spark.operators.snapshots import read_snapshot
+
+    v1 = read_snapshot(spark, f"{target}/dim_symbols", version=r2["dim_symbols"]["version"])
+    assert v1.where("is_current").count() == 2
+    assert v1.where("symbol = 'BTCUSDT' and status = 'TRADING' and is_current").count() == 1
+
+    with pytest.raises(ValueError, match="unique_key"):
+        run_dbt_snapshots(
+            spark,
+            "{% snapshot bad %}{{ config(strategy='check') }} select 1 as a{% endsnapshot %}",
+            {}, str(tmp_path / "s2"),
+        )
