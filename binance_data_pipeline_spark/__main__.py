@@ -277,6 +277,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="env_var() binding; repeatable")
     pq.add_argument("--full-refresh", action="store_true",
                     help="rebuild incremental models from scratch")
+    pq.add_argument("--snapshots", default=None,
+                    help="file of dbt {%% snapshot %%} blocks to fold as SCD2 "
+                         "history (runs BEFORE models so models may ref the "
+                         "dimension state via source bindings)")
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -739,6 +743,18 @@ def main(argv: list[str] | None = None) -> int:
                 k, v = spec.split("=", 1)
                 out[k] = v
             return out
+
+        if args.snapshots:
+            from .sql_models import run_dbt_snapshots
+
+            with open(args.snapshots) as fh:
+                snap_report = run_dbt_snapshots(
+                    spark, fh.read(), sources=_kv(args.source, "--source"),
+                    target_dir=args.target, env=_kv(args.env, "--env") or None,
+                )
+            for name, info in snap_report.items():
+                print(f"{name}\tscd2\trows={info['rows']}\topen={info['open_rows']}"
+                      f"\tversion={info['version']}")
 
         models = load_project(args.models_dir)
         tests = None
