@@ -60,3 +60,31 @@ def test_plan_scale_clean(spark, name):
     BroadcastNestedLoopJoin against a single-row frame — the audit grades
     those warn, not error, and they are the intended shape."""
     assert_scale_clean(tpch.QUERIES[name](spark, SF_SMALL))
+
+
+def _plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q8_broadcasts_all_dims(spark):
+    """Q8's part/supplier/nation/region legs must broadcast — the only
+    shuffles are the lineitem→orders→customer fact joins + the year agg."""
+    plan = _plan(tpch.QUERIES["q8_market_share"](spark, SF_SMALL))
+    assert plan.count("BroadcastHashJoin") + plan.count("BroadcastExchange") >= 4, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_semi_anti_stay_joins(spark):
+    """Q21's EXISTS/NOT EXISTS legs must compile to semi/anti joins with
+    the supplier-inequality as a residual — never a nested loop over the
+    fact."""
+    plan = _plan(tpch.QUERIES["q21_waiting_suppliers"](spark, SF_SMALL))
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_scalar_threshold_reenters_as_broadcast(spark):
+    """Q11's 0.1%-of-total threshold is a 1-row broadcast nested-loop —
+    the intended shape (never a shuffled join, never a driver collect)."""
+    plan = _plan(tpch.QUERIES["q11_important_parts"](spark, SF_SMALL))
+    assert "BroadcastNestedLoopJoin" in plan, plan
