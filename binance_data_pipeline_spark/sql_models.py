@@ -133,12 +133,15 @@ def load_project(models_dir: str) -> dict[str, Model]:
     return models
 
 
-def topo_order(models: dict[str, Model]) -> list[str]:
+def topo_order(models: dict[str, Model], external: set[str] | None = None) -> list[str]:
     """Dependency order; unknown refs and cycles raise with the offender
-    named (a silent skip would build a mart against a stale parent)."""
+    named (a silent skip would build a mart against a stale parent).
+    ``external``: ref targets satisfied outside this run — e.g. a dimension
+    built by ``run_dbt_snapshots`` earlier in the session."""
+    ext = external or set()
     for m in models.values():
         for r in m.refs:
-            if r not in models:
+            if r not in models and r not in ext:
                 raise ValueError(f"model {m.name!r} refs unknown model {r!r}")
     done: list[str] = []
     state: dict[str, int] = {}  # 1=visiting, 2=done
@@ -151,7 +154,8 @@ def topo_order(models: dict[str, Model]) -> list[str]:
             raise ValueError(f"ref cycle: {cyc}")
         state[n] = 1
         for r in models[n].refs:
-            visit(r, chain + (n,))
+            if r not in ext:
+                visit(r, chain + (n,))
         state[n] = 2
         done.append(n)
 
@@ -238,7 +242,15 @@ def run_models(
             n: (m if isinstance(m, Model) else parse_model(n, m))
             for n, m in models.items()
         }
-    order = topo_order(parsed)
+    # refs satisfied by an ALREADY-REGISTERED relation (a dimension from
+    # run_dbt_snapshots earlier in the session) count as external deps
+    external = {
+        r
+        for m in parsed.values()
+        for r in m.refs
+        if r not in parsed and spark.catalog.tableExists(_view_name(r))
+    }
+    order = topo_order(parsed, external=external)
 
     for key, src in (sources or {}).items():
         sname, tname = key.split(".", 1)

@@ -361,3 +361,27 @@ select symbol, status from {{ source('ref_data', 'symbols') }}
             "{% snapshot bad %}{{ config(strategy='check') }} select 1 as a{% endsnapshot %}",
             {}, str(tmp_path / "s2"),
         )
+
+
+def test_model_can_ref_dbt_snapshot_dimension(spark, tmp_path):
+    """A model may {{ ref() }} a dimension built by run_dbt_snapshots in
+    the same session (external dep); a truly unknown ref still raises."""
+    from binance_data_pipeline_spark.sql_models import run_dbt_snapshots
+
+    text = """{% snapshot dim_status %}
+{{ config(strategy='check', unique_key='symbol', check_cols='all') }}
+select symbol, status from {{ source('rd', 'sym') }}
+{% endsnapshot %}"""
+    src = spark.createDataFrame(
+        [("BTCUSDT", "TRADING"), ("ETHUSDT", "HALTED")], "symbol string, status string"
+    )
+    run_dbt_snapshots(spark, text, {"rd.sym": src}, str(tmp_path / "snapwh"))
+    rep = run_models(
+        spark,
+        {"active": "select symbol from {{ ref('dim_status') }} "
+                   "where is_current and status = 'TRADING'"},
+    )
+    assert rep["active"]["materialized"] == "view"
+    assert [r["symbol"] for r in model_df(spark, "active").collect()] == ["BTCUSDT"]
+    with pytest.raises(ValueError, match="unknown model"):
+        run_models(spark, {"bad": "select * from {{ ref('never_registered') }}"})
