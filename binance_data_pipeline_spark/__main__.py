@@ -141,6 +141,9 @@ def main(argv: list[str] | None = None) -> int:
     )
     pa.add_argument("--sf-dir", default="/root/testdata/sf0.001",
                     help="testdata dir the plans are built against")
+    pa.add_argument("--extended", action="store_true",
+                    help="also audit the tiers outside the driver catalog "
+                         "(plans/tpch.py)")
 
     pf = sub.add_parser(
         "profile", help="per-column table profile (nulls, distinct, range, top values)"
@@ -449,13 +452,15 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "audit":
-        from .plans import all_queries
+        from .plans import all_queries, extended_queries
         from .plans.audit import audit_plan
+
+        catalog = extended_queries() if args.extended else all_queries()
 
         # the two documented brute-force baselines pair every row by design
         exempt = {"embed_knn_brute", "embed_near_dups_brute"}
         n_err = 0
-        for name, fn in sorted(all_queries().items()):
+        for name, fn in sorted(catalog.items()):
             try:
                 findings = audit_plan(fn(spark, args.sf_dir))
             except Exception as e:  # a query that can't even plan is an error
@@ -475,7 +480,7 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{name}\tWARN\t{f.code}: {f.message}")
             if not errors and not warns:
                 print(f"{name}\tOK")
-        print(f"audited={len(all_queries())} errors={n_err}")
+        print(f"audited={len(catalog)} errors={n_err}")
         return 1 if n_err else 0
 
     if args.cmd == "profile":
