@@ -34,7 +34,10 @@ Airflow tasks, as plain commands:
              distinct estimate, range, quantiles, top values
   audit      physical-plan audit of the whole catalog (plans/audit):
              CartesianProduct / row-Python / pushdown / wide-scan smells;
-             exit 1 on any non-exempt error
+             exit 1 on any non-exempt error (--extended adds plans/tpch.py)
+  models     dbt-style SQL model project run (sql_models): ref/source
+             wiring, view/table/incremental materializations, schema.yml
+             test gating, {% snapshot %} SCD2 blocks via --snapshots
 """
 
 from __future__ import annotations
