@@ -62,6 +62,7 @@ _REF_RE = re.compile(r"\{\{\s*ref\s*\(\s*['\"](\w+)['\"]\s*\)\s*\}\}")
 _SOURCE_RE = re.compile(r"\{\{\s*source\s*\(\s*['\"](\w+)['\"]\s*,\s*['\"](\w+)['\"]\s*\)\s*\}\}")
 _THIS_RE = re.compile(r"\{\{\s*this\s*\}\}")
 _ENV_RE = re.compile(r"\{\{\s*env_var\s*\(\s*['\"]([^'\"]+)['\"](?:\s*,\s*['\"]([^'\"]*)['\"])?\s*\)\s*\}\}")
+_VAR_RE = re.compile(r"\{\{\s*var\s*\(\s*['\"]([^'\"]+)['\"](?:\s*,\s*([^)]+?))?\s*\)\s*\}\}")
 _INCR_RE = re.compile(r"\{%\s*if\s+is_incremental\s*\(\s*\)\s*%\}(.*?)\{%\s*endif\s*%\}", re.DOTALL)
 # BQ cast targets -> Spark (word-bounded, case-insensitive)
 _BQ_TYPES = {"float64": "double", "int64": "bigint", "bool": "boolean"}
@@ -178,7 +179,7 @@ def _src_view_name(source: str, table: str) -> str:
     return f"__bdp_src_{source}__{table}"
 
 
-def _render(model: Model, incremental: bool, env: dict | None) -> str:
+def _render(model: Model, incremental: bool, env: dict | None, vars: dict | None = None) -> str:
     sql = model.body
     sql = _INCR_RE.sub((lambda m: m.group(1)) if incremental else "", sql)
     sql = _THIS_RE.sub(f"__bdp_this_{model.name}", sql)
@@ -193,6 +194,17 @@ def _render(model: Model, incremental: bool, env: dict | None) -> str:
         return val
 
     sql = _ENV_RE.sub(env_sub, sql)
+
+    def var_sub(m):
+        key, default = m.group(1), m.group(2)
+        if vars and key in vars:
+            return str(vars[key])
+        if default is not None:
+            d = default.strip()
+            return d[1:-1] if d[:1] in "'\"" and d[:1] == d[-1:] else d
+        raise KeyError(f"var({key!r}) not provided and no default")
+
+    sql = _VAR_RE.sub(var_sub, sql)
     return _bq_type_shim(sql)
 
 
@@ -214,6 +226,7 @@ def run_models(
     folder_defaults: dict | None = None,
     tests: dict | None = None,
     env: dict | None = None,
+    vars: dict | None = None,
     full_refresh: bool = False,
 ) -> dict[str, dict]:
     """Build every model in dependency order. Returns a per-model report
@@ -275,10 +288,10 @@ def run_models(
         version = None
 
         if mat == "view":
-            df = spark.sql(_render(model, incremental=False, env=env))
+            df = spark.sql(_render(model, incremental=False, env=env, vars=vars))
             df.createOrReplaceTempView(_view_name(name))
         elif mat == "table":
-            df = spark.sql(_render(model, incremental=False, env=env))
+            df = spark.sql(_render(model, incremental=False, env=env, vars=vars))
             writer = df.write.mode("overwrite")
             if partition_by:
                 writer = writer.partitionBy(*partition_by)
@@ -287,14 +300,14 @@ def run_models(
         else:  # incremental -> snapshot table
             exists = os.path.exists(os.path.join(path, "versions")) and not full_refresh
             if not exists:
-                df = spark.sql(_render(model, incremental=False, env=env))
+                df = spark.sql(_render(model, incremental=False, env=env, vars=vars))
                 version = commit_snapshot(
                     spark, path, df, mode="overwrite", partition_by=partition_by,
                     operation=f"model:{name}:full",
                 )
             else:
                 read_snapshot(spark, path).createOrReplaceTempView(f"__bdp_this_{name}")
-                delta = spark.sql(_render(model, incremental=True, env=env))
+                delta = spark.sql(_render(model, incremental=True, env=env, vars=vars))
                 key = model.config.get("unique_key")
                 if key:
                     keys = [key] if isinstance(key, str) else list(key)
@@ -381,7 +394,7 @@ def run_dbt_snapshots(
             raise ValueError(f"snapshot {name!r}: unique_key is required")
         keys = [key] if isinstance(key, str) else list(key)
         strategy = cfg.get("strategy", "check")
-        updates = spark.sql(_render(model, incremental=False, env=env))
+        updates = spark.sql(_render(model, incremental=False, env=env, vars=vars))
 
         if strategy == "timestamp":
             ts_col = cfg.get("updated_at")

@@ -385,3 +385,20 @@ select symbol, status from {{ source('rd', 'sym') }}
     assert [r["symbol"] for r in model_df(spark, "active").collect()] == ["BTCUSDT"]
     with pytest.raises(ValueError, match="unknown model"):
         run_models(spark, {"bad": "select * from {{ ref('never_registered') }}"})
+
+
+def test_var_substitution(spark):
+    """{{ var() }}: provided values win, literal defaults (quoted or
+    numeric) apply, missing without default raises."""
+    m = {
+        "v": parse_model(
+            "v",
+            "select {{ var('n', 3) }} as n, '{{ var(\"label\", 'x') }}' as label",
+        )
+    }
+    rep = run_models(spark, m, vars={"label": "prod"})
+    assert rep["v"]["materialized"] == "view"
+    row = model_df(spark, "v").collect()[0]
+    assert (row["n"], row["label"]) == (3, "prod")
+    with pytest.raises(KeyError, match="missing"):
+        run_models(spark, {"w": parse_model("w", "select {{ var('missing') }} as x")})
