@@ -180,3 +180,55 @@ def test_fuzz_cases_are_not_vacuous(duck):
     corpus of empty results proves nothing."""
     nonempty = sum(1 for c in CASES if len(duck.sql(_duck_sql(c)).df()) > 0)
     assert nonempty >= 0.6 * N_CASES, f"only {nonempty}/{N_CASES} cases return rows"
+
+
+# ---- set-operation differential cases --------------------------------------
+
+SETOP_CASES = []
+for i in range(10):
+    _r = random.Random(9000 + i)
+    SETOP_CASES.append({
+        "op": _r.choice(["union_all", "union", "intersect", "except"]),
+        "left": _gen_case(_r),
+        "right": _gen_case(_r),
+    })
+# set ops need identical column lists on both legs: share keys/aggs
+for c in SETOP_CASES:
+    c["right"]["keys"] = c["left"]["keys"]
+    c["right"]["aggs"] = c["left"]["aggs"]
+    c["right"]["join"] = c["left"]["join"] = False  # keep legs cheap
+
+
+def _setop_spark(spark, case):
+    l = _spark_df(spark, case["left"])
+    r = _spark_df(spark, case["right"])
+    return {
+        "union_all": l.unionAll(r),
+        "union": l.union(r).distinct(),
+        "intersect": l.intersect(r),
+        "except": l.subtract(r),  # ANSI EXCEPT = set difference w/ distinct
+    }[case["op"]]
+
+
+def _setop_sql(case):
+    op = {
+        "union_all": "UNION ALL",
+        "union": "UNION",
+        "intersect": "INTERSECT",
+        "except": "EXCEPT",
+    }[case["op"]]
+    return f"({_duck_sql(case['left'])}) {op} ({_duck_sql(case['right'])})"
+
+
+@pytest.mark.parametrize("i", range(len(SETOP_CASES)))
+def test_setop_differential(spark, duck, i):
+    """UNION/UNION ALL/INTERSECT/EXCEPT over two independently generated
+    aggregate legs — DISTINCT semantics of the ANSI set ops are exactly
+    where engines diverge (Spark's union() is positional UNION ALL; the
+    lowering must add the distinct explicitly)."""
+    case = SETOP_CASES[i]
+    sql = _setop_sql(case)
+    oracle = duck.sql(sql).df()
+    df = _setop_spark(spark, case)
+    errors = compare(df, oracle, f"setop[{i}]")
+    assert not errors, f"spec={ {k: case[k] for k in ('op',)} }\nsql={sql}\n" + "\n".join(errors)
