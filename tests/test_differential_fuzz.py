@@ -232,3 +232,131 @@ def test_setop_differential(spark, duck, i):
     df = _setop_spark(spark, case)
     errors = compare(df, oracle, f"setop[{i}]")
     assert not errors, f"spec={ {k: case[k] for k in ('op',)} }\nsql={sql}\n" + "\n".join(errors)
+
+
+# ---- scalar-expression projection fuzz --------------------------------------
+# Random depth-<=3 expression trees over ANSI-identical builtins, compared
+# ROW-LEVEL (keyed by the unique (l_orderkey, l_linenumber)) on one ship
+# month. Only operations with bit-identical cross-engine semantics are in
+# the grammar: + - * abs round(_,2) floor/ceil (cast to double — Spark
+# returns bigint), greatest/least, CASE WHEN, upper/lower/length/concat,
+# year/month/day. Division is excluded (ANSI div-by-zero).
+
+_NUM_LEAVES = ["l_quantity", "l_extendedprice", "l_discount"]
+
+
+def _gen_num_expr(rng, depth):
+    if depth == 0 or rng.random() < 0.3:
+        return ("col", rng.choice(_NUM_LEAVES)) if rng.random() < 0.7 else (
+            "lit", round(rng.uniform(-5, 5), 2))
+    op = rng.choice(["add", "sub", "mul", "abs", "round2", "floor", "ceil",
+                     "greatest", "least", "case"])
+    if op in ("abs", "round2", "floor", "ceil"):
+        return (op, _gen_num_expr(rng, depth - 1))
+    if op == "case":
+        return ("case", _num_pred(rng), _gen_num_expr(rng, depth - 1),
+                _gen_num_expr(rng, depth - 1))
+    return (op, _gen_num_expr(rng, depth - 1), _gen_num_expr(rng, depth - 1))
+
+
+def _num_expr_col(e):
+    k = e[0]
+    if k == "col":
+        return F.col(e[1])
+    if k == "lit":
+        return F.lit(e[1])
+    if k == "add":
+        return _num_expr_col(e[1]) + _num_expr_col(e[2])
+    if k == "sub":
+        return _num_expr_col(e[1]) - _num_expr_col(e[2])
+    if k == "mul":
+        return _num_expr_col(e[1]) * _num_expr_col(e[2])
+    if k == "abs":
+        return F.abs(_num_expr_col(e[1]))
+    if k == "round2":
+        return F.round(_num_expr_col(e[1]), 2)
+    if k == "floor":
+        return F.floor(_num_expr_col(e[1])).cast("double")
+    if k == "ceil":
+        return F.ceil(_num_expr_col(e[1])).cast("double")
+    if k in ("greatest", "least"):
+        return getattr(F, k)(_num_expr_col(e[1]), _num_expr_col(e[2]))
+    if k == "case":
+        return F.when(_pred_col(e[1]), _num_expr_col(e[2])).otherwise(_num_expr_col(e[3]))
+    raise ValueError(k)
+
+
+def _num_expr_sql(e):
+    k = e[0]
+    if k == "col":
+        return e[1]
+    if k == "lit":
+        return repr(e[1])
+    if k in ("add", "sub", "mul"):
+        sym = {"add": "+", "sub": "-", "mul": "*"}[k]
+        return f"({_num_expr_sql(e[1])} {sym} {_num_expr_sql(e[2])})"
+    if k == "abs":
+        return f"abs({_num_expr_sql(e[1])})"
+    if k == "round2":
+        return f"round({_num_expr_sql(e[1])}, 2)"
+    if k in ("floor", "ceil"):
+        return f"{k}({_num_expr_sql(e[1])})::DOUBLE"
+    if k in ("greatest", "least"):
+        return f"{k}({_num_expr_sql(e[1])}, {_num_expr_sql(e[2])})"
+    if k == "case":
+        return (f"CASE WHEN {_pred_sql(e[1])} THEN {_num_expr_sql(e[2])} "
+                f"ELSE {_num_expr_sql(e[3])} END")
+    raise ValueError(k)
+
+
+SCALAR_CASES = [_gen_num_expr(random.Random(7000 + i), 3) for i in range(15)]
+_SCALAR_FILTER = (
+    "l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-04-01'"
+)
+
+
+@pytest.mark.parametrize("i", range(len(SCALAR_CASES)))
+def test_scalar_expr_differential(spark, duck, i):
+    e = SCALAR_CASES[i]
+    sql = (f"SELECT l_orderkey, l_linenumber, {_num_expr_sql(e)} AS x "
+           f"FROM lineitem WHERE {_SCALAR_FILTER}")
+    oracle = duck.sql(sql).df()
+    df = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .where((F.col("l_shipdate") >= F.lit("1997-03-01"))
+               & (F.col("l_shipdate") < F.lit("1997-04-01")))
+        .select("l_orderkey", "l_linenumber", _num_expr_col(e).alias("x"))
+    )
+    errors = compare(df, oracle, f"scalar[{i}]")
+    assert not errors, f"expr={e}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_string_date_scalar_differential(spark, duck):
+    """Fixed string/date scalar battery (upper/lower/length/trim/concat/
+    substr 1-based/year/month/day) row-level on one month."""
+    sql = f"""
+      SELECT l_orderkey, l_linenumber,
+             upper(l_returnflag) AS u, lower(l_linestatus) AS lo,
+             length(concat(l_returnflag, '-', l_linestatus)) AS ln,
+             substr(concat(l_returnflag, l_linestatus), 1, 1) AS s1,
+             year(l_shipdate)::BIGINT AS y, month(l_shipdate)::BIGINT AS mo,
+             day(l_shipdate)::BIGINT AS d
+      FROM lineitem WHERE {_SCALAR_FILTER}"""
+    oracle = duck.sql(sql).df()
+    df = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .where((F.col("l_shipdate") >= F.lit("1997-03-01"))
+               & (F.col("l_shipdate") < F.lit("1997-04-01")))
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.upper("l_returnflag").alias("u"),
+            F.lower("l_linestatus").alias("lo"),
+            F.length(F.concat("l_returnflag", F.lit("-"), "l_linestatus")).cast("long").alias("ln"),
+            F.substring(F.concat("l_returnflag", "l_linestatus"), 1, 1).alias("s1"),
+            F.year("l_shipdate").cast("long").alias("y"),
+            F.month("l_shipdate").cast("long").alias("mo"),
+            F.dayofmonth("l_shipdate").cast("long").alias("d"),
+        )
+    )
+    errors = compare(df, oracle, "string_date_scalars")
+    assert not errors, "\n".join(errors)
