@@ -27,7 +27,7 @@ unigram          trainable unigram-LM tokenizer (SentencePiece recipe: EM + prun
 bm25             BM25 retrieval + persisted term-bucket index + RRF hybrid fusion
 mining           hard-negative mining (BM25 candidates × embedding ceiling)
 retrieval        serving root: BM25+IVF build + RRF hybrid search + injectable rerank
-graph            PageRank link-graph centrality (iterative join form)
+graph            PageRank centrality + hierarchy levels / transitive closure (frontier BFS, the WITH RECURSIVE workload with scale controls)
 behavior         funnel conversion + cohort retention over event streams
 scd              SCD Type 2 dimension merge + point-in-time lookup join
 anomaly          rolling z-score / robust IQR / seasonal-residual flags

@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "hierarchy_levels", "transitive_closure"]
 
 
 def pagerank(
@@ -121,3 +121,126 @@ def pagerank(
             if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
                 ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def hierarchy_levels(
+    edges: DataFrame,
+    child_col: str = "child",
+    parent_col: str = "parent",
+    max_depth: int = 64,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Depth + root of every node in a parent-child forest — the
+    hierarchical query (org charts, category trees, reply threads) SQL
+    expresses as WITH RECURSIVE. Spark 4 runs recursive CTEs, but an
+    unbounded rCTE is the wrong tool on a 100 TB cluster: the recursion
+    is driver-planned with no per-step lineage truncation or convergence
+    short-circuit. This is the same computation as an explicit frontier
+    loop — level-synchronous BFS from the roots — with the scale
+    controls the iterative form allows: one equi-join shuffle per LEVEL
+    (not per row), lineage checkpointed every few levels, early exit the
+    moment a frontier is empty.
+
+    Roots = nodes whose parent is NULL or never appears as a child. A
+    cycle (or depth beyond ``max_depth``) leaves its nodes UNASSIGNED and
+    raises — silent truncation would mislabel depths.
+
+    Returns (node, depth, root): depth 0 at roots.
+    """
+    e = edges.select(
+        F.col(child_col).alias("child"), F.col(parent_col).alias("parent")
+    ).where(F.col(child_col).isNotNull())
+    children = e.select("child").distinct()
+    all_nodes = children.unionByName(
+        e.where(F.col("parent").isNotNull()).select(F.col("parent").alias("child"))
+    ).distinct()
+    roots = all_nodes.join(
+        e.where(F.col("parent").isNotNull()).select("child").distinct(),
+        "child",
+        "left_anti",
+    ).select(
+        F.col("child").alias("node"),
+        F.lit(0).alias("depth"),
+        F.col("child").alias("root"),
+    )
+
+    assigned = roots
+    frontier = roots
+    for depth in range(1, max_depth + 1):
+        nxt = (
+            e.join(
+                frontier.select(F.col("node").alias("parent"), "root"),
+                "parent",
+            )
+            .select(
+                F.col("child").alias("node"),
+                F.lit(depth).alias("depth"),
+                "root",
+            )
+        )
+        if nxt.isEmpty():
+            break
+        assigned = assigned.unionByName(nxt)
+        frontier = nxt
+        if depth % checkpoint_every == 0:
+            assigned = assigned.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    else:
+        raise ValueError(f"hierarchy deeper than max_depth={max_depth} (cycle?)")
+
+    missing = all_nodes.join(assigned.select(F.col("node").alias("child")), "child", "left_anti")
+    n_missing = missing.count()
+    if n_missing:
+        sample = [r["child"] for r in missing.limit(5).collect()]
+        raise ValueError(
+            f"{n_missing} node(s) unreachable from any root (cycle), e.g. {sample}"
+        )
+    return assigned
+
+
+def transitive_closure(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    roots: DataFrame | None = None,
+    max_iters: int = 64,
+    checkpoint_every: int = 8,
+) -> DataFrame:
+    """Nodes reachable from ``roots`` (or from every node's own id when
+    None — then returns (src, dst) reachable PAIRS only for the rooted
+    form; pass roots explicitly for the scalable variant). Frontier BFS
+    with a visited set — terminates on cycles (unlike a naive UNION ALL
+    recursive CTE, which loops forever on a cycle; the UNION-distinct
+    form terminates but re-shuffles the whole accumulated set every
+    step, where this loop only dedups the new frontier against visited).
+
+    Returns (node, hops): minimum hop count from any root.
+    """
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if roots is None:
+        raise ValueError(
+            "pass roots explicitly — all-pairs closure is O(V·E) and is "
+            "never the right shape at scale; compute per root set instead"
+        )
+    visited = roots.select(F.col(roots.columns[0]).alias("node")).distinct().select(
+        "node", F.lit(0).alias("hops")
+    )
+    frontier = visited
+    for hop in range(1, max_iters + 1):
+        nxt = (
+            e.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(hop).alias("hops"))
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+        if hop % checkpoint_every == 0:
+            visited = visited.localCheckpoint(eager=True)
+            frontier = frontier.localCheckpoint(eager=True)
+    else:
+        raise ValueError(f"closure did not converge within max_iters={max_iters}")
+    return visited
