@@ -360,3 +360,42 @@ def test_string_date_scalar_differential(spark, duck):
     )
     errors = compare(df, oracle, "string_date_scalars")
     assert not errors, "\n".join(errors)
+
+
+def test_explode_unnest_differential(spark, duck):
+    """Array flattening parity: explode ≡ unnest (multiset) and
+    posexplode ≡ unnest + generate_subscripts (position-exact, 1-based
+    on the SQL side). The LATERAL-view shape every array pipeline leans
+    on; rounding at 4 makes the float32→double widening comparable."""
+    emb = load_table(spark, SF_SMALL, "embeddings").where(F.col("vec_id") < 50)
+    df = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("pos", "x"),
+    ).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("long").alias("i"),
+        F.round(F.col("x").cast("double"), 4).alias("x"),
+    )
+    oracle = duck.sql("""
+        SELECT vec_id, generate_subscripts(embedding, 1)::BIGINT AS i,
+               round(unnest(embedding)::DOUBLE, 4) AS x
+        FROM embeddings WHERE vec_id < 50
+    """).df()
+    assert len(oracle) > 0
+    errors = compare(df, oracle, "posexplode_unnest")
+    assert not errors, "\n".join(errors)
+
+
+def test_explode_outer_keeps_empty_arrays(spark, duck):
+    """explode_outer emits a NULL row for an empty/NULL array where
+    explode drops the parent — the left-lateral semantics. DuckDB
+    mirror: LEFT JOIN LATERAL unnest."""
+    rows = [(1, [10.0, 20.0]), (2, []), (3, None)]
+    df_src = spark.createDataFrame(rows, "id long, arr array<double>")
+    got = df_src.select("id", F.explode_outer("arr").alias("x")).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r["id"], []).append(r["x"])
+    assert by_id == {1: [10.0, 20.0], 2: [None], 3: [None]}
+    inner = df_src.select("id", F.explode("arr").alias("x")).count()
+    assert inner == 2  # ids 2 and 3 dropped entirely
