@@ -399,3 +399,73 @@ def test_explode_outer_keeps_empty_arrays(spark, duck):
     assert by_id == {1: [10.0, 20.0], 2: [None], 3: [None]}
     inner = df_src.select("id", F.explode("arr").alias("x")).count()
     assert inner == 2  # ids 2 and 3 dropped entirely
+
+
+def test_json_extraction_differential(spark, duck):
+    """JSON path extraction on the real events.props column:
+    get_json_object ≡ json_extract_string, typed cast, missing-path NULL
+    — row-level, keyed by event_id."""
+    e = load_table(spark, SF_SMALL, "events")
+    df = e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("double").alias("k"),
+        F.get_json_object("props", "$.nope").alias("missing"),
+    )
+    oracle = duck.sql("""
+        SELECT event_id,
+               json_extract_string(props, '$.k')::DOUBLE AS k,
+               json_extract_string(props, '$.nope') AS missing
+        FROM events
+    """).df()
+    errors = compare(df, oracle, "json_extract")
+    assert not errors, "\n".join(errors)
+
+
+def test_null_ordering_differential(spark, duck):
+    """Explicit NULLS FIRST/LAST in a sorted LIMIT — engine DEFAULTS
+    diverge (Spark: nulls first ASC; DuckDB: nulls last), so portable
+    plans must spell it out; this pins that the explicit forms agree.
+    nullif(l_discount, 0) manufactures NULLs; unique key breaks ties."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    df = (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.nullif(F.col("l_discount"), F.lit(0.0)).alias("d"),
+        )
+        .orderBy(
+            F.col("d").asc_nulls_first(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(50)
+    )
+    oracle = duck.sql("""
+        SELECT l_orderkey, l_linenumber, nullif(l_discount, 0.0) AS d
+        FROM lineitem
+        ORDER BY d ASC NULLS FIRST, l_orderkey, l_linenumber
+        LIMIT 50
+    """).df()
+    assert oracle["d"].isna().any(), "case is vacuous without NULLs in the window"
+    errors = compare(df, oracle, "nulls_first")
+    assert not errors, "\n".join(errors)
+
+    df_last = (
+        li.select(
+            "l_orderkey", "l_linenumber",
+            F.nullif(F.col("l_discount"), F.lit(0.0)).alias("d"),
+        )
+        .orderBy(
+            F.col("d").desc_nulls_last(),
+            F.col("l_orderkey").asc(),
+            F.col("l_linenumber").asc(),
+        )
+        .limit(50)
+    )
+    oracle_last = duck.sql("""
+        SELECT l_orderkey, l_linenumber, nullif(l_discount, 0.0) AS d
+        FROM lineitem
+        ORDER BY d DESC NULLS LAST, l_orderkey, l_linenumber
+        LIMIT 50
+    """).df()
+    errors = compare(df_last, oracle_last, "nulls_last")
+    assert not errors, "\n".join(errors)
