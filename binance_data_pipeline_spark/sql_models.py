@@ -308,6 +308,21 @@ def run_models(
             else:
                 read_snapshot(spark, path).createOrReplaceTempView(f"__bdp_this_{name}")
                 delta = spark.sql(_render(model, incremental=True, env=env, vars=vars))
+                if delta.isEmpty():
+                    # an empty delta must not churn a table version — a
+                    # cadence-scheduled model with no new source rows would
+                    # otherwise mint a metadata-only commit per run,
+                    # bloating history and vacuum work
+                    read_snapshot(spark, path).createOrReplaceTempView(_view_name(name))
+                    out = spark.table(_view_name(name))
+                    if tests and name in tests:
+                        run_suite(out, tests[name], fail_fast=True)
+                    report[name] = {
+                        "materialized": mat,
+                        "rows": out.count(),
+                        "version": None,  # unchanged — no commit
+                    }
+                    continue
                 key = model.config.get("unique_key")
                 if key:
                     keys = [key] if isinstance(key, str) else list(key)

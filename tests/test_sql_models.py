@@ -402,3 +402,30 @@ def test_var_substitution(spark):
     assert (row["n"], row["label"]) == (3, "prod")
     with pytest.raises(KeyError, match="missing"):
         run_models(spark, {"w": parse_model("w", "select {{ var('missing') }} as x")})
+
+
+def test_empty_delta_does_not_churn_versions(spark, tmp_path):
+    """A cadence-scheduled incremental run with no new source rows must
+    NOT mint a new table version (history stays clean); the report marks
+    version=None and the view still serves."""
+    import datetime as dt
+
+    from binance_data_pipeline_spark.operators.snapshots import snapshot_history
+
+    m = {
+        "f": parse_model(
+            "f",
+            "{{ config(materialized='incremental', unique_key='k') }}"
+            "select k, v, ts from {{ source('a','t') }}"
+            "{% if is_incremental() %} where ts > (select max(ts) from {{ this }}){% endif %}",
+        )
+    }
+    src = spark.createDataFrame(
+        [("x", 1, dt.datetime(2024, 1, 1))], "k string, v long, ts timestamp"
+    )
+    target = str(tmp_path / "whe")
+    run_models(spark, m, {"a.t": src}, target)
+    r2 = run_models(spark, m, {"a.t": src}, target)
+    assert r2["f"]["version"] is None and r2["f"]["rows"] == 1
+    versions = [r["version"] for r in snapshot_history(spark, f"{target}/f").collect()]
+    assert max(versions) == 0  # only the initial build committed
