@@ -74,6 +74,10 @@ AGG_SQL = {
     "min_disc": "min(l_discount) AS min_disc",
     "max_price": "max(l_extendedprice) AS max_price",
     "avg_qty": "avg(l_quantity) AS avg_qty",
+    "nd_flag": "count(DISTINCT l_returnflag) AS nd_flag",
+    "sd_qty": "round(coalesce(stddev_samp(l_quantity), 0.0), 4) AS sd_qty",
+    "sum_case": ("sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END) "
+                 "AS sum_case"),
 }
 
 
@@ -102,6 +106,11 @@ def _agg_col(name):
         "min_disc": F.min("l_discount"),
         "max_price": F.max("l_extendedprice"),
         "avg_qty": F.avg("l_quantity"),
+        "nd_flag": F.countDistinct("l_returnflag"),
+        "sd_qty": F.round(F.coalesce(F.stddev_samp("l_quantity"), F.lit(0.0)), 4),
+        "sum_case": F.sum(
+            F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(F.lit(0))
+        ),
     }[name].alias(name)
 
 
