@@ -188,7 +188,12 @@ def _render(model: Model, incremental: bool, env: dict | None, vars: dict | None
 
     def env_sub(m):
         key, default = m.group(1), m.group(2)
-        val = (env or os.environ).get(key, default)
+        # an explicit env dict OVERLAYS the process environment (dbt's
+        # env_var always sees the real environment; the dict is for tests
+        # and parameterized runs, not a replacement)
+        if env and key in env:
+            return str(env[key])
+        val = os.environ.get(key, default)
         if val is None:
             raise KeyError(f"env_var({key!r}) unset and no default")
         return val
