@@ -281,6 +281,8 @@ def main(argv: list[str] | None = None) -> int:
                     help="dbt schema.yml whose model tests gate the run")
     pq.add_argument("--env", action="append", default=[], metavar="NAME=VAL",
                     help="env_var() binding; repeatable")
+    pq.add_argument("--var", action="append", default=[], metavar="NAME=VAL",
+                    help="var() binding; repeatable")
     pq.add_argument("--full-refresh", action="store_true",
                     help="rebuild incremental models from scratch")
     pq.add_argument("--snapshots", default=None,
@@ -785,6 +787,7 @@ def main(argv: list[str] | None = None) -> int:
             folder_defaults=_kv(args.folder_default, "--folder-default") or None,
             tests=tests,
             env=_kv(args.env, "--env") or None,
+            vars=_kv(args.var, "--var") or None,
             full_refresh=args.full_refresh,
         )
         for name, info in report.items():
