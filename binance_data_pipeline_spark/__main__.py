@@ -761,6 +761,7 @@ def main(argv: list[str] | None = None) -> int:
                 snap_report = run_dbt_snapshots(
                     spark, fh.read(), sources=_kv(args.source, "--source"),
                     target_dir=args.target, env=_kv(args.env, "--env") or None,
+                    vars=_kv(args.var, "--var") or None,
                 )
             for name, info in snap_report.items():
                 print(f"{name}\tscd2\trows={info['rows']}\topen={info['open_rows']}"

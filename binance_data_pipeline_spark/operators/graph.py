@@ -186,7 +186,16 @@ def hierarchy_levels(
             assigned = assigned.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
     else:
-        raise ValueError(f"hierarchy deeper than max_depth={max_depth} (cycle?)")
+        # the loop exhausted with a non-empty frontier at exactly
+        # max_depth — that is only an error if those nodes still have
+        # children (one more isEmpty probe, no extra level assigned)
+        deeper = e.join(
+            frontier.select(F.col("node").alias("parent")), "parent"
+        )
+        if not deeper.isEmpty():
+            raise ValueError(
+                f"hierarchy deeper than max_depth={max_depth} (cycle?)"
+            )
 
     missing = all_nodes.join(assigned.select(F.col("node").alias("child")), "child", "left_anti")
     n_missing = missing.count()
@@ -242,5 +251,16 @@ def transitive_closure(
             visited = visited.localCheckpoint(eager=True)
             frontier = frontier.localCheckpoint(eager=True)
     else:
-        raise ValueError(f"closure did not converge within max_iters={max_iters}")
+        # exhausting the loop with a non-empty frontier only means
+        # non-convergence if that frontier can still reach UNVISITED
+        # nodes — a frontier whose successors are all visited is done
+        leftover = (
+            e.join(frontier.select(F.col("node").alias("src")), "src")
+            .select(F.col("dst").alias("node"))
+            .join(visited.select("node"), "node", "left_anti")
+        )
+        if not leftover.isEmpty():
+            raise ValueError(
+                f"closure did not converge within max_iters={max_iters}"
+            )
     return visited

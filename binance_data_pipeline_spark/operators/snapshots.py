@@ -587,11 +587,12 @@ def set_snapshot_constraints(
         head = read_snapshot(spark, table, merge_schema=True)
         checks = []
         for name, expr in sorted(merged.items()):
-            cond = F.coalesce(F.expr(expr), F.lit(True))
             # parse + resolution check per constraint (driver-side
             # analysis, no job): a typo fails HERE, named, not at the
-            # next commit
+            # next commit. F.expr parses eagerly, so it must sit inside
+            # the try for ParseException to reach the named error path.
             try:
+                cond = F.coalesce(F.expr(expr), F.lit(True))
                 head.select(cond)
             except ParseException as e:
                 raise ValueError(

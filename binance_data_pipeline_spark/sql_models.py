@@ -54,7 +54,12 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
-from .operators.snapshots import commit_snapshot, read_snapshot, snapshot_merge
+from .operators.snapshots import (
+    _list_versions,
+    commit_snapshot,
+    read_snapshot,
+    snapshot_merge,
+)
 from .quality import run_suite
 
 _CONFIG_RE = re.compile(r"\{\{\s*config\s*\(", re.IGNORECASE)
@@ -87,9 +92,23 @@ def _split_config(sql: str) -> tuple[dict, str]:
         return {}, sql
     i, depth = m.end(), 1  # just past the opening paren
     while i < len(sql) and depth:
-        if sql[i] in "([{":
+        ch = sql[i]
+        if ch in "'\"":
+            # skip the whole string literal — a paren/brace INSIDE a
+            # config value (description="p95 (ms)") is not structure
+            q, i = ch, i + 1
+            while i < len(sql):
+                if sql[i] == "\\":
+                    i += 2
+                    continue
+                if sql[i] == q:
+                    i += 1
+                    break
+                i += 1
+            continue
+        if ch in "([{":
             depth += 1
-        elif sql[i] in ")]}":
+        elif ch in ")]}":
             depth -= 1
         i += 1
     if depth:
@@ -303,7 +322,11 @@ def run_models(
             writer.parquet(path)
             spark.read.parquet(path).createOrReplaceTempView(_view_name(name))
         else:  # incremental -> snapshot table
-            exists = os.path.exists(os.path.join(path, "versions")) and not full_refresh
+            # existence probe goes through the snapshot tier's Hadoop FS
+            # listing, not os.path — the table path accepts any scheme
+            # (hdfs://, s3a://); a local-only probe would silently
+            # full-refresh on every run against a remote warehouse
+            exists = bool(_list_versions(spark, path)) and not full_refresh
             if not exists:
                 df = spark.sql(_render(model, incremental=False, env=env, vars=vars))
                 version = commit_snapshot(
@@ -369,6 +392,7 @@ def run_dbt_snapshots(
     sources: dict | None = None,
     target_dir: str | None = None,
     env: dict | None = None,
+    vars: dict | None = None,
 ) -> dict[str, dict]:
     """dbt ``snapshots/`` blocks (``{% snapshot name %} config + SELECT
     {% endsnapshot %}``) — the reference project reserves the directory
@@ -438,11 +462,10 @@ def run_dbt_snapshots(
             raise ValueError(f"snapshot {name!r}: no tracked columns")
 
         path = f"{target_dir}/{name}"
-        dim = (
-            read_snapshot(spark, path)
-            if os.path.exists(os.path.join(path, "versions"))
-            else None
-        )
+        # FS-aware probe (any scheme): an os.path check on hdfs:///s3a://
+        # would always be False and the overwrite commit would discard
+        # the existing SCD2 history
+        dim = read_snapshot(spark, path) if _list_versions(spark, path) else None
         merged = scd2_merge(dim, updates, keys, tracked, ts_col=ts_col)
         version = commit_snapshot(
             spark, path, merged, mode="overwrite", operation=f"dbt_snapshot:{name}"

@@ -111,3 +111,35 @@ def test_transitive_closure_minimal_hops_and_cycle_termination(spark):
     assert got == {"a": 0, "b": 1, "c": 2, "d": 2}
     with pytest.raises(ValueError, match="roots explicitly"):
         transitive_closure(edges, roots=None)
+
+
+def test_hierarchy_exact_max_depth_ok(spark):
+    """A forest whose deepest node sits EXACTLY at max_depth must
+    succeed — the exhausted loop probes the final frontier for children
+    before declaring a cycle (ADVICE r7: off-by-one)."""
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("d", "c")], "child string, parent string"
+    )  # chain a->b->c->d, depth 3
+    got = {
+        r["node"]: r["depth"] for r in hierarchy_levels(edges, max_depth=3).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    # one LESS than the true depth still raises
+    with pytest.raises(ValueError, match="max_depth"):
+        hierarchy_levels(edges, max_depth=2)
+
+
+def test_closure_exact_max_iters_ok(spark):
+    """Closure whose farthest node is reached EXACTLY at max_iters
+    converges (no spurious non-convergence), one fewer raises."""
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "src string, dst string"
+    )
+    roots = spark.createDataFrame([("a",)], "node string")
+    got = {
+        r["node"]: r["hops"]
+        for r in transitive_closure(edges, roots=roots, max_iters=3).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3}
+    with pytest.raises(ValueError, match="max_iters"):
+        transitive_closure(edges, roots=roots, max_iters=2)

@@ -429,3 +429,38 @@ def test_empty_delta_does_not_churn_versions(spark, tmp_path):
     assert r2["f"]["version"] is None and r2["f"]["rows"] == 1
     versions = [r["version"] for r in snapshot_history(spark, f"{target}/f").collect()]
     assert max(versions) == 0  # only the initial build committed
+
+
+def test_config_string_values_with_brackets():
+    """config() values whose STRINGS contain parens/braces must not
+    confuse the balanced-bracket scan (ADVICE r7: _split_config)."""
+    from binance_data_pipeline_spark.sql_models import _split_config
+
+    sql = (
+        "{{ config(materialized='table', description=\"p95 (ms) {q}\", "
+        "labels={'note': 'a)b'}) }}\nselect 1 as x"
+    )
+    cfg, body = _split_config(sql)
+    assert cfg["description"] == "p95 (ms) {q}"
+    assert cfg["labels"] == {"note": "a)b"}
+    assert body.strip() == "select 1 as x"
+
+
+def test_dbt_snapshot_var_bindings(spark, tmp_path):
+    """{{ var(...) }} inside a snapshot block resolves from the vars
+    dict (ADVICE r7: run_dbt_snapshots shadowed by builtin vars)."""
+    from binance_data_pipeline_spark.sql_models import run_dbt_snapshots
+
+    text = """
+{% snapshot dim_v %}
+{{ config(unique_key='k', strategy='check', check_cols='all') }}
+select k, v from {{ source('a', 't') }} where v >= {{ var('floor', 0) }}
+{% endsnapshot %}
+"""
+    src = spark.createDataFrame([("x", 1), ("y", 5)], "k string, v long")
+    target = str(tmp_path / "snapvars")
+    rep = run_dbt_snapshots(spark, text, {"a.t": src}, target, vars={"floor": 5})
+    assert rep["dim_v"]["rows"] == 1  # only v=5 passed the var filter
+    # default applies when the binding is absent
+    rep2 = run_dbt_snapshots(spark, text, {"a.t": src}, str(tmp_path / "s2"))
+    assert rep2["dim_v"]["rows"] == 2
