@@ -1,0 +1,261 @@
+"""Jar-free Kafka source for Structured Streaming — the Python
+DataSource API (Spark 4) over the wire-protocol client in
+``kafka_wire.py``.
+
+Closes the reference's S3 leg (producer/kafka_to_s3_bronze.py:20-27:
+earliest-offset consume of the raw-trades topic) END TO END inside this
+sandbox: ``spark.readStream.format("kafka_wire")`` emits records in the
+EXACT schema Spark's own Kafka connector emits
+(``streaming/ingest.py::KAFKA_SOURCE_SCHEMA``), so the downstream chain
+(``kafka_records_to_raw`` → ``bronze_stream`` → partitioned sink) is
+byte-identical whichever source feeds it. On a real cluster you'd use
+the spark-sql-kafka connector jar (scale features: SSL, consumer
+groups, partition rebalancing); this source is the jar-free interop
+tier that lets every test and local pipeline run against a real socket.
+
+Contract, mapped onto the DataSource API:
+
+- OFFSETS ARE KAFKA OFFSETS: the stream offset is ``{"<partition>":
+  next_unread_offset}`` — exactly the connector's checkpoint shape.
+  ``latestOffset`` polls ListOffsets v1 (no record transfer) and
+  optionally rate-limits with ``maxOffsetsPerTrigger`` (the reference's
+  1000-msg flush bound), distributing the budget across partitions
+  proportionally to lag like the real connector — except the FIRST
+  micro-batch of each driver incarnation, which is uncapped (the
+  Python API gives the reader no view of the checkpointed position, so
+  the first poll must return the log end to stay monotone; see
+  ``_KafkaWireStreamReader``).
+- PARTITIONS ARE KAFKA PARTITIONS: one input partition per topic
+  partition per micro-batch; each executor fetches ITS offset range
+  over its own socket connection (Fetch v4, CRC-verified batches) —
+  records never pass through the driver.
+- EXACT RANGES: a fetch may start mid-batch (after a rate-limited
+  trigger); the broker returns the containing batch and the client
+  filters to ``[start, end)``, so replays after restart are exact and
+  the checkpointed offsets compose to exactly-once with an idempotent
+  sink (upgrade over the reference's commit-after-put at-least-once).
+
+Kafka protocol references: kafka.apache.org/protocol (public spec);
+precedent for the jar-free pattern: ``sources/snapshot_source.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+
+# module-top (not inline) imports: these ride the by-value pickle into
+# the engine's Python workers — a runtime relative import inside read()
+# would need the package installed on every worker
+from .kafka_wire import kafka_fetch, kafka_list_offsets, kafka_partitions
+
+__all__ = ["KafkaWireDataSource", "register_kafka_wire_source"]
+
+DEFAULT_TOPIC = "binance_trades_raw"
+
+
+def _parse_bootstrap(bootstrap: str) -> tuple[str, int]:
+    host, _, port = bootstrap.rpartition(":")
+    if not host or not port.isdigit():
+        raise ValueError(f"bad bootstrap {bootstrap!r} (want host:port)")
+    return host, int(port)
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, host: str, port: int, topic: str, partition: int,
+                 start: int, end: int):
+        self.host, self.port = host, port
+        self.topic, self.partition = topic, partition
+        self.start, self.end = start, end
+
+
+def _fetch_range(part: _RangePartition):
+    """One executor's work: fetch [start, end) from its Kafka partition
+    and yield rows in the connector's record schema."""
+    from datetime import datetime, timezone
+
+    offset = part.start
+    while offset < part.end:
+        _hwm, records = kafka_fetch(
+            part.host, part.port, part.topic, part.partition, offset
+        )
+        if not records:
+            raise ValueError(
+                f"kafka_wire: fetch of {part.topic}/{part.partition} at "
+                f"{offset} returned no records but end={part.end} — log "
+                "truncated below the checkpointed offset?"
+            )
+        for off, key, value, ts_ms in records:
+            if off >= part.end:
+                return
+            if off < offset:
+                continue
+            yield (
+                key,
+                value,
+                part.topic,
+                part.partition,
+                off,
+                datetime.fromtimestamp(ts_ms / 1000.0, tz=timezone.utc),
+                0,  # timestampType: CreateTime
+            )
+        offset = records[-1][0] + 1
+
+
+class _KafkaWireStreamReader(DataSourceStreamReader):
+    def __init__(self, host: str, port: int, topic: str,
+                 starting_offsets: str, max_per_trigger: int | None):
+        self._host, self._port, self._topic = host, port, topic
+        self._starting = starting_offsets
+        self._max = max_per_trigger
+        # Rate-limit anchor: the last offsets handed to the engine.
+        # None until the first poll. The engine chains micro-batch
+        # ranges from our PREVIOUS latestOffset return (observed: it
+        # even calls latestOffset before initialOffset), so a return
+        # that ever goes BACKWARD re-delivers committed offsets. Two
+        # consequences, both enforced below: (1) returns are clamped
+        # monotone non-decreasing; (2) the FIRST poll of an incarnation
+        # must be the true log end — the reader cannot see the
+        # checkpointed position, and log end is the only value provably
+        # >= it. So maxOffsetsPerTrigger applies from the second
+        # micro-batch of each driver incarnation (the jar connector,
+        # which receives the start via SupportsAdmissionControl, caps
+        # the first batch too — deviation documented).
+        self._last_end: dict[str, int] | None = None
+
+    def _bounds(self, earliest: bool) -> dict[str, int]:
+        parts = kafka_partitions(self._host, self._port, self._topic)
+        return {
+            str(p): kafka_list_offsets(
+                self._host, self._port, self._topic, p, earliest=earliest
+            )
+            for p in parts
+        }
+
+    def initialOffset(self) -> dict:
+        # must NOT touch the rate-limit anchor: the engine may call this
+        # after latestOffset, and resetting the anchor downward would
+        # regress the offset chain (= replay)
+        return self._bounds(earliest=self._starting != "latest")
+
+    def latestOffset(self) -> dict:
+        latest = self._bounds(earliest=False)
+        cur = self._last_end
+        if cur is not None:
+            if self._max is not None:
+                lags = {p: latest[p] - cur.get(p, 0) for p in latest}
+                total = sum(max(v, 0) for v in lags.values())
+                if total > self._max:
+                    # distribute the budget proportionally to lag (the
+                    # connector's rate-limit policy), remainder to the
+                    # laggiest partitions first
+                    scale = self._max / total
+                    take = {p: int(max(lag, 0) * scale) for p, lag in lags.items()}
+                    rem = self._max - sum(take.values())
+                    for p in sorted(lags, key=lags.get, reverse=True):
+                        if rem <= 0:
+                            break
+                        if take[p] < max(lags[p], 0):
+                            take[p] += 1
+                            rem -= 1
+                    latest = {p: cur.get(p, 0) + take[p] for p in latest}
+            # monotone clamp — see the anchor comment in __init__
+            latest = {p: max(v, cur.get(p, 0)) for p, v in latest.items()}
+        self._last_end = dict(latest)
+        return latest
+
+    def partitions(self, start: dict, end: dict):
+        out = []
+        for p, e in end.items():
+            s = start.get(p, 0)
+            if e > s:
+                out.append(_RangePartition(
+                    self._host, self._port, self._topic, int(p), int(s), int(e)
+                ))
+        return out
+
+    def read(self, partition):
+        yield from _fetch_range(partition)
+
+    def commit(self, end: dict) -> None:
+        pass  # offsets live in the engine's checkpoint
+
+
+class _KafkaWireBatchReader(DataSourceReader):
+    """Batch read of the whole topic (earliest..latest at plan time)."""
+
+    def __init__(self, host: str, port: int, topic: str):
+        self._host, self._port, self._topic = host, port, topic
+
+    def partitions(self):
+        out = []
+        for p in kafka_partitions(self._host, self._port, self._topic):
+            lo = kafka_list_offsets(self._host, self._port, self._topic, p, earliest=True)
+            hi = kafka_list_offsets(self._host, self._port, self._topic, p)
+            if hi > lo:
+                out.append(_RangePartition(self._host, self._port, self._topic, p, lo, hi))
+        return out
+
+    def read(self, partition):
+        yield from _fetch_range(partition)
+
+
+class KafkaWireDataSource(DataSource):
+    """``format("kafka_wire")``: jar-free Kafka reads over the public
+    wire protocol. Options: ``bootstrap`` (host:port, required),
+    ``topic`` (default binance_trades_raw), ``startingOffsets``
+    (earliest|latest, streaming only), ``maxOffsetsPerTrigger``."""
+
+    def __init__(self, options):
+        super().__init__(options)
+        bootstrap = options.get("bootstrap")
+        if not bootstrap:
+            raise ValueError("kafka_wire requires .option('bootstrap', 'host:port')")
+        self._host, self._port = _parse_bootstrap(bootstrap)
+        self._topic = options.get("topic", DEFAULT_TOPIC)
+
+    @classmethod
+    def name(cls) -> str:
+        return "kafka_wire"
+
+    def schema(self) -> str:
+        # the Structured Streaming Kafka integration contract — identical
+        # to streaming/ingest.py::KAFKA_SOURCE_SCHEMA so either source
+        # feeds the same downstream chain
+        return (
+            "key BINARY, value BINARY, topic STRING, partition INT, "
+            "offset LONG, timestamp TIMESTAMP, timestampType INT"
+        )
+
+    def reader(self, schema) -> DataSourceReader:
+        return _KafkaWireBatchReader(self._host, self._port, self._topic)
+
+    def streamReader(self, schema) -> DataSourceStreamReader:
+        mx = self.options.get("maxoffsetspertrigger")
+        return _KafkaWireStreamReader(
+            self._host,
+            self._port,
+            self._topic,
+            self.options.get("startingoffsets", "earliest"),
+            int(mx) if mx is not None else None,
+        )
+
+
+def register_kafka_wire_source(spark) -> None:
+    """Register ``format("kafka_wire")`` on this session. Both this
+    module and ``kafka_wire`` are pickled BY VALUE into the engine's
+    Python workers (stdlib-only dependencies), so the source runs from
+    any vanilla session with no package distribution to workers."""
+    import sys
+
+    from pyspark import cloudpickle
+
+    from . import kafka_wire
+
+    cloudpickle.register_pickle_by_value(kafka_wire)
+    cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    spark.dataSource.register(KafkaWireDataSource)

@@ -19,9 +19,11 @@ the point is that bytes our producer frames are validated by an
 independent decode (CRC checked, offsets assigned broker-side) after
 crossing a real socket, and the fetched records then feed the SAME
 `kafka_records_to_raw` → `bronze_stream` chain the Spark consumer runs
-(tests/test_kafka_wire.py). What still cannot run here is Spark's own
-Kafka source (needs the connector jar + a full broker): that residue is
-the documented skip in tests/test_kafka_contract.py.
+(tests/test_kafka_wire.py). Since round 8 this module also backs a
+full Structured Streaming source — ``sources/kafka_source.py`` exposes
+``format("kafka_wire")`` through the Python DataSource API, so the
+socket → Spark → bronze leg runs END TO END with no connector jar
+(tests/test_kafka_source.py); the old documented skip is gone.
 
 RFC 6455 precedent: sources/ws_bridge.py does the same for the
 WebSocket leg (S1).
@@ -42,6 +44,8 @@ __all__ = [
     "MiniKafkaBroker",
     "kafka_produce",
     "kafka_fetch",
+    "kafka_list_offsets",
+    "kafka_partitions",
 ]
 
 # ---------------------------------------------------------------------------
@@ -252,7 +256,8 @@ class MiniKafkaBroker:
     context manager; `port` is bound on entry (loopback only)."""
 
     def __init__(self) -> None:
-        self._log: dict[tuple[str, int], list[bytes]] = {}
+        # per (topic, partition): [(base_offset, record_count, batch_bytes)]
+        self._log: dict[tuple[str, int], list[tuple[int, int, bytes]]] = {}
         self._next: dict[tuple[str, int], int] = {}
         self._lock = threading.Lock()
         self.port: int | None = None
@@ -276,7 +281,7 @@ class MiniKafkaBroker:
         if api_key == 18:  # ApiVersions v0
             out = io.BytesIO()
             out.write(struct.pack(">h", 0))  # error
-            versions = [(18, 0, 0), (3, 0, 0), (0, 3, 3), (1, 4, 4)]
+            versions = [(18, 0, 0), (3, 0, 0), (0, 3, 3), (1, 4, 4), (2, 1, 1)]
             out.write(struct.pack(">i", len(versions)))
             for k, lo, hi in versions:
                 out.write(struct.pack(">hhh", k, lo, hi))
@@ -349,6 +354,28 @@ class MiniKafkaBroker:
                     out.write(struct.pack(">i", 0))  # aborted_transactions
                     _w_bytes(out, record_set)
             return out.getvalue()
+        if api_key == 2 and api_version == 1:  # ListOffsets v1
+            struct.unpack(">i", buf.read(4))  # replica_id
+            (ntopics,) = struct.unpack(">i", buf.read(4))
+            out = io.BytesIO()
+            out.write(struct.pack(">i", ntopics))
+            for _ in range(ntopics):
+                topic = _r_str(buf) or ""
+                (nparts,) = struct.unpack(">i", buf.read(4))
+                _w_str(out, topic)
+                out.write(struct.pack(">i", nparts))
+                for _ in range(nparts):
+                    partition, ts = struct.unpack(">iq", buf.read(12))
+                    with self._lock:
+                        key = (topic, partition)
+                        latest = self._next.get(key, 0)
+                        entries = self._log.get(key, [])
+                        earliest = entries[0][0] if entries else 0
+                    # -1 = latest, -2 = earliest (the spec's sentinel
+                    # timestamps); arbitrary timestamps unsupported here
+                    off = latest if ts == -1 else earliest
+                    out.write(struct.pack(">ihqq", partition, 0, -1, off))
+            return out.getvalue()
         raise ValueError(f"unsupported api_key={api_key} v{api_version}")
 
     # -- log ----------------------------------------------------------------
@@ -363,19 +390,22 @@ class MiniKafkaBroker:
             rebased = encode_record_batch(
                 [(k, v, ts) for (_off, k, v, ts) in records], base_offset=base
             )
-            self._log.setdefault(key, []).append(rebased)
+            self._log.setdefault(key, []).append((base, len(records), rebased))
             self._next[key] = base + len(records)
             return base
 
-
     def _read(self, topic: str, partition: int, fetch_offset: int):
+        # like the real broker, return every batch that OVERLAPS the
+        # fetch offset (base+count > offset), not only batches starting
+        # at or after it — a consumer resuming mid-batch must see the
+        # containing batch and filter client-side (kafka_fetch does)
         with self._lock:
             key = (topic, partition)
             hwm = self._next.get(key, 0)
             batches = [
                 b
-                for b in self._log.get(key, [])
-                if struct.unpack_from(">q", b, 0)[0] >= fetch_offset
+                for (base, count, b) in self._log.get(key, [])
+                if base + count > fetch_offset
             ]
         return (b"".join(batches) if batches else None), hwm
 
@@ -469,3 +499,59 @@ def kafka_fetch(
         out.extend(r for r in records if r[0] >= fetch_offset)
         pos += 12 + batch_len
     return hwm, out
+
+
+def kafka_list_offsets(
+    host: str, port: int, topic: str, partition: int, earliest: bool = False
+) -> int:
+    """ListOffsets v1: the partition's log-end offset (or log-start with
+    ``earliest=True``) WITHOUT transferring record data — what a source
+    driver polls to plan a micro-batch."""
+    body = io.BytesIO()
+    body.write(struct.pack(">i", -1))  # replica_id
+    body.write(struct.pack(">i", 1))
+    _w_str(body, topic)
+    body.write(struct.pack(">i", 1))
+    body.write(struct.pack(">iq", partition, -2 if earliest else -1))
+    resp = _roundtrip(host, port, 2, 1, body.getvalue())
+    (ntopics,) = struct.unpack(">i", resp.read(4))
+    assert ntopics == 1
+    _r_str(resp)
+    (nparts,) = struct.unpack(">i", resp.read(4))
+    assert nparts == 1
+    _p, err, _ts, off = struct.unpack(">ihqq", resp.read(22))
+    if err != 0:
+        raise ValueError(f"list_offsets error {err}")
+    return off
+
+
+def kafka_partitions(host: str, port: int, topic: str) -> list[int]:
+    """Metadata v0: the topic's partition ids (what a source driver uses
+    to plan one input partition per Kafka partition)."""
+    body = io.BytesIO()
+    body.write(struct.pack(">i", 1))
+    _w_str(body, topic)
+    resp = _roundtrip(host, port, 3, 0, body.getvalue())
+    (nbrokers,) = struct.unpack(">i", resp.read(4))
+    for _ in range(nbrokers):
+        struct.unpack(">i", resp.read(4))  # node_id
+        _r_str(resp)  # host
+        struct.unpack(">i", resp.read(4))  # port
+    (ntopics,) = struct.unpack(">i", resp.read(4))
+    for _ in range(ntopics):
+        (terr,) = struct.unpack(">h", resp.read(2))
+        name = _r_str(resp)
+        (nparts,) = struct.unpack(">i", resp.read(4))
+        parts = []
+        for _ in range(nparts):
+            _perr, pid, _leader = struct.unpack(">hii", resp.read(10))
+            (nrep,) = struct.unpack(">i", resp.read(4))
+            resp.read(4 * nrep)
+            (nisr,) = struct.unpack(">i", resp.read(4))
+            resp.read(4 * nisr)
+            parts.append(pid)
+        if name == topic:
+            if terr != 0:
+                raise ValueError(f"metadata error {terr} for topic {topic!r}")
+            return sorted(parts)
+    raise ValueError(f"topic {topic!r} not in metadata response")

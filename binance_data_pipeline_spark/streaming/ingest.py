@@ -91,20 +91,45 @@ def read_raw_stream_from_kafka(
     topic: str = "binance_trades_raw",
     starting_offsets: str = "earliest",
 ) -> DataFrame:
-    """Kafka source (S3). Runtime-untestable in this container (no broker,
-    no spark-sql-kafka jar), so the pieces are factored to be individually
-    pinned: `kafka_source_options` (the consumer contract) and
-    `kafka_records_to_raw` (the wire-schema decode) are both covered by
-    tests/test_kafka_contract.py against a mock of KAFKA_SOURCE_SCHEMA.
-
-    Manual harness (documented, not automated): start any Kafka broker,
-    `spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>`,
-    then `start_bronze_ingest(read_raw_stream_from_kafka(spark, "host:9092"), ...)`
-    and feed the topic with producer JSON envelopes."""
+    """Kafka source (S3) via Spark's own connector — needs the
+    spark-sql-kafka jar, so on a cluster: `spark-submit --packages
+    org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>`. In this
+    container the SAME leg runs jar-free through
+    `read_raw_stream_from_kafka_wire` (identical record schema, so the
+    downstream chain is byte-identical); the consumer contract
+    (`kafka_source_options`) and wire decode (`kafka_records_to_raw`)
+    are additionally pinned in tests/test_kafka_contract.py."""
     reader = spark.readStream.format("kafka")
     for k, v in kafka_source_options(bootstrap_servers, topic, starting_offsets).items():
         reader = reader.option(k, v)
     return kafka_records_to_raw(reader.load())
+
+
+def read_raw_stream_from_kafka_wire(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str = "binance_trades_raw",
+    starting_offsets: str = "earliest",
+    max_offsets_per_trigger: int = MAX_OFFSETS_PER_TRIGGER,
+) -> DataFrame:
+    """Kafka source (S3) with NO connector jar: the Python-DataSource
+    implementation over the public wire protocol
+    (`sources/kafka_source.py`). Emits KAFKA_SOURCE_SCHEMA records —
+    interchangeable with `read_raw_stream_from_kafka` — with the same
+    consumer contract as the reference (earliest offsets
+    kafka_to_s3_bronze.py:22, 1000-msg trigger bound :78)."""
+    from ..sources.kafka_source import register_kafka_wire_source
+
+    register_kafka_wire_source(spark)
+    raw = (
+        spark.readStream.format("kafka_wire")
+        .option("bootstrap", bootstrap_servers)
+        .option("topic", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
+        .load()
+    )
+    return kafka_records_to_raw(raw)
 
 
 def bronze_stream(raw: DataFrame) -> DataFrame:

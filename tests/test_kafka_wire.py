@@ -2,9 +2,9 @@
 keyed-JSON produce → earliest-offset consume cycle exercised over a REAL
 loopback socket in real Kafka framing (RecordBatch v2 + Produce v3 /
 Fetch v4), with the fetched bytes fed through the same decode chain the
-Spark consumer runs. The residue that still cannot run in this sandbox
-(Spark's own Kafka source) stays a documented skip in
-tests/test_kafka_contract.py — now shrunk to exactly that."""
+Spark consumer runs. The protocol layer pinned here also backs the
+jar-free Structured Streaming source (sources/kafka_source.py), whose
+end-to-end tests live in tests/test_kafka_source.py."""
 
 from __future__ import annotations
 
