@@ -285,6 +285,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="var() binding; repeatable")
     pq.add_argument("--full-refresh", action="store_true",
                     help="rebuild incremental models from scratch")
+    pq.add_argument("--threads", type=int, default=1,
+                    help="dbt profiles.yml threads: models on the same "
+                         "dependency level build concurrently")
     pq.add_argument("--snapshots", default=None,
                     help="file of dbt {%% snapshot %%} blocks to fold as SCD2 "
                          "history (runs BEFORE models so models may ref the "
@@ -790,6 +793,7 @@ def main(argv: list[str] | None = None) -> int:
             env=_kv(args.env, "--env") or None,
             vars=_kv(args.var, "--var") or None,
             full_refresh=args.full_refresh,
+            threads=args.threads,
         )
         for name, info in report.items():
             ver = "" if info["version"] is None else f"\tversion={info['version']}"

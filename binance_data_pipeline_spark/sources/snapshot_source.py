@@ -247,6 +247,15 @@ class SnapshotDataSource(DataSource):
             raise ValueError(f"{self._table} has no committed snapshots")
         opt_v = self.options.get("version")
         v = int(opt_v) if opt_v is not None else versions[-1]
+        def _engine_type(t):
+            # Spark writes INT96 timestamps by default; pyarrow decodes
+            # those as NANOSECOND, which the JVM Arrow bridge refuses
+            # ([UNSUPPORTED_ARROWTYPE]) — pin microseconds and let the
+            # per-batch cast in _read_file_aligned align every file
+            if pa.types.is_timestamp(t) and t.unit == "ns":
+                return pa.timestamp("us", tz=t.tz)
+            return t
+
         for d in _live_dirs(self._table, v):
             files = _dir_files(d)
             if files:
@@ -256,7 +265,12 @@ class SnapshotDataSource(DataSource):
                 # (aligned as NULL), and parquet footers mark literal
                 # columns required — a non-null declared schema would
                 # NPE the engine's row projection on those fills
-                return pa.schema([fld.with_nullable(True) for fld in sch])
+                return pa.schema(
+                    [
+                        pa.field(fld.name, _engine_type(fld.type), nullable=True)
+                        for fld in sch
+                    ]
+                )
         raise ValueError(f"{self._table} has no data files at version {v}")
 
     def schema(self):

@@ -29,9 +29,18 @@ Spark-first semantics, not a dbt reimplementation:
   BigQuery MERGE behavior, but with time travel, CDC diff, constraints,
   and vacuum for free) or appends via ``commit_snapshot`` when no key is
   declared (dbt's append strategy).
+- **streaming** models (extension) maintain their mart continuously
+  from a snapshot table's change feed (``_run_streaming_model``) — the
+  reference's hourly-dbt cadence made continuous.
 - schema.yml tests compile onto ``quality.py``'s expectation suite and
   gate the run (``dbt run >> dbt test`` collapsed into one pass; a
   failing test raises before downstream models build).
+- ``threads`` (dbt profiles.yml parity, reference declares 4):
+  same-dependency-level models materialize concurrently as concurrent
+  Spark actions.
+- ``on_schema_change`` (dbt parity): ``ignore`` (default) /
+  ``append_new_columns`` / ``fail`` when an incremental model's source
+  adds columns mid-life.
 
 Scale posture: the runner itself moves no data — it only sequences
 Spark plans (topological order over the ref graph, cycle/missing-ref
@@ -198,12 +207,23 @@ def _src_view_name(source: str, table: str) -> str:
     return f"__bdp_src_{source}__{table}"
 
 
-def _render(model: Model, incremental: bool, env: dict | None, vars: dict | None = None) -> str:
+def _stream_src_view_name(source: str, table: str) -> str:
+    return f"__bdp_srcstream_{source}__{table}"
+
+
+def _render(
+    model: Model,
+    incremental: bool,
+    env: dict | None,
+    vars: dict | None = None,
+    stream_sources: bool = False,
+) -> str:
     sql = model.body
     sql = _INCR_RE.sub((lambda m: m.group(1)) if incremental else "", sql)
     sql = _THIS_RE.sub(f"__bdp_this_{model.name}", sql)
     sql = _REF_RE.sub(lambda m: _view_name(m.group(1)), sql)
-    sql = _SOURCE_RE.sub(lambda m: _src_view_name(m.group(1), m.group(2)), sql)
+    src_name = _stream_src_view_name if stream_sources else _src_view_name
+    sql = _SOURCE_RE.sub(lambda m: src_name(m.group(1), m.group(2)), sql)
 
     def env_sub(m):
         key, default = m.group(1), m.group(2)
@@ -237,9 +257,145 @@ def _materialization(model: Model, folder_defaults: dict | None) -> str:
     if mat is None and folder_defaults and model.folder in folder_defaults:
         mat = folder_defaults[model.folder]
     mat = mat or "view"
-    if mat not in ("view", "table", "incremental"):
+    if mat not in ("view", "table", "incremental", "streaming"):
         raise ValueError(f"model {model.name!r}: unsupported materialized={mat!r}")
     return mat
+
+
+def _schema_change_policy(model: Model) -> str:
+    """Validated ``on_schema_change`` value — checked on EVERY run of an
+    incremental model (a config typo or the unsupported
+    ``sync_all_columns`` must fail the first build, not lie dormant
+    until the source's schema actually drifts)."""
+    policy = model.config.get("on_schema_change", "ignore")
+    if policy == "sync_all_columns":
+        raise ValueError(
+            f"model {model.name!r}: on_schema_change='sync_all_columns' is "
+            "unsupported — dropping departed columns would rewrite the "
+            "snapshot table's history dirs; use 'append_new_columns' and "
+            "stop selecting the departed columns downstream"
+        )
+    if policy not in ("ignore", "append_new_columns", "fail"):
+        raise ValueError(
+            f"model {model.name!r}: unsupported on_schema_change={policy!r}"
+        )
+    return policy
+
+
+def _apply_on_schema_change(
+    spark: SparkSession, model: Model, path: str, delta: DataFrame
+) -> DataFrame:
+    """dbt's ``on_schema_change`` policy for incremental models, applied
+    when the rendered delta's columns diverge from the existing table:
+
+    - ``ignore`` (dbt's default, ours too): new columns are DROPPED from
+      the delta — the table keeps its schema. (Before round 8 the merge
+      silently union-evolved; dbt parity makes evolution opt-in.)
+    - ``append_new_columns``: new columns evolve the table schema
+      (snapshot_merge's union semantics / commit evolve_schema); prior
+      rows read as NULL under merge_schema.
+    - ``fail``: raise, naming the model and the offending columns.
+    - ``sync_all_columns`` is intentionally unsupported: it also DROPS
+      departed columns, which would rewrite history dirs — raise with
+      that explanation rather than half-implement it.
+
+    Columns the table has but the delta lacks are always fine (the
+    snapshot tier reads them as typed NULLs for new rows)."""
+    policy = _schema_change_policy(model)
+    existing = set(read_snapshot(spark, path).columns)
+    new_cols = [c for c in delta.columns if c not in existing]
+    if not new_cols:
+        return delta
+    if policy == "fail":
+        raise ValueError(
+            f"model {model.name!r}: source added column(s) {new_cols} and "
+            "on_schema_change='fail'"
+        )
+    if policy == "ignore":
+        return delta.select(*[c for c in delta.columns if c in existing])
+    return delta  # append_new_columns: let the merge/commit evolve
+
+
+def _run_streaming_model(
+    spark: SparkSession,
+    model: Model,
+    sources: dict,
+    path: str,
+    env: dict | None,
+    vars: dict | None,
+) -> int | None:
+    """``materialized='streaming'``: the model maintains its mart
+    CONTINUOUSLY from its sources' snapshot change feeds instead of
+    being rebuilt on a cadence — the reference's hourly-dbt loop
+    (airflow/dags/run_dbt_models.py) collapsed into Structured
+    Streaming. Each ``source()`` must be a SNAPSHOT TABLE path; it
+    registers as a ``format("snapshot_table")`` streaming read (one
+    micro-batch per committed version range), the model SQL transforms
+    the stream (``ref()`` models join in as the static side), and the
+    result lands in the model's own snapshot table via
+    ``streaming_snapshot_append`` — exactly-once across restarts (the
+    engine's checkpoint carries the version cursor; a replayed batch
+    appends nothing).
+
+    Inside ``run_models`` the stream drains what's AVAILABLE and stops
+    (dbt's run-to-completion contract, but the increment is the change
+    feed itself — no ``is_incremental()`` watermark to maintain); for an
+    always-on deployment, start the same checkpointed query with a
+    processing-time trigger. Constraints, enforced loudly: the SQL must
+    be stream-transformable (projections/filters/stream-static joins —
+    unbounded aggregations would need a different output mode);
+    ``{{ this }}`` / ``is_incremental()`` don't apply; a source rewrite
+    (compaction/overwrite) raises the change-feed's resync error rather
+    than double-counting."""
+    if _INCR_RE.search(model.body):
+        raise ValueError(
+            f"streaming model {model.name!r} uses is_incremental() — the "
+            "change feed already is the increment"
+        )
+    if _THIS_RE.search(model.body):
+        raise ValueError(f"streaming model {model.name!r}: {{{{ this }}}} unsupported")
+    if not model.sources:
+        raise ValueError(
+            f"streaming model {model.name!r} needs at least one source() "
+            "pointing at a snapshot table"
+        )
+    from .operators.snapshots import streaming_snapshot_append
+    from .sources.snapshot_source import register_snapshot_source
+
+    register_snapshot_source(spark)
+    for s, t in model.sources:
+        src = sources.get(f"{s}.{t}")
+        if not isinstance(src, str) or not _list_versions(spark, src):
+            raise ValueError(
+                f"streaming model {model.name!r}: source {s}.{t} must be a "
+                "snapshot-table PATH (the change feed comes from its "
+                "version history); got "
+                f"{'a DataFrame' if isinstance(src, DataFrame) else repr(src)}"
+            )
+        (
+            spark.readStream.format("snapshot_table")
+            .option("path", src)
+            .load()
+            .createOrReplaceTempView(_stream_src_view_name(s, t))
+        )
+    sdf = spark.sql(
+        _render(model, incremental=False, env=env, vars=vars, stream_sources=True)
+    )
+    if not sdf.isStreaming:
+        raise ValueError(f"streaming model {model.name!r} compiled to a batch plan")
+    pre = _list_versions(spark, path)
+    writer = streaming_snapshot_append(sdf, path, f"{path}__checkpoint")
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination()
+    post = _list_versions(spark, path)
+    if not post:
+        # source existed but carried no rows yet: commit an empty typed
+        # snapshot so the model's view (and downstream refs) still serve
+        return commit_snapshot(
+            spark, path, spark.createDataFrame([], sdf.schema),
+            mode="overwrite", operation=f"model:{model.name}:init",
+        )
+    return post[-1] if post != pre else None
 
 
 def run_models(
@@ -252,6 +408,7 @@ def run_models(
     env: dict | None = None,
     vars: dict | None = None,
     full_refresh: bool = False,
+    threads: int = 1,
 ) -> dict[str, dict]:
     """Build every model in dependency order. Returns a per-model report
     ``{name: {"materialized", "rows", "version"|None}}``.
@@ -271,6 +428,13 @@ def run_models(
       never build on a failed parent.
     - ``full_refresh``: rebuild incremental models from scratch (dbt's
       ``--full-refresh``).
+    - ``threads``: dbt's profiles.yml ``threads`` (the reference declares
+      4 — dbt_project/profiles.yml:11). Models on the same dependency
+      LEVEL materialize concurrently: Spark's scheduler happily runs
+      concurrent actions, so two independent marts keep the cluster busy
+      instead of building back-to-back. Failures still name the model;
+      a failed level never starts the next (downstream models never
+      build against a failed parent).
     """
     if isinstance(models, str):
         parsed = load_project(models)
@@ -291,18 +455,25 @@ def run_models(
 
     for key, src in (sources or {}).items():
         sname, tname = key.split(".", 1)
-        df = src if isinstance(src, DataFrame) else spark.read.parquet(src)
+        if isinstance(src, DataFrame):
+            df = src
+        elif _list_versions(spark, src):
+            # a snapshot-table path: batch view = the manifest-resolved
+            # live set (raw spark.read.parquet over the table dir would
+            # scan dead dirs and version metadata)
+            df = read_snapshot(spark, src)
+        else:
+            df = spark.read.parquet(src)
         df.createOrReplaceTempView(_src_view_name(sname, tname))
     for m in parsed.values():
         for s, t in m.sources:
             if f"{s}.{t}" not in (sources or {}):
                 raise ValueError(f"model {m.name!r} needs source {s}.{t}, not provided")
 
-    report: dict[str, dict] = {}
-    for name in order:
+    def _build(name: str) -> dict:
         model = parsed[name]
         mat = _materialization(model, folder_defaults)
-        if mat in ("table", "incremental") and not target_dir:
+        if mat in ("table", "incremental", "streaming") and not target_dir:
             raise ValueError(f"model {name!r} materializes as {mat} but target_dir is unset")
         path = f"{target_dir}/{name}" if target_dir else None
         partition_by = None
@@ -321,7 +492,13 @@ def run_models(
                 writer = writer.partitionBy(*partition_by)
             writer.parquet(path)
             spark.read.parquet(path).createOrReplaceTempView(_view_name(name))
+        elif mat == "streaming":
+            version = _run_streaming_model(
+                spark, model, sources or {}, path, env=env, vars=vars
+            )
+            read_snapshot(spark, path).createOrReplaceTempView(_view_name(name))
         else:  # incremental -> snapshot table
+            _schema_change_policy(model)  # typos fail on the FIRST build
             # existence probe goes through the snapshot tier's Hadoop FS
             # listing, not os.path — the table path accepts any scheme
             # (hdfs://, s3a://); a local-only probe would silently
@@ -345,12 +522,9 @@ def run_models(
                     out = spark.table(_view_name(name))
                     if tests and name in tests:
                         run_suite(out, tests[name], fail_fast=True)
-                    report[name] = {
-                        "materialized": mat,
-                        "rows": out.count(),
-                        "version": None,  # unchanged — no commit
-                    }
-                    continue
+                    return {"materialized": mat, "rows": out.count(), "version": None}
+                delta = _apply_on_schema_change(spark, model, path, delta)
+                evolve = model.config.get("on_schema_change") == "append_new_columns"
                 key = model.config.get("unique_key")
                 if key:
                     keys = [key] if isinstance(key, str) else list(key)
@@ -361,19 +535,49 @@ def run_models(
                 else:
                     version = commit_snapshot(
                         spark, path, delta, mode="append", partition_by=partition_by,
-                        operation=f"model:{name}:append",
+                        operation=f"model:{name}:append", evolve_schema=evolve,
                     )
             read_snapshot(spark, path).createOrReplaceTempView(_view_name(name))
 
         out = spark.table(_view_name(name)) if mat != "view" else df
         if tests and name in tests:
             run_suite(out, tests[name], fail_fast=True)
-        report[name] = {
+        return {
             "materialized": mat,
             "rows": out.count() if mat != "view" else None,
             "version": version,
         }
-    return report
+
+    # dependency levels: every model builds strictly after its refs;
+    # models on the SAME level share no ref path and may build
+    # concurrently (topo order guarantees refs appear before dependents)
+    level: dict[str, int] = {}
+    for n in order:
+        level[n] = 1 + max(
+            (level[r] for r in parsed[n].refs if r in parsed), default=0
+        )
+
+    results: dict[str, dict] = {}
+    for lv in sorted(set(level.values())):
+        batch = [n for n in order if level[n] == lv]
+        if threads <= 1 or len(batch) == 1:
+            for n in batch:
+                results[n] = _build(n)
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=threads) as ex:
+                futures = {n: ex.submit(_build, n) for n in batch}
+                failures: list[tuple[str, Exception]] = []
+                for n in batch:
+                    try:
+                        results[n] = futures[n].result()
+                    except Exception as e:  # noqa: BLE001 — named re-raise below
+                        failures.append((n, e))
+            if failures:
+                n, e = failures[0]
+                raise RuntimeError(f"model {n!r} failed: {e}") from e
+    return {n: results[n] for n in order}
 
 
 def model_df(spark: SparkSession, name: str) -> DataFrame:

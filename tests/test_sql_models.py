@@ -464,3 +464,200 @@ select k, v from {{ source('a', 't') }} where v >= {{ var('floor', 0) }}
     # default applies when the binding is absent
     rep2 = run_dbt_snapshots(spark, text, {"a.t": src}, str(tmp_path / "s2"))
     assert rep2["dim_v"]["rows"] == 2
+
+
+# ---------------------------------------------------------------------------
+# round 8: threads / on_schema_change / streaming materialization
+# ---------------------------------------------------------------------------
+
+
+def test_threads_build_level_concurrently_and_faster(spark, tmp_path):
+    """dbt profiles.yml `threads` parity (reference declares 4): four
+    independent table models over lineitem build concurrently — same
+    results, dependency order respected (the mart that refs all four
+    builds after them), and concurrent wall < serial wall."""
+    import time
+
+    lineitem = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    branches = {
+        f"agg_{c}": (
+            "{{ config(materialized='table') }}\n"
+            f"select l_returnflag, sum({c}) as s_{c} "
+            "from {{ source('tpch', 'lineitem') }} group by l_returnflag"
+        )
+        for c in ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    }
+    branches["mart_all"] = (
+        "{{ config(materialized='table') }}\n"
+        "select a.l_returnflag, s_l_quantity, s_l_extendedprice, s_l_discount, s_l_tax "
+        "from {{ ref('agg_l_quantity') }} a "
+        "join {{ ref('agg_l_extendedprice') }} b on a.l_returnflag = b.l_returnflag "
+        "join {{ ref('agg_l_discount') }} c on a.l_returnflag = c.l_returnflag "
+        "join {{ ref('agg_l_tax') }} d on a.l_returnflag = d.l_returnflag"
+    )
+    src = {"tpch.lineitem": lineitem}
+
+    t0 = time.monotonic()
+    r_serial = run_models(spark, dict(branches), src, str(tmp_path / "serial"))
+    serial_wall = time.monotonic() - t0
+    t0 = time.monotonic()
+    r_par = run_models(spark, dict(branches), src, str(tmp_path / "par"), threads=4)
+    par_wall = time.monotonic() - t0
+
+    assert list(r_par) == list(r_serial)  # report keeps topo order
+    assert r_par["mart_all"]["rows"] == r_serial["mart_all"]["rows"] == 3
+    # identical results either way
+    a = spark.read.parquet(str(tmp_path / "serial/mart_all")).orderBy("l_returnflag").collect()
+    b = spark.read.parquet(str(tmp_path / "par/mart_all")).orderBy("l_returnflag").collect()
+    assert a == b
+    # 4 independent ~equal builds on 4 threads: genuinely faster. Kept
+    # loose (not a ratio) — but if this flakes the parallelism is gone.
+    assert par_wall < serial_wall, (par_wall, serial_wall)
+
+
+def test_threads_failure_names_model_and_blocks_downstream(spark, tmp_path):
+    """A failing model in a concurrent level raises NAMING the model,
+    and the next level never builds (no partial mart on disk)."""
+    models = {
+        "ok_branch": "{{ config(materialized='table') }}\n"
+                     "select 1 as k",
+        "bad_branch": "{{ config(materialized='table') }}\n"
+                      "select no_such_column from {{ source('a', 't') }}",
+        "mart": "{{ config(materialized='table') }}\n"
+                "select * from {{ ref('ok_branch') }}, {{ ref('bad_branch') }}",
+    }
+    src = {"a.t": spark.createDataFrame([(1,)], "x long")}
+    with pytest.raises(RuntimeError, match="bad_branch"):
+        run_models(spark, models, src, str(tmp_path / "t"), threads=2)
+    assert not os.path.exists(str(tmp_path / "t/mart"))
+
+
+def _schema_change_models(where: str = ""):
+    return {
+        "f": parse_model(
+            "f",
+            "{{ config(materialized='incremental', unique_key='k'" + where + ") }}"
+            "select * from {{ source('a', 't') }}"
+            "{% if is_incremental() %} where ts > (select max(ts) from {{ this }})"
+            "{% endif %}",
+        )
+    }
+
+
+def _src_rows(spark, rows, extra_col=False):
+    import datetime as dt
+
+    schema = "k string, v long, ts timestamp" + (", nc string" if extra_col else "")
+    conv = [
+        (r[0], r[1], dt.datetime(2024, 1, 1 + r[2])) + ((r[3],) if extra_col else ())
+        for r in rows
+    ]
+    return spark.createDataFrame(conv, schema)
+
+
+def test_on_schema_change_ignore_default(spark, tmp_path):
+    """dbt default: a NEW source column is dropped from the delta; the
+    table keeps its original schema (no silent union evolution)."""
+    target = str(tmp_path / "w")
+    run_models(spark, _schema_change_models(), {"a.t": _src_rows(spark, [("x", 1, 0)])}, target)
+    src2 = _src_rows(spark, [("x", 1, 0, "a"), ("y", 2, 1, "b")], extra_col=True)
+    run_models(spark, _schema_change_models(), {"a.t": src2}, target)
+    out = model_df(spark, "f")
+    assert out.count() == 2
+    assert set(out.columns) == {"k", "v", "ts"}  # nc never landed
+
+
+def test_on_schema_change_append_new_columns(spark, tmp_path):
+    """append_new_columns: the table schema evolves; pre-existing rows
+    read the new column as NULL."""
+    target = str(tmp_path / "w")
+    m = _schema_change_models(", on_schema_change='append_new_columns'")
+    run_models(spark, m, {"a.t": _src_rows(spark, [("x", 1, 0)])}, target)
+    src2 = _src_rows(spark, [("y", 2, 1, "b")], extra_col=True)
+    run_models(spark, m, {"a.t": src2}, target)
+    got = {r["k"]: r["nc"] for r in model_df(spark, "f").collect()}
+    assert got == {"x": None, "y": "b"}
+
+
+def test_on_schema_change_fail_and_sync_unsupported(spark, tmp_path):
+    target = str(tmp_path / "w")
+    m = _schema_change_models(", on_schema_change='fail'")
+    run_models(spark, m, {"a.t": _src_rows(spark, [("x", 1, 0)])}, target)
+    src2 = _src_rows(spark, [("y", 2, 1, "b")], extra_col=True)
+    with pytest.raises(ValueError, match=r"'f'.*\['nc'\].*on_schema_change"):
+        run_models(spark, m, {"a.t": src2}, target)
+    m2 = _schema_change_models(", on_schema_change='sync_all_columns'")
+    with pytest.raises(ValueError, match="sync_all_columns"):
+        run_models(spark, m2, {"a.t": src2}, str(tmp_path / "w2"))
+
+
+def test_streaming_model_end_to_end_exactly_once(spark, tmp_path):
+    """materialized='streaming': the model mart follows its source
+    snapshot table's change feed — first run bootstraps, later source
+    commits flow through exactly once per run_models call, a no-change
+    run commits nothing, and downstream models can ref() the mart."""
+    import datetime as dt
+
+    from binance_data_pipeline_spark.operators.snapshots import (
+        commit_snapshot,
+        snapshot_history,
+    )
+
+    src_table = str(tmp_path / "src_tbl")
+    df1 = spark.createDataFrame(
+        [("x", 1, dt.datetime(2024, 1, 1)), ("y", 2, dt.datetime(2024, 1, 2))],
+        "k string, v long, ts timestamp",
+    )
+    commit_snapshot(spark, src_table, df1, mode="overwrite")
+
+    models = {
+        "mart_stream": (
+            "{{ config(materialized='streaming') }}\n"
+            "select k, v * 2 as v2 from {{ source('bronze', 'events') }} where v > 0"
+        ),
+        "mart_view": "select count(*) as n, sum(v2) as s from {{ ref('mart_stream') }}",
+    }
+    src = {"bronze.events": src_table}
+    target = str(tmp_path / "wh")
+
+    r1 = run_models(spark, models, src, target)
+    assert r1["mart_stream"]["materialized"] == "streaming"
+    assert r1["mart_stream"]["rows"] == 2 and r1["mart_stream"]["version"] is not None
+    row = model_df(spark, "mart_view").collect()[0]
+    assert (row["n"], row["s"]) == (2, 6)
+
+    # source gains a commit -> next run drains ONLY the delta
+    commit_snapshot(
+        spark, src_table,
+        spark.createDataFrame([("z", 5, dt.datetime(2024, 1, 3))], "k string, v long, ts timestamp"),
+        mode="append",
+    )
+    r2 = run_models(spark, models, src, target)
+    assert r2["mart_stream"]["rows"] == 3
+    got = {r["k"]: r["v2"] for r in model_df(spark, "mart_stream").collect()}
+    assert got == {"x": 2, "y": 4, "z": 10}
+
+    # no new source data -> no new mart version (history stays clean)
+    r3 = run_models(spark, models, src, target)
+    assert r3["mart_stream"]["version"] is None and r3["mart_stream"]["rows"] == 3
+    ops = [r["operation"] for r in snapshot_history(spark, f"{target}/mart_stream").collect()]
+    assert len(ops) == 2  # bootstrap batch + one delta batch, nothing else
+
+
+def test_streaming_model_validation_errors(spark, tmp_path):
+    """Streaming models refuse is_incremental()/this, missing sources,
+    and non-snapshot-table source bindings — loudly, not silently."""
+    src_df = spark.createDataFrame([(1,)], "x long")
+    m = {
+        "s1": "{{ config(materialized='streaming') }}\n"
+              "select * from {{ source('a','t') }}"
+              "{% if is_incremental() %} where 1=1 {% endif %}",
+    }
+    with pytest.raises(ValueError, match="is_incremental"):
+        run_models(spark, m, {"a.t": src_df}, str(tmp_path / "w1"))
+    m2 = {
+        "s2": "{{ config(materialized='streaming') }}\n"
+              "select * from {{ source('a','t') }}",
+    }
+    with pytest.raises(ValueError, match="snapshot-table PATH"):
+        run_models(spark, m2, {"a.t": src_df}, str(tmp_path / "w2"))
