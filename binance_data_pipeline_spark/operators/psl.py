@@ -30,19 +30,32 @@ format, so deployments drop in the real file:
     rules = parse_psl(open("public_suffix_list.dat").read())
     df.select(registered_domain(F.col("host"), rules=rules))
 
-Expression shape: candidate suffixes of the last 1..4 labels checked
-against literal arrays — constant-folded, map-side, zero Python, zero
-joins/shuffles. Fine up to a few thousand rules; for the full file
-prefer ``rules=parse_psl(...)`` trimmed to the TLDs in your crawl, or a
-broadcast-join variant (the column contract is unchanged either way).
+Two execution shapes, same semantics (equivalence pinned in tests):
+
+- ``public_suffix_parts`` (Column): candidate suffixes of the last
+  1..4 labels checked against literal arrays — constant-folded,
+  map-side, zero Python, zero joins/shuffles. Right for trimmed rule
+  sets (up to a few thousand rules).
+- ``attach_public_suffix_parts`` (DataFrame): the FULL-FILE path —
+  rules become KB-scale broadcast relations (one per rule depth, the
+  official file maxes at 5), the corpus takes one BroadcastHashJoin
+  probe per depth and never shuffles. Tested at 9k+ synthetic rules
+  against a pure-Python spec oracle; serve the real file via
+  ``parse_psl(open("public_suffix_list.dat").read())``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PslRules", "parse_psl", "DEFAULT_RULES", "public_suffix_parts"]
+__all__ = [
+    "PslRules",
+    "parse_psl",
+    "DEFAULT_RULES",
+    "public_suffix_parts",
+    "attach_public_suffix_parts",
+]
 
 
 class PslRules:
@@ -205,3 +218,81 @@ def public_suffix_parts(host: Column, rules: PslRules | None = None) -> Column:
         ).otherwise(best)
 
     return F.coalesce(exc_len, best)
+
+
+def attach_public_suffix_parts(
+    df: DataFrame, host: Column | str, rules: PslRules, out_col: str = "ps_parts"
+) -> DataFrame:
+    """``public_suffix_parts`` at FULL-FILE rule cardinality: the
+    official list is ~9k+ rules with depths past the expression
+    variant's literal arrays, and folding thousands of literals into
+    every task's codegen is the wrong shape anyway. This variant is the
+    documented broadcast-join form: the rule set becomes one tiny
+    broadcast relation per rule depth, the corpus takes one broadcast
+    HASH JOIN per depth (max depth in the official file is 5, so ≤6
+    probes), and the same exceptions-beat-all / longest-wins resolution
+    runs as a when-chain over the joined flags.
+
+    Scale shape: the corpus NEVER shuffles — every join is
+    broadcast-left (plan shows BroadcastHashJoin only, no corpus
+    Exchange), the rules fit in KBs, and the probe cost is O(rows ×
+    depths) map-side. Same contract as the expression form; equivalence
+    is pinned in tests/test_urls.py."""
+    spark = df.sparkSession
+    h = F.col(host) if isinstance(host, str) else host
+    by_depth: dict[int, dict[str, list]] = {}
+    for s in rules.exact:
+        by_depth.setdefault(s.count(".") + 1, {}).setdefault("exact", []).append(s)
+    for s in rules.exceptions:
+        by_depth.setdefault(s.count(".") + 1, {}).setdefault("exc", []).append(s)
+    for s in rules.wildcard:
+        # a wildcard BASE of d labels matches suffixes of d+1 labels;
+        # keyed here by its own label count for the join probe
+        by_depth.setdefault(s.count(".") + 1, {}).setdefault("wild", []).append(s)
+    depths = sorted(by_depth)
+    max_probe = (max(depths) if depths else 1) + 1  # +1: wildcard match depth
+
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+
+    def last_k(k: int) -> Column:
+        return F.when(
+            n >= k,
+            F.concat_ws(".", *[F.get(labels, n - j) for j in range(k, 0, -1)]),
+        )
+
+    out = df
+    for d in depths:
+        kinds = by_depth[d]
+        suffixes = sorted(set(kinds.get("exact", [])) | set(kinds.get("exc", []))
+                          | set(kinds.get("wild", [])))
+        rdf = spark.createDataFrame(
+            [
+                (
+                    s,
+                    s in set(kinds.get("exact", [])),
+                    s in set(kinds.get("wild", [])),
+                    s in set(kinds.get("exc", [])),
+                )
+                for s in suffixes
+            ],
+            f"__sfx_{d} string, __ex_{d} boolean, __wb_{d} boolean, __exc_{d} boolean",
+        )
+        out = out.join(
+            F.broadcast(rdf), last_k(d) == F.col(f"__sfx_{d}"), "left"
+        ).drop(f"__sfx_{d}")
+
+    def flag(name: str, d: int) -> Column:
+        col = f"__{name}_{d}"
+        return F.coalesce(F.col(col), F.lit(False)) if d in depths else F.lit(False)
+
+    exc_len = F.lit(None).cast("int")
+    for k in sorted(depths):  # longest checked last wins
+        exc_len = F.when(flag("exc", k), F.lit(k - 1)).otherwise(exc_len)
+    best = F.lit(1)
+    for k in range(2, max_probe + 1):
+        hit = flag("ex", k) | (flag("wb", k - 1) & (n >= k))
+        best = F.when(hit, F.lit(k)).otherwise(best)
+
+    drop = [f"__{nm}_{d}" for d in depths for nm in ("ex", "wb", "exc")]
+    return out.withColumn(out_col, F.coalesce(exc_len, best)).drop(*drop)

@@ -108,6 +108,34 @@ def registered_domain(host: Column | str, rules=None) -> Column:
     return F.when(is_ip | (n <= ps_parts), h).otherwise(reg)
 
 
+def attach_registered_domain(
+    df, host: str, rules, out_col: str = "domain"):
+    """``registered_domain`` at full Public Suffix List cardinality —
+    the broadcast-join variant (``psl.attach_public_suffix_parts``): the
+    ~9k-rule official file becomes a handful of KB-scale broadcast
+    relations, the corpus takes one BroadcastHashJoin probe per rule
+    depth and never shuffles, and the registrable-domain slice is the
+    same expression as the column form. Use this when serving
+    ``parse_psl(open('public_suffix_list.dat').read())`` whole; the
+    column form (``registered_domain``) stays the right shape for
+    trimmed rule sets (zero joins at all).
+
+    Returns ``df`` plus ``out_col``; equivalence with the column form
+    is pinned in tests/test_urls.py."""
+    from .psl import attach_public_suffix_parts
+
+    h = F.col(host)
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    with_ps = attach_public_suffix_parts(df, host, rules, out_col="__ps_parts")
+    reg_parts = F.col("__ps_parts") + F.lit(1)
+    reg = F.array_join(F.slice(labels, n - reg_parts + 1, reg_parts), ".")
+    is_ip = h.rlike(r"^[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+$")
+    return with_ps.withColumn(
+        out_col, F.when(is_ip | (n <= F.col("__ps_parts")), h).otherwise(reg)
+    ).drop("__ps_parts")
+
+
 def canonicalize_url(
     col: Column | str, strip_params: list[str] | None = None
 ) -> Column:

@@ -232,3 +232,130 @@ def test_idempotent_on_canonical_output(spark):
     once = df.select(canonicalize_url("url").alias("u"))
     twice = once.select(canonicalize_url("u").alias("u"))
     assert [r["u"] for r in once.collect()] == [r["u"] for r in twice.collect()]
+
+
+# ---------------------------------------------------------------------------
+# round 8: broadcast-join PSL variant at full-file cardinality
+# ---------------------------------------------------------------------------
+
+
+def _psl_reference(host: str, exact: set, wild: set, exc: set) -> str:
+    """Pure-Python PSL oracle (spec: exceptions beat all; else longest
+    rule; else default '*'), used to pin the join variant at synthetic
+    full-file cardinality."""
+    labels = host.split(".")
+    n = len(labels)
+    exc_len = None
+    for k in range(2, n + 1):
+        sfx = ".".join(labels[n - k:])
+        if sfx in exc:
+            exc_len = k - 1
+    best = 1
+    for k in range(2, n + 1):
+        sfx = ".".join(labels[n - k:])
+        base = ".".join(labels[n - (k - 1):]) if k >= 2 else ""
+        if sfx in exact or (base in wild and n >= k):
+            best = k
+    ps = exc_len if exc_len is not None else best
+    if n <= ps:
+        return host
+    return ".".join(labels[n - ps - 1:])
+
+
+def test_attach_registered_domain_equivalent_to_expression(spark):
+    """The broadcast-join variant and the literal-array expression agree
+    on every PSL shape the snapshot covers (incl. wildcards, exceptions,
+    private suffixes, IPs, hosts that ARE suffixes)."""
+    from binance_data_pipeline_spark.operators.urls import attach_registered_domain
+    from binance_data_pipeline_spark.operators.psl import DEFAULT_RULES
+
+    hosts = [
+        "news.bbc.co.uk", "a.b.example.com", "example.com", "localhost",
+        "192.168.0.1", "shop.com.au", "a.github.io", "deep.a.github.io",
+        "github.io", "x.blogspot.com", "foo.bar.ck", "bar.ck", "www.ck",
+        "sub.www.ck", "city.kawasaki.jp", "ward.city.kawasaki.jp",
+        "corp.kawasaki.jp", "x.corp.kawasaki.jp", "www.city.nagoya.jp",
+        "a.co.jp", "b.a.co.jp", "tokyo.jp", "x.tokyo.jp", "s3.amazonaws.com",
+        "bucket.s3.amazonaws.com",
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    expr = {r["host"]: r["d"] for r in df.select(
+        "host", registered_domain("host").alias("d")).collect()}
+    join = {r["host"]: r["domain"] for r in attach_registered_domain(
+        df, "host", DEFAULT_RULES).collect()}
+    assert expr == join
+
+
+def test_attach_registered_domain_full_file_cardinality(spark):
+    """Synthetic 12k-rule PSL (official-file scale, depths to 5,
+    wildcards + exceptions) through the join variant: results match a
+    pure-Python reference of the spec, and the corpus plan carries NO
+    shuffle — broadcast hash joins only. The expression variant refuses
+    rule sets this deep; this is the documented full-file path."""
+    import random
+
+    import pytest
+
+    from binance_data_pipeline_spark.operators.psl import (
+        PslRules,
+        attach_public_suffix_parts,
+        public_suffix_parts,
+    )
+    from binance_data_pipeline_spark.operators.urls import attach_registered_domain
+
+    rng = random.Random(8)
+    tlds = [f"t{i}" for i in range(120)]
+    seconds = ["co", "org", "net", "ac", "gov", "web", "xx", "yy"]
+    exact = {f"{s}.{t}" for t in tlds for s in seconds}            # 960
+    exact |= {f"l3{i}.{s}.{t}" for i in range(4) for s in seconds[:5]
+              for t in tlds}                                        # +2400
+    exact |= {f"d4.{i}.co.{t}" for i in range(30) for t in tlds}    # depth 4
+    exact |= {f"d5.a.{i}.co.{t}" for i in range(8) for t in tlds}   # depth 5
+    wild = {f"w{i}.{t}" for i in range(10) for t in tlds}           # wildcard bases
+    exc = {f"ok.w0.{t}" for t in tlds}                              # exceptions
+    rules = PslRules(sorted(exact), sorted(wild), sorted(exc))
+    n_rules = len(exact) + len(wild) + len(exc)
+    assert n_rules > 9000  # official-file scale
+
+    # the expression variant refuses depths past its literal arrays
+    with pytest.raises(AssertionError, match="too deep"):
+        public_suffix_parts(F.col("host"), rules=rules)
+
+    hosts = []
+    for _ in range(400):
+        t = rng.choice(tlds)
+        shape = rng.random()
+        if shape < 0.3:
+            hosts.append(f"site{rng.randrange(99)}.{rng.choice(seconds)}.{t}")
+        elif shape < 0.5:
+            hosts.append(f"a.b.w{rng.randrange(12)}.{t}")   # some match wildcards
+        elif shape < 0.6:
+            hosts.append(f"x.ok.w0.{t}")                     # exception path
+        elif shape < 0.75:
+            hosts.append(f"s.d5.a.{rng.randrange(10)}.co.{t}")  # deep rules
+        else:
+            hosts.append(f"plain{rng.randrange(99)}.{t}")
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    out = attach_registered_domain(df, "host", rules)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "Exchange hashpartitioning" not in plan  # corpus never shuffles
+
+    got = {r["host"]: r["domain"] for r in out.collect()}
+    for h in hosts:
+        want = _psl_reference(h, exact, wild, exc)
+        assert got[h] == want, (h, got[h], want)
+
+    # ps_parts surface too (the primitive other operators compose)
+    ps = attach_public_suffix_parts(df, "host", rules, out_col="p")
+    for r in ps.collect():
+        h = r["host"]
+        want_dom = _psl_reference(h, exact, wild, exc)
+        n = len(h.split("."))
+        want_ps = n if want_dom == h and "." in want_dom else len(want_dom.split(".")) - 1
+        # hosts that ARE suffixes report their own label count as parts
+        if want_dom == h:
+            assert r["p"] in (n, n - 1)  # host == suffix, or host == suffix+1 w/ n==ps+1
+        else:
+            assert r["p"] == len(want_dom.split(".")) - 1, (h, r["p"], want_dom)
