@@ -478,3 +478,192 @@ def test_null_ordering_differential(spark, duck):
     """).df()
     errors = compare(df_last, oracle_last, "nulls_last")
     assert not errors, "\n".join(errors)
+
+
+# ---- join-shape differential cases (VERDICT r7 task 3) ----------------------
+# Random left/right/full-outer and semi/anti joins composed with the same
+# predicate/aggregate grammar — outer-join NULL fabrication and EXISTS/NOT
+# EXISTS compilation are exactly where silent null-handling divergences
+# hide (count(col) vs count(*), NULL group keys, aggs over all-NULL sides).
+
+JOIN_TYPES = ["inner", "left", "right", "full", "left_semi", "left_anti"]
+
+
+def _ord_pred(rng):
+    kind = rng.choice(["status", "price", "date"])
+    if kind == "status":
+        vals = sorted(rng.sample(["F", "O", "P"], rng.randint(1, 2)))
+        return ("isin", "o_orderstatus", vals)
+    if kind == "price":
+        return (rng.choice(["<", ">="]), "o_totalprice",
+                round(rng.uniform(1000.0, 300000.0), 2))
+    y1 = rng.randint(1993, 1997)
+    return ("daterange", "o_orderdate", f"{y1}-01-01", f"{y1 + rng.randint(1, 3)}-01-01")
+
+
+def _gen_join_case(rng):
+    jt = rng.choice(JOIN_TYPES)
+    l_preds = [g(rng) for g in rng.sample([_num_pred, _cat_pred, _date_pred],
+                                          rng.randint(1, 2))]
+    r_preds = [_ord_pred(rng)]
+    if jt in ("left_semi", "left_anti"):
+        keys = rng.sample(["l_returnflag", "l_linestatus", "ship_year"], rng.randint(0, 2))
+        aggs = rng.sample(sorted(AGG_SQL), rng.randint(1, 2))
+    else:
+        # o_orderstatus as a key probes NULL group keys on outer joins;
+        # n_orders = count(o_totalprice) probes NULL-skipping counts
+        keys = rng.sample(["l_returnflag", "o_orderstatus", "ship_year"], rng.randint(0, 2))
+        aggs = rng.sample(sorted(AGG_SQL), rng.randint(1, 2)) + ["n_orders"]
+    return {"type": jt, "l_preds": l_preds, "r_preds": r_preds,
+            "keys": keys, "aggs": aggs}
+
+
+def _conj_col(preds):
+    cond = _pred_col(preds[0])
+    for p in preds[1:]:
+        cond = cond & _pred_col(p)
+    return cond
+
+
+def _join_spark(spark, case):
+    l = load_table(spark, SF_SMALL, "lineitem").where(_conj_col(case["l_preds"]))
+    o = load_table(spark, SF_SMALL, "orders").where(_conj_col(case["r_preds"]))
+    df = l.join(o, l.l_orderkey == o.o_orderkey, case["type"])
+    key_cols = [
+        F.year("l_shipdate").cast("long").alias("ship_year") if k == "ship_year"
+        else F.col(k)
+        for k in case["keys"]
+    ]
+    agg_cols = [
+        F.count("o_totalprice").alias("n_orders") if a == "n_orders" else _agg_col(a)
+        for a in case["aggs"]
+    ]
+    return df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
+
+
+def _join_sql(case):
+    lw = " AND ".join(_pred_sql(p) for p in case["l_preds"])
+    rw = " AND ".join(_pred_sql(p) for p in case["r_preds"])
+    jt = case["type"]
+    if jt in ("left_semi", "left_anti"):
+        neg = "NOT " if jt == "left_anti" else ""
+        src = (f"lineitem WHERE {lw} AND {neg}EXISTS (SELECT 1 FROM orders "
+               f"WHERE o_orderkey = l_orderkey AND {rw})")
+    else:
+        kw = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN",
+              "full": "FULL JOIN"}[jt]
+        src = (f"(SELECT * FROM lineitem WHERE {lw}) {kw} "
+               f"(SELECT * FROM orders WHERE {rw}) ON l_orderkey = o_orderkey")
+    select = [f"{_key_sql(k)} AS {k}" if k == "ship_year" else k for k in case["keys"]]
+    select += [
+        "count(o_totalprice) AS n_orders" if a == "n_orders" else AGG_SQL[a]
+        for a in case["aggs"]
+    ]
+    sql = f"SELECT {', '.join(select)} FROM {src}"
+    if case["keys"]:
+        sql += " GROUP BY " + ", ".join(_key_sql(k) for k in case["keys"])
+    return sql
+
+
+N_JOIN_CASES = 24
+JOIN_CASES = [_gen_join_case(random.Random(31000 + i)) for i in range(N_JOIN_CASES)]
+# every join type must actually occur in the corpus
+assert {c["type"] for c in JOIN_CASES} == set(JOIN_TYPES)
+
+
+@pytest.mark.parametrize("i", range(N_JOIN_CASES))
+def test_join_shape_differential(spark, duck, i):
+    case = JOIN_CASES[i]
+    sql = _join_sql(case)
+    oracle = duck.sql(sql).df()
+    df = _join_spark(spark, case)
+    errors = compare(df, oracle, f"join[{i}:{case['type']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_join_cases_not_vacuous(duck):
+    nonempty = sum(1 for c in JOIN_CASES if len(duck.sql(_join_sql(c)).df()) > 0)
+    assert nonempty >= 0.6 * N_JOIN_CASES, f"only {nonempty}/{N_JOIN_CASES} return rows"
+
+
+# ---- grouping-set differential cases ----------------------------------------
+# ROLLUP / CUBE / GROUPING SETS randomly composed with the predicate and
+# aggregate grammar; the grouping-bit id distinguishes aggregated-away
+# levels from NULL data on both engines.
+
+def _gen_grouping_case(rng):
+    shape = rng.choice(["rollup", "cube", "sets"])
+    nkeys = rng.randint(2, 3)
+    keys = rng.sample(["l_returnflag", "l_linestatus", "ship_year"], nkeys)
+    preds = [g(rng) for g in rng.sample([_num_pred, _cat_pred, _date_pred],
+                                        rng.randint(1, 2))]
+    aggs = rng.sample(sorted(AGG_SQL), rng.randint(1, 2))
+    sets = None
+    if shape == "sets":
+        universe = [(), tuple(keys[:1]), tuple(keys[1:2]), tuple(keys)]
+        sets = sorted(set(rng.sample(universe, rng.randint(2, 3))))
+        # grouping(k) only binds to columns present in >=1 set (DuckDB
+        # enforces this); trim the key list to the sets' union — never
+        # empty: >=2 DISTINCT sets means at least one is non-empty
+        keys = [k for k in keys if any(k in s for s in sets)]
+    return {"shape": shape, "keys": keys, "preds": preds, "aggs": aggs, "sets": sets}
+
+
+def _grouping_spark(spark, case):
+    df = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .where(_conj_col(case["preds"]))
+        .withColumn("ship_year", F.year("l_shipdate").cast("long"))
+    )
+    keys = case["keys"]
+    if case["shape"] == "rollup":
+        g = df.rollup(*keys)
+    elif case["shape"] == "cube":
+        g = df.cube(*keys)
+    else:
+        g = df.groupingSets(
+            [[F.col(k) for k in s] for s in case["sets"]],
+            *[F.col(k) for k in keys],
+        )
+    gid = F.lit(0).cast("long")
+    for k in keys:  # canonical bit order = key order
+        gid = gid * 2 + F.grouping(k).cast("long")
+    return g.agg(gid.alias("gid"), *[_agg_col(a) for a in case["aggs"]])
+
+
+def _grouping_sql(case):
+    keys = case["keys"]
+    w = " AND ".join(_pred_sql(p) for p in case["preds"])
+    src = (f"(SELECT *, year(l_shipdate)::BIGINT AS ship_year "
+           f"FROM lineitem WHERE {w})")
+    if case["shape"] == "rollup":
+        gb = f"ROLLUP ({', '.join(keys)})"
+    elif case["shape"] == "cube":
+        gb = f"CUBE ({', '.join(keys)})"
+    else:
+        body = ", ".join("(" + ", ".join(s) + ")" for s in case["sets"])
+        gb = f"GROUPING SETS ({body})"
+    gid = " + ".join(
+        f"grouping({k})::BIGINT * {2 ** (len(keys) - 1 - i)}"
+        for i, k in enumerate(keys)
+    )
+    select = keys + [f"({gid}) AS gid"] + [AGG_SQL[a] for a in case["aggs"]]
+    return f"SELECT {', '.join(select)} FROM {src} GROUP BY {gb}"
+
+
+N_GROUPING_CASES = 15
+GROUPING_CASES = [
+    _gen_grouping_case(random.Random(47000 + i)) for i in range(N_GROUPING_CASES)
+]
+assert {c["shape"] for c in GROUPING_CASES} == {"rollup", "cube", "sets"}
+
+
+@pytest.mark.parametrize("i", range(N_GROUPING_CASES))
+def test_grouping_shape_differential(spark, duck, i):
+    case = GROUPING_CASES[i]
+    sql = _grouping_sql(case)
+    oracle = duck.sql(sql).df()
+    assert len(oracle) > 0, "vacuous grouping case"
+    df = _grouping_spark(spark, case)
+    errors = compare(df, oracle, f"grouping[{i}:{case['shape']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
