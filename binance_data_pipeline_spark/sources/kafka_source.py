@@ -45,13 +45,21 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    DataSourceStreamWriter,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 # module-top (not inline) imports: these ride the by-value pickle into
 # the engine's Python workers — a runtime relative import inside read()
 # would need the package installed on every worker
-from .kafka_wire import kafka_fetch, kafka_list_offsets, kafka_partitions
+from .kafka_wire import (
+    kafka_fetch,
+    kafka_list_offsets,
+    kafka_partitions,
+    kafka_produce,
+)
 
 __all__ = ["KafkaWireDataSource", "register_kafka_wire_source"]
 
@@ -204,11 +212,94 @@ class _KafkaWireBatchReader(DataSourceReader):
         yield from _fetch_range(partition)
 
 
+class _ProduceCommit(WriterCommitMessage):
+    def __init__(self, counts: dict):
+        self.counts = counts  # partition -> records produced
+
+
+def _produce_rows(rows, host, port, topic, n_partitions, batch_size=500):
+    """One task's produce leg: route each row to a Kafka partition
+    (explicit ``partition`` column wins, else hash(key), else round
+    robin), frame RecordBatch v2 batches, produce. Returns per-partition
+    counts for the commit message. Mirrors the jar sink's row contract:
+    ``value`` required (binary or string), ``key``/``partition``
+    optional."""
+    import time
+
+    buf: dict[int, list] = {}
+    counts: dict[int, int] = {}
+    rr = 0
+
+    def flush(p):
+        if buf.get(p):
+            kafka_produce(host, port, topic, p, buf[p])
+            counts[p] = counts.get(p, 0) + len(buf[p])
+            buf[p] = []
+
+    now_ms = int(time.time() * 1000)
+    for row in rows:
+        d = row.asDict() if hasattr(row, "asDict") else dict(row)
+        value = d.get("value")
+        if value is None:
+            raise ValueError("kafka_wire sink: every row needs a non-null 'value'")
+        if isinstance(value, str):
+            value = value.encode()
+        else:
+            value = bytes(value)
+        key = d.get("key")
+        if isinstance(key, str):
+            key = key.encode()
+        elif key is not None:
+            key = bytes(key)
+        if d.get("partition") is not None:
+            p = int(d["partition"]) % n_partitions
+        elif key is not None:
+            p = sum(key) % n_partitions  # stable keyed routing
+        else:
+            p, rr = rr % n_partitions, rr + 1
+        buf.setdefault(p, []).append((key, value, now_ms))
+        if len(buf[p]) >= batch_size:
+            flush(p)
+    for p in list(buf):
+        flush(p)
+    return counts
+
+
+class _KafkaWireWriter(DataSourceWriter, DataSourceStreamWriter):
+    """Batch AND streaming produce. Delivery is AT-LEAST-ONCE: records
+    hit the broker inside write() and a task retry re-produces (exactly
+    the reference consumer's commit-after-put posture, and the jar
+    sink's documented semantics without Kafka transactions); dedup
+    downstream by envelope identity, as the bronze chain already does."""
+
+    def __init__(self, host: str, port: int, topic: str, n_partitions: int):
+        self._host, self._port = host, port
+        self._topic, self._n = topic, n_partitions
+
+    def write(self, iterator):
+        counts = _produce_rows(
+            iterator, self._host, self._port, self._topic, self._n
+        )
+        return _ProduceCommit(counts)
+
+    def commit(self, messages, batchId=None):  # noqa: N803 — engine signature
+        pass  # records are already on the broker (at-least-once)
+
+    def abort(self, messages, batchId=None):  # noqa: N803
+        pass
+
+
 class KafkaWireDataSource(DataSource):
-    """``format("kafka_wire")``: jar-free Kafka reads over the public
-    wire protocol. Options: ``bootstrap`` (host:port, required),
-    ``topic`` (default binance_trades_raw), ``startingOffsets``
-    (earliest|latest, streaming only), ``maxOffsetsPerTrigger``."""
+    """``format("kafka_wire")``: jar-free Kafka reads AND writes over
+    the public wire protocol. Options: ``bootstrap`` (host:port,
+    required), ``topic`` (default binance_trades_raw),
+    ``startingOffsets`` (earliest|latest, streaming reads),
+    ``maxOffsetsPerTrigger`` (streaming reads), ``partitions``
+    (sink routing width; default = broker metadata). Sink rows follow
+    the jar sink's contract: ``value`` required (binary|string),
+    ``key``/``partition`` optional; delivery at-least-once (no Kafka
+    transactions — the reference's own posture; bronze dedups by
+    envelope identity downstream)."""
 
     def __init__(self, options):
         super().__init__(options)
@@ -243,6 +334,23 @@ class KafkaWireDataSource(DataSource):
             self.options.get("startingoffsets", "earliest"),
             int(mx) if mx is not None else None,
         )
+
+    def _make_writer(self) -> _KafkaWireWriter:
+        n = self.options.get("partitions")
+        n_partitions = (
+            int(n)
+            if n is not None
+            else max(len(kafka_partitions(self._host, self._port, self._topic)), 1)
+        )
+        return _KafkaWireWriter(self._host, self._port, self._topic, n_partitions)
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        if overwrite:
+            raise ValueError("kafka_wire sink: a log cannot be overwritten — use append")
+        return self._make_writer()
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return self._make_writer()
 
 
 def register_kafka_wire_source(spark) -> None:

@@ -203,3 +203,99 @@ def test_starting_offsets_latest_skips_history(spark, tmp_path):
         )
         q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == FX.expected_trade_count(n=40, seed=3)
+
+
+# ---------------------------------------------------------------------------
+# round 8: the SINK half — df.write / writeStream into the broker (S2)
+# ---------------------------------------------------------------------------
+
+
+def test_batch_sink_keyed_routing(spark):
+    """df.write.format('kafka_wire'): values land on the broker in real
+    framing; explicit partition column wins, keyed rows route stably,
+    and overwrite mode is refused (a log cannot be overwritten)."""
+    from binance_data_pipeline_spark.sources.kafka_wire import kafka_fetch
+
+    with MiniKafkaBroker() as broker:
+        register_kafka_wire_source(spark)
+        rows = [
+            ("k1", '{"v": 1}', 0),
+            ("k1", '{"v": 2}', 0),
+            ("k2", '{"v": 3}', 1),
+            (None, '{"v": 4}', 1),
+        ]
+        df = spark.createDataFrame(rows, "key string, value string, partition int")
+        (
+            df.coalesce(1)  # deterministic per-partition order for the assert
+            .write.format("kafka_wire")
+            .option("bootstrap", f"127.0.0.1:{broker.port}")
+            .option("topic", "sink_t")
+            .option("partitions", "2")
+            .mode("append")
+            .save()
+        )
+        _hwm0, p0 = kafka_fetch("127.0.0.1", broker.port, "sink_t", 0)
+        _hwm1, p1 = kafka_fetch("127.0.0.1", broker.port, "sink_t", 1)
+    assert [(k, v) for (_o, k, v, _t) in p0] == [(b"k1", b'{"v": 1}'), (b"k1", b'{"v": 2}')]
+    assert sorted(v for (_o, k, v, _t) in p1) == [b'{"v": 3}', b'{"v": 4}']
+    assert [o for (o, *_r) in p0] == [0, 1]  # broker-assigned contiguous offsets
+
+    with MiniKafkaBroker() as broker2:
+        df2 = spark.createDataFrame([("a", "b")], "key string, value string")
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="cannot be overwritten|append"):
+            (
+                df2.write.format("kafka_wire")
+                .option("bootstrap", f"127.0.0.1:{broker2.port}")
+                .option("topic", "t")
+                .mode("overwrite")
+                .save()
+            )
+
+
+def test_stream_source_to_stream_sink_round_trip(spark, tmp_path):
+    """Full socket→Spark→socket loop: readStream from topic A,
+    transform, writeStream to topic B on the same broker — both legs
+    jar-free, then an independent wire fetch of B checks the payloads.
+    This is the reference's produce→consume cycle with Spark as the
+    processor in the middle."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from binance_data_pipeline_spark.sources.kafka_wire import (
+        kafka_fetch,
+        kafka_produce,
+    )
+
+    with MiniKafkaBroker() as broker:
+        msgs = [json.dumps({"i": i}) for i in range(30)]
+        _produce_messages(broker.port, msgs, n_partitions=2, topic="in_t")
+        register_kafka_wire_source(spark)
+        src = (
+            spark.readStream.format("kafka_wire")
+            .option("bootstrap", f"127.0.0.1:{broker.port}")
+            .option("topic", "in_t")
+            .load()
+        )
+        out = src.select(
+            F.col("key").cast("string").alias("key"),
+            F.upper(F.col("value").cast("string")).alias("value"),
+        )
+        q = (
+            out.writeStream.format("kafka_wire")
+            .option("bootstrap", f"127.0.0.1:{broker.port}")
+            .option("topic", "out_t")
+            .option("partitions", "2")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = []
+        for p in (0, 1):
+            _h, recs = kafka_fetch("127.0.0.1", broker.port, "out_t", p)
+            got.extend(v.decode() for (_o, _k, v, _t) in recs)
+    assert len(got) == 30
+    assert sorted(got) == sorted(json.dumps({"i": i}).upper() for i in range(30))
