@@ -285,9 +285,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="var() binding; repeatable")
     pq.add_argument("--full-refresh", action="store_true",
                     help="rebuild incremental models from scratch")
-    pq.add_argument("--threads", type=int, default=1,
-                    help="dbt profiles.yml threads: models on the same "
-                         "dependency level build concurrently")
+    pq.add_argument("--threads", type=int, default=None,
+                    help="models on the same dependency level build "
+                         "concurrently (overrides --profiles-yml)")
+    pq.add_argument("--profiles-yml", default=None,
+                    help="dbt profiles.yml; its target's threads drive "
+                         "the build concurrency")
     pq.add_argument("--snapshots", default=None,
                     help="file of dbt {%% snapshot %%} blocks to fold as SCD2 "
                          "history (runs BEFORE models so models may ref the "
@@ -746,7 +749,12 @@ def main(argv: list[str] | None = None) -> int:
         return 0
 
     if args.cmd == "models":
-        from .sql_models import load_project, run_models, suite_from_dbt_schema
+        from .sql_models import (
+            load_project,
+            run_models,
+            suite_from_dbt_schema,
+            threads_from_profiles,
+        )
 
         def _kv(items, what):
             out = {}
@@ -793,7 +801,15 @@ def main(argv: list[str] | None = None) -> int:
             env=_kv(args.env, "--env") or None,
             vars=_kv(args.var, "--var") or None,
             full_refresh=args.full_refresh,
-            threads=args.threads,
+            threads=(
+                args.threads
+                if args.threads is not None
+                else (
+                    threads_from_profiles(open(args.profiles_yml).read())
+                    if args.profiles_yml
+                    else 1
+                )
+            ),
         )
         for name, info in report.items():
             ver = "" if info["version"] is None else f"\tversion={info['version']}"

@@ -684,6 +684,31 @@ def run_dbt_snapshots(
     return report
 
 
+def threads_from_profiles(text: str, profile: str | None = None) -> int:
+    """dbt ``profiles.yml`` → the runner's ``threads`` (the reference
+    declares ``threads: 4`` — dbt_project/profiles.yml:11). Reads the
+    named profile (or the first non-config one), its ``target`` output
+    (or the sole/first output). Missing threads → 1 (dbt's floor)."""
+    import yaml
+
+    doc = yaml.safe_load(text) or {}
+    for name, body in doc.items():
+        if name == "config" or not isinstance(body, dict):
+            continue
+        if profile is not None and name != profile:
+            continue
+        outputs = body.get("outputs") or {}
+        out = outputs.get(body.get("target"))
+        if out is None and outputs:
+            out = next(iter(outputs.values()))
+        if isinstance(out, dict) and "threads" in out:
+            return max(int(out["threads"]), 1)
+        return 1
+    if profile is not None:
+        raise ValueError(f"profile {profile!r} not found in profiles.yml")
+    return 1
+
+
 def suite_from_dbt_schema(text: str, model: str) -> dict:
     """Convert a dbt ``schema.yml`` (``models: [{name, columns: [{name,
     tests: [...]}]}]`` — reference ``dbt_project/models/staging/

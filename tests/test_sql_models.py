@@ -661,3 +661,30 @@ def test_streaming_model_validation_errors(spark, tmp_path):
     }
     with pytest.raises(ValueError, match="snapshot-table PATH"):
         run_models(spark, m2, {"a.t": src_df}, str(tmp_path / "w2"))
+
+
+def test_threads_from_profiles():
+    """profiles.yml parsing: the reference's shape (named profile,
+    target -> outputs -> threads), fallback to first output, missing
+    threads -> 1, named-profile miss raises."""
+    from binance_data_pipeline_spark.sql_models import threads_from_profiles
+
+    text = """
+config:
+  send_anonymous_usage_stats: false
+my_pipeline:
+  target: prod
+  outputs:
+    prod:
+      type: bigquery
+      threads: 4
+    dev:
+      type: bigquery
+      threads: 1
+"""
+    assert threads_from_profiles(text) == 4
+    assert threads_from_profiles(text, profile="my_pipeline") == 4
+    assert threads_from_profiles("p:\n  outputs:\n    only:\n      threads: 2\n") == 2
+    assert threads_from_profiles("p:\n  outputs:\n    only:\n      type: x\n") == 1
+    with pytest.raises(ValueError, match="nope"):
+        threads_from_profiles(text, profile="nope")
