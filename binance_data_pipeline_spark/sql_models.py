@@ -316,14 +316,14 @@ def _apply_on_schema_change(
     return delta  # append_new_columns: let the merge/commit evolve
 
 
-def _run_streaming_model(
+def _streaming_model_writer(
     spark: SparkSession,
     model: Model,
     sources: dict,
     path: str,
     env: dict | None,
     vars: dict | None,
-) -> int | None:
+):
     """``materialized='streaming'``: the model maintains its mart
     CONTINUOUSLY from its sources' snapshot change feeds instead of
     being rebuilt on a cadence — the reference's hourly-dbt loop
@@ -383,8 +383,22 @@ def _run_streaming_model(
     )
     if not sdf.isStreaming:
         raise ValueError(f"streaming model {model.name!r} compiled to a batch plan")
+    return streaming_snapshot_append(sdf, path, f"{path}__checkpoint"), sdf.schema
+
+
+def _run_streaming_model(
+    spark: SparkSession,
+    model: Model,
+    sources: dict,
+    path: str,
+    env: dict | None,
+    vars: dict | None,
+) -> int | None:
+    """Drain-available-and-stop leg of a streaming model (what
+    ``run_models`` calls — dbt's run-to-completion contract over the
+    change feed). ``start_streaming_model`` is the always-on leg."""
     pre = _list_versions(spark, path)
-    writer = streaming_snapshot_append(sdf, path, f"{path}__checkpoint")
+    writer, schema = _streaming_model_writer(spark, model, sources, path, env, vars)
     q = writer.trigger(availableNow=True).start()
     q.awaitTermination()
     post = _list_versions(spark, path)
@@ -392,10 +406,40 @@ def _run_streaming_model(
         # source existed but carried no rows yet: commit an empty typed
         # snapshot so the model's view (and downstream refs) still serve
         return commit_snapshot(
-            spark, path, spark.createDataFrame([], sdf.schema),
+            spark, path, spark.createDataFrame([], schema),
             mode="overwrite", operation=f"model:{model.name}:init",
         )
     return post[-1] if post != pre else None
+
+
+def start_streaming_model(
+    spark: SparkSession,
+    models: dict[str, Model] | dict[str, str] | str,
+    name: str,
+    sources: dict,
+    target_dir: str,
+    trigger: str = "5 seconds",
+    env: dict | None = None,
+    vars: dict | None = None,
+):
+    """The ALWAYS-ON leg of ``materialized='streaming'``: starts the
+    model's change-feed → mart query with a processing-time trigger and
+    returns the running ``StreamingQuery`` (caller owns stop()). Shares
+    the checkpoint with ``run_models`` drains, so cadence runs and an
+    always-on deployment interleave exactly-once: whichever runs next
+    resumes after the other's last committed batch."""
+    if isinstance(models, str):
+        parsed = load_project(models)
+    else:
+        parsed = {
+            n: (m if isinstance(m, Model) else parse_model(n, m))
+            for n, m in models.items()
+        }
+    model = parsed[name]
+    writer, _schema = _streaming_model_writer(
+        spark, model, sources, f"{target_dir}/{name}", env, vars
+    )
+    return writer.trigger(processingTime=trigger).start()
 
 
 def run_models(
