@@ -734,3 +734,39 @@ def test_streaming_model_always_on_query(spark, tmp_path):
     # checkpoint: nothing re-folds, new commits still flow
     r = run_models(spark, models, {"b.e": src_table}, target)
     assert r["m"]["version"] is None and r["m"]["rows"] == 2
+
+
+def test_split_config_property_roundtrip():
+    """Property: any python-literal kwargs (strings full of quotes,
+    brackets, backslashes; nested dicts/lists; ints/bools) embedded as
+    {{ config(...) }} extract EXACTLY, leaving the body intact — the
+    generalization of the r7 ADVICE bracket-in-string bug."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from binance_data_pipeline_spark.sql_models import _split_config
+
+    tricky_text = st.text(
+        alphabet='ab({[)}]"\'\\,=% ', min_size=0, max_size=12
+    )
+    scalar = st.one_of(st.integers(-999, 999), st.booleans(), tricky_text)
+    value = st.one_of(
+        scalar,
+        st.lists(scalar, max_size=3),
+        st.dictionaries(st.sampled_from(["f", "g"]), scalar, max_size=2),
+    )
+    cfg_dicts = st.dictionaries(
+        st.sampled_from(["materialized", "description", "labels", "partition_by"]),
+        value, min_size=1, max_size=3,
+    )
+
+    @settings(max_examples=200, deadline=None)
+    @given(cfg_dicts)
+    def check(cfg):
+        kwargs = ", ".join(f"{k}={v!r}" for k, v in cfg.items())
+        sql = f"{{{{ config({kwargs}) }}}}\nselect 1 as x"
+        got, body = _split_config(sql)
+        assert got == cfg, (got, cfg)
+        assert body.strip() == "select 1 as x"
+
+    check()
