@@ -74,12 +74,17 @@ def test_q8_broadcasts_all_dims(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_q21_semi_anti_stay_joins(spark):
-    """Q21's EXISTS/NOT EXISTS legs must compile to semi/anti joins with
-    the supplier-inequality as a residual — never a nested loop over the
-    fact."""
+def test_q21_aggregate_rewrite_plan(spark):
+    """Q21's EXISTS/NOT EXISTS pair lowers as ONE per-order aggregate
+    (n_supp >= 2 AND exactly one late supplier, whose identity and
+    late-line count ride the same pass) — not the naive three-fact-
+    exchange semi/anti plan (the round-8 100x smoke measured that shape
+    at 73.5 s / 2.66 GB; the rewrite at 9.9 s / 1.06 GB). Pins: the
+    lineitem scan appears exactly ONCE in the physical plan, the
+    supplier path broadcasts, and nothing nested-loops over the fact."""
     plan = _plan(tpch.QUERIES["q21_waiting_suppliers"](spark, SF_SMALL))
-    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "CartesianProduct" not in plan
 
 
