@@ -295,6 +295,13 @@ def main(argv: list[str] | None = None) -> int:
                     help="file of dbt {%% snapshot %%} blocks to fold as SCD2 "
                          "history (runs BEFORE models so models may ref the "
                          "dimension state via source bindings)")
+    pq.add_argument("--seeds", default=None,
+                    help="dbt seed-paths dir of CSVs, loaded as ref()-able "
+                         "tables before models build")
+    pq.add_argument("--project-yml", default=None,
+                    help="dbt_project.yml; its models section supplies "
+                         "folder materialization defaults "
+                         "(--folder-default entries win)")
 
     args = p.parse_args(argv)
     spark = get_spark(f"bdp-{args.cmd}")
@@ -778,6 +785,21 @@ def main(argv: list[str] | None = None) -> int:
                 print(f"{name}\tscd2\trows={info['rows']}\topen={info['open_rows']}"
                       f"\tversion={info['version']}")
 
+        if args.seeds:
+            from .sql_models import run_seeds
+
+            if not args.target:
+                p.error("--seeds requires --target")
+            for name, info in run_seeds(spark, args.seeds, args.target).items():
+                print(f"{name}\tseed\trows={info['rows']}")
+
+        folder_defaults = _kv(args.folder_default, "--folder-default") or None
+        if folder_defaults is None and args.project_yml:
+            from .sql_models import folder_defaults_from_project
+
+            with open(args.project_yml) as fh:
+                folder_defaults = folder_defaults_from_project(fh.read()) or None
+
         models = load_project(args.models_dir)
         tests = None
         if args.schema_yml:
@@ -796,7 +818,7 @@ def main(argv: list[str] | None = None) -> int:
             models,
             sources=_kv(args.source, "--source"),
             target_dir=args.target,
-            folder_defaults=_kv(args.folder_default, "--folder-default") or None,
+            folder_defaults=folder_defaults,
             tests=tests,
             env=_kv(args.env, "--env") or None,
             vars=_kv(args.var, "--var") or None,

@@ -728,6 +728,60 @@ def run_dbt_snapshots(
     return report
 
 
+def run_seeds(
+    spark: SparkSession, seeds_dir: str, target_dir: str
+) -> dict[str, dict]:
+    """dbt ``seed-paths`` parity (the reference project reserves the
+    directory — dbt_project/dbt_project.yml ``seed-paths: ["seeds"]``):
+    every ``*.csv`` under ``seeds_dir`` loads as a TABLE (header row +
+    type inference, dbt's agate behavior), lands as parquet at
+    ``{target_dir}/{name}``, and registers under the model view name so
+    ``{{ ref('seed_name') }}`` resolves from any model in the session
+    (``run_models`` counts pre-registered relations as external refs).
+    Returns ``{name: {"rows", "path"}}``."""
+    import os as _os
+
+    report: dict[str, dict] = {}
+    for root, _dirs, files in sorted(_os.walk(seeds_dir)):
+        for f in sorted(files):
+            if not f.endswith(".csv"):
+                continue
+            name = f[: -len(".csv")]
+            if name in report:
+                raise ValueError(f"duplicate seed name {name!r}")
+            df = spark.read.csv(
+                _os.path.join(root, f), header=True, inferSchema=True
+            )
+            path = f"{target_dir}/{name}"
+            df.write.mode("overwrite").parquet(path)
+            out = spark.read.parquet(path)
+            out.createOrReplaceTempView(_view_name(name))
+            report[name] = {"rows": out.count(), "path": path}
+    if not report:
+        raise ValueError(f"no .csv seeds under {seeds_dir}")
+    return report
+
+
+def folder_defaults_from_project(text: str) -> dict[str, str]:
+    """dbt ``dbt_project.yml`` → ``run_models``' ``folder_defaults``:
+    reads ``models: {<project>: {<folder>: {+materialized: ...}}}`` (the
+    reference's exact shape — staging view / marts table). Nested
+    folders flatten to their first segment (matching ``load_project``'s
+    folder attribution)."""
+    import yaml
+
+    doc = yaml.safe_load(text) or {}
+    models = doc.get("models") or {}
+    out: dict[str, str] = {}
+    for _project, folders in models.items():
+        if not isinstance(folders, dict):
+            continue
+        for folder, cfg in folders.items():
+            if isinstance(cfg, dict) and "+materialized" in cfg:
+                out[folder] = cfg["+materialized"]
+    return out
+
+
 def threads_from_profiles(text: str, profile: str | None = None) -> int:
     """dbt ``profiles.yml`` → the runner's ``threads`` (the reference
     declares ``threads: 4`` — dbt_project/profiles.yml:11). Reads the

@@ -770,3 +770,51 @@ def test_split_config_property_roundtrip():
         assert body.strip() == "select 1 as x"
 
     check()
+
+
+def test_seeds_and_project_yml_defaults(spark, tmp_path):
+    """dbt seed-paths + dbt_project.yml parity: CSVs under seeds/ load
+    as ref()-able tables (header + type inference), and the reference-
+    shaped models section supplies folder materialization defaults."""
+    from binance_data_pipeline_spark.sql_models import (
+        folder_defaults_from_project,
+        run_seeds,
+    )
+
+    seeds = tmp_path / "seeds"
+    seeds.mkdir()
+    (seeds / "fee_rules.csv").write_text(
+        "symbol,fee_bps\nBTCUSDT,10\nETHUSDT,12\n"
+    )
+    target = str(tmp_path / "wh")
+    rep = run_seeds(spark, str(seeds), target)
+    assert rep["fee_rules"]["rows"] == 2
+    # inferSchema made fee_bps numeric
+    assert dict(model_df(spark, "fee_rules").dtypes)["fee_bps"] in ("int", "bigint")
+
+    # the reference's dbt_project.yml shape (staging view / marts table)
+    project_yml = """
+name: 'binance_project'
+models:
+  binance_project:
+    staging:
+      +materialized: view
+    marts:
+      +materialized: table
+"""
+    assert folder_defaults_from_project(project_yml) == {
+        "staging": "view", "marts": "table",
+    }
+
+    # a model can ref() the seed with no source binding
+    m = {
+        "fees_doubled": parse_model(
+            "fees_doubled",
+            "{{ config(materialized='table') }}\n"
+            "select symbol, fee_bps * 2 as bps2 from {{ ref('fee_rules') }}",
+        )
+    }
+    r = run_models(spark, m, target_dir=target)
+    assert r["fees_doubled"]["rows"] == 2
+    got = {x["symbol"]: x["bps2"] for x in model_df(spark, "fees_doubled").collect()}
+    assert got == {"BTCUSDT": 20, "ETHUSDT": 24}
