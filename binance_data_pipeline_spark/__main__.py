@@ -295,6 +295,11 @@ def main(argv: list[str] | None = None) -> int:
                     help="file of dbt {%% snapshot %%} blocks to fold as SCD2 "
                          "history (runs BEFORE models so models may ref the "
                          "dimension state via source bindings)")
+    pq.add_argument("--select", action="append", default=[],
+                    metavar="NODE[+]|+NODE",
+                    help="dbt node selection (name, name+, +name, +name+); "
+                         "repeatable. Unselected materialized parents are "
+                         "reused from disk, not rebuilt")
     pq.add_argument("--seeds", default=None,
                     help="dbt seed-paths dir of CSVs, loaded as ref()-able "
                          "tables before models build")
@@ -823,6 +828,7 @@ def main(argv: list[str] | None = None) -> int:
             env=_kv(args.env, "--env") or None,
             vars=_kv(args.var, "--var") or None,
             full_refresh=args.full_refresh,
+            select=args.select or None,
             threads=(
                 args.threads
                 if args.threads is not None

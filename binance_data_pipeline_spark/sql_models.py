@@ -453,6 +453,7 @@ def run_models(
     vars: dict | None = None,
     full_refresh: bool = False,
     threads: int = 1,
+    select: list[str] | None = None,
 ) -> dict[str, dict]:
     """Build every model in dependency order. Returns a per-model report
     ``{name: {"materialized", "rows", "version"|None}}``.
@@ -479,6 +480,12 @@ def run_models(
       instead of building back-to-back. Failures still name the model;
       a failed level never starts the next (downstream models never
       build against a failed parent).
+    - ``select``: dbt node selection — ``name`` / ``name+`` (descendants)
+      / ``+name`` (ancestors) / ``+name+``. Unselected VIEW parents still
+      compile (free — they fuse into the selected plan); unselected
+      table/incremental/streaming parents REUSE their existing
+      materialization from disk (``"reused": True`` in the report) and
+      raise, named, if never built.
     """
     if isinstance(models, str):
         parsed = load_project(models)
@@ -514,9 +521,43 @@ def run_models(
             if f"{s}.{t}" not in (sources or {}):
                 raise ValueError(f"model {m.name!r} needs source {s}.{t}, not provided")
 
+    selected = _expand_select(parsed, select) if select else None
+    if selected is not None:
+        # process only the selection plus its ancestry (parents must
+        # resolve as refs); unrelated branches are never touched
+        needed = set(selected)
+        stack = list(selected)
+        while stack:
+            for r in parsed[stack.pop()].refs:
+                if r in parsed and r not in needed:
+                    needed.add(r)
+                    stack.append(r)
+        order = [n for n in order if n in needed]
+
     def _build(name: str) -> dict:
         model = parsed[name]
         mat = _materialization(model, folder_defaults)
+        if selected is not None and name not in selected and mat != "view":
+            # unselected materialized parent: REUSE what's on disk (dbt's
+            # deferred-state behavior) — never silently rebuild, never
+            # silently serve nothing
+            path = f"{target_dir}/{name}" if target_dir else None
+            if mat == "table":
+                try:
+                    spark.read.parquet(path).createOrReplaceTempView(_view_name(name))
+                except Exception as e:
+                    raise ValueError(
+                        f"--select excludes {name!r} but its table was never "
+                        f"built at {path}; build it first or widen the selection"
+                    ) from e
+            else:  # incremental / streaming -> snapshot table
+                if not path or not _list_versions(spark, path):
+                    raise ValueError(
+                        f"--select excludes {name!r} but its snapshot table was "
+                        f"never built at {path}; build it first or widen the selection"
+                    )
+                read_snapshot(spark, path).createOrReplaceTempView(_view_name(name))
+            return {"materialized": mat, "rows": None, "version": None, "reused": True}
         if mat in ("table", "incremental", "streaming") and not target_dir:
             raise ValueError(f"model {name!r} materializes as {mat} but target_dir is unset")
         path = f"{target_dir}/{name}" if target_dir else None
@@ -726,6 +767,39 @@ def run_dbt_snapshots(
             "open_rows": out.where("is_current").count(),
         }
     return report
+
+
+def _expand_select(parsed: dict[str, Model], select: list[str]) -> set[str]:
+    """dbt node selection: ``name`` (just it), ``name+`` (it and every
+    descendant), ``+name`` (it and every ancestor), ``+name+`` (both).
+    Unknown names raise. Returns the selected node set."""
+    children: dict[str, set[str]] = {n: set() for n in parsed}
+    for m in parsed.values():
+        for r in m.refs:
+            if r in parsed:
+                children[r].add(m.name)
+
+    def walk(start: str, edges) -> set[str]:
+        seen, stack = set(), [start]
+        while stack:
+            n = stack.pop()
+            if n in seen:
+                continue
+            seen.add(n)
+            stack.extend(edges(n))
+        return seen
+
+    out: set[str] = set()
+    for tok in select:
+        up, name, down = tok.startswith("+"), tok.strip("+"), tok.endswith("+")
+        if name not in parsed:
+            raise ValueError(f"--select {tok!r}: unknown model {name!r}")
+        out.add(name)
+        if down:
+            out |= walk(name, lambda n: children[n])
+        if up:
+            out |= walk(name, lambda n: (r for r in parsed[n].refs if r in parsed))
+    return out
 
 
 def run_seeds(

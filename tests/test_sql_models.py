@@ -818,3 +818,42 @@ models:
     assert r["fees_doubled"]["rows"] == 2
     got = {x["symbol"]: x["bps2"] for x in model_df(spark, "fees_doubled").collect()}
     assert got == {"BTCUSDT": 20, "ETHUSDT": 24}
+
+
+def test_select_node_selection(spark, tmp_path):
+    """dbt --select parity: graph selectors (name, name+, +name),
+    unrelated branches never touched, unselected materialized parents
+    REUSED from disk (and a named error when never built)."""
+    models = {
+        "stg": "select 1 as k, 10 as v",
+        "mid": "{{ config(materialized='table') }}\n"
+               "select k, v * 2 as v2 from {{ ref('stg') }}",
+        "mart": "{{ config(materialized='table') }}\n"
+                "select k, v2 + 1 as v3 from {{ ref('mid') }}",
+        "other": "{{ config(materialized='table') }}\n"
+                 "select 99 as unrelated",
+    }
+    target = str(tmp_path / "wh")
+
+    # selecting a node whose materialized parent was never built: named error
+    with pytest.raises(ValueError, match="'mid'.*never"):
+        run_models(spark, models, target_dir=target, select=["mart"])
+
+    # +mart builds the whole ancestry, NOT the unrelated branch
+    r = run_models(spark, models, target_dir=target, select=["+mart"])
+    assert set(r) == {"stg", "mid", "mart"}
+    assert not os.path.exists(f"{target}/other")
+    assert model_df(spark, "mart").collect()[0]["v3"] == 21
+
+    # now a narrow re-run of just mart REUSES mid from disk
+    r2 = run_models(spark, models, target_dir=target, select=["mart"])
+    assert set(r2) == {"stg", "mid", "mart"}  # stg is a free view compile
+    assert r2["mid"].get("reused") is True and r2["mart"].get("reused") is None
+
+    # stg+ selects descendants: everything except the unrelated branch
+    r3 = run_models(spark, models, target_dir=target, select=["stg+"])
+    assert set(r3) == {"stg", "mid", "mart"}
+    assert r3["mid"].get("reused") is None  # selected -> rebuilt
+
+    with pytest.raises(ValueError, match="unknown model"):
+        run_models(spark, models, target_dir=target, select=["nope+"])
