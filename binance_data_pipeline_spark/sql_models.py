@@ -302,7 +302,7 @@ def _apply_on_schema_change(
     Columns the table has but the delta lacks are always fine (the
     snapshot tier reads them as typed NULLs for new rows)."""
     policy = _schema_change_policy(model)
-    existing = set(read_snapshot(spark, path).columns)
+    existing = set(read_snapshot(spark, path, merge_schema=True).columns)
     new_cols = [c for c in delta.columns if c not in existing]
     if not new_cols:
         return delta
@@ -596,14 +596,22 @@ def run_models(
                     operation=f"model:{name}:full",
                 )
             else:
-                read_snapshot(spark, path).createOrReplaceTempView(f"__bdp_this_{name}")
+                # merge_schema: after append_new_columns evolution the
+                # untouched dirs keep the old schema — a plain read
+                # resolves to an arbitrary footer and can DROP the new
+                # column nondeterministically
+                read_snapshot(spark, path, merge_schema=True).createOrReplaceTempView(
+                    f"__bdp_this_{name}"
+                )
                 delta = spark.sql(_render(model, incremental=True, env=env, vars=vars))
                 if delta.isEmpty():
                     # an empty delta must not churn a table version — a
                     # cadence-scheduled model with no new source rows would
                     # otherwise mint a metadata-only commit per run,
                     # bloating history and vacuum work
-                    read_snapshot(spark, path).createOrReplaceTempView(_view_name(name))
+                    read_snapshot(spark, path, merge_schema=True).createOrReplaceTempView(
+                        _view_name(name)
+                    )
                     out = spark.table(_view_name(name))
                     if tests and name in tests:
                         run_suite(out, tests[name], fail_fast=True)
@@ -622,7 +630,9 @@ def run_models(
                         spark, path, delta, mode="append", partition_by=partition_by,
                         operation=f"model:{name}:append", evolve_schema=evolve,
                     )
-            read_snapshot(spark, path).createOrReplaceTempView(_view_name(name))
+            read_snapshot(spark, path, merge_schema=True).createOrReplaceTempView(
+                _view_name(name)
+            )
 
         out = spark.table(_view_name(name)) if mat != "view" else df
         if tests and name in tests:
