@@ -1894,6 +1894,102 @@ def _dml_rewrite(
     raise RuntimeError(f"snapshot DML on {table} lost {max_retries} races")
 
 
+def snapshot_replace_where(
+    spark: SparkSession,
+    table: str,
+    predicate,
+    df: DataFrame,
+    partition_by: list[str] | None = None,
+    max_retries: int = 3,
+    enforce_predicate: bool = True,
+) -> int:
+    """Delta Lake's ``replaceWhere`` (and dbt's ``insert_overwrite``
+    incremental strategy) as ONE atomic commit: rows matching
+    ``predicate`` are deleted and ``df`` inserted, together — a crash
+    can never leave the region deleted but not refilled (the
+    two-statement delete-then-append formulation can).
+
+    Copy-on-write bounded exactly like predicate DML: only dirs
+    containing a matching row are read and rewritten (their
+    non-matching rows survive into the new dir alongside ``df``);
+    untouched dirs ride by reference, so replacing one day's partition
+    of a 100 TB table rewrites that day, not the table. When NO live
+    dir matches, the call degrades to a plain append commit.
+
+    ``enforce_predicate=True`` (Delta's contract) folds an assert into
+    the plan: every incoming row must satisfy the predicate — silently
+    inserting rows OUTSIDE the replaced region would make the op
+    non-idempotent on re-run. Constraints and schema enforcement apply
+    as on every commit."""
+    pred = F.expr(predicate) if isinstance(predicate, str) else predicate
+    incoming = df
+    if enforce_predicate:
+        guard = F.coalesce(
+            F.assert_true(
+                F.coalesce(pred, F.lit(False)),
+                F.lit(f"replace_where on {table}: incoming row outside the predicate"),
+            ).cast("long"),
+            F.lit(0),
+        )
+        # fold the guard into the first column via a WHEN with no
+        # otherwise — `when(c, x).otherwise(x)` would constant-fold the
+        # equal branches and prune the assert; this form cannot (on
+        # success assert_true is NULL -> guard 0 -> the column passes
+        # through; on violation the assert throws first)
+        c0 = df.columns[0]
+        incoming = df.select(
+            F.when(guard == 0, F.col(c0)).alias(c0),
+            *[F.col(c) for c in df.columns[1:]],
+        )
+    base = table.rstrip("/")
+    if not _list_versions(spark, table):
+        raise ValueError(f"{table} has no committed snapshots")
+    constraints = get_snapshot_constraints(spark, table)
+    for _ in range(max_retries):
+        head = _list_versions(spark, table)[-1]
+        entries = _live_entries(spark, table, head)
+        live = [p for p, _ in entries]
+        touched = _predicate_touched_dirs(spark, live, pred)
+        head_schema = table_schema(spark, table, head)
+        if touched:
+            kept = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(*touched)
+                .where(~F.coalesce(pred, F.lit(False)))
+            )
+            new_rows = kept.unionByName(incoming, allowMissingColumns=True)
+        else:
+            new_rows = incoming
+        new_rows = _apply_check_constraints(new_rows, constraints, table, head_schema)
+        data_dir = f"{base}/data/{uuid.uuid4().hex}"
+        writer = new_rows.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(data_dir)
+        scols = _stats_cols_of(entries)
+        bspec = _bloom_spec_of(entries)
+        new_stats = (
+            _dir_stats_json(spark, data_dir, scols, bspec) if scols or bspec else None
+        )
+        new_live = [e for e in entries if e[0] not in set(touched)] + [
+            (data_dir, new_stats)
+        ]
+        if _write_manifest_commit(
+            spark,
+            table,
+            head + 1,
+            new_live,
+            f"replace_where:{len(touched)}d",
+            time.time(),
+            stream_hwm=_max_streamed_batch(spark, table),
+            table_schema_json=head_schema.json(),
+        ):
+            return head + 1
+        fs, dp = _hadoop_fs(spark, data_dir)
+        fs.delete(dp, True)  # lost the race: re-discover against the winner
+    raise RuntimeError(f"snapshot replace_where on {table} lost {max_retries} races")
+
+
 def snapshot_delete(
     spark: SparkSession,
     table: str,

@@ -584,6 +584,12 @@ def run_models(
             read_snapshot(spark, path).createOrReplaceTempView(_view_name(name))
         else:  # incremental -> snapshot table
             _schema_change_policy(model)  # typos fail on the FIRST build
+            _strategy = model.config.get("incremental_strategy")
+            if _strategy not in (None, "merge", "append", "insert_overwrite"):
+                raise ValueError(
+                    f"model {name!r}: unsupported incremental_strategy="
+                    f"{_strategy!r} (merge | append | insert_overwrite)"
+                )
             # existence probe goes through the snapshot tier's Hadoop FS
             # listing, not os.path — the table path accepts any scheme
             # (hdfs://, s3a://); a local-only probe would silently
@@ -619,16 +625,53 @@ def run_models(
                 delta = _apply_on_schema_change(spark, model, path, delta)
                 evolve = model.config.get("on_schema_change") == "append_new_columns"
                 key = model.config.get("unique_key")
-                if key:
+                strategy = model.config.get(
+                    "incremental_strategy", "merge" if key else "append"
+                )
+                if strategy == "insert_overwrite":
+                    # dbt-BigQuery's partition-replacement strategy: the
+                    # delta's partitions are replaced WHOLE, atomically
+                    # (snapshot_replace_where — Delta's replaceWhere).
+                    # Bounded driver work: only distinct partition VALUES
+                    # collect, never rows.
+                    if not partition_by:
+                        raise ValueError(
+                            f"model {name!r}: incremental_strategy="
+                            "'insert_overwrite' requires partition_by"
+                        )
+                    from pyspark.sql import functions as F
+
+                    pcol = partition_by[0]
+                    vals = [
+                        r[pcol]
+                        for r in delta.select(pcol).distinct().collect()
+                    ]
+                    from .operators.snapshots import snapshot_replace_where
+
+                    version = snapshot_replace_where(
+                        spark, path, F.col(pcol).isin(vals), delta,
+                        partition_by=partition_by,
+                    )
+                elif strategy == "merge":
+                    if not key:
+                        raise ValueError(
+                            f"model {name!r}: incremental_strategy='merge' "
+                            "requires unique_key"
+                        )
                     keys = [key] if isinstance(key, str) else list(key)
                     version = snapshot_merge(
                         spark, path, delta, key_cols=keys,
                         partition_by=partition_by, operation=f"model:{name}:incr",
                     )
-                else:
+                elif strategy == "append":
                     version = commit_snapshot(
                         spark, path, delta, mode="append", partition_by=partition_by,
                         operation=f"model:{name}:append", evolve_schema=evolve,
+                    )
+                else:
+                    raise ValueError(
+                        f"model {name!r}: unsupported incremental_strategy="
+                        f"{strategy!r} (merge | append | insert_overwrite)"
                     )
             read_snapshot(spark, path, merge_schema=True).createOrReplaceTempView(
                 _view_name(name)

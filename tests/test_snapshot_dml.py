@@ -116,3 +116,59 @@ def test_update_without_predicate_touches_all_dirs(spark, tmp_path):
     assert v == 3
     got = {r["id"]: r["score"] for r in read_snapshot(spark, t).collect()}
     assert got == {1: 11.0, 2: 21.0, 3: 31.0, 4: 41.0, 5: 51.0}
+
+
+# ---------------------------------------------------------------------------
+# round 8: replaceWhere (atomic region replacement / dbt insert_overwrite)
+# ---------------------------------------------------------------------------
+
+
+def test_replace_where_atomic_partition_swap(spark, tmp_path):
+    """One commit replaces the predicate region with the new rows:
+    untouched dirs survive BY REFERENCE, the region's old rows are gone,
+    the new rows are in, and history shows a single version."""
+    from binance_data_pipeline_spark.operators.snapshots import (
+        snapshot_replace_where,
+    )
+
+    t = str(tmp_path / "t")
+    _mk(spark, t)
+    before_dirs = set(_live_dirs(spark, t, _list_versions(spark, t)[-1]))
+    repl = spark.createDataFrame(
+        [(30, "c", 300.0), (31, "c", 301.0)], "id long, domain string, score double"
+    )
+    v = snapshot_replace_where(spark, t, F.col("domain") == "c", repl)
+    assert v == _list_versions(spark, t)[-1]
+    got = {r["id"]: (r["domain"], r["score"]) for r in read_snapshot(spark, t).collect()}
+    assert 3 not in got and got[30] == ("c", 300.0) and got[31] == ("c", 301.0)
+    assert got[1] == ("a", 10.0) and got[2] == ("b", 20.0)  # untouched rows intact
+    after_dirs = set(_live_dirs(spark, t, v))
+    # dirs without a matching row ride by reference (no rewrite)
+    assert len(before_dirs & after_dirs) >= 1
+
+
+def test_replace_where_contract_and_no_match_append(spark, tmp_path):
+    """Incoming rows OUTSIDE the predicate abort (Delta's replaceWhere
+    contract; non-idempotent otherwise); a predicate matching no live
+    dir degrades to a plain append."""
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from binance_data_pipeline_spark.operators.snapshots import (
+        snapshot_replace_where,
+    )
+
+    t = str(tmp_path / "t")
+    _mk(spark, t)
+    bad = spark.createDataFrame(
+        [(99, "z", 9.0)], "id long, domain string, score double"
+    )
+    with pytest.raises(Exception, match="outside the predicate"):
+        snapshot_replace_where(spark, t, F.col("domain") == "c", bad)
+    # no live row matches domain 'zzz' -> plain append of matching rows
+    new = spark.createDataFrame(
+        [(50, "zzz", 5.0)], "id long, domain string, score double"
+    )
+    v = snapshot_replace_where(spark, t, F.col("domain") == "zzz", new)
+    got = {r["id"] for r in read_snapshot(spark, t).collect()}
+    assert 50 in got and {1, 2, 3} <= got
+    assert v == _list_versions(spark, t)[-1]

@@ -857,3 +857,63 @@ def test_select_node_selection(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown model"):
         run_models(spark, models, target_dir=target, select=["nope+"])
+
+
+def test_incremental_strategy_insert_overwrite(spark, tmp_path):
+    """dbt-BigQuery's insert_overwrite: the delta's partitions are
+    replaced WHOLE in one atomic commit — late corrections rewrite
+    their day without a unique_key, other days ride untouched."""
+    import datetime as dt
+
+    m = {
+        "f": parse_model(
+            "f",
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='insert_overwrite', "
+            "partition_by='event_date') }}"
+            "select * from {{ source('a', 't') }}"
+            "{% if is_incremental() %} where event_date >= "
+            "(select max(event_date) from {{ this }}){% endif %}",
+        )
+    }
+    d1, d2 = dt.date(2024, 1, 1), dt.date(2024, 1, 2)
+    src1 = spark.createDataFrame(
+        [(d1, "x", 1.0), (d1, "y", 2.0), (d2, "z", 3.0)],
+        "event_date date, k string, v double",
+    )
+    target = str(tmp_path / "wh")
+    run_models(spark, m, {"a.t": src1}, target)
+
+    # day-2 correction: z revalued, w appears, y-from-day-1 untouched
+    src2 = spark.createDataFrame(
+        [(d1, "x", 1.0), (d1, "y", 2.0), (d2, "z", 30.0), (d2, "w", 4.0)],
+        "event_date date, k string, v double",
+    )
+    r2 = run_models(spark, m, {"a.t": src2}, target)
+    got = {r["k"]: r["v"] for r in model_df(spark, "f").collect()}
+    assert got == {"x": 1.0, "y": 2.0, "z": 30.0, "w": 4.0}
+    assert r2["f"]["version"] is not None
+
+    # strategy demands a partition column
+    m2 = {
+        "g": parse_model(
+            "g",
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='insert_overwrite') }}"
+            "select * from {{ source('a', 't') }}",
+        )
+    }
+    run_models(spark, m2, {"a.t": src1}, target)
+    with pytest.raises(ValueError, match="requires partition_by"):
+        run_models(spark, m2, {"a.t": src2}, target)
+    with pytest.raises(ValueError, match="unsupported incremental_strategy"):
+        run_models(
+            spark,
+            {"h": parse_model(
+                "h",
+                "{{ config(materialized='incremental', "
+                "incremental_strategy='bogus') }}"
+                "select * from {{ source('a','t') }}",
+            )},
+            {"a.t": src1}, str(tmp_path / "w2"),
+        )
