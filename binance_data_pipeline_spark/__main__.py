@@ -300,6 +300,10 @@ def main(argv: list[str] | None = None) -> int:
                     help="dbt node selection (name, name+, +name, +name+); "
                          "repeatable. Unselected materialized parents are "
                          "reused from disk, not rebuilt")
+    pq.add_argument("--exclude", action="append", default=[],
+                    metavar="NODE[+]|+NODE",
+                    help="dbt node exclusion (same selector syntax as "
+                         "--select), removed from the selection; repeatable")
     pq.add_argument("--seeds", default=None,
                     help="dbt seed-paths dir of CSVs, loaded as ref()-able "
                          "tables before models build")
@@ -829,6 +833,7 @@ def main(argv: list[str] | None = None) -> int:
             vars=_kv(args.var, "--var") or None,
             full_refresh=args.full_refresh,
             select=args.select or None,
+            exclude=args.exclude or None,
             threads=(
                 args.threads
                 if args.threads is not None

@@ -454,6 +454,7 @@ def run_models(
     full_refresh: bool = False,
     threads: int = 1,
     select: list[str] | None = None,
+    exclude: list[str] | None = None,
 ) -> dict[str, dict]:
     """Build every model in dependency order. Returns a per-model report
     ``{name: {"materialized", "rows", "version"|None}}``.
@@ -486,6 +487,9 @@ def run_models(
       table/incremental/streaming parents REUSE their existing
       materialization from disk (``"reused": True`` in the report) and
       raise, named, if never built.
+    - ``exclude``: dbt's complement — the same selector syntax, removed
+      from the selection (from ALL models when ``select`` is unset).
+      Excluded nodes follow the unselected-parent rules above.
     """
     if isinstance(models, str):
         parsed = load_project(models)
@@ -522,6 +526,9 @@ def run_models(
                 raise ValueError(f"model {m.name!r} needs source {s}.{t}, not provided")
 
     selected = _expand_select(parsed, select) if select else None
+    if exclude:
+        base = selected if selected is not None else set(parsed)
+        selected = base - _expand_select(parsed, exclude)
     if selected is not None:
         # process only the selection plus its ancestry (parents must
         # resolve as refs); unrelated branches are never touched

@@ -917,3 +917,30 @@ def test_incremental_strategy_insert_overwrite(spark, tmp_path):
             )},
             {"a.t": src1}, str(tmp_path / "w2"),
         )
+
+
+def test_exclude_node_selection(spark, tmp_path):
+    """dbt --exclude: removed from the selection (from ALL models when
+    --select is unset); excluded materialized nodes reuse from disk."""
+    models = {
+        "stg": "select 1 as k",
+        "a_mart": "{{ config(materialized='table') }}\n"
+                  "select k from {{ ref('stg') }}",
+        "b_mart": "{{ config(materialized='table') }}\n"
+                  "select k + 1 as k2 from {{ ref('stg') }}",
+    }
+    target = str(tmp_path / "wh")
+    r = run_models(spark, models, target_dir=target, exclude=["b_mart"])
+    assert set(r) == {"stg", "a_mart"}  # b_mart branch untouched
+    assert not os.path.exists(f"{target}/b_mart")
+
+    # build everything, then exclude a_mart: it's no one's parent, so it
+    # drops out of the run entirely (dbt's behavior)
+    run_models(spark, models, target_dir=target)
+    r2 = run_models(spark, models, target_dir=target, exclude=["a_mart"])
+    assert set(r2) == {"stg", "b_mart"}
+    # select+exclude compose: stg+ minus b_mart = stg, a_mart
+    r3 = run_models(
+        spark, models, target_dir=target, select=["stg+"], exclude=["b_mart"]
+    )
+    assert set(r3) == {"stg", "a_mart"}
