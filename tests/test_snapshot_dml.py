@@ -172,3 +172,24 @@ def test_replace_where_contract_and_no_match_append(spark, tmp_path):
     got = {r["id"] for r in read_snapshot(spark, t).collect()}
     assert 50 in got and {1, 2, 3} <= got
     assert v == _list_versions(spark, t)[-1]
+
+
+def test_replace_where_is_a_rewrite_crossing_for_the_change_feed(spark, tmp_path):
+    """snapshot_changes must refuse ranges crossing a replace_where —
+    dir-diff stops meaning row inserts there (same contract as
+    overwrite/compaction/DML), so consumers resync instead of silently
+    double-counting the replaced region."""
+    from binance_data_pipeline_spark.operators.snapshots import (
+        snapshot_changes,
+        snapshot_replace_where,
+    )
+
+    t = str(tmp_path / "t")
+    _mk(spark, t)
+    head = _list_versions(spark, t)[-1]
+    repl = spark.createDataFrame(
+        [(30, "c", 300.0)], "id long, domain string, score double"
+    )
+    v = snapshot_replace_where(spark, t, F.col("domain") == "c", repl)
+    with pytest.raises(ValueError, match="rewrite|superset|resync"):
+        snapshot_changes(spark, t, head, v)
