@@ -802,12 +802,18 @@ def main(argv: list[str] | None = None) -> int:
             for name, info in run_seeds(spark, args.seeds, args.target).items():
                 print(f"{name}\tseed\trows={info['rows']}")
 
-        folder_defaults = _kv(args.folder_default, "--folder-default") or None
-        if folder_defaults is None and args.project_yml:
+        # per-folder merge, CLI wins: a --folder-default for one folder
+        # must not suppress dbt_project.yml defaults for OTHER folders
+        # (the help text promises "--folder-default entries win", i.e.
+        # an override, not a wholesale replacement)
+        folder_defaults = _kv(args.folder_default, "--folder-default")
+        if args.project_yml:
             from .sql_models import folder_defaults_from_project
 
             with open(args.project_yml) as fh:
-                folder_defaults = folder_defaults_from_project(fh.read()) or None
+                from_yml = folder_defaults_from_project(fh.read())
+            folder_defaults = {**from_yml, **folder_defaults}
+        folder_defaults = folder_defaults or None
 
         models = load_project(args.models_dir)
         tests = None

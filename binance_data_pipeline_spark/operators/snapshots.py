@@ -1902,6 +1902,7 @@ def snapshot_replace_where(
     partition_by: list[str] | None = None,
     max_retries: int = 3,
     enforce_predicate: bool = True,
+    evolve_schema: bool = False,
 ) -> int:
     """Delta Lake's ``replaceWhere`` (and dbt's ``insert_overwrite``
     incremental strategy) as ONE atomic commit: rows matching
@@ -1920,7 +1921,12 @@ def snapshot_replace_where(
     the plan: every incoming row must satisfy the predicate — silently
     inserting rows OUTSIDE the replaced region would make the op
     non-idempotent on re-run. Constraints and schema enforcement apply
-    as on every commit."""
+    as on every commit: shared columns must keep their exact type, and
+    NEW columns are rejected unless ``evolve_schema=True``, in which
+    case the manifest's recorded table schema evolves to the union
+    (exactly ``commit_snapshot(mode='append')``'s contract — without
+    the check, new columns would land in the data dir while the
+    manifest schema stayed old, so plain reads silently dropped them)."""
     pred = F.expr(predicate) if isinstance(predicate, str) else predicate
     incoming = df
     if enforce_predicate:
@@ -1951,6 +1957,14 @@ def snapshot_replace_where(
         live = [p for p, _ in entries]
         touched = _predicate_touched_dirs(spark, live, pred)
         head_schema = table_schema(spark, table, head)
+        # re-checked per attempt: a race winner may have evolved the
+        # schema, and our commit must merge against THEIRS
+        _check_append_schema(head_schema, df, evolve_schema, table)
+        schema_json = (
+            _merged_schema_json(head_schema, df)
+            if evolve_schema and head_schema is not None
+            else (head_schema.json() if head_schema is not None else df.schema.json())
+        )
         if touched:
             kept = (
                 spark.read.option("mergeSchema", "true")
@@ -1982,7 +1996,7 @@ def snapshot_replace_where(
             f"replace_where:{len(touched)}d",
             time.time(),
             stream_hwm=_max_streamed_batch(spark, table),
-            table_schema_json=head_schema.json(),
+            table_schema_json=schema_json,
         ):
             return head + 1
         fs, dp = _hadoop_fs(spark, data_dir)

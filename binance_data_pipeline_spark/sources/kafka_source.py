@@ -217,13 +217,45 @@ class _ProduceCommit(WriterCommitMessage):
         self.counts = counts  # partition -> records produced
 
 
+def _murmur2(data: bytes) -> int:
+    """Kafka's 32-bit murmur2 (seed 0x9747b28c) — the hash behind the
+    Java client's DefaultPartitioner, reimplemented from the public
+    algorithm so records keyed by this sink land on the SAME partition
+    a Java producer (or the jar sink) would pick for the same key.
+    Returns the unsigned 32-bit hash; callers mask to positive."""
+    length = len(data)
+    m = 0x5BD1E995
+    h = (0x9747B28C ^ length) & 0xFFFFFFFF
+    base = length & ~3
+    for i in range(0, base, 4):
+        k = data[i] | (data[i + 1] << 8) | (data[i + 2] << 16) | (data[i + 3] << 24)
+        k = (k * m) & 0xFFFFFFFF
+        k ^= k >> 24
+        k = (k * m) & 0xFFFFFFFF
+        h = (h * m) & 0xFFFFFFFF
+        h ^= k
+    extra = length & 3
+    if extra >= 3:
+        h ^= data[base + 2] << 16
+    if extra >= 2:
+        h ^= data[base + 1] << 8
+    if extra >= 1:
+        h ^= data[base]
+        h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * m) & 0xFFFFFFFF
+    h ^= h >> 15
+    return h
+
+
 def _produce_rows(rows, host, port, topic, n_partitions, batch_size=500):
     """One task's produce leg: route each row to a Kafka partition
-    (explicit ``partition`` column wins, else hash(key), else round
-    robin), frame RecordBatch v2 batches, produce. Returns per-partition
-    counts for the commit message. Mirrors the jar sink's row contract:
-    ``value`` required (binary or string), ``key``/``partition``
-    optional."""
+    (explicit ``partition`` column wins, else murmur2(key) — Kafka's
+    DefaultPartitioner, so keyed routing is co-partitioned with Java
+    clients — else round robin), frame RecordBatch v2 batches, produce.
+    Returns per-partition counts for the commit message. Mirrors the
+    jar sink's row contract: ``value`` required (binary or string),
+    ``key``/``partition`` optional."""
     import time
 
     buf: dict[int, list] = {}
@@ -254,7 +286,8 @@ def _produce_rows(rows, host, port, topic, n_partitions, batch_size=500):
         if d.get("partition") is not None:
             p = int(d["partition"]) % n_partitions
         elif key is not None:
-            p = sum(key) % n_partitions  # stable keyed routing
+            # Kafka's DefaultPartitioner: toPositive(murmur2(key)) % N
+            p = (_murmur2(key) & 0x7FFFFFFF) % n_partitions
         else:
             p, rr = rr % n_partitions, rr + 1
         buf.setdefault(p, []).append((key, value, now_ms))

@@ -649,15 +649,38 @@ def run_models(
                     from pyspark.sql import functions as F
 
                     pcol = partition_by[0]
+                    # bounded driver work, made explicit: cap the distinct
+                    # partition-value collect so a mis-keyed partition_by
+                    # (e.g. a timestamp at second grain) fails with a
+                    # named error instead of building a huge isin literal
+                    cap = int(model.config.get("insert_overwrite_max_partitions", 10000))
                     vals = [
                         r[pcol]
-                        for r in delta.select(pcol).distinct().collect()
+                        for r in delta.select(pcol).distinct().limit(cap + 1).collect()
                     ]
+                    if len(vals) > cap:
+                        raise ValueError(
+                            f"model {name!r}: insert_overwrite delta spans "
+                            f">{cap} distinct {pcol!r} partitions — the "
+                            "strategy replaces partitions WHOLE and is meant "
+                            "for date-grain keys; use a coarser partition_by "
+                            "or incremental_strategy='merge' (raise the cap "
+                            "with config insert_overwrite_max_partitions)"
+                        )
+                    # NULL partition values: isin(NULL) evaluates NULL, so
+                    # the predicate guard would fire with an opaque error
+                    # and existing NULL-partition rows could never be
+                    # replaced — OR isNull into the predicate instead
+                    # (dbt-BigQuery's null-partition handling)
+                    non_null = [v for v in vals if v is not None]
+                    predicate = F.col(pcol).isin(non_null)
+                    if len(non_null) < len(vals):
+                        predicate = predicate | F.col(pcol).isNull()
                     from .operators.snapshots import snapshot_replace_where
 
                     version = snapshot_replace_where(
-                        spark, path, F.col(pcol).isin(vals), delta,
-                        partition_by=partition_by,
+                        spark, path, predicate, delta,
+                        partition_by=partition_by, evolve_schema=evolve,
                     )
                 elif strategy == "merge":
                     if not key:

@@ -299,3 +299,27 @@ def test_stream_source_to_stream_sink_round_trip(spark, tmp_path):
             got.extend(v.decode() for (_o, _k, v, _t) in recs)
     assert len(got) == 30
     assert sorted(got) == sorted(json.dumps({"i": i}).upper() for i in range(30))
+
+
+def test_keyed_routing_uses_kafka_murmur2():
+    """Keyed sink routing must be Kafka's DefaultPartitioner —
+    toPositive(murmur2(key)) % N — so records keyed by this sink land
+    on the SAME partition a Java client producing to the topic would
+    pick. Hash pinned against Apache Kafka's public UtilsTest vectors."""
+    import struct
+
+    from binance_data_pipeline_spark.sources.kafka_source import _murmur2
+
+    vectors = {
+        b"21": -973932308,
+        b"foobar": -790332482,
+        b"a-little-bit-long-string": -985981536,
+        b"a-little-bit-longer-string": -1486304829,
+        b"lkjh234lh9fiuh90y23oiuhsafujhadof229phr9h19h89h8": -58897971,
+        b"abc": 479470107,
+    }
+    for key, want in vectors.items():
+        got = struct.unpack("i", struct.pack("I", _murmur2(key)))[0]
+        assert got == want, key
+    # DefaultPartitioner routing for a known key at N=3
+    assert (_murmur2(b"foobar") & 0x7FFFFFFF) % 3 == (-790332482 & 0x7FFFFFFF) % 3

@@ -193,3 +193,43 @@ def test_replace_where_is_a_rewrite_crossing_for_the_change_feed(spark, tmp_path
     v = snapshot_replace_where(spark, t, F.col("domain") == "c", repl)
     with pytest.raises(ValueError, match="rewrite|superset|resync"):
         snapshot_changes(spark, t, head, v)
+
+
+def test_replace_where_schema_enforcement_and_evolution(spark, tmp_path):
+    """replace_where enforces write-side schema like every commit: a
+    new column is rejected without evolution intent, type conflicts
+    always reject, and evolve_schema=True commits AND evolves the
+    manifest's recorded table schema (without that, the new column
+    landed in the data dir while the manifest schema stayed old, so
+    plain reads silently dropped it — the nondeterminism sql_models
+    warns about)."""
+    from binance_data_pipeline_spark.operators.snapshots import (
+        snapshot_replace_where,
+        table_schema,
+    )
+
+    t = str(tmp_path / "t")
+    _mk(spark, t)
+    plus = spark.createDataFrame(
+        [(30, "c", 300.0, "x")],
+        "id long, domain string, score double, extra string",
+    )
+    with pytest.raises(ValueError, match="schema enforcement"):
+        snapshot_replace_where(spark, t, F.col("domain") == "c", plus)
+    bad = spark.createDataFrame(
+        [(31, "c", 300)], "id long, domain string, score long"
+    )
+    with pytest.raises(ValueError, match="type conflict"):
+        snapshot_replace_where(spark, t, F.col("domain") == "c", bad)
+    # nothing committed by the rejected attempts
+    head_before = _list_versions(spark, t)[-1]
+    v = snapshot_replace_where(
+        spark, t, F.col("domain") == "c", plus, evolve_schema=True
+    )
+    assert v == head_before + 1
+    assert "extra" in table_schema(spark, t, v).fieldNames()
+    got = {
+        r["id"]: r["extra"]
+        for r in read_snapshot(spark, t, merge_schema=True).collect()
+    }
+    assert got[30] == "x" and got[1] is None and 3 not in got

@@ -944,3 +944,89 @@ def test_exclude_node_selection(spark, tmp_path):
         spark, models, target_dir=target, select=["stg+"], exclude=["b_mart"]
     )
     assert set(r3) == {"stg", "a_mart"}
+
+
+def test_insert_overwrite_null_partition_and_cardinality_cap(spark, tmp_path):
+    """insert_overwrite edge guards: a NULL partition value in the delta
+    is replaced via an isNull-extended predicate (not an opaque
+    assert deep in the write), and a delta spanning more distinct
+    partitions than the cap fails with a named error suggesting merge
+    (the collect is bounded and the bound is explicit)."""
+    import datetime as dt
+
+    m = {
+        "f": parse_model(
+            "f",
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='insert_overwrite', "
+            "partition_by='event_date') }}"
+            "select * from {{ source('a', 't') }}",
+        )
+    }
+    d1 = dt.date(2024, 1, 1)
+    src1 = spark.createDataFrame(
+        [(d1, "x", 1.0), (None, "n", 9.0)],
+        "event_date date, k string, v double",
+    )
+    target = str(tmp_path / "wh")
+    run_models(spark, m, {"a.t": src1}, target)
+    # correction wave touches BOTH the real date and the NULL partition
+    src2 = spark.createDataFrame(
+        [(d1, "x", 10.0), (None, "n", 90.0)],
+        "event_date date, k string, v double",
+    )
+    run_models(spark, m, {"a.t": src2}, target)
+    got = {r["k"]: r["v"] for r in model_df(spark, "f").collect()}
+    assert got == {"x": 10.0, "n": 90.0}  # old NULL-partition row replaced
+
+    m2 = {
+        "g": parse_model(
+            "g",
+            "{{ config(materialized='incremental', "
+            "incremental_strategy='insert_overwrite', "
+            "partition_by='k', insert_overwrite_max_partitions=2) }}"
+            "select * from {{ source('a', 't') }}",
+        )
+    }
+    wide = spark.createDataFrame(
+        [("a", 1.0), ("b", 2.0), ("c", 3.0)], "k string, v double"
+    )
+    t2 = str(tmp_path / "wh2")
+    run_models(spark, m2, {"a.t": wide}, t2)  # full refresh: no cap applies
+    with pytest.raises(ValueError, match="distinct 'k' partitions"):
+        run_models(spark, m2, {"a.t": wide}, t2)
+
+
+def test_cli_folder_default_merges_with_project_yml(spark, tmp_path, capsys):
+    """--folder-default merges PER FOLDER with dbt_project.yml (CLI
+    wins on collision) — a single CLI override must not suppress the
+    yml's defaults for OTHER folders (which silently fell back to
+    view materialization before)."""
+    from binance_data_pipeline_spark.__main__ import main
+
+    src = str(tmp_path / "bronze.parquet")
+    _rows(spark, ROWS_V1).write.parquet(src)
+    mdir = tmp_path / "models"
+    (mdir / "staging").mkdir(parents=True)
+    (mdir / "marts").mkdir()
+    (mdir / "staging" / "stg_trades.sql").write_text(
+        "select * from {{ source('bronze', 'trades_raw') }}"
+    )
+    (mdir / "marts" / "agg_trades.sql").write_text(
+        "select symbol, count(*) as n from {{ ref('stg_trades') }} group by symbol"
+    )
+    pyml = tmp_path / "dbt_project.yml"
+    pyml.write_text(
+        "name: bdp\nmodels:\n  bdp:\n    staging:\n      +materialized: table\n"
+        "    marts:\n      +materialized: table\n"
+    )
+    rc = main([
+        "models", "--models-dir", str(mdir), "--target", str(tmp_path / "wh"),
+        "--source", f"bronze.trades_raw={src}",
+        "--project-yml", str(pyml),
+        "--folder-default", "staging=view",  # overrides staging ONLY
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "stg_trades\tview" in out      # CLI override applied
+    assert "agg_trades\ttable" in out     # yml default for marts SURVIVES
