@@ -106,16 +106,135 @@ def _read_manifest(spark: SparkSession, table: str, version: int) -> DataFrame:
     return spark.read.parquet(f"{_versions_dir(table)}/{_vname(version)}")
 
 
+# Full-listing cadence (Delta's checkpointInterval): every Nth version
+# is a CHECKPOINT manifest (one row per live dir); versions in between
+# are DELTA manifests (add/remove rows only), so per-commit metadata
+# cost is O(changed dirs), not O(live dirs) — the 100x smokes measured
+# the full-listing form growing 13-16x per commit as dir count grew.
+_CKPT_EVERY = 10
+
+
+def _live_state(
+    spark: SparkSession, table: str, version: int
+) -> tuple[list[tuple[str, str | None]], int]:
+    """(live entries, checkpoint base) as of ``version``. A manifest is
+    either a CHECKPOINT (full live listing — every pre-delta-format
+    manifest, plus overwrite/rollback/compact and every ``_CKPT_EVERY``th
+    commit) or a DELTA (add/remove rows against the previous version).
+    Resolution reads the version's own manifest plus, for deltas, ONE
+    glob over [base, version] — bounded by the checkpoint cadence,
+    never the whole log, never a data file."""
+    mdf = _read_manifest(spark, table, version)
+    cols = mdf.columns
+    has_stats = "stats" in cols
+    if "base" not in cols:
+        # legacy manifest: always a full listing
+        rows = mdf.select("path", *(["stats"] if has_stats else [])).collect()
+        return [(r["path"], r["stats"] if has_stats else None) for r in rows], version
+    first = mdf.select("base").first()
+    base = int(first["base"]) if first is not None and first["base"] is not None else version
+    if base == version:
+        rows = mdf.select("path", *(["stats"] if has_stats else [])).collect()
+        return [(r["path"], r["stats"] if has_stats else None) for r in rows], version
+    # delta chain: checkpoint + every delta in (base, version], applied
+    # in version order (mergeSchema: the base checkpoint may be a
+    # legacy manifest without the action/base columns). A sidecar
+    # checkpoint inside the range (written by vacuum before reaping
+    # the chain's base) shortcuts resolution to (sidecar, version].
+    # `base <= c`: a recorded base may itself be sidecar-backed (its
+    # own manifest is a delta whose chain was reaped) — the sidecar AT
+    # the base is then the full listing, not the base's manifest
+    side = [c for c in _list_sidecar_ckpts(spark, table) if base <= c <= version]
+    dirs: list[str]
+    if side:
+        base = max(side)
+        dirs = [f"{_ckpts_dir(table)}/{_vname(base)}"] + [
+            f"{_versions_dir(table)}/{_vname(v)}"
+            for v in range(base + 1, version + 1)
+        ]
+    else:
+        dirs = [
+            f"{_versions_dir(table)}/{_vname(v)}" for v in range(base, version + 1)
+        ]
+    m = spark.read.option("mergeSchema", "true").parquet(*dirs)
+    rows = m.select("version", "path", "stats", "action").collect()
+    rows.sort(key=lambda r: r["version"])  # stable: in-version row order kept
+    live: dict[str, str | None] = {}
+    for r in rows:
+        if (r["action"] or "add") == "remove":
+            live.pop(r["path"], None)
+        else:
+            live[r["path"]] = r["stats"]
+    return list(live.items()), base
+
+
 def _live_entries(
     spark: SparkSession, table: str, version: int
 ) -> list[tuple[str, str | None]]:
     """(path, stats_json|None) per live dir. Manifests written before the
     stats column existed read as None — every consumer must treat a
     missing stats entry as 'could contain anything'."""
+    return _live_state(spark, table, version)[0]
+
+
+def _ckpt_base_of(spark: SparkSession, table: str, version: int) -> int:
+    """The checkpoint version ``version``'s manifest resolves against
+    (itself for checkpoints and legacy full listings)."""
     mdf = _read_manifest(spark, table, version)
-    has = "stats" in mdf.columns
-    rows = mdf.select("path", *(["stats"] if has else [])).collect()
-    return [(r["path"], r["stats"] if has else None) for r in rows]
+    if "base" not in mdf.columns:
+        return version
+    row = mdf.select("base").first()
+    return int(row["base"]) if row is not None and row["base"] is not None else version
+
+
+# --- sidecar checkpoints ------------------------------------------------
+# {table}/ckpts/v{N}/ — a full live listing AT version N, written by
+# vacuum (atomic-rename claim, same discipline as versions) so delta
+# manifests inside the retained window can resolve after their base
+# chain is reaped. Delta Lake's _last_checkpoint idea: the commit log
+# entry at N is never rewritten; the checkpoint is an additive sidecar.
+
+
+def _ckpts_dir(table: str) -> str:
+    return f"{table.rstrip('/')}/ckpts"
+
+
+def _list_sidecar_ckpts(spark: SparkSession, table: str) -> list[int]:
+    fs, p = _hadoop_fs(spark, _ckpts_dir(table))
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if name.startswith("v") and name[1:].isdigit():
+            out.append(int(name[1:]))
+    return sorted(out)
+
+
+def _write_sidecar_checkpoint(spark: SparkSession, table: str, version: int) -> None:
+    """Materialize the full live listing at ``version`` as a sidecar
+    checkpoint (idempotent: a lost claim means someone else already
+    wrote it). Must run while the version's manifest chain is still
+    resolvable."""
+    entries, base = _live_state(spark, table, version)
+    if base == version:
+        return  # already a full listing; nothing to pin
+    schema_json = table_schema(spark, table, version).json()
+    rows = [
+        (p, int(version), "sidecar-ckpt", float(time.time()), s, None,
+         schema_json, "add", int(version), len(entries))
+        for p, s in entries
+    ]
+    tmp = f"{table.rstrip('/')}/__vtmp_{uuid.uuid4().hex[:12]}"
+    spark.createDataFrame(
+        rows,
+        "path string, version long, operation string, committed_at double,"
+        " stats string, stream_hwm long, table_schema string,"
+        " action string, base long, n_live long",
+    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    fs, cdir = _hadoop_fs(spark, _ckpts_dir(table))
+    fs.mkdirs(cdir)
+    _claim_version(spark, tmp, f"{_ckpts_dir(table)}/{_vname(version)}")
 
 
 def _live_dirs(spark: SparkSession, table: str, version: int) -> list[str]:
@@ -697,9 +816,20 @@ def _write_manifest_commit(
     committed_at: float,
     stream_hwm: int | None = None,
     table_schema_json: str | None = None,
+    prior: tuple[list[tuple[str, str | None]], int] | None = None,
 ) -> bool:
     """One manifest-write + version-claim attempt; True on success.
     ``live`` entries are dir paths or (path, stats_json) pairs.
+
+    ``prior`` is the head's ``_live_state`` (entries, checkpoint base).
+    When given — the append/merge/DML hot paths — and the cadence
+    allows, the manifest is written as a DELTA: one "add" row per new
+    dir and one "remove" row per dropped dir, so commit metadata cost
+    is O(changed dirs). Without it (overwrite, rollback, compact — the
+    natural log-compaction points), or every ``_CKPT_EVERY``th version,
+    or when the diff wouldn't be smaller, a full-listing CHECKPOINT is
+    written. Readers resolve deltas against the recorded ``base``.
+
     ``stream_hwm`` is the high-water stream batch id carried forward on
     EVERY commit (not just stream appends) so vacuuming the original
     stream-append manifests cannot erase the exactly-once replay guard
@@ -712,19 +842,32 @@ def _write_manifest_commit(
     union read and the next commit re-records it."""
     base = table.rstrip("/")
     hwm = None if stream_hwm is None else int(stream_hwm)
-    rows = [
-        (e[0], int(next_v), operation, float(committed_at), e[1], hwm,
-         table_schema_json)
-        if isinstance(e, tuple)
-        else (e, int(next_v), operation, float(committed_at), None, hwm,
-              table_schema_json)
-        for e in live
-    ]
+    entries = [e if isinstance(e, tuple) else (e, None) for e in live]
+    n_live = len(entries)
+
+    def _row(path, stats, action, ckpt_base):
+        return (path, int(next_v), operation, float(committed_at), stats,
+                hwm, table_schema_json, action, int(ckpt_base), n_live)
+
+    rows = None
+    if prior is not None and next_v % _CKPT_EVERY != 0:
+        prior_entries, prior_base = prior
+        old_paths = {p for p, _ in prior_entries}
+        new_paths = {p for p, _ in entries}
+        adds = [(p, s) for p, s in entries if p not in old_paths]
+        removes = sorted(old_paths - new_paths)
+        if adds and len(adds) + len(removes) < n_live:
+            rows = [_row(p, s, "add", prior_base) for p, s in adds] + [
+                _row(p, None, "remove", prior_base) for p in removes
+            ]
+    if rows is None:  # checkpoint: full live listing, base = self
+        rows = [_row(p, s, "add", next_v) for p, s in entries]
     tmp = f"{base}/__vtmp_{uuid.uuid4().hex[:12]}"
     spark.createDataFrame(
         rows,
         "path string, version long, operation string, committed_at double,"
-        " stats string, stream_hwm long, table_schema string",
+        " stats string, stream_hwm long, table_schema string,"
+        " action string, base long, n_live long",
     ).coalesce(1).write.mode("overwrite").parquet(tmp)
     fs, vdir = _hadoop_fs(spark, _versions_dir(table))
     fs.mkdirs(vdir)
@@ -811,7 +954,10 @@ def commit_snapshot(
     for attempt in range(max_retries):
         versions = _list_versions(spark, table)
         next_v = (versions[-1] + 1) if versions else 0
-        prior = _live_entries(spark, table, versions[-1]) if versions else []
+        prior_state = (
+            _live_state(spark, table, versions[-1]) if versions else ([], 0)
+        )
+        prior = prior_state[0]
         if attempt and mode == "append" and versions:
             # lost a race: the winner may have evolved the schema —
             # re-merge against ITS recorded schema so the manifest we
@@ -852,6 +998,7 @@ def commit_snapshot(
         if _write_manifest_commit(
             spark, table, next_v, live, op, committed_at, stream_hwm=hwm,
             table_schema_json=schema_json,
+            prior=prior_state if mode == "append" and versions else None,
         ):
             return next_v
     fs, dp = _hadoop_fs(spark, data_dir)
@@ -1099,19 +1246,28 @@ def register_snapshot_view(
 
 def snapshot_history(spark: SparkSession, table: str) -> DataFrame:
     """(version, operation, committed_at, n_dirs) per commit, one glob
-    read over every manifest — KB-scale metadata, never data files."""
+    read over every manifest — KB-scale metadata, never data files.
+    ``n_dirs`` is the LIVE dir count as of that commit: delta manifests
+    hold only changed-dir rows, so the count is read from the recorded
+    ``n_live`` (row count is the legacy-manifest fallback, where every
+    row IS a live dir)."""
     versions = _list_versions(spark, table)
     if not versions:
         raise ValueError(f"{table} has no committed snapshots")
-    manifests = spark.read.parquet(
+    manifests = spark.read.option("mergeSchema", "true").parquet(
         *(f"{_versions_dir(table)}/{_vname(v)}" for v in versions)
+    )
+    n_dirs = (
+        F.coalesce(F.max("n_live"), F.count(F.lit(1)))
+        if "n_live" in manifests.columns
+        else F.count(F.lit(1))
     )
     return (
         manifests.groupBy("version")
         .agg(
             F.first("operation").alias("operation"),
             F.first("committed_at").alias("committed_at"),
-            F.count(F.lit(1)).alias("n_dirs"),
+            n_dirs.alias("n_dirs"),
         )
         .orderBy("version")
     )
@@ -1148,15 +1304,33 @@ _STREAM_OP = "stream-append"
 
 def _max_streamed_batch(spark: SparkSession, table: str) -> int | None:
     """Highest stream batch id the table has applied — the replay guard.
-    Reads BOTH signals from one manifest glob read (KB-scale, never data
-    files): ids parsed from ``stream-append:N`` operations, and the
-    ``stream_hwm`` column every later commit carries forward — so the
-    guard survives ``vacuum_snapshots`` deleting the original
-    stream-append manifests (rows live on via merge/compact commits,
-    and so does the high-water mark)."""
+
+    Fast path — ONE head-manifest read: ``stream_hwm`` is carried
+    forward on EVERY commit (each writer records
+    max(prior ids, own id)), so a head manifest that HAS the column is
+    authoritative by induction: its value plus its own operation parse
+    IS the table maximum. This runs inside every commit; without the
+    fast path the per-commit glob over all manifests made commit cost
+    grow with version count (the round-8 commit-loop smokes). Legacy
+    head manifests (no ``stream_hwm`` column) fall back to the full
+    glob over every retained manifest — paid once per legacy table,
+    since the next commit records the column."""
     versions = _list_versions(spark, table)
     if not versions:
         return None
+    head = _read_manifest(spark, table, versions[-1])
+    if "stream_hwm" in head.columns:
+        row = head.select(
+            F.max(F.col("stream_hwm").cast("long")).alias("b"),
+            F.max(
+                F.when(
+                    F.col("operation").startswith(f"{_STREAM_OP}:"),
+                    F.split(F.col("operation"), ":").getItem(1).cast("long"),
+                )
+            ).alias("a"),
+        ).first()
+        vals = [v for v in (row["a"], row["b"]) if v is not None]
+        return max(int(v) for v in vals) if vals else None
     m = spark.read.option("mergeSchema", "true").parquet(
         *(f"{_versions_dir(table)}/{_vname(v)}" for v in versions)
     )
@@ -1663,7 +1837,7 @@ def snapshot_merge(
         if not versions:
             raise ValueError(f"{table} has no committed snapshots")
         head = versions[-1]
-        entries = _live_entries(spark, table, head)
+        entries, ckpt_base = _live_state(spark, table, head)
         live = [p for p, _ in entries]
         # manifest-stats pruning: dirs whose k0 range cannot meet the
         # update batch need not even be SCANNED for discovery — they
@@ -1802,6 +1976,7 @@ def snapshot_merge(
             time.time(),
             stream_hwm=_max_streamed_batch(spark, table),
             table_schema_json=merged_schema_json,
+            prior=(entries, ckpt_base),
         ):
             return head + 1
         fs, dp = _hadoop_fs(spark, data_dir)
@@ -1851,7 +2026,7 @@ def _dml_rewrite(
     constraints = get_snapshot_constraints(spark, table)
     for _ in range(max_retries):
         head = _list_versions(spark, table)[-1]
-        entries = _live_entries(spark, table, head)
+        entries, ckpt_base = _live_state(spark, table, head)
         live = [p for p, _ in entries]
         touched = _predicate_touched_dirs(spark, live, pred)
         if not touched:
@@ -1887,6 +2062,7 @@ def _dml_rewrite(
             time.time(),
             stream_hwm=_max_streamed_batch(spark, table),
             table_schema_json=head_schema.json(),
+            prior=(entries, ckpt_base),
         ):
             return head + 1
         fs, dp = _hadoop_fs(spark, data_dir)
@@ -1953,7 +2129,7 @@ def snapshot_replace_where(
     constraints = get_snapshot_constraints(spark, table)
     for _ in range(max_retries):
         head = _list_versions(spark, table)[-1]
-        entries = _live_entries(spark, table, head)
+        entries, ckpt_base = _live_state(spark, table, head)
         live = [p for p, _ in entries]
         touched = _predicate_touched_dirs(spark, live, pred)
         head_schema = table_schema(spark, table, head)
@@ -1997,6 +2173,7 @@ def snapshot_replace_where(
             time.time(),
             stream_hwm=_max_streamed_batch(spark, table),
             table_schema_json=schema_json,
+            prior=(entries, ckpt_base),
         ):
             return head + 1
         fs, dp = _hadoop_fs(spark, data_dir)
@@ -2320,6 +2497,16 @@ def vacuum_snapshots(
             .collect()
         }
         keep = sorted(set(keep) | recent)
+    # retained DELTA manifests resolve against a chain that may extend
+    # below the retention floor. Before reaping it, pin the floor
+    # version's full live listing as a SIDECAR checkpoint (additive —
+    # the commit log entry is never rewritten); every retained version
+    # above resolves through it. keep is a contiguous tail (count floor
+    # and time window are both version-monotone), so one sidecar at the
+    # floor covers the whole retained set.
+    floor = min(keep)
+    if _ckpt_base_of(spark, table, floor) < floor and not dry_run:
+        _write_sidecar_checkpoint(spark, table, floor)
     # Liveness is decided by dir BASENAME under {base}/data — the uuid
     # is the identity. Comparing full manifest paths against a path
     # rebuilt from THIS call's table argument silently deletes the live
@@ -2349,6 +2536,13 @@ def vacuum_snapshots(
             if not dry_run:
                 fs.delete(vp, True)
             removed_manifests += 1
+    # sidecar checkpoints below the retention floor are dead weight —
+    # every retained version resolves through the floor's (written
+    # above, BEFORE any deletion, so this order is safe)
+    for c in _list_sidecar_ckpts(spark, table):
+        if c not in keep and not dry_run:
+            _, cp = _hadoop_fs(spark, f"{_ckpts_dir(table)}/{_vname(c)}")
+            fs.delete(cp, True)
     removed_tmp = 0
     _, root = _hadoop_fs(spark, base)
     for st in fs.listStatus(root):

@@ -20,11 +20,13 @@ Contract, mapped onto the DataSource API:
   ``latestOffset`` polls ListOffsets v1 (no record transfer) and
   optionally rate-limits with ``maxOffsetsPerTrigger`` (the reference's
   1000-msg flush bound), distributing the budget across partitions
-  proportionally to lag like the real connector — except the FIRST
-  micro-batch of each driver incarnation, which is uncapped (the
-  Python API gives the reader no view of the checkpointed position, so
-  the first poll must return the log end to stay monotone; see
-  ``_KafkaWireStreamReader``).
+  proportionally to lag like the real connector. The Python API gives
+  the reader no view of the checkpointed position, so by default the
+  FIRST micro-batch of each driver incarnation is uncapped (the first
+  poll must return the log end to stay monotone); set ``rateCursorDir``
+  (a driver-local dir, e.g. inside the checkpoint location) and the
+  reader persists its own cursor in ``commit()`` so restarts against a
+  backlog plan CAPPED catch-up batches — see ``_KafkaWireStreamReader``.
 - PARTITIONS ARE KAFKA PARTITIONS: one input partition per topic
   partition per micro-batch; each executor fetches ITS offset range
   over its own socket connection (Fetch v4, CRC-verified batches) —
@@ -116,10 +118,12 @@ def _fetch_range(part: _RangePartition):
 
 class _KafkaWireStreamReader(DataSourceStreamReader):
     def __init__(self, host: str, port: int, topic: str,
-                 starting_offsets: str, max_per_trigger: int | None):
+                 starting_offsets: str, max_per_trigger: int | None,
+                 cursor_dir: str | None = None):
         self._host, self._port, self._topic = host, port, topic
         self._starting = starting_offsets
         self._max = max_per_trigger
+        self._cursor_dir = cursor_dir
         # Rate-limit anchor: the last offsets handed to the engine.
         # None until the first poll. The engine chains micro-batch
         # ranges from our PREVIOUS latestOffset return (observed: it
@@ -129,11 +133,49 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
         # monotone non-decreasing; (2) the FIRST poll of an incarnation
         # must be the true log end — the reader cannot see the
         # checkpointed position, and log end is the only value provably
-        # >= it. So maxOffsetsPerTrigger applies from the second
-        # micro-batch of each driver incarnation (the jar connector,
-        # which receives the start via SupportsAdmissionControl, caps
-        # the first batch too — deviation documented).
-        self._last_end: dict[str, int] | None = None
+        # >= it. So WITHOUT a cursor dir, maxOffsetsPerTrigger applies
+        # from the second micro-batch of each driver incarnation only.
+        # WITH ``rateCursorDir``, the reader persists its own cursor in
+        # commit() (called strictly AFTER the engine checkpoints the
+        # batch, so the cursor is always <= the checkpointed position)
+        # and reloads it here — a restart against a large backlog then
+        # plans capped catch-up batches instead of one unbounded one
+        # (the jar connector's SupportsAdmissionControl behavior). A
+        # stale cursor (crash between engine checkpoint and our write)
+        # only costs empty micro-batches until the anchor catches up:
+        # fetch ranges always come from the ENGINE's start, never ours.
+        self._last_end: dict[str, int] | None = self._load_cursor()
+
+    def _cursor_path(self) -> str | None:
+        return f"{self._cursor_dir}/offsets.json" if self._cursor_dir else None
+
+    def _load_cursor(self) -> dict[str, int] | None:
+        import json
+        import os
+
+        p = self._cursor_path()
+        if p is None or not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return {str(k): int(v) for k, v in json.load(fh).items()}
+
+    def _save_cursor(self, end: dict) -> None:
+        import json
+        import os
+        import uuid as _uuid
+
+        p = self._cursor_path()
+        if p is None:
+            return
+        norm = {str(k): int(v) for k, v in end.items()}
+        if norm == getattr(self, "_saved", None):
+            return  # idle polls: don't churn the file
+        os.makedirs(self._cursor_dir, exist_ok=True)
+        tmp = f"{p}.{_uuid.uuid4().hex[:8]}.tmp"
+        with open(tmp, "w") as fh:
+            json.dump(norm, fh)
+        os.replace(tmp, p)  # atomic: readers see old or new, never torn
+        self._saved = norm
 
     def _bounds(self, earliest: bool) -> dict[str, int]:
         parts = kafka_partitions(self._host, self._port, self._topic)
@@ -154,6 +196,31 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
         latest = self._bounds(earliest=False)
         cur = self._last_end
         if cur is not None:
+            # topic partition-set change across polls. Kafka topics only
+            # ever GAIN partitions; a partition disappearing from
+            # metadata means the topic was deleted/recreated — offsets
+            # are meaningless, fail loudly instead of silently replaying
+            # or skipping (the jar connector errors here too).
+            gone = sorted(set(cur) - set(latest))
+            if gone:
+                raise ValueError(
+                    f"kafka_wire: partitions {gone} of topic "
+                    f"{self._topic!r} vanished from broker metadata — "
+                    "topics cannot shrink, so the topic was deleted or "
+                    "recreated; restart the stream with a fresh "
+                    "checkpoint"
+                )
+            # new partitions start at their earliest offset (= 0 for a
+            # freshly created partition), the connector's drain-all
+            # posture — records produced to them are picked up, not lost
+            for p in latest:
+                if p not in cur:
+                    cur = dict(cur)
+                    cur[p] = kafka_list_offsets(
+                        self._host, self._port, self._topic, int(p),
+                        earliest=True,
+                    )
+            self._last_end = cur
             if self._max is not None:
                 lags = {p: latest[p] - cur.get(p, 0) for p in latest}
                 total = sum(max(v, 0) for v in lags.values())
@@ -174,6 +241,15 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
             # monotone clamp — see the anchor comment in __init__
             latest = {p: max(v, cur.get(p, 0)) for p, v in latest.items()}
         self._last_end = dict(latest)
+        # persist per POLL, not just per commit(): the engine's commit
+        # callback fires at the NEXT batch's start, so a run that stops
+        # after its last batch would otherwise leave the cursor a batch
+        # behind — and a single-batch run would never write it at all.
+        # A cursor at most one PLANNED batch ahead of the checkpoint is
+        # safe: fetch ranges always come from the engine's start, so a
+        # crash before the batch commits only means the next
+        # incarnation's first capped batch covers that batch again.
+        self._save_cursor(latest)
         return latest
 
     def partitions(self, start: dict, end: dict):
@@ -190,7 +266,9 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
         yield from _fetch_range(partition)
 
     def commit(self, end: dict) -> None:
-        pass  # offsets live in the engine's checkpoint
+        # offsets live in the engine's checkpoint; the sidecar cursor
+        # only re-arms the rate limiter across driver incarnations
+        self._save_cursor(end)
 
 
 class _KafkaWireBatchReader(DataSourceReader):
@@ -327,7 +405,9 @@ class KafkaWireDataSource(DataSource):
     the public wire protocol. Options: ``bootstrap`` (host:port,
     required), ``topic`` (default binance_trades_raw),
     ``startingOffsets`` (earliest|latest, streaming reads),
-    ``maxOffsetsPerTrigger`` (streaming reads), ``partitions``
+    ``maxOffsetsPerTrigger`` (streaming reads), ``rateCursorDir``
+    (driver-local dir persisting the rate cursor so the limit also
+    caps the first batch after a restart), ``partitions``
     (sink routing width; default = broker metadata). Sink rows follow
     the jar sink's contract: ``value`` required (binary|string),
     ``key``/``partition`` optional; delivery at-least-once (no Kafka
@@ -366,6 +446,7 @@ class KafkaWireDataSource(DataSource):
             self._topic,
             self.options.get("startingoffsets", "earliest"),
             int(mx) if mx is not None else None,
+            cursor_dir=self.options.get("ratecursordir"),
         )
 
     def _make_writer(self) -> _KafkaWireWriter:

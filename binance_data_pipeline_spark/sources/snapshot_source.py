@@ -93,17 +93,65 @@ def _live_dirs(table: str, version: int) -> list[str]:
     from pyarrow import fs as pafs
 
     f, root = _fs_of(table.rstrip("/"))
-    vdir = f"{root}/versions/v{version:0{_V_WIDTH}d}"
-    files = [
-        i.path
-        for i in f.get_file_info(pafs.FileSelector(vdir))
-        if i.base_name.endswith(".parquet")
+
+    def vrows(v: int, kind: str = "versions") -> list[tuple]:
+        # (path, action, base) per manifest row; legacy manifests have
+        # no action/base columns (always full listings)
+        vdir = f"{root}/{kind}/v{v:0{_V_WIDTH}d}"
+        files = [
+            i.path
+            for i in f.get_file_info(pafs.FileSelector(vdir))
+            if i.base_name.endswith(".parquet")
+        ]
+        out = []
+        for fp in files:
+            pf = pq.ParquetFile(fp, filesystem=f)
+            names = pf.schema_arrow.names
+            cols = [c for c in ("path", "action", "base") if c in names]
+            t = pf.read(columns=cols)
+            d = {c: t.column(c).to_pylist() for c in cols}
+            n = t.num_rows
+            nulls = [None] * n
+            out.extend(
+                zip(d["path"], d.get("action", nulls), d.get("base", nulls))
+            )
+        return out
+
+    # mirror of snapshots._live_state: a manifest is a CHECKPOINT (full
+    # live listing; base == own version or legacy) or a DELTA resolved
+    # against checkpoint base + every delta in between
+    rows = vrows(version)
+    base = version
+    for _p, _a, b in rows:
+        if b is not None:
+            base = int(b)
+        break
+    if base == version:
+        return [p for p, a, _b in rows if (a or "add") != "remove"]
+    # a vacuum-written sidecar checkpoint inside [base, version] is the
+    # full listing when the chain's older manifests were reaped
+    sel = pafs.FileSelector(f"{root}/ckpts", allow_not_found=True)
+    side = [
+        int(i.base_name[1:])
+        for i in f.get_file_info(sel)
+        if i.base_name.startswith("v") and i.base_name[1:].isdigit()
+        and base <= int(i.base_name[1:]) <= version
     ]
-    paths = []
-    for fp in files:
-        t = pq.read_table(fp, columns=["path"], filesystem=f)
-        paths.extend(t.column("path").to_pylist())
-    return paths
+    live: dict[str, bool] = {}
+    start = base
+    if side:
+        start = max(side)
+        for p, a, _b in vrows(start, kind="ckpts"):
+            if (a or "add") != "remove":
+                live[p] = True
+        start += 1
+    for v in range(start, version + 1):
+        for p, a, _b in vrows(v):
+            if (a or "add") == "remove":
+                live.pop(p, None)
+            else:
+                live[p] = True
+    return list(live)
 
 
 def _dir_files(data_dir: str) -> list[str]:

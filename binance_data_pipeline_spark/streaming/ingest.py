@@ -111,25 +111,36 @@ def read_raw_stream_from_kafka_wire(
     topic: str = "binance_trades_raw",
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int = MAX_OFFSETS_PER_TRIGGER,
+    rate_cursor_dir: str | None = None,
 ) -> DataFrame:
     """Kafka source (S3) with NO connector jar: the Python-DataSource
     implementation over the public wire protocol
     (`sources/kafka_source.py`). Emits KAFKA_SOURCE_SCHEMA records —
     interchangeable with `read_raw_stream_from_kafka` — with the same
     consumer contract as the reference (earliest offsets
-    kafka_to_s3_bronze.py:22, 1000-msg trigger bound :78)."""
+    kafka_to_s3_bronze.py:22, 1000-msg trigger bound :78).
+
+    Rate-limit caveat: the Python DataSource API hides the checkpointed
+    position from the reader, so WITHOUT ``rate_cursor_dir`` the first
+    micro-batch of each driver incarnation is uncapped — a restart
+    against a large backlog plans one unbounded catch-up batch. Pass
+    ``rate_cursor_dir`` (a driver-local dir; put it inside the stream's
+    checkpoint location so both are deleted together) and the source
+    persists its own cursor, keeping ``max_offsets_per_trigger`` in
+    force across restarts."""
     from ..sources.kafka_source import register_kafka_wire_source
 
     register_kafka_wire_source(spark)
-    raw = (
+    reader = (
         spark.readStream.format("kafka_wire")
         .option("bootstrap", bootstrap_servers)
         .option("topic", topic)
         .option("startingOffsets", starting_offsets)
         .option("maxOffsetsPerTrigger", str(max_offsets_per_trigger))
-        .load()
     )
-    return kafka_records_to_raw(raw)
+    if rate_cursor_dir:
+        reader = reader.option("rateCursorDir", rate_cursor_dir)
+    return kafka_records_to_raw(reader.load())
 
 
 def bronze_stream(raw: DataFrame) -> DataFrame:
@@ -138,16 +149,47 @@ def bronze_stream(raw: DataFrame) -> DataFrame:
     return raw_to_bronze(parse_envelope(raw))
 
 
+def _rate_limited_python_source(df: DataFrame) -> bool:
+    """True when the stream reads a rate-limited Python DataSource
+    (kafka_wire with maxOffsetsPerTrigger): the engine silently
+    degrades ``Trigger.AvailableNow`` on Python sources to a SINGLE
+    batch (warning-only), so the rate limit is lost exactly when it
+    matters — draining a backlog."""
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return "kafka_wire" in plan and "maxOffsetsPerTrigger=" in plan
+
+
 def start_bronze_ingest(
     raw: DataFrame,
     out_path: str,
     checkpoint_path: str,
     trigger_interval: str = MICRO_BATCH_INTERVAL,
     available_now: bool = False,
+    allow_unbounded_drain: bool = False,
 ) -> StreamingQuery:
     """Start the bronze sink (S4): partitioned parquet, 5 s trigger,
     checkpointed. `available_now=True` drains the source then stops
-    (test/backfill mode)."""
+    (test/backfill mode) — refused for a rate-limited ``kafka_wire``
+    source unless ``allow_unbounded_drain=True``, because the engine
+    silently runs Python-DataSource availableNow as ONE batch, turning
+    the bounded drain into exactly the unbounded catch-up batch
+    ``maxOffsetsPerTrigger`` exists to prevent; use the processingTime
+    trigger + ``q.processAllAvailable()`` for a bounded drain."""
+    if (
+        available_now
+        and not allow_unbounded_drain
+        and _rate_limited_python_source(raw)
+    ):
+        raise ValueError(
+            "availableNow on a rate-limited kafka_wire stream runs as a "
+            "SINGLE unbounded batch (Python DataSource engine fallback "
+            "drops maxOffsetsPerTrigger). Drain with the processingTime "
+            "trigger + q.processAllAvailable(), or pass "
+            "allow_unbounded_drain=True if the backlog is known-small."
+        )
     writer = (
         bronze_stream(raw)
         .writeStream.format("parquet")

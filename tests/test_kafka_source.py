@@ -60,7 +60,8 @@ def test_stream_socket_to_bronze_end_to_end(spark, tmp_path):
     with MiniKafkaBroker() as broker:
         _produce_messages(broker.port, msgs)
         raw = read_raw_stream_from_kafka_wire(spark, f"127.0.0.1:{broker.port}")
-        q = start_bronze_ingest(raw, out, ckpt, available_now=True)
+        q = start_bronze_ingest(raw, out, ckpt, available_now=True,
+                                allow_unbounded_drain=True)
         q.awaitTermination(120)
     got = spark.read.parquet(out)
     assert got.count() == FX.expected_trade_count(n=300, seed=11)
@@ -81,7 +82,7 @@ def test_stream_resume_is_exactly_once(spark, tmp_path):
         _produce_messages(broker.port, first)
         q = start_bronze_ingest(
             read_raw_stream_from_kafka_wire(spark, bootstrap), out, ckpt,
-            available_now=True,
+            available_now=True, allow_unbounded_drain=True,
         )
         q.awaitTermination(120)
         n1 = spark.read.parquet(out).count()
@@ -92,7 +93,7 @@ def test_stream_resume_is_exactly_once(spark, tmp_path):
         _produce_messages(broker.port, second)
         q2 = start_bronze_ingest(
             read_raw_stream_from_kafka_wire(spark, bootstrap), out, ckpt,
-            available_now=True,
+            available_now=True, allow_unbounded_drain=True,
         )
         q2.awaitTermination(120)
     got = spark.read.parquet(out)
@@ -187,7 +188,8 @@ def test_starting_offsets_latest_skips_history(spark, tmp_path):
         raw = read_raw_stream_from_kafka_wire(
             spark, bootstrap, starting_offsets="latest"
         )
-        q = start_bronze_ingest(raw, out, ckpt, available_now=True)
+        q = start_bronze_ingest(raw, out, ckpt, available_now=True,
+                                allow_unbounded_drain=True)
         q.awaitTermination(120)
         first = (
             spark.read.parquet(out).count() if os.path.exists(f"{out}/_SUCCESS")
@@ -199,7 +201,7 @@ def test_starting_offsets_latest_skips_history(spark, tmp_path):
         _produce_messages(broker.port, post)
         q2 = start_bronze_ingest(
             read_raw_stream_from_kafka_wire(spark, bootstrap, starting_offsets="latest"),
-            out, ckpt, available_now=True,
+            out, ckpt, available_now=True, allow_unbounded_drain=True,
         )
         q2.awaitTermination(120)
     assert spark.read.parquet(out).count() == FX.expected_trade_count(n=40, seed=3)
@@ -323,3 +325,101 @@ def test_keyed_routing_uses_kafka_murmur2():
         assert got == want, key
     # DefaultPartitioner routing for a known key at N=3
     assert (_murmur2(b"foobar") & 0x7FFFFFFF) % 3 == (-790332482 & 0x7FFFFFFF) % 3
+
+
+def test_restart_after_backlog_is_capped_with_rate_cursor(spark, tmp_path):
+    """rateCursorDir closes the uncapped-first-batch gap: the reader
+    persists its own cursor in commit() (always <= the engine's
+    checkpoint), so a restart against a large backlog plans CAPPED
+    catch-up batches — the exact stall/OOM case maxOffsetsPerTrigger
+    (the reference's 1000-msg bound) exists for."""
+    out, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    cursor = f"{ckpt}/kafka_wire_cursor"
+    with MiniKafkaBroker() as broker:
+        bootstrap = f"127.0.0.1:{broker.port}"
+        _produce_messages(broker.port, FX.raw_ws_messages(n=20, seed=21), batch=1000)
+        raw = read_raw_stream_from_kafka_wire(
+            spark, bootstrap, max_offsets_per_trigger=30, rate_cursor_dir=cursor
+        )
+        q = start_bronze_ingest(raw, out, ckpt, trigger_interval="1 seconds")
+        q.processAllAvailable()
+        q.stop()
+        assert os.path.exists(f"{cursor}/offsets.json")  # cursor persisted
+
+        # backlog lands while the stream is DOWN — the first batch of
+        # the next incarnation is the one the cursor must cap
+        _produce_messages(broker.port, FX.raw_ws_messages(n=200, seed=22), batch=1000)
+        raw2 = read_raw_stream_from_kafka_wire(
+            spark, bootstrap, max_offsets_per_trigger=30, rate_cursor_dir=cursor
+        )
+        q2 = start_bronze_ingest(raw2, out, ckpt, trigger_interval="1 seconds")
+        q2.processAllAvailable()
+        batches = [p["numInputRows"] for p in q2.recentProgress]
+        q2.stop()
+    assert max(batches) <= 30, f"restart batch uncapped: {batches}"
+    expected = FX.expected_trade_count(n=20, seed=21) + FX.expected_trade_count(
+        n=200, seed=22
+    )
+    assert spark.read.parquet(out).count() == expected
+    # no replays either: capped restart ranges stay exact
+    assert (
+        spark.read.parquet(out)
+        .select("trade_id", "price", "quantity").distinct().count() == expected
+    )
+
+
+def test_available_now_refused_on_rate_limited_kafka_wire(spark, tmp_path):
+    """The engine silently runs Python-DataSource availableNow as ONE
+    batch, dropping maxOffsetsPerTrigger — the ingest helper refuses
+    instead of silently losing the bound (escape hatch for known-small
+    backlogs)."""
+    with MiniKafkaBroker() as broker:
+        _produce_messages(broker.port, FX.raw_ws_messages(n=5, seed=1))
+        raw = read_raw_stream_from_kafka_wire(spark, f"127.0.0.1:{broker.port}")
+        with pytest.raises(ValueError, match="unbounded batch"):
+            start_bronze_ingest(
+                raw, str(tmp_path / "o"), str(tmp_path / "c"), available_now=True
+            )
+
+
+def test_partition_added_mid_stream_drains_from_earliest(spark, tmp_path):
+    """A partition appearing in broker metadata mid-stream is picked up
+    from its earliest offset (the jar connector's posture) — not
+    silently dropped; a partition VANISHING raises loudly (topics
+    cannot shrink: the topic was recreated, offsets are meaningless)."""
+    out, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    with MiniKafkaBroker() as broker:
+        bootstrap = f"127.0.0.1:{broker.port}"
+        # only partition 0 exists at stream start
+        _produce_messages(broker.port, FX.raw_ws_messages(n=30, seed=31),
+                          n_partitions=1, batch=1000)
+        raw = read_raw_stream_from_kafka_wire(spark, bootstrap)
+        q = start_bronze_ingest(raw, out, ckpt, trigger_interval="1 seconds")
+        try:
+            q.processAllAvailable()
+            n1 = spark.read.parquet(out).count()
+            assert n1 == FX.expected_trade_count(n=30, seed=31)
+            # partition 1 appears mid-stream with its own records
+            _produce_messages(broker.port, FX.raw_ws_messages(n=20, seed=32),
+                              n_partitions=2, batch=1000)
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    expected = FX.expected_trade_count(n=30, seed=31) + FX.expected_trade_count(
+        n=20, seed=32
+    )
+    assert spark.read.parquet(out).count() == expected
+
+    # vanished partition: unit-level (a MiniKafkaBroker topic cannot
+    # shrink, which is exactly the invariant being enforced)
+    from binance_data_pipeline_spark.sources.kafka_source import (
+        _KafkaWireStreamReader,
+    )
+
+    with MiniKafkaBroker() as broker:
+        kafka_produce("127.0.0.1", broker.port, "t1", 0, [(None, b"x", 0)])
+        rdr = _KafkaWireStreamReader("127.0.0.1", broker.port, "t1",
+                                     "earliest", None)
+        rdr._last_end = {"0": 1, "1": 1}  # reader believes partition 1 exists
+        with pytest.raises(ValueError, match="vanished"):
+            rdr.latestOffset()
