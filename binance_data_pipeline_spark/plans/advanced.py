@@ -340,7 +340,13 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s_name",
             F.col("n_name").alias("nation"),
             "s_acctbal",
-            F.round("unit_cost", 4).alias("unit_cost"),
+            # round as pure double arithmetic, not round(): the min cost
+            # is bit-identical on both engines (one division, one min),
+            # but engines disagree at decimal-round half boundaries
+            # (Spark HALF_UP vs DuckDB's double rounding — 6/1947 rows
+            # at sf0.1); floor(x*1e4+0.5)/1e4 is the same IEEE ops on
+            # the same double everywhere, so it cannot diverge
+            (F.floor(F.col("unit_cost") * 1e4 + 0.5) / 1e4).alias("unit_cost"),
         )
     )
 
@@ -378,7 +384,7 @@ ORACLE = {
             JOIN nation n ON s.s_nationkey = n.n_nationkey
             JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE')
         SELECT p_partkey, p_brand, s_name, nation, s_acctbal,
-               round(unit_cost, 4) AS unit_cost
+               floor(unit_cost * 1e4 + 0.5) / 1e4 AS unit_cost
         FROM elig e
         WHERE unit_cost = (SELECT min(e2.unit_cost) FROM elig e2
                            WHERE e2.p_partkey = e.p_partkey)
