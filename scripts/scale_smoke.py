@@ -174,6 +174,80 @@ def main() -> None:
         },
     )
 
+    # 3c. recall at scale (VERDICT r8 task 6): the catalog enforces
+    # recall floors at sf0.1 fixtures; this measures the SAME floors on
+    # the scaled corpus, where banding/nprobe parameters actually
+    # strain. Near-dup truth: all-pairs over a probe slice that spans
+    # every copy (base ids < 25 → mult×~25 docs, dense in true dups by
+    # construction). ANN truth: brute-force cosine top-k for base
+    # vec_ids < 5 across all copies. Floors mirror plans/northstar.
+    def run_recall_at_scale():
+        from binance_data_pipeline_spark.operators.similarity import (
+            cosine_topk_brute,
+        )
+        from binance_data_pipeline_spark.plans.northstar import (
+            _exact_jaccard_pairs,
+        )
+
+        out = {}
+        sample = docs.where(F.pmod(F.col("doc_id"), F.lit(10_000_000)) < 25)
+        in_probe = lambda c: F.pmod(F.col(c), F.lit(10_000_000)) < 25  # noqa: E731
+
+        def pair_recall(approx_pairs, truth_pairs):
+            t = truth_pairs.count()
+            hit = truth_pairs.join(approx_pairs, ["id_a", "id_b"], "left_semi").count()
+            return (hit / t if t else 1.0), t
+
+        # simhash: truth = all-pairs hamming<=3 over the probe's sigs
+        sig = D._materialize(D.with_simhash(sample))
+        l = sig.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+        r = sig.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+        truth_sim = (
+            l.join(r, F.col("id_a") < F.col("id_b"))
+            .where(F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))) <= 3)
+            .select("id_a", "id_b")
+        )
+        approx_sim = (
+            D.simhash_near_dups(docs)
+            .where(in_probe("id_a") & in_probe("id_b"))
+            .select("id_a", "id_b")
+        )
+        rec, t = pair_recall(approx_sim, truth_sim)
+        out["simhash"] = {"recall": round(rec, 4), "truth_pairs": t, "floor": 0.5}
+
+        # minhash: truth = exact shingle-jaccard >= 0.5 over the probe
+        truth_mh = _exact_jaccard_pairs(sample, threshold=0.5)
+        approx_mh = (
+            D.minhash_near_dups(docs, threshold=0.5)
+            .where(in_probe("id_a") & in_probe("id_b"))
+            .select("id_a", "id_b")
+        )
+        rec, t = pair_recall(approx_mh, truth_mh)
+        out["minhash"] = {"recall": round(rec, 4), "truth_pairs": t, "floor": 0.5}
+
+        # ANN: recall@10 vs brute cosine for base vec_ids < 5, all copies
+        q = emb.where(F.pmod(F.col("vec_id"), F.lit(10_000_000)) < 5)
+        truth_ann = cosine_topk_brute(q, emb, k=10).select(
+            "query_id", "neighbor_id"
+        )
+        n_truth = truth_ann.count()
+        for name, fn, floor in (
+            ("ann_ivf", lambda: ivf_query(spark, idx, q, k=10, nprobe=8), 0.4),
+            ("ann_lsh", lambda: lsh_query(spark, lidx, q, k=10), 0.5),
+        ):
+            got = fn().select("query_id", "neighbor_id")
+            hit = truth_ann.join(
+                got, ["query_id", "neighbor_id"], "left_semi"
+            ).count()
+            out[name] = {
+                "recall": round(hit / n_truth, 4) if n_truth else 1.0,
+                "truth_rows": n_truth,
+                "floor": floor,
+            }
+        return out
+
+    smoke("recall_at_scale", run_recall_at_scale)
+
     # 4. dedup_corpus (exact + near + connected components + audit mapping)
     def run_dedup_corpus():
         kept, mapping = D.dedup_corpus(docs, threshold=0.85, max_bucket_size=5000)

@@ -667,3 +667,337 @@ def test_grouping_shape_differential(spark, duck, i):
     df = _grouping_spark(spark, case)
     errors = compare(df, oracle, f"grouping[{i}:{case['shape']}]")
     assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+# ---- composed shapes (round 9) ----------------------------------------------
+# The sections above cover each feature family in ISOLATION (one join per
+# case; grouping sets over one table); silent divergences now hide in
+# COMPOSITIONS. Three new grammar dimensions: 3-table join chains,
+# grouping sets OVER a join, and window functions OVER a join — plus a
+# streaming differential (foreachBatch incremental vs batch recompute).
+
+def _cust_pred(rng):
+    kind = rng.choice(["segment", "acctbal"])
+    if kind == "segment":
+        vals = sorted(rng.sample(
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+            rng.randint(1, 3)))
+        return ("isin", "c_mktsegment", vals)
+    return (rng.choice(["<", ">="]), "c_acctbal", round(rng.uniform(-500, 8000), 2))
+
+
+def _gen_chain_case(rng):
+    jt1 = rng.choice(["inner", "left"])
+    jt2 = rng.choice(["inner", "left", "right"])
+    keys = rng.sample(
+        ["l_returnflag", "o_orderstatus", "c_mktsegment", "ship_year"],
+        rng.randint(1, 2))
+    aggs = rng.sample(sorted(AGG_SQL), rng.randint(1, 2)) + ["n_cust"]
+    return {"jt1": jt1, "jt2": jt2,
+            "l_preds": [_num_pred(rng)], "r_preds": [_ord_pred(rng)],
+            "c_preds": [_cust_pred(rng)], "keys": keys, "aggs": aggs}
+
+
+def _chain_spark(spark, case):
+    l = load_table(spark, SF_SMALL, "lineitem").where(_conj_col(case["l_preds"]))
+    o = load_table(spark, SF_SMALL, "orders").where(_conj_col(case["r_preds"]))
+    c = load_table(spark, SF_SMALL, "customer").where(_conj_col(case["c_preds"]))
+    df = l.join(o, l.l_orderkey == o.o_orderkey, case["jt1"]).join(
+        c, F.col("o_custkey") == c.c_custkey, case["jt2"])
+    key_cols = [
+        F.year("l_shipdate").cast("long").alias("ship_year") if k == "ship_year"
+        else F.col(k) for k in case["keys"]]
+    agg_cols = [
+        F.count("c_acctbal").alias("n_cust") if a == "n_cust" else _agg_col(a)
+        for a in case["aggs"]]
+    return df.groupBy(*key_cols).agg(*agg_cols)
+
+
+def _chain_sql(case):
+    lw = " AND ".join(_pred_sql(p) for p in case["l_preds"])
+    rw = " AND ".join(_pred_sql(p) for p in case["r_preds"])
+    cw = " AND ".join(_pred_sql(p) for p in case["c_preds"])
+    kw = {"inner": "JOIN", "left": "LEFT JOIN", "right": "RIGHT JOIN"}
+    src = (f"(SELECT * FROM lineitem WHERE {lw}) {kw[case['jt1']]} "
+           f"(SELECT * FROM orders WHERE {rw}) ON l_orderkey = o_orderkey "
+           f"{kw[case['jt2']]} (SELECT * FROM customer WHERE {cw}) "
+           f"ON o_custkey = c_custkey")
+    select = [f"{_key_sql(k)} AS {k}" if k == "ship_year" else k
+              for k in case["keys"]]
+    select += ["count(c_acctbal) AS n_cust" if a == "n_cust" else AGG_SQL[a]
+               for a in case["aggs"]]
+    return (f"SELECT {', '.join(select)} FROM {src} GROUP BY "
+            + ", ".join(_key_sql(k) for k in case["keys"]))
+
+
+N_CHAIN_CASES = 12
+CHAIN_CASES = [_gen_chain_case(random.Random(53000 + i)) for i in range(N_CHAIN_CASES)]
+assert {c["jt2"] for c in CHAIN_CASES} == {"inner", "left", "right"}
+
+
+@pytest.mark.parametrize("i", range(N_CHAIN_CASES))
+def test_join_chain_differential(spark, duck, i):
+    case = CHAIN_CASES[i]
+    sql = _chain_sql(case)
+    oracle = duck.sql(sql).df()
+    df = _chain_spark(spark, case)
+    errors = compare(df, oracle, f"chain[{i}:{case['jt1']}+{case['jt2']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_chain_cases_not_vacuous(duck):
+    nonempty = sum(1 for c in CHAIN_CASES if len(duck.sql(_chain_sql(c)).df()) > 0)
+    assert nonempty >= 0.6 * N_CHAIN_CASES
+
+
+# ---- grouping sets OVER a join ----------------------------------------------
+
+def _gen_join_grouping_case(rng):
+    shape = rng.choice(["rollup", "cube", "sets"])
+    keys = rng.sample(["l_returnflag", "o_orderstatus", "ship_year"], rng.randint(2, 3))
+    sets = None
+    if shape == "sets":
+        universe = [(), tuple(keys[:1]), tuple(keys[1:2]), tuple(keys)]
+        sets = sorted(set(rng.sample(universe, rng.randint(2, 3))))
+        keys = [k for k in keys if any(k in s for s in sets)]
+    return {"shape": shape, "keys": keys, "sets": sets,
+            "l_preds": [_num_pred(rng)], "r_preds": [_ord_pred(rng)],
+            "aggs": rng.sample(sorted(AGG_SQL), rng.randint(1, 2))}
+
+
+def _join_grouping_spark(spark, case):
+    l = load_table(spark, SF_SMALL, "lineitem").where(_conj_col(case["l_preds"]))
+    o = load_table(spark, SF_SMALL, "orders").where(_conj_col(case["r_preds"]))
+    df = (l.join(o, l.l_orderkey == o.o_orderkey)
+          .withColumn("ship_year", F.year("l_shipdate").cast("long")))
+    keys = case["keys"]
+    if case["shape"] == "rollup":
+        g = df.rollup(*keys)
+    elif case["shape"] == "cube":
+        g = df.cube(*keys)
+    else:
+        g = df.groupingSets(
+            [[F.col(k) for k in s] for s in case["sets"]],
+            *[F.col(k) for k in keys])
+    gid = F.lit(0).cast("long")
+    for k in keys:
+        gid = gid * 2 + F.grouping(k).cast("long")
+    return g.agg(gid.alias("gid"), *[_agg_col(a) for a in case["aggs"]])
+
+
+def _join_grouping_sql(case):
+    keys = case["keys"]
+    lw = " AND ".join(_pred_sql(p) for p in case["l_preds"])
+    rw = " AND ".join(_pred_sql(p) for p in case["r_preds"])
+    src = (f"(SELECT *, year(l_shipdate)::BIGINT AS ship_year FROM "
+           f"(SELECT * FROM lineitem WHERE {lw}) JOIN "
+           f"(SELECT * FROM orders WHERE {rw}) ON l_orderkey = o_orderkey)")
+    if case["shape"] == "rollup":
+        gb = f"ROLLUP ({', '.join(keys)})"
+    elif case["shape"] == "cube":
+        gb = f"CUBE ({', '.join(keys)})"
+    else:
+        body = ", ".join("(" + ", ".join(s) + ")" for s in case["sets"])
+        gb = f"GROUPING SETS ({body})"
+    gid = " + ".join(f"grouping({k})::BIGINT * {2 ** (len(keys) - 1 - i)}"
+                     for i, k in enumerate(keys))
+    select = keys + [f"({gid}) AS gid"] + [AGG_SQL[a] for a in case["aggs"]]
+    return f"SELECT {', '.join(select)} FROM {src} GROUP BY {gb}"
+
+
+N_JG_CASES = 10
+JG_CASES = [_gen_join_grouping_case(random.Random(59000 + i)) for i in range(N_JG_CASES)]
+assert {c["shape"] for c in JG_CASES} == {"rollup", "cube", "sets"}
+
+
+@pytest.mark.parametrize("i", range(N_JG_CASES))
+def test_grouping_over_join_differential(spark, duck, i):
+    case = JG_CASES[i]
+    sql = _join_grouping_sql(case)
+    oracle = duck.sql(sql).df()
+    df = _join_grouping_spark(spark, case)
+    lw = " AND ".join(_pred_sql(p) for p in case["l_preds"])
+    rw = " AND ".join(_pred_sql(p) for p in case["r_preds"])
+    n_input = duck.sql(
+        f"SELECT count(*) n FROM (SELECT * FROM lineitem WHERE {lw}) JOIN "
+        f"(SELECT * FROM orders WHERE {rw}) ON l_orderkey = o_orderkey"
+    ).df()["n"][0]
+    if n_input == 0:
+        # documented engine divergence (found BY this fuzz dimension,
+        # pinned in test_grouping_sets_on_empty_input_divergence): the
+        # SQL standard emits the ()-set grand-total row on empty input,
+        # Spark's cube/rollup/groupingSets emit nothing
+        assert df.count() == 0
+        grand = oracle[oracle["gid"] == oracle["gid"].max()]
+        assert len(oracle) == len(grand)
+        return
+    errors = compare(df, oracle, f"jg[{i}:{case['shape']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_grouping_sets_on_empty_input_divergence(spark, duck):
+    """Pinned, known divergence our engine INHERITS from Spark: GROUP BY
+    CUBE/ROLLUP/GROUPING SETS over an EMPTY input emits zero rows in
+    Spark, while the SQL standard (DuckDB, Postgres) emits one row per
+    () grouping set (count(*) = 0, like a global aggregate). Plain
+    global aggregation (groupBy().agg) matches the standard on both.
+    Surfaced by the grouping-over-join fuzz dimension; consumers
+    needing standard semantics must union the global row explicitly."""
+    t = load_table(spark, SF_SMALL, "lineitem").where("l_quantity > 1e9")
+    assert t.cube("l_returnflag").agg(F.count(F.lit(1)).alias("n")).count() == 0
+    assert t.rollup("l_returnflag").agg(F.count(F.lit(1)).alias("n")).count() == 0
+    d = duck.sql(
+        "SELECT l_returnflag, count(*) n FROM lineitem "
+        "WHERE l_quantity > 1e9 GROUP BY CUBE (l_returnflag)"
+    ).df()
+    assert len(d) == 1 and d["n"][0] == 0  # the standard's grand-total row
+    # global aggregation agrees across engines (1 row, count 0)
+    assert t.agg(F.count(F.lit(1)).alias("n")).first()["n"] == 0
+
+
+# ---- window functions OVER a join --------------------------------------------
+# rank/dense_rank are deterministic under ties (equal order tuples share
+# a rank); sum-over-partition uses the whole-partition frame. row_number
+# is intentionally absent: the synthetic lineitem is not key-unique, so
+# no tie-break makes it deterministic across engines.
+
+def _gen_window_join_case(rng):
+    wfn = rng.choice(["rank", "dense_rank", "psum"])
+    part = rng.choice(["o_orderstatus", "l_returnflag"])
+    return {"wfn": wfn, "part": part, "k": rng.randint(3, 8),
+            "l_preds": [_num_pred(rng)], "r_preds": [_ord_pred(rng)]}
+
+
+def _window_join_spark(spark, case):
+    from pyspark.sql import Window
+
+    l = load_table(spark, SF_SMALL, "lineitem").where(_conj_col(case["l_preds"]))
+    o = load_table(spark, SF_SMALL, "orders").where(_conj_col(case["r_preds"]))
+    df = l.join(o, l.l_orderkey == o.o_orderkey)
+    if case["wfn"] == "psum":
+        w = Window.partitionBy(case["part"])
+        return df.select(
+            F.col(case["part"]).alias("pk"),
+            F.col("l_quantity").alias("qty"),
+            F.round(F.sum("l_extendedprice").over(w), 4).alias("wval"))
+    w = (Window.partitionBy(case["part"])
+         .orderBy(F.col("l_extendedprice").desc(), F.col("l_orderkey")))
+    fn = F.rank() if case["wfn"] == "rank" else F.dense_rank()
+    return (df.select(F.col(case["part"]).alias("pk"),
+                      F.col("l_extendedprice").alias("price"),
+                      fn.over(w).alias("wval"))
+            .where(F.col("wval") <= case["k"]))
+
+
+def _window_join_sql(case):
+    lw = " AND ".join(_pred_sql(p) for p in case["l_preds"])
+    rw = " AND ".join(_pred_sql(p) for p in case["r_preds"])
+    src = (f"(SELECT * FROM lineitem WHERE {lw}) JOIN "
+           f"(SELECT * FROM orders WHERE {rw}) ON l_orderkey = o_orderkey")
+    p = case["part"]
+    if case["wfn"] == "psum":
+        return (f"SELECT {p} AS pk, l_quantity AS qty, "
+                f"round(sum(l_extendedprice) OVER (PARTITION BY {p}), 4) AS wval "
+                f"FROM {src}")
+    fn = "rank()" if case["wfn"] == "rank" else "dense_rank()"
+    return (f"SELECT * FROM (SELECT {p} AS pk, l_extendedprice AS price, "
+            f"{fn} OVER (PARTITION BY {p} ORDER BY l_extendedprice DESC, "
+            f"l_orderkey) AS wval FROM {src}) WHERE wval <= {case['k']}")
+
+
+N_WJ_CASES = 9
+WJ_CASES = [_gen_window_join_case(random.Random(61000 + i)) for i in range(N_WJ_CASES)]
+assert {c["wfn"] for c in WJ_CASES} == {"rank", "dense_rank", "psum"}
+
+
+@pytest.mark.parametrize("i", range(N_WJ_CASES))
+def test_window_over_join_differential(spark, duck, i):
+    case = WJ_CASES[i]
+    sql = _window_join_sql(case)
+    oracle = duck.sql(sql).df()
+    df = _window_join_spark(spark, case)
+    errors = compare(df, oracle, f"wj[{i}:{case['wfn']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+# ---- streaming differential ---------------------------------------------
+# foreachBatch incremental maintenance vs batch recompute: feed lineitem
+# in chunks through a file stream, maintain per-key partials for several
+# randomly generated (pred, keys, assoc-agg) cases in foreachBatch, and
+# require the merged final state to EQUAL the one-shot batch groupBy.
+# Aggregates are restricted to associative ones (sum/count/min/max) —
+# the only ones an incremental consumer may merge this way.
+
+def _gen_stream_case(rng):
+    return {
+        "preds": [rng.choice([_num_pred, _cat_pred])(rng)],
+        "keys": rng.sample(["l_returnflag", "l_linestatus"], rng.randint(1, 2)),
+        "aggs": rng.sample(["sum_qty", "n", "max_price", "min_disc"],
+                           rng.randint(1, 3)),
+    }
+
+
+STREAM_CASES = [_gen_stream_case(random.Random(67000 + i)) for i in range(4)]
+_MERGE = {
+    "sum_qty": lambda a, b: a + b,
+    "n": lambda a, b: a + b,
+    "max_price": max,
+    "min_disc": min,
+}
+
+
+def test_streaming_incremental_equals_batch_recompute(spark, tmp_path):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    src = str(tmp_path / "chunks")
+    # 4 chunks, one file each → 4 micro-batches under maxFilesPerTrigger=1
+    li.withColumn("__c", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(4)))\
+      .repartition(4, "__c").drop("__c").write.parquet(src)
+
+    state: list[dict] = [dict() for _ in STREAM_CASES]
+
+    def apply_batch(batch_df, _bid):
+        for ci, case in enumerate(STREAM_CASES):
+            part = (
+                batch_df.where(_conj_col(case["preds"]))
+                .groupBy(*case["keys"])
+                .agg(*[_agg_col(a) for a in case["aggs"]])
+                .collect()
+            )
+            for r in part:
+                k = tuple(r[c] for c in case["keys"])
+                cur = state[ci].get(k)
+                vals = {a: r[a] for a in case["aggs"]}
+                state[ci][k] = (
+                    vals if cur is None
+                    else {a: _MERGE[a](cur[a], vals[a]) for a in case["aggs"]}
+                )
+
+    q = (
+        spark.readStream.schema(li.schema).option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    for ci, case in enumerate(STREAM_CASES):
+        want = {
+            tuple(r[c] for c in case["keys"]): {a: r[a] for a in case["aggs"]}
+            for r in li.where(_conj_col(case["preds"]))
+            .groupBy(*case["keys"])
+            .agg(*[_agg_col(a) for a in case["aggs"]])
+            .collect()
+        }
+        got = state[ci]
+        assert set(got) == set(want), f"case {ci}: key sets differ"
+        for k in want:
+            for a in case["aggs"]:
+                g, w = got[k][a], want[k][a]
+                ok = (
+                    abs(g - w) <= 1e-6 * max(1.0, abs(w))
+                    if isinstance(w, float) else g == w
+                )
+                assert ok, f"case {ci} key {k} agg {a}: {g} != {w}"
+        assert want, f"case {ci} vacuous"

@@ -979,3 +979,54 @@ def test_resize_and_frame_sample(media_df, spark):
     )
     frames = sample_frames(video, every_ms=1000).collect()
     assert [f["frame_ts_ms"] for f in frames] == [0, 1000, 2000]
+
+
+def test_simhash_near_dups_equals_all_pairs_hamming(spark):
+    """Exact recall contract of the distinct-signature formulation
+    (Manku WWW'07: dedup identical fingerprints first): pairs == the
+    naive all-pairs hamming<=k set, with no duplicates, including
+    identical-signature classes (hamming 0) and near pairs discovered
+    through banding over DISTINCT signatures."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    # dup class: 4 byte-identical docs (one signature, 6 pairs)
+    rows += [(i, base) for i in range(4)]
+    # near dups: one-token drifts of the base (small hamming to each other)
+    rows += [(10 + j, base + f" tail{j}") for j in range(3)]
+    # unrelated
+    rows += [(20, "completely different content about spark manifests and kafka wire protocols etc"),
+             (21, "another unrelated document mentioning embeddings retrieval and tokenizers")]
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    sig = {r["id"]: r["simhash"] for r in D._materialize(D.with_simhash(d)).collect()}
+    truth = set()
+    ids = sorted(sig)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sig[a] ^ sig[b]).count("1") <= 3:
+                truth.add((a, b))
+    got = [(r["id_a"], r["id_b"], r["hamming"])
+           for r in D.simhash_near_dups(d).collect()]
+    assert len(got) == len(set((a, b) for a, b, _h in got)), "duplicate pairs"
+    assert {(a, b) for a, b, _h in got} == truth
+    # hamming values are exact
+    for a, b, h in got:
+        assert h == bin(sig[a] ^ sig[b]).count("1")
+    # the 4-doc identical class contributes its 6 hamming-0 pairs
+    assert sum(1 for _a, _b, h in got if h == 0) >= 6
+
+
+def test_simhash_block_cap_keeps_identical_pairs(spark):
+    """max_block_size weights blocks by DOC count (sum of members), so
+    the skew guard means what it did; identical-signature pairs are
+    emitted regardless of the cap (they need no banding)."""
+    boiler = "standard website template navigation header footer sidebar " * 3
+    rows = [(i, boiler) for i in range(30)]  # one signature, 30 members
+    rows += [(100, "a distinctive body of text that stands alone quietly"),]
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    capped = D.simhash_near_dups(d, max_block_size=10).collect()
+    got = {(r["id_a"], r["id_b"]) for r in capped}
+    # every block holding the 30-doc class is over-cap, yet the class's
+    # 435 identical pairs still surface
+    assert len(got) == 30 * 29 // 2
+    assert all(h["hamming"] == 0 for h in capped)
