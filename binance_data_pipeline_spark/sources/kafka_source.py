@@ -167,9 +167,20 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
         p = self._cursor_path()
         if p is None:
             return
-        norm = {str(k): int(v) for k, v in end.items()}
-        if norm == getattr(self, "_saved", None):
-            return  # idle polls: don't churn the file
+        # MONOTONE merge, never a plain overwrite: commit(end) reports
+        # the PREVIOUS batch's end after latestOffset already persisted
+        # a newer poll — letting it regress the file would poison the
+        # next incarnation's anchor (the engine chains batch starts from
+        # the reader's previous return; a regressed return = replay)
+        prev = getattr(self, "_saved", None) or self._load_cursor() or {}
+        norm = {
+            str(k): max(int(v), int(prev.get(str(k), 0)))
+            for k, v in end.items()
+        }
+        for k, v in prev.items():
+            norm.setdefault(str(k), int(v))
+        if norm == prev:
+            return  # idle polls / stale commits: don't churn the file
         os.makedirs(self._cursor_dir, exist_ok=True)
         tmp = f"{p}.{_uuid.uuid4().hex[:8]}.tmp"
         with open(tmp, "w") as fh:
@@ -256,6 +267,23 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
         out = []
         for p, e in end.items():
             s = start.get(p, 0)
+            if e < s:
+                # the offset chain regressed: our latestOffset returned
+                # less than the engine's restored position. With the
+                # monotone cursor this only happens on external
+                # tampering (a hand-edited/copied rateCursorDir) — fail
+                # LOUDLY: silently skipping would make the engine chain
+                # the NEXT batch from the regressed end and re-deliver
+                # committed offsets (observed engine behavior)
+                raise ValueError(
+                    f"kafka_wire: batch end {e} < start {s} for "
+                    f"{self._topic}/{p} — the rate cursor regressed "
+                    "below the stream's checkpointed position (stale or "
+                    "foreign rateCursorDir?). The regressed range is "
+                    "already in the engine's offset WAL: restart the "
+                    "stream with a FRESH checkpoint and delete the "
+                    "cursor dir with it"
+                )
             if e > s:
                 out.append(_RangePartition(
                     self._host, self._port, self._topic, int(p), int(s), int(e)

@@ -423,3 +423,72 @@ def test_partition_added_mid_stream_drains_from_earliest(spark, tmp_path):
         rdr._last_end = {"0": 1, "1": 1}  # reader believes partition 1 exists
         with pytest.raises(ValueError, match="vanished"):
             rdr.latestOffset()
+
+
+def test_tampered_rate_cursor_fails_loudly_then_recovers(spark, tmp_path):
+    """The cursor file is persisted MONOTONE (commit() reporting an older
+    batch can never regress it), so a cursor below the checkpoint only
+    arises from external tampering — and then the source must fail
+    LOUDLY instead of silently re-delivering: the engine chains batch
+    starts from the reader's previous return, so a regressed return
+    poisons the chain into replaying committed offsets (observed).
+    Deleting the cursor dir and restarting drains exactly-once."""
+    import json as _json
+
+    out, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    cursor = f"{ckpt}/kafka_wire_cursor"
+    with MiniKafkaBroker() as broker:
+        bootstrap = f"127.0.0.1:{broker.port}"
+        _produce_messages(broker.port, FX.raw_ws_messages(n=50, seed=41), batch=1000)
+        raw = read_raw_stream_from_kafka_wire(
+            spark, bootstrap, max_offsets_per_trigger=30, rate_cursor_dir=cursor
+        )
+        q = start_bronze_ingest(raw, out, ckpt, trigger_interval="1 seconds")
+        q.processAllAvailable()
+        q.stop()
+        n1 = spark.read.parquet(out).count()
+        assert n1 == FX.expected_trade_count(n=50, seed=41)
+
+        # tamper: regress the cursor to zero, strictly below the checkpoint
+        with open(f"{cursor}/offsets.json") as fh:
+            cur = _json.load(fh)
+        with open(f"{cursor}/offsets.json", "w") as fh:
+            _json.dump({k: 0 for k in cur}, fh)
+
+        _produce_messages(broker.port, FX.raw_ws_messages(n=40, seed=42), batch=1000)
+        raw2 = read_raw_stream_from_kafka_wire(
+            spark, bootstrap, max_offsets_per_trigger=30, rate_cursor_dir=cursor
+        )
+        q2 = start_bronze_ingest(raw2, out, ckpt, trigger_interval="1 seconds")
+        failed = None
+        try:
+            q2.processAllAvailable()
+        except Exception as e:  # loud refusal, not silent replay
+            failed = str(e)
+        finally:
+            q2.stop()
+        assert failed and "regressed below" in failed, failed
+        # nothing was silently replayed into the sink by the poisoned run
+        assert spark.read.parquet(out).count() == n1
+
+        # remediation (as the error instructs): fresh checkpoint + fresh
+        # cursor — the full re-drain lands exactly once in a fresh sink
+        import shutil
+
+        shutil.rmtree(cursor)
+        out2, ckpt2 = str(tmp_path / "bronze2"), str(tmp_path / "ckpt2")
+        raw3 = read_raw_stream_from_kafka_wire(
+            spark, bootstrap, max_offsets_per_trigger=30,
+            rate_cursor_dir=f"{ckpt2}/kafka_wire_cursor",
+        )
+        q3 = start_bronze_ingest(raw3, out2, ckpt2, trigger_interval="1 seconds")
+        q3.processAllAvailable()
+        q3.stop()
+    got = spark.read.parquet(out2)
+    expected = FX.expected_trade_count(n=50, seed=41) + FX.expected_trade_count(
+        n=40, seed=42
+    )
+    assert got.count() == expected  # full re-drain, no loss
+    assert (
+        got.select("trade_id", "price", "quantity").distinct().count() == expected
+    )  # no replay
