@@ -378,8 +378,17 @@ def simhash_near_dups(
     re-verifying every member of every dup class in every band."""
     n_bands = bands if bands is not None else max_hamming + 1
     width = 64 // n_bands
-    sig = _materialize(with_simhash(df, id_col, text_col))
-    sigs = sig.groupBy("simhash").agg(F.count(F.lit(1)).alias("n"))
+    sig = with_simhash(df, id_col, text_col)  # consumed once, by members
+    # ONE shuffle builds everything the distinct-signature plan needs:
+    # member lists (sorted, so in-class pairs come out ordered) and the
+    # class size n (weights the block cap; sizes the same-sig output)
+    members = _materialize(
+        sig.groupBy("simhash").agg(
+            F.sort_array(F.collect_list("id")).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    sigs = members.select("simhash", "n")
     # band i = bits [i*width, (i+1)*width) of the signature, as a separate
     # blocking key per band index (shiftright + mask keeps it JVM-side;
     # the last band absorbs any remainder bits)
@@ -432,28 +441,41 @@ def simhash_near_dups(
     )
     # expand signature pairs to doc pairs: each doc has ONE signature,
     # so every unordered doc pair appears under exactly one (ha, hb) —
-    # no distinct needed on the (quadratic) output
-    ma = sig.select(F.col("simhash").alias("ha"), F.col("id").alias("id_x"))
-    mb = sig.select(F.col("simhash").alias("hb"), F.col("id").alias("id_y"))
+    # no distinct needed on the (quadratic) output. sig_pairs is the
+    # small side by construction (distinct near-dup SIGNATURE pairs) —
+    # broadcast it so the first expansion join costs no shuffle; the
+    # double-explode generates member×member pairs JVM-side
+    ma = members.select(F.col("simhash").alias("ha"), F.col("ids").alias("ids_a"))
+    mb = members.select(F.col("simhash").alias("hb"), F.col("ids").alias("ids_b"))
     cross = (
-        sig_pairs.join(ma, "ha")
+        ma.join(F.broadcast(sig_pairs), "ha")
         .join(mb, "hb")
+        .select(F.explode("ids_a").alias("id_x"), "ids_b", "hamming")
+        .select("id_x", F.explode("ids_b").alias("id_y"), "hamming")
         .select(
             F.least("id_x", "id_y").alias("id_a"),
             F.greatest("id_x", "id_y").alias("id_b"),
             "hamming",
         )
     )
-    sa, sb = sig.alias("sa"), sig.alias("sb")
-    same = (
-        sa.join(
-            sb,
-            (F.col("sa.simhash") == F.col("sb.simhash"))
-            & (F.col("sa.id") < F.col("sb.id")),
+    # identical-signature pairs (hamming 0), generated in place from the
+    # sorted member list — no self-join: ids[i] pairs with every later
+    # ids[j], already ordered
+    pair_structs = F.flatten(
+        F.transform(
+            "ids",
+            lambda x, i: F.transform(
+                F.slice("ids", i + 2, F.size("ids")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
+    )
+    same = (
+        members.where(F.col("n") > 1)
+        .select(F.explode(pair_structs).alias("p"))
         .select(
-            F.col("sa.id").alias("id_a"),
-            F.col("sb.id").alias("id_b"),
+            F.col("p.a").alias("id_a"),
+            F.col("p.b").alias("id_b"),
             F.lit(0).cast("int").alias("hamming"),
         )
     )
