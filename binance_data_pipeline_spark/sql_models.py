@@ -396,7 +396,15 @@ def _run_streaming_model(
 ) -> int | None:
     """Drain-available-and-stop leg of a streaming model (what
     ``run_models`` calls — dbt's run-to-completion contract over the
-    change feed). ``start_streaming_model`` is the always-on leg."""
+    change feed). ``start_streaming_model`` is the always-on leg.
+
+    availableNow over the Python ``snapshot_table`` source degrades to
+    SINGLE-BATCH execution (engine fallback, warning-only) — harmless
+    here because the change feed has no rate limit to lose: one batch
+    spanning all pending versions is semantically identical to several
+    (exactly-once rides the version offsets either way). Rate-limited
+    Python sources (kafka_wire) must NOT take this path — see
+    ``streaming.ingest.start_bronze_ingest``'s guard."""
     pre = _list_versions(spark, path)
     writer, schema = _streaming_model_writer(spark, model, sources, path, env, vars)
     q = writer.trigger(availableNow=True).start()
