@@ -28,11 +28,22 @@ per the Hadoop FS contract (the ivf.py/state_swap.py discipline), so:
   old dirs (history is never rewritten), and `vacuum_snapshots`
   deletes only dirs no retained manifest references.
 
-Scale posture: a manifest holds one row per commit DIRECTORY, not per
-file — commit cost is O(1) metadata regardless of data volume, and a
-read lists only live dirs. History/as-of resolution reads the manifest
-rows themselves (one glob read over `versions/*` — KBs per thousand
-commits, the Delta-log posture). Data dirs inherit whatever
+Scale posture (the Delta-log shape, round 9): append/merge/DML commits
+write DELTA manifests — one "add" row per new dir, one "remove" row
+per dropped dir — so commit metadata cost is O(changed dirs), however
+many dirs are live. Every ``_CKPT_EVERY``th version, and every
+overwrite/rollback/compact, writes a full-listing CHECKPOINT; readers
+resolve a delta against its recorded checkpoint ``base`` plus the
+deltas in between (bounded by the cadence, never the whole log, never
+a data file). ``vacuum_snapshots`` pins the retention floor as an
+additive SIDECAR checkpoint (``{table}/ckpts/v{N}`` — commit-log
+entries are never rewritten) before reaping a chain, so retention
+semantics are unchanged and retained versions keep resolving.
+Pre-delta-format tables read unchanged: their full-listing manifests
+ARE checkpoints, and the first new commit starts a delta chain on top.
+History/as-of resolution reads the manifest rows themselves (KBs per
+thousand commits); the stream high-water mark reads the HEAD manifest
+alone (carried forward on every commit). Data dirs inherit whatever
 `partitionBy` layout the writer used, so partition pruning inside each
 live dir is unchanged.
 """
