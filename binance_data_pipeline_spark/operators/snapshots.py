@@ -2457,6 +2457,10 @@ def snapshot_detail(spark: SparkSession, table: str) -> dict:
         },
         "constraints": get_snapshot_constraints(spark, table),
         "stream_hwm": _max_streamed_batch(spark, table),
+        # delta-log introspection: where the head resolves from and how
+        # many vacuum-written sidecar checkpoints the table carries
+        "head_checkpoint_base": _ckpt_base_of(spark, table, head),
+        "sidecar_ckpts": _list_sidecar_ckpts(spark, table),
     }
 
 

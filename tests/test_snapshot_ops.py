@@ -40,6 +40,10 @@ def test_snapshot_detail_reports_metadata_without_reading_rows(spark, tmp_path):
     assert d["constraints"] == {"qty_pos": "qty > 0"}
     assert d["stream_hwm"] == 7
     assert d["head_operation"].startswith("stream-append:")
+    # delta-log introspection: v1 is a delta resolving against ckpt v0;
+    # no vacuum has run, so no sidecar checkpoints yet
+    assert d["head_checkpoint_base"] == 0
+    assert d["sidecar_ckpts"] == []
 
 
 def test_vacuum_dry_run_reports_but_deletes_nothing(spark, tmp_path):
