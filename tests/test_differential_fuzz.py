@@ -1001,3 +1001,73 @@ def test_streaming_incremental_equals_batch_recompute(spark, tmp_path):
                 )
                 assert ok, f"case {ci} key {k} agg {a}: {g} != {w}"
         assert want, f"case {ci} vacuous"
+
+
+# ---- join OVER an aggregate (aggregate-then-join) -------------------------
+# The dual of grouping-over-join: a per-order aggregate of lineitem is
+# joined to orders and re-aggregated — the shape every "top customers by
+# revenue" query takes, probing aggregate-alias resolution through joins.
+
+def _gen_agg_join_case(rng):
+    jt = rng.choice(["inner", "left"])
+    return {"jt": jt, "l_preds": [_num_pred(rng)], "r_preds": [_ord_pred(rng)],
+            "inner_agg": rng.choice(["sum", "count", "max"]),
+            "keys": rng.sample(["o_orderstatus", "o_orderpriority"], 1)}
+
+
+def _agg_join_spark(spark, case):
+    l = load_table(spark, SF_SMALL, "lineitem").where(_conj_col(case["l_preds"]))
+    inner = {
+        "sum": F.round(F.sum("l_extendedprice"), 4),
+        "count": F.count(F.lit(1)),
+        "max": F.max("l_quantity"),
+    }[case["inner_agg"]]
+    per_order = l.groupBy("l_orderkey").agg(inner.alias("m"))
+    o = load_table(spark, SF_SMALL, "orders").where(_conj_col(case["r_preds"]))
+    jt = case["jt"]
+    # left join keeps orders with no qualifying lineitem (NULL m)
+    df = (o.join(per_order, o.o_orderkey == per_order.l_orderkey, "left")
+          if jt == "left"
+          else per_order.join(o, per_order.l_orderkey == o.o_orderkey))
+    k = case["keys"][0]
+    return df.groupBy(k).agg(
+        F.round(F.sum("m"), 4).alias("total_m"),
+        F.count("m").alias("n_m"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def _agg_join_sql(case):
+    lw = " AND ".join(_pred_sql(p) for p in case["l_preds"])
+    rw = " AND ".join(_pred_sql(p) for p in case["r_preds"])
+    inner = {
+        "sum": "round(sum(l_extendedprice), 4)",
+        "count": "count(*)",
+        "max": "max(l_quantity)",
+    }[case["inner_agg"]]
+    per_order = (f"(SELECT l_orderkey, {inner} AS m FROM lineitem "
+                 f"WHERE {lw} GROUP BY l_orderkey)")
+    ow = f"(SELECT * FROM orders WHERE {rw})"
+    if case["jt"] == "left":
+        src = f"{ow} LEFT JOIN {per_order} ON o_orderkey = l_orderkey"
+    else:
+        src = f"{per_order} JOIN {ow} ON l_orderkey = o_orderkey"
+    k = case["keys"][0]
+    return (f"SELECT {k}, round(sum(m), 4) AS total_m, count(m) AS n_m, "
+            f"count(*) AS n_rows FROM {src} GROUP BY {k}")
+
+
+N_AJ_CASES = 8
+AJ_CASES = [_gen_agg_join_case(random.Random(71000 + i)) for i in range(N_AJ_CASES)]
+assert {c["jt"] for c in AJ_CASES} == {"inner", "left"}
+
+
+@pytest.mark.parametrize("i", range(N_AJ_CASES))
+def test_join_over_aggregate_differential(spark, duck, i):
+    case = AJ_CASES[i]
+    sql = _agg_join_sql(case)
+    oracle = duck.sql(sql).df()
+    assert len(oracle) > 0, "vacuous case"
+    df = _agg_join_spark(spark, case)
+    errors = compare(df, oracle, f"aj[{i}:{case['jt']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
