@@ -158,8 +158,41 @@ def case_unpartitioned_global(spark):
     return df, sql
 
 
+def case_range_frames(spark):
+    """RANGE frames (value-based, peer-inclusive — the one frame family
+    the ROWS cases can't reach): a running sum over a numeric ORDER
+    column includes ALL peers of the current value on both engines, and
+    a bounded numeric range (5 PRECEDING) windows by VALUE distance.
+    Deterministic regardless of tie order, so the order column needs no
+    unique tie-break."""
+    w_run = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_band = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_quantity")
+        .rangeBetween(-5, Window.currentRow)
+    )
+    df = _base(spark).select(
+        *ID_COLS,
+        F.round(F.sum("l_extendedprice").over(w_run), 4).alias("run_price"),
+        F.count(F.lit(1)).over(w_band).alias("band_n"),
+    )
+    sql = f"""SELECT {ID_SQL},
+              round(sum(l_extendedprice) OVER (PARTITION BY l_returnflag
+                  ORDER BY l_quantity
+                  RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_price,
+              count(*) OVER (PARTITION BY l_returnflag ORDER BY l_quantity
+                  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS band_n
+              FROM lineitem WHERE {FILTER_SQL}"""
+    return df, sql
+
+
 CASES = {
     "row_number": case_row_number,
+    "range_frames": case_range_frames,
     "rank_with_ties": case_rank_with_ties,
     "lag_lead": case_lag_lead,
     "running_sum": case_running_sum,
