@@ -490,6 +490,31 @@ def main() -> None:
 
     smoke("constrained_commit", run_constrained_commit)
 
+    # pure-METADATA commit loop: 60 one-row commits isolate manifest
+    # cost from data-write cost (the mult-commit loops above are
+    # dominated by their 600k-row dir writes). Flat early/late deciles
+    # = the delta-manifest log holds; growth here would mean per-commit
+    # metadata cost is creeping back toward O(live dirs)/O(versions).
+    def run_manifest_metadata_loop():
+        mtbl = f"{base}/meta_loop"
+        one = spark.range(1).selectExpr("id", "id * 2 as v")
+        walls = []
+        for _ in range(60):
+            t0 = time.time()
+            commit_snapshot(spark, mtbl, one, stats_cols=["id"])
+            walls.append(time.time() - t0)
+        early = sorted(walls[5:15])
+        late = sorted(walls[-10:])
+        return {
+            "early_median_sec": round(early[len(early) // 2], 3),
+            "late_median_sec": round(late[len(late) // 2], 3),
+            "late_over_early": round(
+                late[len(late) // 2] / early[len(early) // 2], 2
+            ),
+        }
+
+    smoke("manifest_metadata_loop", run_manifest_metadata_loop)
+
     print("FINAL " + json.dumps(results), flush=True)
 
 
