@@ -1071,3 +1071,298 @@ def test_join_over_aggregate_differential(spark, duck, i):
     df = _agg_join_spark(spark, case)
     errors = compare(df, oracle, f"aj[{i}:{case['jt']}]")
     assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+# ---- null-injection differential (round 9) ---------------------------------
+# Every dimension above runs over TPC-H columns, which are NOT NULL by
+# construction — so the fuzz never exercised 3VL: null group keys, null
+# aggregate inputs, null join keys, IS [NOT] DISTINCT FROM. Build ONE
+# null-injected derived relation identically on both engines (nulls
+# seeded deterministically from key columns) and fuzz over it.
+
+_NLI_SQL = (
+    "(SELECT l_orderkey,"
+    " CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE l_quantity END AS q,"
+    " CASE WHEN l_partkey % 5 = 0 THEN NULL ELSE l_returnflag END AS flag,"
+    " CASE WHEN l_suppkey % 3 = 0 THEN NULL ELSE l_suppkey END AS sk,"
+    " l_extendedprice AS price, l_linestatus AS status FROM lineitem)"
+)
+
+
+def _nli_spark(spark):
+    li = load_table(spark, SF_SMALL, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.when(F.col("l_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("l_quantity")).alias("q"),
+        F.when(F.col("l_partkey") % 5 == 0, F.lit(None))
+        .otherwise(F.col("l_returnflag")).alias("flag"),
+        F.when(F.col("l_suppkey") % 3 == 0, F.lit(None))
+        .otherwise(F.col("l_suppkey")).alias("sk"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_linestatus").alias("status"),
+    )
+
+
+def _null_pred(rng):
+    kind = rng.choice(
+        ["q_gt", "flag_is_null", "flag_not_null", "flag_ndistinct",
+         "coalesce_q_gt", "q_null_or_gt"]
+    )
+    v = round(rng.uniform(5.0, 45.0), 2)
+    val = rng.choice(["A", "N", "R"])
+    return (kind, v, val)
+
+
+def _null_pred_col(p):
+    kind, v, val = p
+    return {
+        "q_gt": F.col("q") > v,
+        "flag_is_null": F.col("flag").isNull(),
+        "flag_not_null": F.col("flag").isNotNull(),
+        # IS DISTINCT FROM: TRUE/FALSE, never NULL — the negated
+        # null-safe equality
+        "flag_ndistinct": ~F.col("flag").eqNullSafe(F.lit(val)),
+        "coalesce_q_gt": F.coalesce(F.col("q"), F.lit(0.0)) > v,
+        "q_null_or_gt": F.col("q").isNull() | (F.col("q") > v),
+    }[kind]
+
+
+def _null_pred_sql(p):
+    kind, v, val = p
+    return {
+        "q_gt": f"q > {v}",
+        "flag_is_null": "flag IS NULL",
+        "flag_not_null": "flag IS NOT NULL",
+        "flag_ndistinct": f"flag IS DISTINCT FROM '{val}'",
+        "coalesce_q_gt": f"coalesce(q, 0.0) > {v}",
+        "q_null_or_gt": f"(q IS NULL OR q > {v})",
+    }[kind]
+
+
+_NULL_AGGS = {
+    # count(*) counts null rows; count(q)/min/avg/distinct skip them —
+    # the exact asymmetry 3VL fuzzing exists to pin. Column builders are
+    # LAZY (no active session at collection time).
+    "n_star": (lambda: F.count(F.lit(1)), "count(*)"),
+    "n_q": (lambda: F.count("q"), "count(q)"),
+    "sum_q": (lambda: F.sum("q"), "sum(q)"),
+    "avg_q": (lambda: F.round(F.avg("q"), 4), "round(avg(q), 4)"),
+    "nd_flag": (lambda: F.countDistinct("flag"), "count(DISTINCT flag)"),
+    "min_q": (lambda: F.min("q"), "min(q)"),
+    "n_flag_null": (
+        lambda: F.sum(F.when(F.col("flag").isNull(), 1).otherwise(0)),
+        "sum(CASE WHEN flag IS NULL THEN 1 ELSE 0 END)",
+    ),
+}
+
+
+def _gen_null_case(rng):
+    return {
+        "preds": [_null_pred(rng) for _ in range(rng.randint(1, 2))],
+        "keys": rng.sample(["flag", "status"], rng.randint(0, 2)),
+        "aggs": rng.sample(sorted(_NULL_AGGS), rng.randint(2, 4)),
+        # join through the NULLABLE key sk: inner drops null-key rows,
+        # left keeps them with null supplier columns
+        "join": rng.choice([None, "inner", "left"]),
+    }
+
+
+def _null_spark(spark, case):
+    df = _nli_spark(spark)
+    cond = _null_pred_col(case["preds"][0])
+    for p in case["preds"][1:]:
+        cond = cond & _null_pred_col(p)
+    df = df.where(cond)
+    aggs = [_NULL_AGGS[a][0]().alias(a) for a in case["aggs"]]
+    if case["join"]:
+        s = load_table(spark, SF_SMALL, "supplier").select("s_suppkey", "s_acctbal")
+        df = df.join(s, df.sk == s.s_suppkey, case["join"])
+        aggs.append(F.count("s_acctbal").alias("n_s"))
+    keys = case["keys"]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def _null_sql(case):
+    src = f"{_NLI_SQL} nli"
+    if case["join"]:
+        jt = "JOIN" if case["join"] == "inner" else "LEFT JOIN"
+        src += (" " + jt +
+                " (SELECT s_suppkey, s_acctbal FROM supplier) s ON sk = s_suppkey")
+    select = list(case["keys"]) + [
+        f"{_NULL_AGGS[a][1]} AS {a}" for a in case["aggs"]
+    ]
+    if case["join"]:
+        select.append("count(s_acctbal) AS n_s")
+    where = " AND ".join(_null_pred_sql(p) for p in case["preds"])
+    sql = f"SELECT {', '.join(select)} FROM {src} WHERE {where}"
+    if case["keys"]:
+        sql += " GROUP BY " + ", ".join(case["keys"])
+    return sql
+
+
+N_NULL_CASES = 14
+NULL_CASES = [_gen_null_case(random.Random(81000 + i)) for i in range(N_NULL_CASES)]
+assert any(c["join"] == "left" for c in NULL_CASES)
+assert any(c["keys"] for c in NULL_CASES)
+
+
+@pytest.mark.parametrize("i", range(N_NULL_CASES))
+def test_null_injection_differential(spark, duck, i):
+    case = NULL_CASES[i]
+    sql = _null_sql(case)
+    oracle = duck.sql(sql).df()
+    df = _null_spark(spark, case)
+    errors = compare(df, oracle, f"null[{i}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_null_cases_not_vacuous(duck):
+    nonempty = sum(1 for c in NULL_CASES if len(duck.sql(_null_sql(c)).df()) > 0)
+    assert nonempty >= 0.6 * N_NULL_CASES
+
+
+# ---- subquery-shape differential (round 9) ----------------------------------
+# IN / NOT IN / EXISTS / NOT EXISTS / scalar subqueries with nulls
+# injected into the probe column AND the subquery values. NOT IN is the
+# classic 3VL trap (one inner NULL -> never TRUE; null probe -> UNKNOWN
+# whenever the subquery is non-empty). Each case runs THREE ways and
+# must agree: DuckDB SQL (oracle), Spark SQL text (Catalyst's own
+# null-aware anti join), and the operators.subqueries DataFrame helpers.
+
+from binance_data_pipeline_spark.operators.subqueries import (  # noqa: E402
+    exists_filter,
+    in_filter,
+    not_exists_filter,
+    not_in_filter,
+)
+
+
+def _gen_subq_case(rng):
+    return {
+        "shape": rng.choice(["in", "not_in", "exists", "not_exists", "scalar"]),
+        "inner_null_mod": rng.choice([None, 13, 97]),
+        "outer_null_mod": rng.choice([None, 11]),
+        "acct_min": rng.choice([-999.0, 1000.0, 4500.0, 8000.0]),
+        "mult": rng.choice([10, 30, 50]),
+    }
+
+
+def _subq_sql(case, orders="orders", customer="customer"):
+    om = case["outer_null_mod"]
+    ock = (f"CASE WHEN o_orderkey % {om} = 0 THEN NULL ELSE o_custkey END"
+           if om else "o_custkey")
+    outer = (f"(SELECT {ock} AS ock, o_orderstatus, o_totalprice "
+             f"FROM {orders}) o")
+    im = case["inner_null_mod"]
+    ick = (f"CASE WHEN c_custkey % {im} = 0 THEN NULL ELSE c_custkey END"
+           if im else "c_custkey")
+    inner = (f"SELECT {ick} FROM {customer} "
+             f"WHERE c_acctbal > {case['acct_min']}")
+    shape = case["shape"]
+    if shape == "in":
+        where = f"ock IN ({inner})"
+    elif shape == "not_in":
+        where = f"ock NOT IN ({inner})"
+    elif shape == "exists":
+        where = (f"EXISTS (SELECT 1 FROM {customer} c WHERE c.c_custkey = o.ock "
+                 f"AND c.c_acctbal > {case['acct_min']})")
+    elif shape == "not_exists":
+        where = (f"NOT EXISTS (SELECT 1 FROM {customer} c WHERE c.c_custkey = o.ock "
+                 f"AND c.c_acctbal > {case['acct_min']})")
+    else:  # scalar
+        where = (f"o_totalprice > (SELECT avg(c_acctbal) FROM {customer} "
+                 f"WHERE c_acctbal > {case['acct_min']}) * {case['mult']}")
+    return (f"SELECT o_orderstatus, count(*) AS n, "
+            f"round(sum(o_totalprice), 4) AS sum_p FROM {outer} "
+            f"WHERE {where} GROUP BY o_orderstatus")
+
+
+def _subq_outer(spark, case):
+    om = case["outer_null_mod"]
+    o = load_table(spark, SF_SMALL, "orders")
+    ock = (F.when(F.col("o_orderkey") % om == 0, F.lit(None))
+           .otherwise(F.col("o_custkey")) if om else F.col("o_custkey"))
+    return o.select(ock.alias("ock"), "o_orderstatus", "o_totalprice")
+
+
+def _subq_df(spark, case):
+    """Lowering through the operators.subqueries helpers."""
+    o = _subq_outer(spark, case)
+    c = load_table(spark, SF_SMALL, "customer")
+    pred = F.col("c_acctbal") > case["acct_min"]
+    im = case["inner_null_mod"]
+    ick = (F.when(F.col("c_custkey") % im == 0, F.lit(None))
+           .otherwise(F.col("c_custkey")) if im else F.col("c_custkey"))
+    inner_vals = c.where(pred).select(ick.alias("ick"))
+    shape = case["shape"]
+    if shape == "in":
+        flt = in_filter(o, "ock", inner_vals, "ick")
+    elif shape == "not_in":
+        flt = not_in_filter(o, "ock", inner_vals, "ick")
+    elif shape == "exists":
+        flt = exists_filter(
+            o, c.where(pred).select("c_custkey"),
+            F.col("ock") == F.col("c_custkey"))
+    elif shape == "not_exists":
+        flt = not_exists_filter(
+            o, c.where(pred).select("c_custkey"),
+            F.col("ock") == F.col("c_custkey"))
+    else:  # scalar: bounded driver scalar, same decision an uncorrelated
+        # scalar subquery plan makes
+        s = c.where(pred).agg(F.avg("c_acctbal")).first()[0]
+        flt = (o.where(F.col("o_totalprice") > float(s) * case["mult"])
+               if s is not None else o.limit(0))
+    return flt.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_p"),
+    )
+
+
+N_SUBQ_CASES = 12
+SUBQ_CASES = [_gen_subq_case(random.Random(91000 + i)) for i in range(N_SUBQ_CASES)]
+# handcrafted edges: NOT IN over an EMPTY subquery keeps every row
+# (null probes included); NOT IN over a null-containing subquery keeps
+# none — both must hold on all three lowerings
+SUBQ_CASES.append({"shape": "not_in", "inner_null_mod": None,
+                   "outer_null_mod": 11, "acct_min": 99999.0, "mult": 10})
+SUBQ_CASES.append({"shape": "not_in", "inner_null_mod": 13,
+                   "outer_null_mod": 11, "acct_min": -999.0, "mult": 10})
+SUBQ_CASES.append({"shape": "not_exists", "inner_null_mod": None,
+                   "outer_null_mod": 11, "acct_min": 4500.0, "mult": 10})
+assert {c["shape"] for c in SUBQ_CASES} >= {"in", "not_in", "exists",
+                                            "not_exists", "scalar"}
+
+
+@pytest.fixture(scope="module")
+def subq_views(spark):
+    load_table(spark, SF_SMALL, "orders").createOrReplaceTempView("fz_orders")
+    load_table(spark, SF_SMALL, "customer").createOrReplaceTempView("fz_customer")
+
+
+@pytest.mark.parametrize("i", range(len(SUBQ_CASES)))
+def test_subquery_shape_differential(spark, duck, subq_views, i):
+    case = SUBQ_CASES[i]
+    sql = _subq_sql(case)
+    oracle = duck.sql(sql).df()
+    # leg 1: Spark SQL text (Catalyst's IN/NOT IN/EXISTS planning)
+    sdf = spark.sql(_subq_sql(case, orders="fz_orders", customer="fz_customer"))
+    errors = compare(sdf, oracle, f"subq-sql[{i}:{case['shape']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+    # leg 2: the DataFrame helpers
+    hdf = _subq_df(spark, case)
+    errors = compare(hdf, oracle, f"subq-df[{i}:{case['shape']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_not_in_empty_subquery_keeps_null_probes(spark, duck, subq_views):
+    """The handcrafted empty-subquery NOT IN case must be NON-vacuous in
+    a specific way: it returns every outer row — null probes included —
+    while the null-containing variant returns zero rows."""
+    empty_case, null_case = SUBQ_CASES[-3], SUBQ_CASES[-2]
+    n_orders = duck.sql("SELECT count(*) AS n FROM orders").df()["n"][0]
+    got = duck.sql(_subq_sql(empty_case)).df()["n"].sum()
+    assert got == n_orders
+    assert len(duck.sql(_subq_sql(null_case)).df()) == 0
+    assert _subq_df(spark, empty_case).agg(F.sum("n")).first()[0] == n_orders
+    assert _subq_df(spark, null_case).count() == 0
