@@ -98,10 +98,12 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_subquery_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Uncorrelated IN-subquery + correlated scalar subquery in one tagged
-    result (Catalyst decorrelates both to joins — check the plan, not the
-    syntax). Consolidates the round-1 `in_subquery` +
-    `correlated_scalar_subquery` entries."""
+    """Uncorrelated IN-subquery + NOT IN (Catalyst's null-aware anti
+    join) + correlated scalar subquery in one tagged result (Catalyst
+    decorrelates all three to joins — check the plan, not the syntax).
+    Consolidates the round-1 `in_subquery` + `correlated_scalar_subquery`
+    entries; the NOT IN 3VL edge cases (empty subquery, inner NULLs) are
+    pinned by the subquery-shape differential fuzz."""
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v2")
     return spark.sql(
@@ -109,6 +111,12 @@ def q_subquery_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'in_subquery' AS shape, c_mktsegment, count(*) AS n
         FROM customer_v
         WHERE c_custkey IN (
+            SELECT o_custkey FROM orders_v2 WHERE o_totalprice > 300000)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'not_in_subquery' AS shape, c_mktsegment, count(*) AS n
+        FROM customer_v
+        WHERE c_custkey NOT IN (
             SELECT o_custkey FROM orders_v2 WHERE o_totalprice > 300000)
         GROUP BY c_mktsegment
         UNION ALL
@@ -479,6 +487,12 @@ ORACLE = {
         SELECT 'in_subquery' AS shape, c_mktsegment, count(*) AS n
         FROM customer
         WHERE c_custkey IN (
+            SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'not_in_subquery' AS shape, c_mktsegment, count(*) AS n
+        FROM customer
+        WHERE c_custkey NOT IN (
             SELECT o_custkey FROM orders WHERE o_totalprice > 300000)
         GROUP BY c_mktsegment
         UNION ALL
