@@ -1366,3 +1366,110 @@ def test_not_in_empty_subquery_keeps_null_probes(spark, duck, subq_views):
     assert len(duck.sql(_subq_sql(null_case)).df()) == 0
     assert _subq_df(spark, empty_case).agg(F.sum("n")).first()[0] == n_orders
     assert _subq_df(spark, null_case).count() == 0
+
+
+# ---- decimal-arithmetic differential (round 9) ------------------------------
+# Every numeric dimension above runs in DOUBLE. Money math runs in
+# DECIMAL, where the engines apply their own precision/scale promotion
+# rules (Spark: sum(p,s)->(p+10,s), mul->(p1+p2+1,s1+s2); DuckDB has its
+# own) — divergence here means silent money corruption. Both engines
+# compute in decimal end-to-end; only the FINAL projection casts to
+# DOUBLE so the comparison is value-based, not scale-format-based.
+
+_DEC_EXPRS = {
+    "sum_dp": (
+        lambda: F.sum("dp"),
+        "sum(dp)",
+    ),
+    "rev": (  # the TPC-H revenue kernel, decimal-exact
+        lambda: F.sum(F.col("dp") * (F.lit(1) - F.col("dd"))),
+        "sum(dp * (1 - dd))",
+    ),
+    "charge": (
+        lambda: F.sum(F.col("dp") * (F.lit(1) - F.col("dd")) * (F.lit(1) + F.col("dt"))),
+        "sum(dp * (1 - dd) * (1 + dt))",
+    ),
+    "avg_dp": (
+        lambda: F.avg("dp"),
+        "avg(dp)",
+    ),
+    "max_net": (
+        lambda: F.max(F.col("dp") - F.col("dp") * F.col("dd")),
+        "max(dp - dp * dd)",
+    ),
+    "n": (
+        lambda: F.count(F.lit(1)),
+        "count(*)",
+    ),
+}
+
+
+def _dec_spark(spark, case):
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        F.col("l_extendedprice").cast("decimal(12,2)").alias("dp"),
+        F.col("l_discount").cast("decimal(12,4)").alias("dd"),
+        F.col("l_tax").cast("decimal(12,4)").alias("dt"),
+        "l_returnflag", "l_linestatus", "l_quantity",
+    )
+    df = li.where(F.col("l_quantity") > case["qmin"])
+    aggs = [
+        _DEC_EXPRS[e][0]().cast("double").alias(e) for e in case["exprs"]
+    ]
+    keys = case["keys"]
+    return df.groupBy(*keys).agg(*aggs) if keys else df.agg(*aggs)
+
+
+def _dec_sql(case):
+    src = ("(SELECT CAST(l_extendedprice AS DECIMAL(12,2)) AS dp,"
+           " CAST(l_discount AS DECIMAL(12,4)) AS dd,"
+           " CAST(l_tax AS DECIMAL(12,4)) AS dt,"
+           " l_returnflag, l_linestatus, l_quantity FROM lineitem)")
+    select = list(case["keys"]) + [
+        f"CAST({_DEC_EXPRS[e][1]} AS DOUBLE) AS {e}" for e in case["exprs"]
+    ]
+    sql = (f"SELECT {', '.join(select)} FROM {src} nli "
+           f"WHERE l_quantity > {case['qmin']}")
+    if case["keys"]:
+        sql += " GROUP BY " + ", ".join(case["keys"])
+    return sql
+
+
+N_DEC_CASES = 10
+DEC_CASES = [
+    {
+        "qmin": round(random.Random(61000 + i).uniform(0.0, 40.0), 2),
+        "keys": random.Random(61000 + i).sample(
+            ["l_returnflag", "l_linestatus"],
+            random.Random(62000 + i).randint(0, 2)),
+        "exprs": random.Random(63000 + i).sample(
+            sorted(_DEC_EXPRS), random.Random(64000 + i).randint(2, 4)),
+    }
+    for i in range(N_DEC_CASES)
+]
+assert any("charge" in c["exprs"] for c in DEC_CASES)
+
+
+@pytest.mark.parametrize("i", range(N_DEC_CASES))
+def test_decimal_arith_differential(spark, duck, i):
+    case = DEC_CASES[i]
+    sql = _dec_sql(case)
+    oracle = duck.sql(sql).df()
+    assert len(oracle) > 0, "vacuous case"
+    df = _dec_spark(spark, case)
+    errors = compare(df, oracle, f"dec[{i}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_decimal_sum_is_exact_not_float(spark):
+    """The decimal leg must actually run in decimal: a sum engineered to
+    lose a cent in float64 accumulation stays exact in decimal. (0.01 is
+    not representable in binary; 10M float adds drift ~1e-8 relative —
+    decimal(12,2) sums are exact by construction.)"""
+    from decimal import Decimal
+
+    n = 100_000
+    df = (spark.range(n)
+          .select((F.lit("0.01").cast("decimal(12,2)")).alias("cent"))
+          .agg(F.sum("cent").alias("total")))
+    got = df.first()["total"]
+    assert got == Decimal("1000.00")
