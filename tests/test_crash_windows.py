@@ -277,3 +277,40 @@ def test_repeated_crashes_then_success_numbers_versions_contiguously(
     # (the _claim_version crashes; the first crash never wrote one)
     assert res["removed_data_dirs"] == 3
     assert res["removed_tmp_dirs"] == 2
+
+
+def test_six_way_thread_contention_keeps_history_linear(spark, tmp_path):
+    """Six in-process committers race 24 appends onto one table (the
+    two-process race in test_snapshots_hardening pins the OS-level case;
+    this pins HIGH contention crossing a checkpoint-cadence boundary).
+    Required: contiguous versions, every row exactly once, and every
+    version's manifest resolving against the correct checkpoint base."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = str(tmp_path / "t")
+    commit_snapshot(spark, t, _df(spark, 0, 10))  # v0 (checkpoint)
+
+    def work(thread_id):
+        for c in range(4):
+            lo = 1000 * (thread_id + 1) + 10 * c
+            commit_snapshot(
+                spark, t, _df(spark, lo, lo + 10), max_retries=50
+            )
+
+    with ThreadPoolExecutor(max_workers=6) as ex:
+        list(ex.map(work, range(6)))
+
+    versions = _list_versions(spark, t)
+    assert versions == list(range(25))  # contiguous, nothing burned
+    rows = _rows(spark, t)
+    assert len(rows) == 10 + 24 * 10
+    assert len({r[0] for r in rows}) == len(rows)  # exactly once
+
+    # cadence integrity: v0/v10/v20 are checkpoints (base == self),
+    # everything else a delta resolving to its cadence floor
+    for v in versions:
+        assert S._ckpt_base_of(spark, t, v) == (v // 10) * 10
+    # every intermediate version's live set is version-monotone in size
+    # (append-only history: one more dir per version)
+    for v in (0, 5, 10, 17, 24):
+        assert len(S._live_dirs(spark, t, v)) == v + 1
