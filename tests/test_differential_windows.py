@@ -190,6 +190,85 @@ def case_range_frames(spark):
     return df, sql
 
 
+
+
+def case_null_order_keys(spark):
+    """Null ORDER BY keys with EXPLICIT placement on both engines — the
+    engines' DEFAULTS diverge (Spark ascending is NULLS FIRST, DuckDB is
+    NULLS LAST), so a lowering that forgets to spell it out silently
+    reorders every null-keyed frame. rank() is tie-tolerant (all
+    null-key rows tie), making the comparison exact."""
+    df = (
+        _base(spark)
+        .select(
+            *ID_COLS, "l_linestatus",
+            F.when(F.col("l_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("l_quantity")).alias("q"),
+        )
+        .select(
+            *ID_COLS,
+            F.rank().over(
+                Window.partitionBy("l_linestatus")
+                .orderBy(F.col("q").asc_nulls_last())
+            ).alias("rnk_last"),
+            F.rank().over(
+                Window.partitionBy("l_linestatus")
+                .orderBy(F.col("q").desc_nulls_first())
+            ).alias("rnk_desc_first"),
+        )
+    )
+    sql = f"""
+        SELECT {ID_SQL},
+               rank() OVER (PARTITION BY l_linestatus
+                            ORDER BY q ASC NULLS LAST) AS rnk_last,
+               rank() OVER (PARTITION BY l_linestatus
+                            ORDER BY q DESC NULLS FIRST) AS rnk_desc_first
+        FROM (SELECT l_orderkey, l_linenumber, l_linestatus,
+                     CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                          ELSE l_quantity END AS q
+              FROM lineitem WHERE {FILTER_SQL})"""
+    return df, sql
+
+
+def case_null_inputs_in_frames(spark):
+    """Null AGGREGATE INPUTS inside running frames: sum/avg skip nulls,
+    count(q) vs count(*) diverge per-frame, and a frame of only-null
+    inputs yields NULL (not 0). Order key stays unique so frames are
+    deterministic."""
+    w = (
+        Window.partitionBy("l_linestatus")
+        .orderBy("l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = (
+        _base(spark)
+        .select(
+            *ID_COLS, "l_linestatus",
+            F.when(F.col("l_orderkey") % 7 == 0, F.lit(None))
+            .otherwise(F.col("l_quantity")).alias("q"),
+        )
+        .select(
+            *ID_COLS,
+            F.sum("q").over(w).alias("run_sum"),
+            F.count("q").over(w).alias("n_q"),
+            F.count(F.lit(1)).over(w).alias("n_rows"),
+        )
+    )
+    sql = f"""
+        SELECT {ID_SQL},
+               sum(q) OVER w AS run_sum,
+               count(q) OVER w AS n_q,
+               count(*) OVER w AS n_rows
+        FROM (SELECT l_orderkey, l_linenumber, l_linestatus,
+                     CASE WHEN l_orderkey % 7 = 0 THEN NULL
+                          ELSE l_quantity END AS q
+              FROM lineitem WHERE {FILTER_SQL})
+        WINDOW w AS (PARTITION BY l_linestatus
+                     ORDER BY l_orderkey, l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+    return df, sql
+
+
 CASES = {
     "row_number": case_row_number,
     "range_frames": case_range_frames,
@@ -201,6 +280,8 @@ CASES = {
     "ntile": case_ntile,
     "distribution": case_distribution,
     "unpartitioned_global": case_unpartitioned_global,
+    "null_order_keys": case_null_order_keys,
+    "null_inputs_in_frames": case_null_inputs_in_frames,
 }
 
 
