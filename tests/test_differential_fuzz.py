@@ -1473,3 +1473,70 @@ def test_decimal_sum_is_exact_not_float(spark):
           .agg(F.sum("cent").alias("total")))
     got = df.first()["total"]
     assert got == Decimal("1000.00")
+
+
+# ---- LIKE-pattern differential (round 9) ------------------------------------
+# LIKE/NOT LIKE/ILIKE with %, _, escaped literals — shared ANSI
+# semantics (unlike the regexp dialects, which genuinely differ between
+# Java regex and RE2 and are pinned by fixed cases instead). Patterns
+# fuzz over part names (multi-word, shared prefixes) and container
+# codes (fixed-width, underscore-friendly).
+
+_LIKE_FIELDS = {
+    # synthetic-part vocabulary: {cold,small,large,blue,...} ×
+    # {widget,bolt,rod}; patterns mix %, _, infix/prefix/suffix anchors
+    "p_name": ["%widget", "cold%", "%l_e%", "%o__%", "s_all%", "%bolt"],
+    "p_brand": ["Brand#_3", "Brand#4%", "%#23", "Brand#__"],
+    "p_type": ["PROMO%", "%DARD", "%ONOM%", "ST_NDARD", "_ARGE"],
+}
+
+
+def _gen_like_case(rng):
+    field = rng.choice(sorted(_LIKE_FIELDS))
+    return {
+        "field": field,
+        "pat": rng.choice(_LIKE_FIELDS[field]),
+        "form": rng.choice(["like", "not_like", "ilike"]),
+    }
+
+
+def _like_spark(spark, case):
+    p = load_table(spark, SF_SMALL, "part")
+    c = F.col(case["field"])
+    cond = {
+        "like": c.like(case["pat"]),
+        "not_like": ~c.like(case["pat"]),
+        "ilike": c.ilike(case["pat"].upper()),
+    }[case["form"]]
+    return p.where(cond).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("p_retailprice"), 4).alias("sum_price"),
+    )
+
+
+def _like_sql(case):
+    op = {"like": "LIKE", "not_like": "NOT LIKE", "ilike": "ILIKE"}[case["form"]]
+    pat = case["pat"].upper() if case["form"] == "ilike" else case["pat"]
+    return (f"SELECT p_brand, count(*) AS n, "
+            f"round(sum(p_retailprice), 4) AS sum_price FROM part "
+            f"WHERE {case['field']} {op} '{pat}' GROUP BY p_brand")
+
+
+N_LIKE_CASES = 12
+LIKE_CASES = [_gen_like_case(random.Random(51000 + i)) for i in range(N_LIKE_CASES)]
+assert {c["form"] for c in LIKE_CASES} == {"like", "not_like", "ilike"}
+
+
+@pytest.mark.parametrize("i", range(N_LIKE_CASES))
+def test_like_pattern_differential(spark, duck, i):
+    case = LIKE_CASES[i]
+    sql = _like_sql(case)
+    oracle = duck.sql(sql).df()
+    df = _like_spark(spark, case)
+    errors = compare(df, oracle, f"like[{i}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_like_cases_not_vacuous(duck):
+    nonempty = sum(1 for c in LIKE_CASES if len(duck.sql(_like_sql(c)).df()) > 0)
+    assert nonempty >= 0.6 * N_LIKE_CASES
