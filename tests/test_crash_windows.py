@@ -314,3 +314,50 @@ def test_six_way_thread_contention_keeps_history_linear(spark, tmp_path):
     # (append-only history: one more dir per version)
     for v in (0, 5, 10, 17, 24):
         assert len(S._live_dirs(spark, t, v)) == v + 1
+
+
+def test_tail_consumer_concurrent_with_committers_sees_exactly_once(
+    spark, tmp_path
+):
+    """Read-while-write: a change-feed consumer tails the table WHILE
+    three committer threads append. Every tail round anchors at a fully
+    claimed head (atomic rename), so the consumer must end up with the
+    exact final state — every key exactly once, no torn batch, no skipped
+    range — without any coordination with the writers."""
+    import threading
+    import time as _time
+
+    from binance_data_pipeline_spark.operators.snapshots import snapshot_tail
+
+    t = str(tmp_path / "t")
+    cursor = str(tmp_path / "cursor")
+    commit_snapshot(spark, t, _df(spark, 0, 5))  # v0
+
+    def committer(thread_id):
+        for c in range(4):
+            lo = 1000 * (thread_id + 1) + 10 * c
+            commit_snapshot(spark, t, _df(spark, lo, lo + 5), max_retries=50)
+
+    threads = [threading.Thread(target=committer, args=(i,)) for i in range(3)]
+    for th in threads:
+        th.start()
+
+    seen: dict[int, int] = {}
+
+    def process(batch, from_v, to_v, mode):
+        for r in batch.collect():
+            seen[r["id"]] = seen.get(r["id"], 0) + 1
+
+    # tail while writers are live, then join and drain the remainder
+    snapshot_tail(spark, t, cursor, process, max_rounds=8,
+                  poll=lambda: _time.sleep(0.3))
+    for th in threads:
+        th.join()
+    snapshot_tail(spark, t, cursor, process, max_rounds=1)
+
+    final = {r[0] for r in _rows(spark, t)}
+    assert set(seen) == final
+    assert len(final) == 5 + 3 * 4 * 5
+    dupes = {k: n for k, n in seen.items() if n != 1}
+    assert not dupes, f"keys delivered more than once: {dupes}"
+    assert _list_versions(spark, t) == list(range(13))
