@@ -1540,3 +1540,53 @@ def test_like_pattern_differential(spark, duck, i):
 def test_like_cases_not_vacuous(duck):
     nonempty = sum(1 for c in LIKE_CASES if len(duck.sql(_like_sql(c)).df()) > 0)
     assert nonempty >= 0.6 * N_LIKE_CASES
+
+
+# ---- date-arithmetic differential (round 9) ----------------------------------
+
+def test_date_arithmetic_differential(spark, duck):
+    """Month arithmetic end-of-month clamping (Jan 31 + 1 month, leap
+    days), last_day, date_trunc to month/week, datediff, quarter and
+    ISO week — over handpicked edge dates where engines that disagree
+    disagree LOUDLY. Day-of-week conventions differ by design (Spark
+    1=Sunday, DuckDB 0=Sunday) — the lowering aligns them explicitly."""
+    edge = "(VALUES (DATE '2024-01-31'), (DATE '2024-02-29'), (DATE '2023-02-28'), (DATE '2000-02-29'), (DATE '1999-12-31'), (DATE '2024-03-01')) t(d)"
+    sql = f"""
+      SELECT d,
+             d + INTERVAL 1 MONTH AS plus_1m,
+             d - INTERVAL 1 MONTH AS minus_1m,
+             d + INTERVAL 13 MONTH AS plus_13m,
+             last_day(d) AS eom,
+             CAST(date_trunc('month', d) AS DATE) AS mstart,
+             CAST(date_trunc('week', d) AS DATE) AS wstart,
+             date_diff('day', DATE '1995-01-01', d)::BIGINT AS dd,
+             quarter(d)::BIGINT AS q,
+             weekofyear(d)::BIGINT AS iso_w,
+             (dayofweek(d) + 1)::BIGINT AS dow_sunday1
+      FROM {edge}"""
+    oracle = duck.sql(sql).df()
+    # DuckDB date + INTERVAL yields TIMESTAMP; align to DATE for compare
+    for c in ("plus_1m", "minus_1m", "plus_13m"):
+        oracle[c] = oracle[c].dt.date
+    df = (
+        spark.createDataFrame(
+            [("2024-01-31",), ("2024-02-29",), ("2023-02-28",),
+             ("2000-02-29",), ("1999-12-31",), ("2024-03-01",)], "d string")
+        .select(F.col("d").cast("date"))
+        .select(
+            "d",
+            F.add_months("d", 1).alias("plus_1m"),
+            F.add_months("d", -1).alias("minus_1m"),
+            F.add_months("d", 13).alias("plus_13m"),
+            F.last_day("d").alias("eom"),
+            F.date_trunc("month", "d").cast("date").alias("mstart"),
+            F.date_trunc("week", "d").cast("date").alias("wstart"),
+            F.datediff("d", F.lit("1995-01-01").cast("date"))
+            .cast("long").alias("dd"),
+            F.quarter("d").cast("long").alias("q"),
+            F.weekofyear("d").cast("long").alias("iso_w"),
+            F.dayofweek("d").cast("long").alias("dow_sunday1"),
+        )
+    )
+    errors = compare(df, oracle, "date_arith")
+    assert not errors, "\n".join(errors)
