@@ -15,7 +15,15 @@ from __future__ import annotations
 
 import random
 
-from conftest import SF_SMALL
+import os as _os
+
+from conftest import SF_SMALL as _DEFAULT_SF_DIR
+
+# The whole differential bar is scale-parametric: point
+# SPARK_FUZZ_SF_DIR at a bigger sf dir to re-run every case there
+# (the per-round pin is sf0.001; sf0.01 is exercised by
+# scripts/fuzz_at_scale reruns).
+SF_SMALL = _os.environ.get("SPARK_FUZZ_SF_DIR", _DEFAULT_SF_DIR)
 
 import pytest
 from pyspark.sql import functions as F
@@ -1590,3 +1598,62 @@ def test_date_arithmetic_differential(spark, duck):
     )
     errors = compare(df, oracle, "date_arith")
     assert not errors, "\n".join(errors)
+
+
+# ---- extreme-values differential (round 9) -----------------------------------
+
+def test_extreme_values_differential(spark, duck):
+    """IEEE specials and unicode through both engines: NaN ordering in
+    min/max (both engines sort NaN above +inf), inf-absorbing sums,
+    multibyte-aware length/substr/upper/reverse, and the empty-string ≠
+    NULL distinction (both engines keep them distinct — the Oracle trap).
+    Values go through an inline relation built identically on each side."""
+    rows = [
+        (1, float("nan"), "héllo wörld"),
+        (2, float("inf"), "日本語テキスト"),
+        (3, float("-inf"), ""),
+        (4, 1.5, None),
+        (5, -2.5, "MIXED case ÁÉÍ"),
+        (6, 0.0, "a"),
+    ]
+    duck.sql("DROP TABLE IF EXISTS xtreme")
+    duck.sql(
+        "CREATE TEMP TABLE xtreme AS SELECT * FROM (VALUES "
+        "(1, 'NaN'::DOUBLE, 'héllo wörld'), "
+        "(2, 'Infinity'::DOUBLE, '日本語テキスト'), "
+        "(3, '-Infinity'::DOUBLE, ''), "
+        "(4, 1.5, NULL), "
+        "(5, -2.5, 'MIXED case ÁÉÍ'), "
+        "(6, 0.0, 'a')) t(id, x, s)"
+    )
+    sql = """
+      SELECT count(*) AS n,
+             count(s) AS n_s,
+             sum(CASE WHEN s = '' THEN 1 ELSE 0 END) AS n_empty,
+             max(x) AS max_x,
+             min(x) AS min_x,
+             max(length(s))::BIGINT AS max_len,
+             max(upper(s)) AS max_upper,
+             max(reverse(s)) AS max_rev,
+             max(substr(s, 2, 3)) AS sub23
+      FROM xtreme"""
+    oracle = duck.sql(sql).df()
+    df = (
+        spark.createDataFrame(rows, "id long, x double, s string")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count("s").alias("n_s"),
+            F.sum(F.when(F.col("s") == "", 1).otherwise(0)).alias("n_empty"),
+            F.max("x").alias("max_x"),
+            F.min("x").alias("min_x"),
+            F.max(F.length("s")).cast("long").alias("max_len"),
+            F.max(F.upper("s")).alias("max_upper"),
+            F.max(F.reverse("s")).alias("max_rev"),
+            F.max(F.substring("s", 2, 3)).alias("sub23"),
+        )
+    )
+    errors = compare(df, oracle, "extreme_values")
+    assert not errors, "\n".join(errors)
+    # NaN must actually be the max (both engines order NaN above +inf)
+    import math
+    assert math.isnan(df.first()["max_x"])
