@@ -186,3 +186,27 @@ def test_catalog_plans_are_scale_clean(spark):
     from pyspark.sql.functions import udf
     slow = a.select(udf(lambda x: x + 1, "long")("a"))
     assert any(f.code == "PY_ROW_EVAL" for f in audit_plan(slow))
+
+
+def test_subquery_filters_broadcast_small_inner(spark):
+    """The 3VL subquery helpers must keep the probe side shuffle-free
+    when the value side is dim-sized: semi/anti joins planned as
+    BroadcastHashJoin, never SortMergeJoin — at 100 TB the probe relation
+    is the fact and must not move."""
+    from binance_data_pipeline_spark.catalog import load_table
+    from binance_data_pipeline_spark.operators.subqueries import (
+        exists_filter, in_filter, not_in_filter,
+    )
+
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer").where(F.col("c_acctbal") > 0)
+
+    for df, kind in (
+        (in_filter(o, "o_custkey", c, "c_custkey"), "LeftSemi"),
+        (not_in_filter(o, "o_custkey", c, "c_custkey"), "LeftAnti"),
+        (exists_filter(o, c.select("c_custkey"),
+                       F.col("o_custkey") == F.col("c_custkey")), "LeftSemi"),
+    ):
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan and kind in plan, (kind, plan)
+        assert "SortMergeJoin" not in plan, (kind, plan)
