@@ -40,7 +40,13 @@ def _base(spark):
 
 
 def _w_unique(part):
-    return Window.partitionBy(part).orderBy("l_orderkey", "l_linenumber")
+    # (l_orderkey, l_linenumber) alone is NOT unique in the synthetic
+    # data at sf0.1 (41 duplicate pairs in the test month) — the
+    # value columns join the key so the order is total wherever the
+    # measured column is involved, keeping ROWS frames deterministic
+    # at every scale factor.
+    return Window.partitionBy(part).orderBy(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
 
 
 ID_COLS = ["l_orderkey", "l_linenumber"]
@@ -53,7 +59,7 @@ def case_row_number(spark):
     )
     sql = f"""SELECT {ID_SQL},
               row_number() OVER (PARTITION BY l_returnflag
-                                 ORDER BY l_orderkey, l_linenumber) AS rn
+                                 ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS rn
               FROM lineitem WHERE {FILTER_SQL}"""
     return df, sql
 
@@ -79,9 +85,9 @@ def case_lag_lead(spark):
     )
     sql = f"""SELECT {ID_SQL},
               lag(l_quantity, 1) OVER (PARTITION BY l_returnflag
-                                       ORDER BY l_orderkey, l_linenumber) AS prev_qty,
+                                       ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS prev_qty,
               lead(l_quantity, 2, -1.0) OVER (PARTITION BY l_returnflag
-                                              ORDER BY l_orderkey, l_linenumber) AS next2_qty
+                                              ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS next2_qty
               FROM lineitem WHERE {FILTER_SQL}"""
     return df, sql
 
@@ -91,7 +97,7 @@ def case_running_sum(spark):
     df = _base(spark).select(*ID_COLS, F.sum("l_quantity").over(w).alias("run_qty"))
     sql = f"""SELECT {ID_SQL},
               sum(l_quantity) OVER (PARTITION BY l_returnflag
-                                    ORDER BY l_orderkey, l_linenumber
+                                    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_qty
               FROM lineitem WHERE {FILTER_SQL}"""
     return df, sql
@@ -102,7 +108,7 @@ def case_sliding_avg(spark):
     df = _base(spark).select(*ID_COLS, F.avg("l_quantity").over(w).alias("ma4"))
     sql = f"""SELECT {ID_SQL},
               avg(l_quantity) OVER (PARTITION BY l_linestatus
-                                    ORDER BY l_orderkey, l_linenumber
+                                    ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
                                     ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS ma4
               FROM lineitem WHERE {FILTER_SQL}"""
     return df, sql
@@ -119,10 +125,10 @@ def case_first_last_value(spark):
     )
     sql = f"""SELECT {ID_SQL},
               first_value(l_quantity) OVER (PARTITION BY l_returnflag
-                  ORDER BY l_orderkey, l_linenumber
+                  ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_qty,
               last_value(l_quantity) OVER (PARTITION BY l_returnflag
-                  ORDER BY l_orderkey, l_linenumber
+                  ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_qty
               FROM lineitem WHERE {FILTER_SQL}"""
     return df, sql
@@ -134,7 +140,7 @@ def case_ntile(spark):
     )
     sql = f"""SELECT {ID_SQL},
               ntile(4) OVER (PARTITION BY l_linestatus
-                             ORDER BY l_orderkey, l_linenumber) AS quartile
+                             ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS quartile
               FROM lineitem WHERE {FILTER_SQL}"""
     return df, sql
 
@@ -148,9 +154,9 @@ def case_distribution(spark):
     )
     sql = f"""SELECT {ID_SQL},
               percent_rank() OVER (PARTITION BY l_returnflag
-                                   ORDER BY l_orderkey, l_linenumber) AS pr,
+                                   ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS pr,
               cume_dist() OVER (PARTITION BY l_returnflag
-                                ORDER BY l_orderkey, l_linenumber) AS cd
+                                ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS cd
               FROM lineitem WHERE {FILTER_SQL}"""
     return df, sql
 
@@ -158,10 +164,10 @@ def case_distribution(spark):
 def case_unpartitioned_global(spark):
     # No PARTITION BY: the single-partition window a naive engine chokes
     # on; row set is one month so the collapse is bounded here.
-    w = Window.orderBy("l_orderkey", "l_linenumber")
+    w = Window.orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
     df = _base(spark).select(*ID_COLS, F.row_number().over(w).alias("rn"))
     sql = f"""SELECT {ID_SQL},
-              row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+              row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice) AS rn
               FROM lineitem WHERE {FILTER_SQL}"""
     return df, sql
 
@@ -245,13 +251,13 @@ def case_null_inputs_in_frames(spark):
     deterministic."""
     w = (
         Window.partitionBy("l_linestatus")
-        .orderBy("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     df = (
         _base(spark)
         .select(
-            *ID_COLS, "l_linestatus",
+            *ID_COLS, "l_linestatus", "l_quantity", "l_extendedprice",
             F.when(F.col("l_orderkey") % 7 == 0, F.lit(None))
             .otherwise(F.col("l_quantity")).alias("q"),
         )
@@ -268,11 +274,12 @@ def case_null_inputs_in_frames(spark):
                count(q) OVER w AS n_q,
                count(*) OVER w AS n_rows
         FROM (SELECT l_orderkey, l_linenumber, l_linestatus,
+                     l_quantity, l_extendedprice,
                      CASE WHEN l_orderkey % 7 = 0 THEN NULL
                           ELSE l_quantity END AS q
               FROM lineitem WHERE {FILTER_SQL})
         WINDOW w AS (PARTITION BY l_linestatus
-                     ORDER BY l_orderkey, l_linenumber
+                     ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
     return df, sql
 
