@@ -361,3 +361,83 @@ def test_tail_consumer_concurrent_with_committers_sees_exactly_once(
     dupes = {k: n for k, n in seen.items() if n != 1}
     assert not dupes, f"keys delivered more than once: {dupes}"
     assert _list_versions(spark, t) == list(range(13))
+
+
+@pytest.mark.parametrize("seed", [11, 23])
+def test_randomized_ops_with_crash_injection_match_model(
+    spark, tmp_path, monkeypatch, seed
+):
+    """Seeded random op sequence (append/merge/delete) where ~1/3 of the
+    ops crash at the version-claim step. A Python dict model applies
+    ONLY the ops that succeeded; the table must equal the model exactly,
+    with one contiguous version per successful op — crashed ops leave no
+    trace a reader can see. Generalizes the fixed crash-window tests to
+    arbitrary interleavings."""
+    import random as _random
+
+    from binance_data_pipeline_spark.operators.snapshots import snapshot_update
+
+    rng = _random.Random(seed)
+    t = str(tmp_path / "t")
+    model: dict[int, float] = {}
+    real_claim = S._claim_version
+
+    def apply_op(op, crash):
+        if crash:
+            monkeypatch.setattr(S, "_claim_version", _raiser)
+        try:
+            if op[0] == "append":
+                _, lo = op
+                df = _df(spark, lo, lo + 4)
+                commit_snapshot(spark, t, df)
+                if not crash:
+                    model.update({i: float(i) for i in range(lo, lo + 4)})
+            elif op[0] == "merge":
+                _, keys, val = op
+                updates = spark.createDataFrame(
+                    [(k, f"k{k}", val) for k in keys],
+                    "id long, key string, score double",
+                )
+                snapshot_merge(spark, t, updates, key_cols=["id"])
+                if not crash:
+                    model.update({k: val for k in keys})
+            else:  # delete
+                _, cut = op
+                matched = any(k < cut for k in model)
+                snapshot_delete(spark, t, F.col("id") < cut)
+                if not crash and matched:
+                    for k in [k for k in model if k < cut]:
+                        del model[k]
+                return matched
+        finally:
+            if crash:
+                monkeypatch.setattr(S, "_claim_version", real_claim)
+        return True
+
+    commit_snapshot(spark, t, _df(spark, 0, 4))  # v0
+    model.update({i: float(i) for i in range(0, 4)})
+    expected_versions = 1
+
+    live_keys = lambda: sorted(model) or [0]
+    for step in range(12):
+        kind = rng.choice(["append", "merge", "delete"])
+        if kind == "append":
+            op = ("append", 100 * (step + 1))
+        elif kind == "merge":
+            ks = rng.sample(live_keys(), min(3, len(live_keys())))
+            ks.append(9000 + step)  # one fresh insert key per merge
+            op = ("merge", ks, round(rng.uniform(0, 100), 1))
+        else:
+            op = ("delete", rng.choice(live_keys()) + 1)
+        crash = rng.random() < 0.34
+        if crash:
+            with pytest.raises(_Boom):
+                apply_op(op, True)
+        else:
+            committed = apply_op(op, False)
+            if committed:
+                expected_versions += 1
+
+    assert _list_versions(spark, t) == list(range(expected_versions))
+    got = {r[0]: r[2] for r in _rows(spark, t)}
+    assert got == model
