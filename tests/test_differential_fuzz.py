@@ -1657,3 +1657,34 @@ def test_extreme_values_differential(spark, duck):
     # NaN must actually be the max (both engines order NaN above +inf)
     import math
     assert math.isnan(df.first()["max_x"])
+
+
+# ---- bag-semantics set ops (INTERSECT ALL / EXCEPT ALL) ----------------------
+
+def test_bag_setop_differential(spark, duck):
+    """INTERSECT ALL / EXCEPT ALL over duplicate-rich legs: bag
+    multiplicities (min / truncated difference of per-row counts) are
+    where a set-semantics shortcut silently diverges, so the comparison
+    keys on exact per-row multiplicity."""
+    l_sql = ("SELECT l_returnflag AS f, l_linestatus AS s FROM lineitem "
+             "WHERE l_quantity > 25")
+    # the right leg must be SMALLER per distinct row, else EXCEPT ALL's
+    # truncated multiplicity difference is 0 everywhere (6 distinct rows)
+    r_sql = ("SELECT l_returnflag AS f, l_linestatus AS s FROM lineitem "
+             "WHERE l_extendedprice > 80000")
+    for op, mk in (
+        ("INTERSECT ALL", lambda a, b: a.intersectAll(b)),
+        ("EXCEPT ALL", lambda a, b: a.exceptAll(b)),
+    ):
+        sql = (f"SELECT f, s, count(*) AS mult FROM "
+               f"(({l_sql}) {op} ({r_sql})) GROUP BY f, s")
+        oracle = duck.sql(sql).df()
+        assert len(oracle) > 0
+        li = load_table(spark, SF_SMALL, "lineitem")
+        a = li.where(F.col("l_quantity") > 25).select(
+            F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s"))
+        b = li.where(F.col("l_extendedprice") > 80000).select(
+            F.col("l_returnflag").alias("f"), F.col("l_linestatus").alias("s"))
+        df = mk(a, b).groupBy("f", "s").agg(F.count(F.lit(1)).alias("mult"))
+        errors = compare(df, oracle, f"bag[{op}]")
+        assert not errors, f"{op}\n" + "\n".join(errors)
