@@ -1688,3 +1688,42 @@ def test_bag_setop_differential(spark, duck):
         df = mk(a, b).groupBy("f", "s").agg(F.count(F.lit(1)).alias("mult"))
         errors = compare(df, oracle, f"bag[{op}]")
         assert not errors, f"{op}\n" + "\n".join(errors)
+
+
+# ---- known engine divergences, pinned -----------------------------------------
+
+def test_division_by_zero_divergence_and_alignment(spark, duck):
+    """Division by zero is a DOCUMENTED divergence: this engine runs
+    Spark ANSI mode (x/0 raises DIVIDE_BY_ZERO), DuckDB returns NULL.
+    The aligned lowering is Spark's try_divide ≡ DuckDB's `/` — pinned
+    row-level over a divisor that hits zero on real rows. try_cast of
+    garbage is NULL on both."""
+    from pyspark.errors.exceptions.captured import ArithmeticException
+
+    # Spark's own behavior: ANSI division by zero raises
+    with pytest.raises(ArithmeticException):
+        (spark.range(3)
+         .select((F.lit(1.0) / (F.col("id") - 1)).alias("x"))
+         .collect())
+
+    sql = f"""
+      SELECT l_orderkey, l_linenumber,
+             round(l_extendedprice / (l_orderkey % 7), 4) AS ratio,
+             TRY_CAST(l_returnflag AS INT) AS junk_cast
+      FROM lineitem WHERE {_SCALAR_FILTER}"""
+    oracle = duck.sql(sql).df()
+    n_null = int(oracle["ratio"].isna().sum())
+    assert n_null > 0, "divisor never hits zero — case is vacuous"
+    df = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .where((F.col("l_shipdate") >= F.lit("1997-03-01"))
+               & (F.col("l_shipdate") < F.lit("1997-04-01")))
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.round(F.try_divide("l_extendedprice", F.col("l_orderkey") % 7), 4)
+            .alias("ratio"),
+            F.expr("try_cast(l_returnflag AS int)").alias("junk_cast"),
+        )
+    )
+    errors = compare(df, oracle, "div_zero_alignment")
+    assert not errors, "\n".join(errors)
