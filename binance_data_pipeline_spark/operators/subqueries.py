@@ -97,3 +97,97 @@ def not_exists_filter(df: DataFrame, inner: DataFrame, cond: Column) -> DataFram
     an unmatched row passes whatever NULLs are involved — so a bare
     anti join IS the exact semantics."""
     return df.join(inner, on=cond, how="left_anti")
+
+
+def _cols(cs) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in cs]
+
+
+def in_filter_rows(
+    df: DataFrame, cols, inner: DataFrame, inner_cols
+) -> DataFrame:
+    """Row-value ``(a, b, ...) IN (SELECT x, y, ... FROM inner)``. A
+    row-value IN is TRUE only when EVERY component matches non-null, so
+    the exact lowering is still one hash semi join on all components —
+    null components on either side simply never produce a match."""
+    ps, ss = _cols(cols), _cols(inner_cols)
+    rhs = inner.select(
+        *[s.alias(f"__subq_{i}") for i, s in enumerate(ss)]
+    ).distinct()
+    cond = None
+    for i, p in enumerate(ps):
+        c = p == rhs[f"__subq_{i}"]
+        cond = c if cond is None else cond & c
+    return df.join(rhs, on=cond, how="left_semi")
+
+
+def not_in_filter_rows(
+    df: DataFrame, cols, inner: DataFrame, inner_cols
+) -> DataFrame:
+    """Row-value ``NOT IN`` with the full ANSI 3VL — the subtle case:
+    a probe with a NULL component can still be TRUE (kept) when every
+    subquery row differs DEFINITIVELY on some other component, and an
+    inner row with a NULL component can make an otherwise-unmatched
+    probe UNKNOWN (dropped). Truth table: keep a probe row iff for
+    EVERY inner row some component pair is non-null on both sides and
+    differs.
+
+    Execution shape (the 100 TB posture): the bulk — all-non-null
+    probes against all-non-null inner rows — is ONE hash anti equi-join
+    (probe side never shuffles when the value side broadcasts). Only
+    the null-involved slices go through a condition join (Kleene
+    row-equality as a join predicate, planned as a broadcast
+    nested-loop): all probes vs the inner's null-containing rows, and
+    null-component probes vs the whole inner. Those slices are
+    dim-sized in practice; each is skipped entirely when its side is
+    empty (decided by one bounded aggregate)."""
+    ps, ss = _cols(cols), _cols(inner_cols)
+    k = len(ps)
+    if k != len(ss):
+        raise ValueError(f"{k} probe columns vs {len(ss)} subquery columns")
+    vals = inner.select(
+        *[s.alias(f"__subq_{i}") for i, s in enumerate(ss)]
+    ).distinct()
+    sub = [F.col(f"__subq_{i}") for i in range(k)]
+    inner_any_null = F.lit(False)
+    for c in sub:
+        inner_any_null = inner_any_null | c.isNull()
+    n, n_withnull = vals.agg(
+        F.count(F.lit(1)),
+        F.count(F.when(inner_any_null, F.lit(1))),
+    ).first()
+    if n == 0:
+        return df  # NOT IN (empty) is TRUE for every probe
+    s_null = vals.where(inner_any_null)
+
+    probe_any_null = F.lit(False)
+    for p in ps:
+        probe_any_null = probe_any_null | p.isNull()
+
+    def _kleene_not_false(frame: DataFrame) -> Column:
+        # row-eq is TRUE or UNKNOWN (i.e. NOT definitively FALSE):
+        # every component pair is equal or null on either side. Anti
+        # join on this keeps exactly the rows where row-eq is FALSE
+        # against every inner row — the NOT IN TRUE set.
+        cond = None
+        for i, p in enumerate(ps):
+            c = p.isNull() | frame[f"__subq_{i}"].isNull() | (p == frame[f"__subq_{i}"])
+            cond = c if cond is None else cond & c
+        return cond
+
+    # bulk: clean probes vs clean inner — pure hash anti equi-join
+    s_clean = vals.where(~inner_any_null)
+    clean = df.where(~probe_any_null)
+    eq = None
+    for i, p in enumerate(ps):
+        c = p == s_clean[f"__subq_{i}"]
+        eq = c if eq is None else eq & c
+    clean = clean.join(s_clean, on=eq, how="left_anti")
+    if n_withnull:
+        # an inner null row can only leave a clean probe UNKNOWN, never
+        # matched — one more anti pass over the (tiny) null slice
+        clean = clean.join(F.broadcast(s_null), on=_kleene_not_false(s_null), how="left_anti")
+
+    nullp = df.where(probe_any_null)
+    nullp = nullp.join(F.broadcast(vals), on=_kleene_not_false(vals), how="left_anti")
+    return clean.unionByName(nullp)

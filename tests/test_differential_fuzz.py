@@ -1727,3 +1727,121 @@ def test_division_by_zero_divergence_and_alignment(spark, duck):
     )
     errors = compare(df, oracle, "div_zero_alignment")
     assert not errors, "\n".join(errors)
+
+
+# ---- row-value (multi-column) IN / NOT IN ------------------------------------
+# The multi-column NOT IN truth table is stricter than single-col: a
+# null-component probe can still be TRUE (kept) when every inner row
+# differs definitively on another component. DuckDB has no row-value IN
+# subquery, so its oracle leg evaluates the Kleene OR over row-equality
+# explicitly (bool_or of eq / bool_or of eq-is-null) — an independent
+# formulation derived from the OR truth table, against BOTH Spark SQL's
+# native (ock, ost) NOT IN (...) planning and the DataFrame helpers.
+
+from binance_data_pipeline_spark.operators.subqueries import (  # noqa: E402
+    in_filter_rows,
+    not_in_filter_rows,
+)
+
+
+def _gen_rv_case(rng):
+    return {
+        "shape": rng.choice(["in", "not_in", "not_in", "not_in"]),  # weight NOT IN
+        "ock_mod": rng.choice([None, 11, 3]),
+        "ick_mod": rng.choice([None, 13, 5]),
+        "ist_mod": rng.choice([None, 7]),
+        "acct_min": rng.choice([-999.0, 1000.0, 8000.0]),
+    }
+
+
+def _rv_outer_sql(case, orders="orders"):
+    om = case["ock_mod"]
+    ock = (f"CASE WHEN o_orderkey % {om} = 0 THEN NULL ELSE o_custkey END"
+           if om else "o_custkey")
+    return (f"(SELECT {ock} AS ock, o_orderstatus AS ost, o_totalprice "
+            f"FROM {orders})")
+
+
+def _rv_inner_sql(case, customer="customer"):
+    im, sm = case["ick_mod"], case["ist_mod"]
+    ick = (f"CASE WHEN c_custkey % {im} = 0 THEN NULL ELSE c_custkey END"
+           if im else "c_custkey")
+    ist = "CASE WHEN c_acctbal > 4500 THEN 'O' ELSE 'F' END"
+    if sm:
+        ist = f"CASE WHEN c_custkey % {sm} = 0 THEN NULL ELSE {ist} END"
+    return (f"(SELECT {ick} AS ick, {ist} AS ist FROM {customer} "
+            f"WHERE c_acctbal > {case['acct_min']})")
+
+
+def _rv_duck_sql(case):
+    outer, inner = _rv_outer_sql(case), _rv_inner_sql(case)
+    req = "(o.ock = c.ick AND o.ost = c.ist)"
+    tri = (f"(SELECT CASE WHEN bool_or({req}) THEN 1 "
+           f"WHEN bool_or({req} IS NULL) THEN 2 ELSE 3 END "
+           f"FROM {inner} c)")
+    want = "= 1" if case["shape"] == "in" else "= 3"
+    return (f"SELECT ost, count(*) AS n, round(sum(o_totalprice), 4) AS sum_p "
+            f"FROM {outer} o WHERE coalesce({tri}, 3) {want} GROUP BY ost")
+
+
+def _rv_spark_sql(case):
+    outer = _rv_outer_sql(case, orders="fz_orders")
+    inner = _rv_inner_sql(case, customer="fz_customer")
+    op = "IN" if case["shape"] == "in" else "NOT IN"
+    return (f"SELECT ost, count(*) AS n, round(sum(o_totalprice), 4) AS sum_p "
+            f"FROM {outer} o WHERE (ock, ost) {op} "
+            f"(SELECT ick, ist FROM {inner}) GROUP BY ost")
+
+
+def _rv_df(spark, case):
+    om = case["ock_mod"]
+    o = load_table(spark, SF_SMALL, "orders")
+    ock = (F.when(F.col("o_orderkey") % om == 0, F.lit(None))
+           .otherwise(F.col("o_custkey")) if om else F.col("o_custkey"))
+    o = o.select(ock.alias("ock"), F.col("o_orderstatus").alias("ost"),
+                 "o_totalprice")
+    im, sm = case["ick_mod"], case["ist_mod"]
+    c = load_table(spark, SF_SMALL, "customer").where(
+        F.col("c_acctbal") > case["acct_min"])
+    ick = (F.when(F.col("c_custkey") % im == 0, F.lit(None))
+           .otherwise(F.col("c_custkey")) if im else F.col("c_custkey"))
+    ist = F.when(F.col("c_acctbal") > 4500, F.lit("O")).otherwise(F.lit("F"))
+    if sm:
+        ist = F.when(F.col("c_custkey") % sm == 0, F.lit(None)).otherwise(ist)
+    inner = c.select(ick.alias("ick"), ist.alias("ist"))
+    fn = in_filter_rows if case["shape"] == "in" else not_in_filter_rows
+    flt = fn(o, ["ock", "ost"], inner, ["ick", "ist"])
+    return flt.groupBy("ost").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_p"),
+    )
+
+
+N_RV_CASES = 10
+RV_CASES = [_gen_rv_case(random.Random(31000 + i)) for i in range(N_RV_CASES)]
+# edges: empty inner (NOT IN keeps everything incl. null probes);
+# null-heavy inner against null probes
+RV_CASES.append({"shape": "not_in", "ock_mod": 11, "ick_mod": None,
+                 "ist_mod": None, "acct_min": 99999.0})
+RV_CASES.append({"shape": "not_in", "ock_mod": 3, "ick_mod": 5,
+                 "ist_mod": 7, "acct_min": -999.0})
+assert {c["shape"] for c in RV_CASES} == {"in", "not_in"}
+
+
+@pytest.mark.parametrize("i", range(len(RV_CASES)))
+def test_row_value_in_differential(spark, duck, subq_views, i):
+    case = RV_CASES[i]
+    sql = _rv_duck_sql(case)
+    oracle = duck.sql(sql).df()
+    sdf = spark.sql(_rv_spark_sql(case))
+    errors = compare(sdf, oracle, f"rv-sql[{i}:{case['shape']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+    hdf = _rv_df(spark, case)
+    errors = compare(hdf, oracle, f"rv-df[{i}:{case['shape']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_row_value_cases_not_vacuous(duck):
+    nonempty = sum(
+        1 for c in RV_CASES if len(duck.sql(_rv_duck_sql(c)).df()) > 0)
+    assert nonempty >= 0.6 * len(RV_CASES)
