@@ -210,3 +210,25 @@ def test_subquery_filters_broadcast_small_inner(spark):
         plan = plan_of(df)
         assert "BroadcastHashJoin" in plan and kind in plan, (kind, plan)
         assert "SortMergeJoin" not in plan, (kind, plan)
+
+
+def test_row_value_not_in_bulk_is_hash_anti_join(spark):
+    """not_in_filter_rows' split execution: the clean-probe bulk must be
+    a hash anti join (BroadcastHashJoin LeftAnti); the Kleene condition
+    joins may appear only as broadcast nested loops (null slices are
+    dim-sized) — never a SortMergeJoin and never a cartesian product."""
+    from binance_data_pipeline_spark.catalog import load_table
+    from binance_data_pipeline_spark.operators.subqueries import not_in_filter_rows
+
+    o = load_table(spark, SF_SMALL, "orders").select(
+        F.col("o_custkey").alias("k"), F.col("o_orderstatus").alias("st"),
+        "o_totalprice")
+    c = load_table(spark, SF_SMALL, "customer").select(
+        F.when(F.col("c_custkey") % 13 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey")).alias("ik"),
+        F.lit("O").alias("ist"))
+    df = not_in_filter_rows(o, ["k", "st"], c, ["ik", "ist"])
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
