@@ -158,6 +158,11 @@ def not_in_filter_rows(
     ).first()
     if n == 0:
         return df  # NOT IN (empty) is TRUE for every probe
+    # the broadcast hint is safe only because n is KNOWN here (the same
+    # aggregate that decided the branches); a huge distinct value set
+    # falls back to Catalyst's own strategy choice for the nested-loop
+    # slices rather than force-broadcasting past driver memory
+    bcast = F.broadcast if n <= 1_000_000 else (lambda d: d)
     s_null = vals.where(inner_any_null)
 
     probe_any_null = F.lit(False)
@@ -186,8 +191,8 @@ def not_in_filter_rows(
     if n_withnull:
         # an inner null row can only leave a clean probe UNKNOWN, never
         # matched — one more anti pass over the (tiny) null slice
-        clean = clean.join(F.broadcast(s_null), on=_kleene_not_false(s_null), how="left_anti")
+        clean = clean.join(bcast(s_null), on=_kleene_not_false(s_null), how="left_anti")
 
     nullp = df.where(probe_any_null)
-    nullp = nullp.join(F.broadcast(vals), on=_kleene_not_false(vals), how="left_anti")
+    nullp = nullp.join(bcast(vals), on=_kleene_not_false(vals), how="left_anti")
     return clean.unionByName(nullp)
