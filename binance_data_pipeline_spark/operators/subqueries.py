@@ -196,3 +196,87 @@ def not_in_filter_rows(
     nullp = df.where(probe_any_null)
     nullp = nullp.join(bcast(vals), on=_kleene_not_false(vals), how="left_anti")
     return clean.unionByName(nullp)
+
+
+_ORDERED_OPS = {
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+}
+
+
+def _quant_stats(inner: DataFrame, inner_col: str | Column):
+    """One bounded aggregate deciding every quantified-comparison branch:
+    (count, nulls, min, max, distinct-count) of the subquery values."""
+    c = F.col(inner_col) if isinstance(inner_col, str) else inner_col
+    v = inner.select(c.alias("__subq_v"))
+    return v.agg(
+        F.count(F.lit(1)),
+        F.count(F.lit(1)) - F.count("__subq_v"),
+        F.min("__subq_v"),
+        F.max("__subq_v"),
+        F.countDistinct("__subq_v"),
+    ).first()
+
+
+def all_filter(
+    df: DataFrame, col: str | Column, op: str, inner: DataFrame,
+    inner_col: str | Column,
+) -> DataFrame:
+    """``col <op> ALL (SELECT inner_col FROM inner)`` kept where TRUE —
+    the quantified comparison Spark SQL does not support at all (ANSI
+    F561; DuckDB does, which is the differential oracle). Exact 3VL:
+    empty subquery is TRUE for every probe (NULL probes included); a
+    NULL in the subquery or a NULL probe can never be TRUE; otherwise
+    the ordered forms reduce to one comparison against the subquery's
+    max/min and ``=``/``<>`` to distinct-count logic. ONE bounded
+    aggregate (a driver scalar row), then a pure WHERE predicate — no
+    join at all, so at 100 TB the probe scan keeps its pushdown."""
+    probe = F.col(col) if isinstance(col, str) else col
+    n, n_null, vmin, vmax, n_dist = _quant_stats(inner, inner_col)
+    if n == 0:
+        return df  # vacuous truth, even for NULL probes
+    if n_null:
+        # TRUE is impossible; rows are FALSE or UNKNOWN -> none kept
+        return df.limit(0)
+    if op in _ORDERED_OPS:
+        bound = vmax if op in (">", ">=") else vmin
+        return df.where(_ORDERED_OPS[op](probe, F.lit(bound)))
+    if op == "=":
+        # = ALL: the subquery must be a single distinct value equal to x
+        if n_dist != 1:
+            return df.limit(0)
+        return df.where(probe == F.lit(vmin))
+    if op in ("<>", "!="):
+        # <> ALL is NOT IN; reuse its exact lowering
+        return not_in_filter(df, col, inner, inner_col)
+    raise ValueError(f"unsupported quantified op {op!r}")
+
+
+def any_filter(
+    df: DataFrame, col: str | Column, op: str, inner: DataFrame,
+    inner_col: str | Column,
+) -> DataFrame:
+    """``col <op> ANY (SELECT ...)`` kept where TRUE — the existential
+    dual of :func:`all_filter`: empty subquery keeps nothing, NULLs can
+    make rows UNKNOWN but never TRUE, ordered forms compare against the
+    subquery min/max, ``= ANY`` is IN, ``<> ANY`` is TRUE whenever the
+    subquery has two distinct values (or one differing from the probe).
+    Same execution shape: one bounded aggregate, then a predicate."""
+    probe = F.col(col) if isinstance(col, str) else col
+    n, n_null, vmin, vmax, n_dist = _quant_stats(inner, inner_col)
+    if n == 0 or n == n_null:
+        # no non-null witness can exist: FALSE (empty) or UNKNOWN
+        return df.limit(0)
+    if op in _ORDERED_OPS:
+        bound = vmin if op in (">", ">=") else vmax
+        return df.where(_ORDERED_OPS[op](probe, F.lit(bound)))
+    if op == "=":
+        return in_filter(df, col, inner, inner_col)
+    if op in ("<>", "!="):
+        if n_dist >= 2:
+            # some value must differ from any non-null probe
+            return df.where(probe.isNotNull())
+        return df.where(probe.isNotNull() & (probe != F.lit(vmin)))
+    raise ValueError(f"unsupported quantified op {op!r}")

@@ -1845,3 +1845,111 @@ def test_row_value_cases_not_vacuous(duck):
     nonempty = sum(
         1 for c in RV_CASES if len(duck.sql(_rv_duck_sql(c)).df()) > 0)
     assert nonempty >= 0.6 * len(RV_CASES)
+
+
+# ---- quantified comparisons (ALL / ANY subqueries) ---------------------------
+# Spark SQL has no `op ALL/ANY (subquery)` at all; the helpers fill the
+# gap with one bounded aggregate + a pure predicate. DuckDB implements
+# the ANSI semantics natively and is the oracle.
+
+from binance_data_pipeline_spark.operators.subqueries import (  # noqa: E402
+    all_filter,
+    any_filter,
+)
+
+
+def _gen_quant_case(rng):
+    return {
+        "quant": rng.choice(["all", "any"]),
+        "op": rng.choice(["<", "<=", ">", ">=", "=", "<>"]),
+        "probe": rng.choice(["o_totalprice", "ock"]),
+        "outer_null_mod": rng.choice([None, 11]),
+        "inner_null_mod": rng.choice([None, 13]),
+        "acct_min": rng.choice([-999.0, 4500.0, 9000.0, 99999.0]),
+    }
+
+
+def _quant_inner_sql(case, customer="customer"):
+    im = case["inner_null_mod"]
+    if case["probe"] == "ock":
+        iv = "c_custkey % 500"  # small domain so '=' ALL can be non-vacuous
+    else:
+        iv = "c_acctbal * 40"   # overlaps o_totalprice's range
+    if im:
+        iv = f"CASE WHEN c_custkey % {im} = 0 THEN NULL ELSE {iv} END"
+    return f"SELECT {iv} FROM {customer} WHERE c_acctbal > {case['acct_min']}"
+
+
+def _quant_duck_sql(case):
+    outer = _rv_outer_sql(case) if False else None
+    om = case["outer_null_mod"]
+    ock = (f"CASE WHEN o_orderkey % {om} = 0 THEN NULL ELSE o_custkey END"
+           if om else "o_custkey")
+    outer = (f"(SELECT {ock} AS ock, o_orderstatus, o_totalprice "
+             f"FROM orders) o")
+    q = case["quant"].upper()
+    return (f"SELECT o_orderstatus, count(*) AS n, "
+            f"round(sum(o_totalprice), 4) AS sum_p FROM {outer} "
+            f"WHERE {case['probe']} {case['op']} {q} "
+            f"({_quant_inner_sql(case)}) GROUP BY o_orderstatus")
+
+
+def _quant_df(spark, case):
+    om = case["outer_null_mod"]
+    o = load_table(spark, SF_SMALL, "orders")
+    ock = (F.when(F.col("o_orderkey") % om == 0, F.lit(None))
+           .otherwise(F.col("o_custkey")) if om else F.col("o_custkey"))
+    o = o.select(ock.alias("ock"), "o_orderstatus", "o_totalprice")
+    c = load_table(spark, SF_SMALL, "customer").where(
+        F.col("c_acctbal") > case["acct_min"])
+    iv = (F.col("c_custkey") % 500 if case["probe"] == "ock"
+          else F.col("c_acctbal") * 40)
+    im = case["inner_null_mod"]
+    if im:
+        iv = F.when(F.col("c_custkey") % im == 0, F.lit(None)).otherwise(iv)
+    inner = c.select(iv.alias("iv"))
+    fn = all_filter if case["quant"] == "all" else any_filter
+    flt = fn(o, case["probe"], case["op"], inner, "iv")
+    return flt.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_p"),
+    )
+
+
+N_QUANT_CASES = 16
+QUANT_CASES = [_gen_quant_case(random.Random(41000 + i))
+               for i in range(N_QUANT_CASES)]
+# edges: empty inner both quantifiers; null-polluted inner under ALL
+QUANT_CASES.append({"quant": "all", "op": ">", "probe": "o_totalprice",
+                    "outer_null_mod": 11, "inner_null_mod": None,
+                    "acct_min": 99999.0})
+QUANT_CASES.append({"quant": "any", "op": "<", "probe": "o_totalprice",
+                    "outer_null_mod": None, "inner_null_mod": None,
+                    "acct_min": 99999.0})
+QUANT_CASES.append({"quant": "all", "op": "<=", "probe": "ock",
+                    "outer_null_mod": 11, "inner_null_mod": 13,
+                    "acct_min": -999.0})
+QUANT_CASES.append({"quant": "all", "op": "<>", "probe": "ock",
+                    "outer_null_mod": 11, "inner_null_mod": None,
+                    "acct_min": 4500.0})
+QUANT_CASES.append({"quant": "any", "op": "<>", "probe": "ock",
+                    "outer_null_mod": None, "inner_null_mod": None,
+                    "acct_min": 4500.0})
+assert {c["quant"] for c in QUANT_CASES} == {"all", "any"}
+assert {c["op"] for c in QUANT_CASES} >= {"<", ">", "=", "<>"}
+
+
+@pytest.mark.parametrize("i", range(len(QUANT_CASES)))
+def test_quantified_comparison_differential(spark, duck, i):
+    case = QUANT_CASES[i]
+    sql = _quant_duck_sql(case)
+    oracle = duck.sql(sql).df()
+    df = _quant_df(spark, case)
+    errors = compare(df, oracle, f"quant[{i}:{case['quant']}:{case['op']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_quantified_cases_not_vacuous(duck):
+    nonempty = sum(
+        1 for c in QUANT_CASES if len(duck.sql(_quant_duck_sql(c)).df()) > 0)
+    assert nonempty >= 0.5 * len(QUANT_CASES)
