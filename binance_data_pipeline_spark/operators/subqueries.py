@@ -280,3 +280,45 @@ def any_filter(
             return df.where(probe.isNotNull())
         return df.where(probe.isNotNull() & (probe != F.lit(vmin)))
     raise ValueError(f"unsupported quantified op {op!r}")
+
+
+def scalar_agg_filter(
+    df: DataFrame,
+    col: str | Column,
+    op: str,
+    inner: DataFrame,
+    agg: Column,
+    on: list[tuple[str, str]],
+) -> DataFrame:
+    """Correlated scalar-aggregate subquery as a filter:
+
+        SELECT * FROM df
+        WHERE col <op> (SELECT <agg> FROM inner
+                        WHERE inner.ik1 = df.ok1 AND ...)
+
+    ``on`` is [(outer_col, inner_col), ...]. ANSI semantics: a probe
+    group with NO inner rows gets a NULL scalar, the comparison is
+    UNKNOWN, the row is dropped; NULL correlation keys never match
+    (equality 3VL). Lowering is the standard decorrelation Catalyst
+    itself performs for SQL-text scalar subqueries: aggregate the inner
+    per correlation key ONCE, then one equi-join against the probe —
+    group-bounded state, probe side joined on its own keys (broadcast
+    when the aggregated inner is dim-sized, AQE's call)."""
+    cmp = dict(_ORDERED_OPS)
+    cmp["="] = lambda a, b: a == b
+    cmp["<>"] = cmp["!="] = lambda a, b: a != b
+    if op not in cmp:
+        raise ValueError(f"unsupported comparison {op!r}")
+    probe = F.col(col) if isinstance(col, str) else col
+    ikeys = [ic for _, ic in on]
+    grouped = inner.groupBy(*ikeys).agg(agg.alias("__subq_agg")).select(
+        *[F.col(ic).alias(f"__subq_k{i}") for i, (_, ic) in enumerate(on)],
+        "__subq_agg",
+    )
+    jc = None
+    for i, (oc, _) in enumerate(on):
+        c = F.col(oc) == grouped[f"__subq_k{i}"]
+        jc = c if jc is None else jc & c
+    out = df.join(grouped, on=jc, how="left")
+    out = out.where(cmp[op](probe, F.col("__subq_agg")))
+    return out.drop("__subq_agg", *[f"__subq_k{i}" for i in range(len(on))])

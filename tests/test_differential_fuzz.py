@@ -1953,3 +1953,74 @@ def test_quantified_cases_not_vacuous(duck):
     nonempty = sum(
         1 for c in QUANT_CASES if len(duck.sql(_quant_duck_sql(c)).df()) > 0)
     assert nonempty >= 0.5 * len(QUANT_CASES)
+
+
+# ---- correlated scalar-aggregate subquery ------------------------------------
+
+from binance_data_pipeline_spark.operators.subqueries import (  # noqa: E402
+    scalar_agg_filter,
+)
+
+
+def _gen_csq_case(rng):
+    return {
+        "op": rng.choice(["<", "<=", ">", ">="]),
+        "agg": rng.choice(["avg", "max", "min", "sum"]),
+        "mult": rng.choice([1, 3, 10]),
+        "status": rng.choice(["F", "O", "P"]),
+    }
+
+
+def _csq_duck_sql(case):
+    # orders vs the per-customer aggregate of THEIR OTHER orders with a
+    # different status — a correlated scalar with genuinely empty groups
+    return (f"SELECT o_orderstatus, count(*) AS n, "
+            f"round(sum(o_totalprice), 4) AS sum_p "
+            f"FROM orders o "
+            f"WHERE o_totalprice {case['op']} ("
+            f"SELECT {case['agg']}(i.o_totalprice) * {case['mult']} "
+            f"FROM orders i WHERE i.o_custkey = o.o_custkey "
+            f"AND i.o_orderstatus = '{case['status']}') "
+            f"GROUP BY o_orderstatus")
+
+
+def _csq_spark_sql(case):
+    return _csq_duck_sql(case).replace("FROM orders", "FROM fz_orders")
+
+
+def _csq_df(spark, case):
+    o = load_table(spark, SF_SMALL, "orders")
+    inner = load_table(spark, SF_SMALL, "orders").where(
+        F.col("o_orderstatus") == case["status"])
+    agg = {
+        "avg": F.avg("o_totalprice"), "max": F.max("o_totalprice"),
+        "min": F.min("o_totalprice"), "sum": F.sum("o_totalprice"),
+    }[case["agg"]] * case["mult"]
+    flt = scalar_agg_filter(
+        o, "o_totalprice", case["op"], inner, agg,
+        on=[("o_custkey", "o_custkey")])
+    return flt.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_p"),
+    )
+
+
+N_CSQ_CASES = 8
+CSQ_CASES = [_gen_csq_case(random.Random(21000 + i)) for i in range(N_CSQ_CASES)]
+
+
+@pytest.mark.parametrize("i", range(N_CSQ_CASES))
+def test_correlated_scalar_agg_differential(spark, duck, subq_views, i):
+    """Three ways: DuckDB (oracle), Spark SQL's own correlated scalar
+    subquery decorrelation, and the scalar_agg_filter helper. Probe rows
+    whose correlation group is EMPTY in the inner (customers with no
+    '<status>' orders) must drop on all three — the NULL-scalar rule."""
+    case = CSQ_CASES[i]
+    sql = _csq_duck_sql(case)
+    oracle = duck.sql(sql).df()
+    sdf = spark.sql(_csq_spark_sql(case))
+    errors = compare(sdf, oracle, f"csq-sql[{i}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+    hdf = _csq_df(spark, case)
+    errors = compare(hdf, oracle, f"csq-df[{i}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
