@@ -43,7 +43,7 @@ metacache        serve-path index-metadata memo (listing-keyed, self-invalidatin
 profile          per-column table profiling (nulls, distinct, range, quantiles, top values)
 gapfill          gap-fill / LOCF / linear interpolation
 interval_join    bucketed interval/range join
-subqueries       IN/NOT IN/EXISTS subquery filters with exact ANSI 3VL null semantics
+subqueries       IN/NOT IN (single + row-value), EXISTS, ALL/ANY quantified, correlated scalar-agg subquery filters with exact ANSI 3VL null semantics
 bloomjoin        Bloom-prefiltered joins (map-side shuffle reduction for selective joins)
 asof             as-of join (trade × quote style)
 revenue          fee/tax revenue fact (§3.4 flagship)

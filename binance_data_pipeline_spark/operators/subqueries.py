@@ -28,9 +28,17 @@ is a key list (dims, denylists), so the aggregate is a metadata-sized
 action; the probe-side work stays a single distributed anti join either
 way.
 
-Differential bar: `tests/test_differential_fuzz.py` pins these helpers
-value-equal to Spark SQL's own `NOT IN`/`IN`/`EXISTS` AND to DuckDB over
-randomized null-injected cases.
+The module covers the complete classic subquery surface: single-column
+IN / NOT IN / EXISTS / NOT EXISTS, row-value (multi-column) IN / NOT IN
+(`in_filter_rows` / `not_in_filter_rows`), quantified comparisons
+``op ALL`` / ``op ANY`` (`all_filter` / `any_filter` — a shape Spark
+SQL text does not support at all), and correlated scalar-aggregate
+filters (`scalar_agg_filter`).
+
+Differential bar: `tests/test_differential_fuzz.py` pins every helper
+value-equal to Spark SQL's own planning where Spark supports the shape
+AND to DuckDB (natively, or via an explicit Kleene-OR formulation for
+row-value IN) over randomized null-injected cases.
 
 Reference parity note: the reference pipeline has no subquery surface
 (its one join is a pandas merge, `build_fact_fee_tax.py`); this module
