@@ -2024,3 +2024,50 @@ def test_correlated_scalar_agg_differential(spark, duck, subq_views, i):
     hdf = _csq_df(spark, case)
     errors = compare(hdf, oracle, f"csq-df[{i}]")
     assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+# ---- advanced aggregates differential ----------------------------------------
+
+def test_advanced_aggregates_differential(spark, duck):
+    """Ordered-set aggregates (percentile_cont/disc WITHIN GROUP,
+    median), bivariate statistics (corr, covar_samp/pop, regr_slope/
+    intercept/r2) and the FILTER clause, per group — numerically
+    sensitive aggregates where engines could diverge in accumulation
+    or interpolation. mode() is excluded deliberately: its tie-breaking
+    is implementation-defined on both engines."""
+    sql = """
+      SELECT l_returnflag,
+             percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity) AS p25,
+             percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity) AS p75,
+             percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity) AS p50d,
+             median(l_quantity) AS med,
+             round(corr(l_quantity, l_extendedprice), 6) AS r,
+             round(covar_samp(l_quantity, l_extendedprice), 2) AS cs,
+             round(covar_pop(l_quantity, l_extendedprice), 2) AS cp,
+             round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+             round(regr_intercept(l_extendedprice, l_quantity), 2) AS icept,
+             round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+             count(*) FILTER (WHERE l_discount > 0.05)::BIGINT AS n_hi_disc,
+             round(sum(l_extendedprice) FILTER (WHERE l_tax = 0), 2) AS sum_notax
+      FROM lineitem GROUP BY l_returnflag"""
+    oracle = duck.sql(sql).df()
+    df = (
+        load_table(spark, SF_SMALL, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_quantity)").alias("p25"),
+            F.expr("percentile_cont(0.75) WITHIN GROUP (ORDER BY l_quantity)").alias("p75"),
+            F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY l_quantity)").alias("p50d"),
+            F.median("l_quantity").alias("med"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("cs"),
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 2).alias("cp"),
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 2).alias("icept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.expr("count(*) FILTER (WHERE l_discount > 0.05)").alias("n_hi_disc"),
+            F.round(F.expr("sum(l_extendedprice) FILTER (WHERE l_tax = 0)"), 2).alias("sum_notax"),
+        )
+    )
+    errors = compare(df, oracle, "advanced_aggs")
+    assert not errors, "\n".join(errors)
