@@ -2071,3 +2071,39 @@ def test_advanced_aggregates_differential(spark, duck):
     )
     errors = compare(df, oracle, "advanced_aggs")
     assert not errors, "\n".join(errors)
+
+
+# ---- lateral subquery differential -------------------------------------------
+
+def test_lateral_topk_differential(spark, duck, subq_views):
+    """Correlated LATERAL subquery (top-2 orders per customer by price)
+    three ways: DuckDB LATERAL, Spark SQL LATERAL (Catalyst plans a
+    DomainJoin/decorrelated limit), and the Window row_number lowering —
+    all must produce the same row multiset. Ties on price are broken by
+    o_orderkey so the top-2 is total-ordered."""
+    sql = """
+      SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      FROM customer c,
+      LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+               ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      WHERE c.c_acctbal > 0"""
+    oracle = duck.sql(sql).df()
+    assert len(oracle) > 0
+    sdf = spark.sql(
+        sql.replace("FROM customer c", "FROM fz_customer c")
+           .replace("FROM orders o", "FROM fz_orders o"))
+    errors = compare(sdf, oracle, "lateral-sql")
+    assert not errors, "\n".join(errors)
+    # window lowering
+    from pyspark.sql import Window
+    c = load_table(spark, SF_SMALL, "customer").where(F.col("c_acctbal") > 0)
+    o = load_table(spark, SF_SMALL, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    top2 = (o.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= 2))
+    wdf = (c.join(top2, c.c_custkey == top2.o_custkey)
+           .select("c_custkey", "o_orderkey", "o_totalprice"))
+    errors = compare(wdf, oracle, "lateral-window")
+    assert not errors, "\n".join(errors)
