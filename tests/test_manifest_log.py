@@ -184,3 +184,87 @@ def test_live_entries_keep_stats_across_delta_chains(spark, tmp_path):
     entries = _live_entries(spark, t, 3)
     assert len(entries) == 4
     assert all(s is not None and '"id"' in s for _p, s in entries)
+
+
+def _legacyify(spark, t):
+    """Rewrite every manifest of ``t`` into the PRE-round-9 format: a
+    full live listing per version WITHOUT the action/base/n_live
+    columns — exactly what tables written by the old library look like
+    on disk. The upgrade contract: the new code must read them, commit
+    delta manifests ON TOP of them, and vacuum across the boundary."""
+    import uuid as _uuid
+
+    from binance_data_pipeline_spark.operators.snapshots import (
+        _claim_version, _hadoop_fs, _live_entries, _vname, _versions_dir,
+    )
+
+    for v in _list_versions(spark, t):
+        entries = _live_entries(spark, t, v)
+        m = _read_manifest(spark, t, v).select(
+            "version", "operation", "committed_at", "stream_hwm",
+            "table_schema").first()
+        rows = [
+            (p, int(m["version"]), m["operation"], float(m["committed_at"]),
+             s, m["stream_hwm"], m["table_schema"])
+            for p, s in entries
+        ]
+        tmp = f"{t}/__vtmp_{_uuid.uuid4().hex[:12]}"
+        spark.createDataFrame(
+            rows,
+            "path string, version long, operation string,"
+            " committed_at double, stats string, stream_hwm long,"
+            " table_schema string",
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        dest = f"{_versions_dir(t)}/{_vname(v)}"
+        fs, dp = _hadoop_fs(spark, dest)
+        fs.delete(dp, True)
+        assert _claim_version(spark, tmp, dest)
+
+
+def test_legacy_format_tables_read_and_upgrade_in_place(spark, tmp_path):
+    """A table written by the pre-delta-format library (full-listing
+    manifests, no action/base columns) must keep working verbatim under
+    the new code: reads, history, time travel, NEW delta commits on top
+    (resolving across the mixed legacy/delta chain), merge, and vacuum
+    across the format boundary."""
+    t = str(tmp_path / "t")
+    for c in range(3):
+        commit_snapshot(
+            spark, t,
+            spark.range(10 * c, 10 * c + 5).selectExpr("id as k", "'old' as v"),
+        )
+    _legacyify(spark, t)
+
+    # legacy reads: full state, per-version time travel, history
+    assert read_snapshot(spark, t).count() == 15
+    assert read_snapshot(spark, t, version=1).count() == 10
+    assert snapshot_history(spark, t).count() == 3
+    mdf = _read_manifest(spark, t, 2)
+    assert "base" not in mdf.columns  # genuinely old format on disk
+
+    # new commits land as DELTAS resolving against the legacy base
+    v3 = commit_snapshot(
+        spark, t, spark.range(100, 104).selectExpr("id as k", "'new' as v"))
+    assert v3 == 3
+    m3 = _read_manifest(spark, t, 3)
+    assert "base" in m3.columns
+    assert m3.where(F.col("action") == "add").count() == 1  # a delta, not a listing
+    assert read_snapshot(spark, t).count() == 19
+    assert read_snapshot(spark, t, version=2).count() == 15  # legacy still travels
+
+    # a merge (rewrite) across the boundary
+    snapshot_merge(
+        spark, t,
+        spark.range(0, 2).selectExpr("id as k", "'merged' as v"),
+        key_cols=["k"],
+    )
+    rows = {r["k"]: r["v"] for r in read_snapshot(spark, t).collect()}
+    assert rows[0] == rows[1] == "merged" and rows[100] == "new"
+    assert len(rows) == 19
+
+    # vacuum across the mixed chain: keep the last two, everything reads
+    res = vacuum_snapshots(spark, t, keep_versions=2, min_age_seconds=0.0)
+    assert res["retained_versions"] == 2
+    assert _list_versions(spark, t) == [3, 4]
+    assert read_snapshot(spark, t).count() == 19
+    assert read_snapshot(spark, t, version=3).count() == 19
