@@ -100,9 +100,25 @@ def run_suite(spark, sf_dir, sf, queries, names, metric) -> None:
         force(calibration_query(spark))
         return round(time.time() - t0, 3)
 
+    def time_io_calibration() -> float:
+        # scan+decode of a fixed real file (page-cache warm after the
+        # first sample): moves with storage/memory-bandwidth tenancy,
+        # which the pure-CPU calibration query cannot see. DIAGNOSTIC
+        # ONLY — reported raw, never used for normalization (no pinned
+        # reference; cross-round comparison is the point).
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        force(
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .agg(F.sum("l_extendedprice"), F.count(F.lit(1)))
+        )
+        return round(time.time() - t0, 3)
+
     force(queries[names[0]](spark, sf_dir))
     time_calibration()
     cal_samples = [time_calibration()]
+    io_samples = [time_io_calibration(), time_io_calibration()]
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in names:
@@ -129,6 +145,8 @@ def run_suite(spark, sf_dir, sf, queries, names, metric) -> None:
                 "calibration_samples": cal_samples,
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
                 "host_drag": drag,
+                "io_calibration_sec": min(io_samples),
+                "io_calibration_samples": io_samples,
                 "value_normalized": round(sum(normalized.values()), 3),
                 "queries_normalized": normalized,
             }
@@ -232,8 +250,24 @@ def main() -> None:
     # randomly dominate a single measurement. The calibration query is
     # sampled before, between, and after the passes; its MIN tracks the
     # best host state the measured mins were taken under.
+    def time_io_calibration() -> float:
+        # scan+decode of the sf dir's lineitem file (page-cache warm
+        # after the first sample): moves with storage/memory-bandwidth
+        # tenancy, which the pure-CPU calibration query cannot see.
+        # DIAGNOSTIC ONLY — raw samples, never used for normalization;
+        # cross-round comparison separates IO drag from CPU drag.
+        from pyspark.sql import functions as F
+
+        t0 = time.time()
+        force(
+            spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+            .agg(F.sum("l_extendedprice"), F.count(F.lit(1)))
+        )
+        return round(time.time() - t0, 3)
+
     time_calibration()  # calibration's own codegen warmup, untimed
     cal_samples = [time_calibration()]
+    io_samples = [time_io_calibration(), time_io_calibration()]
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in HEADLINE:
@@ -267,6 +301,8 @@ def main() -> None:
                 "calibration_samples": cal_samples,
                 "calibration_ref_sec": CALIBRATION_REF_SEC,
                 "host_drag": drag,
+                "io_calibration_sec": min(io_samples),
+                "io_calibration_samples": io_samples,
                 "value_normalized": round(sum(normalized.values()), 3),
                 "queries_normalized": normalized,
             }
