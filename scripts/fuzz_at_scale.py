@@ -19,10 +19,11 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-env = {**os.environ, "SPARK_FUZZ_SF_DIR": sf_dir}
-raise SystemExit(
-    subprocess.call(
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    env = {**os.environ, "SPARK_FUZZ_SF_DIR": sf_dir}
+    return subprocess.call(
         [sys.executable, "-m", "pytest",
          "tests/test_differential_fuzz.py",
          "tests/test_differential_windows.py",
@@ -30,4 +31,7 @@ raise SystemExit(
         cwd=REPO,
         env=env,
     )
-)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1881,7 +1881,6 @@ def _quant_inner_sql(case, customer="customer"):
 
 
 def _quant_duck_sql(case):
-    outer = _rv_outer_sql(case) if False else None
     om = case["outer_null_mod"]
     ock = (f"CASE WHEN o_orderkey % {om} = 0 THEN NULL ELSE o_custkey END"
            if om else "o_custkey")
@@ -2023,6 +2022,86 @@ def test_correlated_scalar_agg_differential(spark, duck, subq_views, i):
     assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
     hdf = _csq_df(spark, case)
     errors = compare(hdf, oracle, f"csq-df[{i}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+# ---- correlated COUNT aggregates: the decorrelation trap ---------------------
+# ANSI: a correlated COUNT over an empty group is 0, not NULL, so the
+# probe compares against 0 instead of dropping. The probe expression is
+# a small modulus of o_custkey so empty groups (customers with no
+# '<status>' orders) genuinely flip rows in and out of the result.
+
+
+def _gen_csq_count_case(rng):
+    return {
+        "op": rng.choice(["<", "<=", ">", ">=", "=", "<>"]),
+        "agg": rng.choice(["count_star", "count_col", "count_nullable"]),
+        "mod": rng.choice([2, 3, 5]),
+        "status": rng.choice(["F", "O", "P"]),
+    }
+
+
+_COUNT_SQL = {
+    "count_star": "count(*)",
+    "count_col": "count(i.o_totalprice)",
+    "count_nullable": ("count(CASE WHEN i.o_orderkey % 3 = 0 "
+                       "THEN NULL ELSE i.o_totalprice END)"),
+}
+
+
+def _csq_count_duck_sql(case):
+    return (f"SELECT o_orderstatus, count(*) AS n, "
+            f"round(sum(o_totalprice), 4) AS sum_p "
+            f"FROM orders o "
+            f"WHERE o_custkey % {case['mod']} {case['op']} ("
+            f"SELECT {_COUNT_SQL[case['agg']]} "
+            f"FROM orders i WHERE i.o_custkey = o.o_custkey "
+            f"AND i.o_orderstatus = '{case['status']}') "
+            f"GROUP BY o_orderstatus")
+
+
+def _csq_count_df(spark, case):
+    o = load_table(spark, SF_SMALL, "orders")
+    inner = load_table(spark, SF_SMALL, "orders").where(
+        F.col("o_orderstatus") == case["status"])
+    agg = {
+        "count_star": F.count(F.lit(1)),
+        "count_col": F.count("o_totalprice"),
+        "count_nullable": F.count(
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))),
+    }[case["agg"]]
+    flt = scalar_agg_filter(
+        o, F.col("o_custkey") % case["mod"], case["op"], inner, agg,
+        on=[("o_custkey", "o_custkey")])
+    return flt.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_p"),
+    )
+
+
+N_CSQ_COUNT_CASES = 8
+CSQ_COUNT_CASES = [
+    _gen_csq_count_case(random.Random(23000 + i))
+    for i in range(N_CSQ_COUNT_CASES)
+]
+
+
+@pytest.mark.parametrize("i", range(N_CSQ_COUNT_CASES))
+def test_correlated_count_agg_differential(spark, duck, subq_views, i):
+    """Correlated COUNT scalar subqueries three ways: DuckDB, Spark SQL
+    text (both special-case COUNT in decorrelation — parity with them is
+    the spec), and scalar_agg_filter. Probes whose correlation group is
+    empty must compare against COUNT = 0, not drop — the defect VERDICT
+    r9 confirmed in the pre-fix left-join lowering."""
+    case = CSQ_COUNT_CASES[i]
+    sql = _csq_count_duck_sql(case)
+    oracle = duck.sql(sql).df()
+    sdf = spark.sql(sql.replace("FROM orders", "FROM fz_orders"))
+    errors = compare(sdf, oracle, f"csq-count-sql[{i}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+    hdf = _csq_count_df(spark, case)
+    errors = compare(hdf, oracle, f"csq-count-df[{i}]")
     assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
 
 
