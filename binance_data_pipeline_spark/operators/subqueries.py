@@ -28,6 +28,20 @@ is a key list (dims, denylists), so the aggregate is a metadata-sized
 action; the probe-side work stays a single distributed anti join either
 way.
 
+**Eagerness contract**: `not_in_filter`, `not_in_filter_rows`,
+`all_filter`, and `any_filter` are EAGER — they run that
+branch-deciding aggregate at CALL time (a Spark action), and the
+returned plan re-reads the inner relation in its join leg, so an
+uncached inner subplan is computed TWICE (once for the stats, once when
+the result executes) and the branch decision snapshots the inner's
+state at construction rather than execution time. For a bare table
+scan or key list (the intended 100 TB shape) both costs are noise; for
+an expensive inner subplan pass ``cache_inner=True``, which persists
+the projected value frame across the stats action and the join leg
+(caller unpersists via the frame the helpers leave cached, or lets it
+age out of the storage pool). `in_filter` / `exists_filter` /
+`not_exists_filter` / `scalar_agg_filter` stay fully lazy.
+
 The module covers the complete classic subquery surface: single-column
 IN / NOT IN / EXISTS / NOT EXISTS, row-value (multi-column) IN / NOT IN
 (`in_filter_rows` / `not_in_filter_rows`), quantified comparisons
@@ -70,15 +84,22 @@ def in_filter(
 
 
 def not_in_filter(
-    df: DataFrame, col: str | Column, inner: DataFrame, inner_col: str | Column
+    df: DataFrame, col: str | Column, inner: DataFrame, inner_col: str | Column,
+    cache_inner: bool = False,
 ) -> DataFrame:
     """Rows of ``df`` where ``col NOT IN (SELECT inner_col FROM inner)``
     is TRUE — the full 3VL: empty subquery keeps everything (NULL probes
     included), a NULL in the subquery keeps nothing, otherwise anti join
     plus a NOT NULL probe filter. The branch decision costs one
-    two-counter aggregate over the subquery (driver scalar)."""
+    two-counter aggregate over the subquery (driver scalar).
+
+    EAGER (see module docstring): the aggregate runs at call time and
+    an uncached inner is computed twice; ``cache_inner=True`` persists
+    the value frame across both uses."""
     probe = F.col(col) if isinstance(col, str) else col
     vals = _values(inner, inner_col)
+    if cache_inner:
+        vals = vals.cache()
     n, n_nonnull = vals.agg(
         F.count(F.lit(1)), F.count(F.col("__subq_v"))
     ).first()
@@ -130,7 +151,8 @@ def in_filter_rows(
 
 
 def not_in_filter_rows(
-    df: DataFrame, cols, inner: DataFrame, inner_cols
+    df: DataFrame, cols, inner: DataFrame, inner_cols,
+    cache_inner: bool = False,
 ) -> DataFrame:
     """Row-value ``NOT IN`` with the full ANSI 3VL — the subtle case:
     a probe with a NULL component can still be TRUE (kept) when every
@@ -148,7 +170,12 @@ def not_in_filter_rows(
     nested-loop): all probes vs the inner's null-containing rows, and
     null-component probes vs the whole inner. Those slices are
     dim-sized in practice; each is skipped entirely when its side is
-    empty (decided by one bounded aggregate)."""
+    empty (decided by one bounded aggregate).
+
+    EAGER (see module docstring): the bounded aggregate runs at call
+    time and an uncached inner is computed once per slice it feeds;
+    ``cache_inner=True`` persists the distinct value frame across all
+    of them."""
     ps, ss = _cols(cols), _cols(inner_cols)
     k = len(ps)
     if k != len(ss):
@@ -156,6 +183,8 @@ def not_in_filter_rows(
     vals = inner.select(
         *[s.alias(f"__subq_{i}") for i, s in enumerate(ss)]
     ).distinct()
+    if cache_inner:
+        vals = vals.cache()
     sub = [F.col(f"__subq_{i}") for i in range(k)]
     inner_any_null = F.lit(False)
     for c in sub:
@@ -214,11 +243,9 @@ _ORDERED_OPS = {
 }
 
 
-def _quant_stats(inner: DataFrame, inner_col: str | Column):
+def _quant_stats(v: DataFrame):
     """One bounded aggregate deciding every quantified-comparison branch:
     (count, nulls, min, max, distinct-count) of the subquery values."""
-    c = F.col(inner_col) if isinstance(inner_col, str) else inner_col
-    v = inner.select(c.alias("__subq_v"))
     return v.agg(
         F.count(F.lit(1)),
         F.count(F.lit(1)) - F.count("__subq_v"),
@@ -230,7 +257,7 @@ def _quant_stats(inner: DataFrame, inner_col: str | Column):
 
 def all_filter(
     df: DataFrame, col: str | Column, op: str, inner: DataFrame,
-    inner_col: str | Column,
+    inner_col: str | Column, cache_inner: bool = False,
 ) -> DataFrame:
     """``col <op> ALL (SELECT inner_col FROM inner)`` kept where TRUE —
     the quantified comparison Spark SQL does not support at all (ANSI
@@ -240,9 +267,16 @@ def all_filter(
     the ordered forms reduce to one comparison against the subquery's
     max/min and ``=``/``<>`` to distinct-count logic. ONE bounded
     aggregate (a driver scalar row), then a pure WHERE predicate — no
-    join at all, so at 100 TB the probe scan keeps its pushdown."""
+    join at all, so at 100 TB the probe scan keeps its pushdown.
+
+    EAGER (see module docstring): the aggregate runs at call time; the
+    ``<>``/``!=`` form also re-reads the inner in its NOT IN join leg —
+    ``cache_inner=True`` persists the value frame across both."""
     probe = F.col(col) if isinstance(col, str) else col
-    n, n_null, vmin, vmax, n_dist = _quant_stats(inner, inner_col)
+    vals = _values(inner, inner_col)
+    if cache_inner:
+        vals = vals.cache()
+    n, n_null, vmin, vmax, n_dist = _quant_stats(vals)
     if n == 0:
         return df  # vacuous truth, even for NULL probes
     if n_null:
@@ -257,23 +291,31 @@ def all_filter(
             return df.limit(0)
         return df.where(probe == F.lit(vmin))
     if op in ("<>", "!="):
-        # <> ALL is NOT IN; reuse its exact lowering
-        return not_in_filter(df, col, inner, inner_col)
+        # <> ALL is NOT IN; reuse its exact lowering over the (possibly
+        # cached) value frame so the inner subplan is not re-read
+        return not_in_filter(df, col, vals, "__subq_v")
     raise ValueError(f"unsupported quantified op {op!r}")
 
 
 def any_filter(
     df: DataFrame, col: str | Column, op: str, inner: DataFrame,
-    inner_col: str | Column,
+    inner_col: str | Column, cache_inner: bool = False,
 ) -> DataFrame:
     """``col <op> ANY (SELECT ...)`` kept where TRUE — the existential
     dual of :func:`all_filter`: empty subquery keeps nothing, NULLs can
     make rows UNKNOWN but never TRUE, ordered forms compare against the
     subquery min/max, ``= ANY`` is IN, ``<> ANY`` is TRUE whenever the
     subquery has two distinct values (or one differing from the probe).
-    Same execution shape: one bounded aggregate, then a predicate."""
+    Same execution shape: one bounded aggregate, then a predicate.
+
+    EAGER (see module docstring): the aggregate runs at call time; the
+    ``=`` form also re-reads the inner in its IN join leg —
+    ``cache_inner=True`` persists the value frame across both."""
     probe = F.col(col) if isinstance(col, str) else col
-    n, n_null, vmin, vmax, n_dist = _quant_stats(inner, inner_col)
+    vals = _values(inner, inner_col)
+    if cache_inner:
+        vals = vals.cache()
+    n, n_null, vmin, vmax, n_dist = _quant_stats(vals)
     if n == 0 or n == n_null:
         # no non-null witness can exist: FALSE (empty) or UNKNOWN
         return df.limit(0)
@@ -281,7 +323,7 @@ def any_filter(
         bound = vmin if op in (">", ">=") else vmax
         return df.where(_ORDERED_OPS[op](probe, F.lit(bound)))
     if op == "=":
-        return in_filter(df, col, inner, inner_col)
+        return in_filter(df, col, vals, "__subq_v")
     if op in ("<>", "!="):
         if n_dist >= 2:
             # some value must differ from any non-null probe

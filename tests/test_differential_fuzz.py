@@ -1954,6 +1954,102 @@ def test_quantified_cases_not_vacuous(duck):
     assert nonempty >= 0.5 * len(QUANT_CASES)
 
 
+# ---- quantified × extreme values (round 10) ----------------------------------
+# The min/max-scalar lowering of ALL/ANY must agree with DuckDB's native
+# quantified comparisons under IEEE specials. Both engines use the same
+# total order (NaN > +inf, NaN = NaN TRUE), but the lowering compresses
+# the subquery to one min/max bound — these cases prove the compression
+# preserves the semantics when the bound ITSELF is NaN/±inf, when the
+# probe is a special, and when NULLs mix in.
+
+_XQ_PROBE = [(1, float("nan")), (2, float("inf")), (3, float("-inf")),
+             (4, 1.5), (5, -2.5), (6, 0.0), (7, None)]
+_XQ_PROBE_DUCK = ("(VALUES (1, 'NaN'::DOUBLE), (2, 'Infinity'::DOUBLE), "
+                  "(3, '-Infinity'::DOUBLE), (4, 1.5::DOUBLE), "
+                  "(5, -2.5::DOUBLE), (6, 0.0::DOUBLE), "
+                  "(7, NULL::DOUBLE)) p(id, x)")
+
+_XQ_INNERS = {
+    "with_nan": ([float("nan"), 1.0, 2.0],
+                 "(VALUES ('NaN'::DOUBLE), (1.0::DOUBLE), (2.0::DOUBLE))"),
+    "all_nan": ([float("nan"), float("nan")],
+                "(VALUES ('NaN'::DOUBLE), ('NaN'::DOUBLE))"),
+    "inf_pair": ([float("inf"), float("-inf")],
+                 "(VALUES ('Infinity'::DOUBLE), ('-Infinity'::DOUBLE))"),
+    "nan_null": ([float("nan"), None, 3.0],
+                 "(VALUES ('NaN'::DOUBLE), (NULL::DOUBLE), (3.0::DOUBLE))"),
+    "finite": ([-1.0, 0.0, 2.5],
+               "(VALUES (-1.0::DOUBLE), (0.0::DOUBLE), (2.5::DOUBLE))"),
+}
+
+XQ_CASES = [
+    {"quant": q, "op": op, "inner": iv}
+    for q in ("all", "any")
+    for op in ("<", "<=", ">", ">=", "=", "<>")
+    for iv in ("with_nan", "all_nan", "inf_pair", "nan_null", "finite")
+]
+
+
+@pytest.mark.parametrize("i", range(len(XQ_CASES)))
+def test_quantified_extreme_differential(spark, duck, i):
+    case = XQ_CASES[i]
+    vals, duck_vals = _XQ_INNERS[case["inner"]]
+    q = case["quant"].upper()
+    sql = (f"SELECT id FROM {_XQ_PROBE_DUCK} "
+           f"WHERE x {case['op']} {q} (SELECT v FROM {duck_vals} s(v))")
+    oracle = duck.sql(sql).df()
+    probe = spark.createDataFrame(_XQ_PROBE, "id long, x double")
+    inner = spark.createDataFrame([(v,) for v in vals], "v double")
+    fn = all_filter if case["quant"] == "all" else any_filter
+    df = fn(probe, "x", case["op"], inner, "v").select("id")
+    errors = compare(df, oracle, f"xquant[{i}:{case['quant']}:{case['op']}:"
+                                 f"{case['inner']}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_quantified_extreme_not_vacuous(duck):
+    """At least a third of the extreme cases must keep SOME rows, so the
+    battery isn't all empty-result agreements."""
+    kept = 0
+    for case in XQ_CASES:
+        _, duck_vals = _XQ_INNERS[case["inner"]]
+        q = case["quant"].upper()
+        sql = (f"SELECT id FROM {_XQ_PROBE_DUCK} "
+               f"WHERE x {case['op']} {q} (SELECT v FROM {duck_vals} s(v))")
+        if len(duck.sql(sql).df()) > 0:
+            kept += 1
+    assert kept >= len(XQ_CASES) // 3, kept
+
+
+def test_quantified_decimal_differential(spark, duck):
+    """Quantified comparisons over DECIMAL(12,2) incl. the type's
+    boundary values — the min/max bound round-trips through a Python
+    Decimal into a literal; precision must survive exactly."""
+    from decimal import Decimal
+
+    probe_rows = [(1, Decimal("9999999999.99")), (2, Decimal("-9999999999.99")),
+                  (3, Decimal("0.01")), (4, Decimal("0.00")), (5, None)]
+    duck_probe = ("(VALUES (1, 9999999999.99::DECIMAL(12,2)), "
+                  "(2, -9999999999.99::DECIMAL(12,2)), "
+                  "(3, 0.01::DECIMAL(12,2)), (4, 0.00::DECIMAL(12,2)), "
+                  "(5, NULL::DECIMAL(12,2))) p(id, x)")
+    inner_rows = [(Decimal("0.01"),), (Decimal("9999999999.99"),)]
+    duck_inner = ("(VALUES (0.01::DECIMAL(12,2)), "
+                  "(9999999999.99::DECIMAL(12,2)))")
+    probe = spark.createDataFrame(probe_rows, "id long, x decimal(12,2)")
+    inner = spark.createDataFrame(inner_rows, "v decimal(12,2)")
+    for quant, op in (("all", "<="), ("all", "<"), ("any", ">="),
+                      ("any", "="), ("all", "<>"), ("any", "<>")):
+        q = quant.upper()
+        sql = (f"SELECT id FROM {duck_probe} "
+               f"WHERE x {op} {q} (SELECT v FROM {duck_inner} s(v))")
+        oracle = duck.sql(sql).df()
+        fn = all_filter if quant == "all" else any_filter
+        df = fn(probe, "x", op, inner, "v").select("id")
+        errors = compare(df, oracle, f"xquant-dec[{quant}:{op}]")
+        assert not errors, f"{quant} {op}\nsql={sql}\n" + "\n".join(errors)
+
+
 # ---- correlated scalar-aggregate subquery ------------------------------------
 
 from binance_data_pipeline_spark.operators.subqueries import (  # noqa: E402

@@ -232,3 +232,50 @@ def test_row_value_not_in_bulk_is_hash_anti_join(spark):
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_subquery_cache_inner_single_scan(spark):
+    """The eager helpers compute an uncached inner twice (documented
+    contract); cache_inner=True must instead read the value frame from
+    the cache in the join leg — the executed plan shows an in-memory
+    relation scan, not a second parquet scan — and results must be
+    identical either way."""
+    from binance_data_pipeline_spark.catalog import load_table
+    from binance_data_pipeline_spark.operators.subqueries import (
+        all_filter, not_in_filter,
+    )
+
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer").where(F.col("c_acctbal") > 0)
+
+    plain = not_in_filter(o, "o_custkey", c, "c_custkey")
+    cached = not_in_filter(o, "o_custkey", c, "c_custkey", cache_inner=True)
+    plan = plan_of(cached)
+    assert "InMemory" in plan, plan
+    assert plain.count() == cached.count()
+
+    # <> ALL reuses the same (cached) value frame for its NOT IN leg
+    ne_all = all_filter(o, "o_custkey", "<>", c, "c_custkey",
+                        cache_inner=True)
+    assert "InMemory" in plan_of(ne_all), plan_of(ne_all)
+    spark.catalog.clearCache()
+
+
+def test_scalar_agg_count_empty_value_leg_is_broadcast(spark):
+    """scalar_agg_filter's ANSI empty-group patch adds a one-row
+    aggregate over inner.limit(0) to the plan. It must enter as a
+    broadcast (BroadcastNestedLoopJoin over a single-row relation or a
+    folded literal), never a CartesianProduct or a shuffle, and the
+    probe-side join must stay a hash equi-join."""
+    from binance_data_pipeline_spark.catalog import load_table
+    from binance_data_pipeline_spark.operators.subqueries import scalar_agg_filter
+
+    o = load_table(spark, SF_SMALL, "orders")
+    inner = load_table(spark, SF_SMALL, "orders").where(
+        F.col("o_orderstatus") == "F")
+    df = scalar_agg_filter(
+        o, F.col("o_custkey") % 3, ">=", inner, F.count(F.lit(1)),
+        on=[("o_custkey", "o_custkey")])
+    plan = plan_of(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
