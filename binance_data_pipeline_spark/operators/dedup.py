@@ -342,6 +342,7 @@ def simhash_near_dups(
     max_hamming: int = 3,
     bands: int | None = None,
     max_block_size: int | None = None,
+    dup_ratio_gate: float = 1.25,
 ) -> DataFrame:
     """Near-dup pairs by SimHash with pigeonhole banding (the Manku/Jain/
     Sarma WWW'07 simhash-dedup construction): split the 64-bit signature
@@ -375,20 +376,22 @@ def simhash_near_dups(
     generated once, at output, by expanding signature pairs back to
     members. The round-8 100× smoke measured the per-doc formulation's
     wall growing 17.2× on 10× data — the candidate/verify legs were
-    re-verifying every member of every dup class in every band."""
+    re-verifying every member of every dup class in every band.
+
+    Low-dup corpora pay the distinct-signature machinery (an extra
+    groupBy/collect_list shuffle + the expansion joins) for nothing, so
+    the formulation is GATED: the signatures are materialized once,
+    one cheap aggregate probes the duplication ratio
+    (count / approx_count_distinct), and below ``dup_ratio_gate`` the
+    per-doc direct banding path runs instead — same single band shuffle,
+    no member machinery. Both paths compute the exact same pair set
+    (pinned by test_simhash_gate_paths_agree); the gate is performance
+    only. The per-doc path is taken only when ``max_block_size`` is
+    None, because under a cap the distinct path's keep-identical-pairs
+    guarantee differs by design."""
     n_bands = bands if bands is not None else max_hamming + 1
     width = 64 // n_bands
-    sig = with_simhash(df, id_col, text_col)  # consumed once, by members
-    # ONE shuffle builds everything the distinct-signature plan needs:
-    # member lists (sorted, so in-class pairs come out ordered) and the
-    # class size n (weights the block cap; sizes the same-sig output)
-    members = _materialize(
-        sig.groupBy("simhash").agg(
-            F.sort_array(F.collect_list("id")).alias("ids"),
-            F.count(F.lit(1)).alias("n"),
-        )
-    )
-    sigs = members.select("simhash", "n")
+    sig = _materialize(with_simhash(df, id_col, text_col))
     # band i = bits [i*width, (i+1)*width) of the signature, as a separate
     # blocking key per band index (shiftright + mask keeps it JVM-side;
     # the last band absorbs any remainder bits)
@@ -408,6 +411,46 @@ def simhash_near_dups(
             for i in range(n_bands)
         ]
     )
+    if max_block_size is None:
+        n_docs, n_sigs = sig.agg(
+            F.count(F.lit(1)), F.approx_count_distinct("simhash")
+        ).first()
+        if n_docs < dup_ratio_gate * n_sigs:
+            # low duplication: direct per-doc banding, no member machinery
+            blk = sig.select(
+                "id", "simhash", F.explode(band_cols).alias("b")
+            ).select(
+                "id", "simhash",
+                F.col("b.band_idx").alias("bi"), F.col("b.band_val").alias("bv"),
+            )
+            l, r = blk.alias("l"), blk.alias("r")
+            return (
+                l.join(
+                    r,
+                    (F.col("l.bi") == F.col("r.bi"))
+                    & (F.col("l.bv") == F.col("r.bv"))
+                    & (F.col("l.id") < F.col("r.id")),
+                )
+                .select(
+                    F.col("l.id").alias("id_a"),
+                    F.col("r.id").alias("id_b"),
+                    F.bit_count(
+                        F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+                    ).cast("int").alias("hamming"),
+                )
+                .where(F.col("hamming") <= max_hamming)
+                .distinct()
+            )
+    # ONE shuffle builds everything the distinct-signature plan needs:
+    # member lists (sorted, so in-class pairs come out ordered) and the
+    # class size n (weights the block cap; sizes the same-sig output)
+    members = _materialize(
+        sig.groupBy("simhash").agg(
+            F.sort_array(F.collect_list("id")).alias("ids"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    sigs = members.select("simhash", "n")
     blk = sigs.select("simhash", "n", F.explode(band_cols).alias("b")).select(
         "simhash", "n", F.col("b.band_idx").alias("bi"), F.col("b.band_val").alias("bv")
     )

@@ -59,6 +59,7 @@ from pyspark.sql.datasource import (
 from .kafka_wire import (
     kafka_fetch,
     kafka_list_offsets,
+    kafka_offset_commit,
     kafka_partitions,
     kafka_produce,
 )
@@ -119,11 +120,13 @@ def _fetch_range(part: _RangePartition):
 class _KafkaWireStreamReader(DataSourceStreamReader):
     def __init__(self, host: str, port: int, topic: str,
                  starting_offsets: str, max_per_trigger: int | None,
-                 cursor_dir: str | None = None):
+                 cursor_dir: str | None = None,
+                 commit_group: str | None = None):
         self._host, self._port, self._topic = host, port, topic
         self._starting = starting_offsets
         self._max = max_per_trigger
         self._cursor_dir = cursor_dir
+        self._commit_group = commit_group
         # Rate-limit anchor: the last offsets handed to the engine.
         # None until the first poll. The engine chains micro-batch
         # ranges from our PREVIOUS latestOffset return (observed: it
@@ -297,6 +300,24 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
         # offsets live in the engine's checkpoint; the sidecar cursor
         # only re-arms the rate limiter across driver incarnations
         self._save_cursor(end)
+        if self._commit_group:
+            # mirror the ENGINE-committed position to the broker
+            # (OffsetCommit as a simple consumer) so external lag
+            # tooling sees progress, like the jar connector's
+            # kafka.group.id. commit(end) fires strictly AFTER the
+            # engine checkpoints the batch, so the broker never gets
+            # ahead of the checkpoint; it can lag one batch (the
+            # engine calls commit at the NEXT batch's start — the jar
+            # connector's commits are asynchronous too). Best-effort
+            # by design: a broker hiccup must not fail the stream,
+            # exactly-once rests on the checkpoint alone.
+            try:
+                kafka_offset_commit(
+                    self._host, self._port, self._commit_group,
+                    self._topic, {int(p): int(v) for p, v in end.items()},
+                )
+            except (OSError, ValueError):
+                pass
 
 
 class _KafkaWireBatchReader(DataSourceReader):
@@ -435,8 +456,11 @@ class KafkaWireDataSource(DataSource):
     ``startingOffsets`` (earliest|latest, streaming reads),
     ``maxOffsetsPerTrigger`` (streaming reads), ``rateCursorDir``
     (driver-local dir persisting the rate cursor so the limit also
-    caps the first batch after a restart), ``partitions``
-    (sink routing width; default = broker metadata). Sink rows follow
+    caps the first batch after a restart), ``commitToBroker`` (a
+    consumer-group id; when set, engine-committed offsets are mirrored
+    to the broker via OffsetCommit so external lag tooling sees the
+    stream's progress — the jar connector's ``kafka.group.id``),
+    ``partitions`` (sink routing width; default = broker metadata). Sink rows follow
     the jar sink's contract: ``value`` required (binary|string),
     ``key``/``partition`` optional; delivery at-least-once (no Kafka
     transactions — the reference's own posture; bronze dedups by
@@ -475,6 +499,7 @@ class KafkaWireDataSource(DataSource):
             self.options.get("startingoffsets", "earliest"),
             int(mx) if mx is not None else None,
             cursor_dir=self.options.get("ratecursordir"),
+            commit_group=self.options.get("committobroker"),
         )
 
     def _make_writer(self) -> _KafkaWireWriter:

@@ -259,6 +259,8 @@ class MiniKafkaBroker:
         # per (topic, partition): [(base_offset, record_count, batch_bytes)]
         self._log: dict[tuple[str, int], list[tuple[int, int, bytes]]] = {}
         self._next: dict[tuple[str, int], int] = {}
+        # consumer-group committed offsets: (group, topic, partition) -> offset
+        self._group_offsets: dict[tuple[str, str, int], int] = {}
         self._lock = threading.Lock()
         self.port: int | None = None
 
@@ -281,7 +283,8 @@ class MiniKafkaBroker:
         if api_key == 18:  # ApiVersions v0
             out = io.BytesIO()
             out.write(struct.pack(">h", 0))  # error
-            versions = [(18, 0, 0), (3, 0, 0), (0, 3, 3), (1, 4, 4), (2, 1, 1)]
+            versions = [(18, 0, 0), (3, 0, 0), (0, 3, 3), (1, 4, 4), (2, 1, 1),
+                        (8, 2, 2), (9, 1, 1)]
             out.write(struct.pack(">i", len(versions)))
             for k, lo, hi in versions:
                 out.write(struct.pack(">hhh", k, lo, hi))
@@ -375,6 +378,48 @@ class MiniKafkaBroker:
                     # timestamps); arbitrary timestamps unsupported here
                     off = latest if ts == -1 else earliest
                     out.write(struct.pack(">ihqq", partition, 0, -1, off))
+            return out.getvalue()
+        if api_key == 8 and api_version == 2:  # OffsetCommit v2
+            group = _r_str(buf) or ""
+            struct.unpack(">i", buf.read(4))  # generation_id (-1: simple)
+            _r_str(buf)  # member_id
+            struct.unpack(">q", buf.read(8))  # retention_time
+            (ntopics,) = struct.unpack(">i", buf.read(4))
+            out = io.BytesIO()
+            out.write(struct.pack(">i", ntopics))
+            for _ in range(ntopics):
+                topic = _r_str(buf) or ""
+                (nparts,) = struct.unpack(">i", buf.read(4))
+                _w_str(out, topic)
+                out.write(struct.pack(">i", nparts))
+                for _ in range(nparts):
+                    partition, offset = struct.unpack(">iq", buf.read(12))
+                    _r_str(buf)  # metadata
+                    with self._lock:
+                        self._group_offsets[(group, topic, partition)] = offset
+                    out.write(struct.pack(">ih", partition, 0))
+            return out.getvalue()
+        if api_key == 9 and api_version == 1:  # OffsetFetch v1
+            group = _r_str(buf) or ""
+            (ntopics,) = struct.unpack(">i", buf.read(4))
+            out = io.BytesIO()
+            out.write(struct.pack(">i", ntopics))
+            for _ in range(ntopics):
+                topic = _r_str(buf) or ""
+                (nparts,) = struct.unpack(">i", buf.read(4))
+                _w_str(out, topic)
+                out.write(struct.pack(">i", nparts))
+                for _ in range(nparts):
+                    (partition,) = struct.unpack(">i", buf.read(4))
+                    with self._lock:
+                        off = self._group_offsets.get(
+                            (group, topic, partition), -1
+                        )
+                    # -1 + empty metadata + no error == "no committed
+                    # offset", the real broker's shape
+                    out.write(struct.pack(">iq", partition, off))
+                    _w_str(out, "")
+                    out.write(struct.pack(">h", 0))
             return out.getvalue()
         raise ValueError(f"unsupported api_key={api_key} v{api_version}")
 
@@ -523,6 +568,66 @@ def kafka_list_offsets(
     if err != 0:
         raise ValueError(f"list_offsets error {err}")
     return off
+
+
+def kafka_offset_commit(
+    host: str, port: int, group: str, topic: str, offsets: dict[int, int]
+) -> None:
+    """OffsetCommit v2 as a simple (non-group-managed) consumer
+    (generation -1, empty member id — the protocol's standalone-consumer
+    shape): publish committed offsets for ``group`` so external tooling
+    (lag monitors, `kafka-consumer-groups.sh`) sees the stream's
+    progress, as the jar connector's ``kafka.group.id`` option does."""
+    body = io.BytesIO()
+    _w_str(body, group)
+    body.write(struct.pack(">i", -1))  # generation_id: simple consumer
+    _w_str(body, "")  # member_id
+    body.write(struct.pack(">q", -1))  # retention_time: broker default
+    body.write(struct.pack(">i", 1))
+    _w_str(body, topic)
+    body.write(struct.pack(">i", len(offsets)))
+    for p, off in sorted(offsets.items()):
+        body.write(struct.pack(">iq", p, off))
+        _w_str(body, None)  # metadata
+    resp = _roundtrip(host, port, 8, 2, body.getvalue())
+    (ntopics,) = struct.unpack(">i", resp.read(4))
+    assert ntopics == 1
+    _r_str(resp)
+    (nparts,) = struct.unpack(">i", resp.read(4))
+    for _ in range(nparts):
+        _p, err = struct.unpack(">ih", resp.read(6))
+        if err != 0:
+            raise ValueError(f"offset_commit error {err} for partition {_p}")
+
+
+def kafka_offset_fetch(
+    host: str, port: int, group: str, topic: str, partitions: list[int]
+) -> dict[int, int]:
+    """OffsetFetch v1: the broker-visible committed offsets of ``group``
+    for ``topic`` — partitions with no committed offset are absent from
+    the returned dict (the broker answers -1 for them)."""
+    body = io.BytesIO()
+    _w_str(body, group)
+    body.write(struct.pack(">i", 1))
+    _w_str(body, topic)
+    body.write(struct.pack(">i", len(partitions)))
+    for p in partitions:
+        body.write(struct.pack(">i", p))
+    resp = _roundtrip(host, port, 9, 1, body.getvalue())
+    (ntopics,) = struct.unpack(">i", resp.read(4))
+    assert ntopics == 1
+    _r_str(resp)
+    (nparts,) = struct.unpack(">i", resp.read(4))
+    out: dict[int, int] = {}
+    for _ in range(nparts):
+        p, off = struct.unpack(">iq", resp.read(12))
+        _r_str(resp)  # metadata
+        (err,) = struct.unpack(">h", resp.read(2))
+        if err != 0:
+            raise ValueError(f"offset_fetch error {err} for partition {p}")
+        if off >= 0:
+            out[p] = off
+    return out
 
 
 def kafka_partitions(host: str, port: int, topic: str) -> list[int]:

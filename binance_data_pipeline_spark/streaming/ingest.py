@@ -112,6 +112,7 @@ def read_raw_stream_from_kafka_wire(
     starting_offsets: str = "earliest",
     max_offsets_per_trigger: int = MAX_OFFSETS_PER_TRIGGER,
     rate_cursor_dir: str | None = None,
+    commit_to_broker: str | None = None,
 ) -> DataFrame:
     """Kafka source (S3) with NO connector jar: the Python-DataSource
     implementation over the public wire protocol
@@ -127,7 +128,14 @@ def read_raw_stream_from_kafka_wire(
     ``rate_cursor_dir`` (a driver-local dir; put it inside the stream's
     checkpoint location so both are deleted together) and the source
     persists its own cursor, keeping ``max_offsets_per_trigger`` in
-    force across restarts."""
+    force across restarts.
+
+    ``commit_to_broker``: optional consumer-group id; engine-committed
+    offsets are mirrored to the broker (OffsetCommit) so external lag
+    monitors see the stream's progress — the jar connector's
+    ``kafka.group.id``. Broker commits can lag the checkpoint by one
+    batch (the engine's commit callback is asynchronous) and never
+    replace it: exactly-once still rests on the checkpoint alone."""
     from ..sources.kafka_source import register_kafka_wire_source
 
     register_kafka_wire_source(spark)
@@ -140,6 +148,8 @@ def read_raw_stream_from_kafka_wire(
     )
     if rate_cursor_dir:
         reader = reader.option("rateCursorDir", rate_cursor_dir)
+    if commit_to_broker:
+        reader = reader.option("commitToBroker", commit_to_broker)
     return kafka_records_to_raw(reader.load())
 
 

@@ -368,6 +368,78 @@ def test_restart_after_backlog_is_capped_with_rate_cursor(spark, tmp_path):
     )
 
 
+def test_commit_to_broker_mirrors_checkpoint(spark, tmp_path):
+    """commitToBroker mirrors engine-committed offsets to the broker
+    (OffsetCommit as a simple consumer) so external lag tooling sees
+    the stream's progress, like the jar connector's kafka.group.id.
+    Contract pinned here: the broker-visible offsets equal the end
+    offsets of a batch the ENGINE has committed (never ahead of the
+    checkpoint; at most one batch behind the latest), and exactly-once
+    still rests on the checkpoint alone."""
+    import time
+
+    from binance_data_pipeline_spark.sources.kafka_wire import (
+        kafka_offset_fetch,
+    )
+
+    out, ckpt = str(tmp_path / "bronze"), str(tmp_path / "ckpt")
+    group = "bdp-lag-monitor"
+    with MiniKafkaBroker() as broker:
+        bootstrap = f"127.0.0.1:{broker.port}"
+        raw = read_raw_stream_from_kafka_wire(
+            spark, bootstrap, commit_to_broker=group
+        )
+        q = start_bronze_ingest(raw, out, ckpt, trigger_interval="1 seconds")
+        try:
+            # several waves so commit() (which fires at the NEXT batch's
+            # start) runs for all but possibly the final batch
+            for seed, n in ((31, 60), (32, 40), (33, 20)):
+                _produce_messages(broker.port, FX.raw_ws_messages(n=n, seed=seed))
+                q.processAllAvailable()
+            deadline = time.time() + 30
+            committed: dict[int, int] = {}
+            while time.time() < deadline:
+                committed = kafka_offset_fetch(
+                    "127.0.0.1", broker.port, group, "binance_trades_raw",
+                    [0, 1],
+                )
+                if sum(committed.values()) >= 100:  # waves 1+2 = 100 msgs
+                    break
+                q.processAllAvailable()
+                time.sleep(0.5)
+        finally:
+            q.stop()
+
+        # a foreign group sees nothing (commits are per-group)
+        assert kafka_offset_fetch(
+            "127.0.0.1", broker.port, "other-group", "binance_trades_raw",
+            [0, 1],
+        ) == {}
+
+    # the broker-visible offsets are EXACTLY the end offsets of an
+    # engine-committed batch: parse every committed batch's offset file
+    # from the checkpoint and require membership
+    committed_batches = set(os.listdir(f"{ckpt}/commits"))
+    valid: list[dict[int, int]] = []
+    for b in committed_batches:
+        if b.startswith("."):
+            continue
+        with open(f"{ckpt}/offsets/{b}") as fh:
+            lines = fh.read().splitlines()
+        for line in lines[1:]:
+            try:
+                d = json.loads(line)
+            except json.JSONDecodeError:
+                continue
+            if isinstance(d, dict) and all(k.isdigit() for k in d):
+                valid.append({int(k): int(v) for k, v in d.items()})
+    assert committed, "no broker-visible offsets at all"
+    assert committed in valid, (committed, valid)
+    # never ahead of the log end; at least the first two waves mirrored
+    assert sum(committed.values()) >= 100
+    assert sum(committed.values()) <= 120
+
+
 def test_available_now_refused_on_rate_limited_kafka_wire(spark, tmp_path):
     """The engine silently runs Python-DataSource availableNow as ONE
     batch, dropping maxOffsetsPerTrigger — the ingest helper refuses

@@ -1016,6 +1016,24 @@ def test_simhash_near_dups_equals_all_pairs_hamming(spark):
     assert sum(1 for _a, _b, h in got if h == 0) >= 6
 
 
+def test_simhash_gate_paths_agree(spark):
+    """The duplication-ratio gate picks between two formulations of the
+    same pair set — forcing each path (gate=0 -> distinct-signature,
+    gate=inf -> per-doc direct) must give identical (id_a, id_b,
+    hamming) rows on a corpus with dup classes, near pairs, and
+    singletons."""
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = [(i, base) for i in range(4)]
+    rows += [(10 + j, base + f" tail{j}") for j in range(3)]
+    rows += [(20, "completely different content about spark manifests and kafka wire protocols etc")]
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+    via_distinct = {(r["id_a"], r["id_b"], r["hamming"])
+                    for r in D.simhash_near_dups(d, dup_ratio_gate=0.0).collect()}
+    via_perdoc = {(r["id_a"], r["id_b"], r["hamming"])
+                  for r in D.simhash_near_dups(d, dup_ratio_gate=float("inf")).collect()}
+    assert via_distinct == via_perdoc and via_distinct
+
+
 def test_simhash_block_cap_keeps_identical_pairs(spark):
     """max_block_size weights blocks by DOC count (sum of members), so
     the skew guard means what it did; identical-signature pairs are
