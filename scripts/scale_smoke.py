@@ -38,9 +38,16 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10, help="copies of the sf0.1 inputs")
     ap.add_argument("--base", default=None, help="scratch dir (default /tmp/bdp_scale_m{mult})")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument(
+        "--families", default=None,
+        help="comma list of smoke names to run (others skipped); callers "
+             "must include prerequisites themselves (e.g. recall_at_scale "
+             "needs ivf_build,lsh_build)",
+    )
     args = ap.parse_args()
     mult = args.mult
     base = args.base or f"/tmp/bdp_scale_m{mult}"
+    families = set(args.families.split(",")) if args.families else None
 
     spark = get_spark("scale-smoke", extra_conf={"spark.ui.enabled": "true"})
     spark.sparkContext.setLogLevel("ERROR")
@@ -114,6 +121,9 @@ def main() -> None:
     results = {"mult": mult}
 
     def smoke(name, fn):
+        if families is not None and name not in families:
+            print(f"skip {name} (not in --families)", flush=True)
+            return
         before = set(stages())
         t0 = time.time()
         extra = fn()
