@@ -103,10 +103,19 @@ def q_subquery_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
     decorrelates all three to joins — check the plan, not the syntax).
     Consolidates the round-1 `in_subquery` + `correlated_scalar_subquery`
     entries; the NOT IN 3VL edge cases (empty subquery, inner NULLs) are
-    pinned by the subquery-shape differential fuzz."""
+    pinned by the subquery-shape differential fuzz.
+
+    Round 10: a fourth leg, `correlated_count`, runs through the
+    ``scalar_agg_filter`` HELPER (not SQL text) so the decorrelation
+    COUNT rule — an empty correlated group compares as COUNT = 0, not a
+    dropped row — is graded against the oracle: customers whose
+    high-value-order count is <= c_custkey % 3 include every customer
+    with NO such orders (the pre-fix lowering silently dropped them)."""
+    from ..operators.subqueries import scalar_agg_filter
+
     load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v2")
-    return spark.sql(
+    sql_legs = spark.sql(
         """
         SELECT 'in_subquery' AS shape, c_mktsegment, count(*) AS n
         FROM customer_v
@@ -127,6 +136,22 @@ def q_subquery_shapes(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c_mktsegment
         """
     )
+    c = load_table(spark, sf_dir, "customer")
+    hi = load_table(spark, sf_dir, "orders").where(
+        F.col("o_totalprice") > 150000
+    )
+    count_leg = (
+        scalar_agg_filter(
+            c, F.col("c_custkey") % 3, ">=", hi, F.count(F.lit(1)),
+            on=[("c_custkey", "o_custkey")],
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.lit("correlated_count").alias("shape"), "c_mktsegment", "n"
+        )
+    )
+    return sql_legs.unionByName(count_leg)
 
 
 def q_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -500,6 +525,13 @@ ORACLE = {
         FROM customer c1
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer c2
                            WHERE c2.c_mktsegment = c1.c_mktsegment)
+        GROUP BY c_mktsegment
+        UNION ALL
+        SELECT 'correlated_count' AS shape, c_mktsegment, count(*) AS n
+        FROM customer c1
+        WHERE c_custkey % 3 >= (SELECT count(*) FROM orders o
+                                WHERE o.o_custkey = c1.c_custkey
+                                AND o.o_totalprice > 150000)
         GROUP BY c_mktsegment
     """,
     "star_join": """
