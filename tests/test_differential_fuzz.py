@@ -2183,6 +2183,87 @@ CSQ_COUNT_CASES = [
 ]
 
 
+def _csq_multikey_duck_sql(case):
+    # correlate on TWO keys (custkey, orderpriority): far more empty
+    # groups than single-key, and the helper's multi-column `on` path
+    return (f"SELECT o_orderstatus, count(*) AS n, "
+            f"round(sum(o_totalprice), 4) AS sum_p "
+            f"FROM orders o "
+            f"WHERE o_custkey % {case['mod']} {case['op']} ("
+            f"SELECT {_COUNT_SQL[case['agg']]} "
+            f"FROM orders i WHERE i.o_custkey = o.o_custkey "
+            f"AND i.o_orderpriority = o.o_orderpriority "
+            f"AND i.o_orderstatus = '{case['status']}') "
+            f"GROUP BY o_orderstatus")
+
+
+def _csq_multikey_df(spark, case):
+    o = load_table(spark, SF_SMALL, "orders")
+    inner = load_table(spark, SF_SMALL, "orders").where(
+        F.col("o_orderstatus") == case["status"])
+    agg = {
+        "count_star": F.count(F.lit(1)),
+        "count_col": F.count("o_totalprice"),
+        "count_nullable": F.count(
+            F.when(F.col("o_orderkey") % 3 == 0, F.lit(None))
+            .otherwise(F.col("o_totalprice"))),
+    }[case["agg"]]
+    flt = scalar_agg_filter(
+        o, F.col("o_custkey") % case["mod"], case["op"], inner, agg,
+        on=[("o_custkey", "o_custkey"),
+            ("o_orderpriority", "o_orderpriority")])
+    return flt.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 4).alias("sum_p"),
+    )
+
+
+CSQ_MK_CASES = [_gen_csq_count_case(random.Random(24000 + i))
+                for i in range(4)]
+
+
+@pytest.mark.parametrize("i", range(len(CSQ_MK_CASES)))
+def test_correlated_count_multikey_differential(spark, duck, subq_views, i):
+    """Two-key correlation under COUNT: empty (custkey, priority) groups
+    must compare against 0 on the helper's multi-column `on` path too."""
+    case = CSQ_MK_CASES[i]
+    sql = _csq_multikey_duck_sql(case)
+    oracle = duck.sql(sql).df()
+    sdf = spark.sql(sql.replace("FROM orders", "FROM fz_orders"))
+    errors = compare(sdf, oracle, f"csq-mk-sql[{i}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+    hdf = _csq_multikey_df(spark, case)
+    errors = compare(hdf, oracle, f"csq-mk-df[{i}]")
+    assert not errors, f"spec={case}\nsql={sql}\n" + "\n".join(errors)
+
+
+def test_correlated_count_null_outer_key_is_zero(spark, duck, subq_views):
+    """A NULL correlation key never matches (equality 3VL), so its group
+    is EMPTY — under COUNT that means the scalar is 0, not NULL: rows
+    with NULL keys survive a `>= count` probe. Pinned against DuckDB
+    and Spark SQL text over an outer with injected NULL keys."""
+    sql = ("SELECT count(*) AS n FROM ("
+           "SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL "
+           "ELSE o_custkey END AS ck, o_totalprice FROM orders) o "
+           "WHERE 0 >= (SELECT count(*) FROM orders i "
+           "WHERE i.o_custkey = o.ck AND i.o_totalprice > 500000)")
+    oracle = duck.sql(sql).df()
+    assert oracle["n"][0] > 0, "vacuous: no surviving rows at all"
+    sdf = spark.sql(sql.replace("FROM orders", "FROM fz_orders"))
+    errors = compare(sdf, oracle, "csq-nullkey-sql")
+    assert not errors, "\n".join(errors)
+    o = load_table(spark, SF_SMALL, "orders").select(
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey")).alias("ck"), "o_totalprice")
+    inner = load_table(spark, SF_SMALL, "orders").where(
+        F.col("o_totalprice") > 500000)
+    hdf = scalar_agg_filter(
+        o, F.lit(0), ">=", inner, F.count(F.lit(1)), on=[("ck", "o_custkey")]
+    ).agg(F.count(F.lit(1)).alias("n"))
+    errors = compare(hdf, oracle, "csq-nullkey-df")
+    assert not errors, "\n".join(errors)
+
+
 @pytest.mark.parametrize("i", range(N_CSQ_COUNT_CASES))
 def test_correlated_count_agg_differential(spark, duck, subq_views, i):
     """Correlated COUNT scalar subqueries three ways: DuckDB, Spark SQL
