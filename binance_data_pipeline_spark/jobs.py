@@ -28,6 +28,8 @@ from .operators.incremental import incremental_append
 from .quality import CheckResult, run_checks, trade_table_checks
 from .sources.rest_backfill import Fetcher, fetch_grid, fetch_trades
 
+from .session import local_rows
+
 _log = logging.getLogger(__name__)
 
 T = TypeVar("T")
@@ -587,9 +589,9 @@ def build_training_corpus(
         counts["exported"] = read_snapshot(spark, f"{out}/corpus").count()
     else:
         counts["exported"] = spark.read.parquet(f"{out}/corpus.parquet").count()
-    spark.createDataFrame(
-        [tuple(counts.values())], ", ".join(f"{k} long" for k in counts)
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/stats.parquet")
+    local_rows(
+        spark, [tuple(counts.values())], ", ".join(f"{k} long" for k in counts)
+    ).write.mode("overwrite").parquet(f"{out}/stats.parquet")
     return counts
 
 

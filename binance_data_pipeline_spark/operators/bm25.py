@@ -37,6 +37,8 @@ from pyspark.sql import functions as F
 from .ivf import _hadoop_fs, _read_index_fingerprint, corpus_fingerprint
 from .vocab import _token_array
 
+from ..session import local_rows
+
 __all__ = ["bm25_postings", "build_bm25_index", "bm25_query", "bm25_topk", "rrf_fuse", "append_to_bm25_index", "streaming_bm25_append"]
 
 
@@ -114,12 +116,12 @@ def build_bm25_index(
     ).write.mode("overwrite").partitionBy("tb").parquet(
         os.path.join(index_path, "terms.parquet")
     )
-    spark.createDataFrame(
-        [(n_docs, avgdl)], "n_docs long, avgdl double"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "stats.parquet"))
+    local_rows(
+        spark, [(n_docs, avgdl)], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "stats.parquet"))
     if fingerprint is not None:
-        spark.createDataFrame([(fingerprint,)], "fingerprint STRING").coalesce(
-            1
+        local_rows(
+            spark, [(fingerprint,)], "fingerprint STRING"
         ).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
 
 
@@ -439,16 +441,16 @@ def append_to_bm25_index(
     ).write.mode("overwrite").partitionBy("tb").parquet(
         os.path.join(index_path, "terms.parquet")
     )
-    spark.createDataFrame(
-        [(n_docs, avgdl)], "n_docs long, avgdl double"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    local_rows(
+        spark, [(n_docs, avgdl)], "n_docs long, avgdl double"
+    ).write.mode("overwrite").parquet(
         os.path.join(index_path, "stats.parquet")
     )
     if batch_id is not None:
         commit_batch(spark, commits, batch_id)
     if fingerprint is not None:
-        spark.createDataFrame([(fingerprint,)], "fingerprint STRING").coalesce(
-            1
+        local_rows(
+            spark, [(fingerprint,)], "fingerprint STRING"
         ).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
     return new_n
 

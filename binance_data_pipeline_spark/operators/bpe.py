@@ -38,6 +38,8 @@ from pyspark.sql.functions import pandas_udf
 
 from .vocab import token_frequencies
 
+from ..session import local_rows
+
 __all__ = ["train_bpe", "bpe_tokenize", "bpe_token_count", "bpe_encode_word"]
 
 _EOW = "</w>"
@@ -189,10 +191,10 @@ def save_bpe(spark, merges: list[tuple[str, str]], path: str) -> None:
     """Persist the merge list as a parquet artifact (rank, left, right) —
     the model travels with the corpus it tokenized, and any Spark/DuckDB
     reader can inspect it. One small file."""
-    spark.createDataFrame(
-        [(i, a, b) for i, (a, b) in enumerate(merges)],
+    local_rows(
+        spark, [(i, a, b) for i, (a, b) in enumerate(merges)],
         "rank long, left string, right string",
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    ).write.mode("overwrite").parquet(path)
 
 
 def load_bpe(spark, path: str) -> list[tuple[str, str]]:

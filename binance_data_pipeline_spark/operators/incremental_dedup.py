@@ -65,6 +65,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
+from ..session import local_rows
 from .dedup import (
     _materialize,
     _minhash_from_hashes,
@@ -129,9 +130,9 @@ def _resolve_layout(
                 "layout; it cannot be re-partitioned in place. Start a "
                 "new state dir with state_partitions set from batch 1."
             )
-        spark.createDataFrame(
-            [(state_partitions,)], "state_partitions int"
-        ).coalesce(1).write.parquet(f"{state}/layout.parquet")
+        local_rows(
+            spark, [(state_partitions,)], "state_partitions int"
+        ).write.parquet(f"{state}/layout.parquet")
     return state_partitions
 
 

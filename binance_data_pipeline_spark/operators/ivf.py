@@ -37,6 +37,8 @@ from pyspark.errors import AnalysisException
 
 from .similarity import _spread, cosine
 
+from ..session import local_rows
+
 
 # --------------------------------------------------------------------------
 # Index identity: fingerprint + filesystem helpers
@@ -214,9 +216,9 @@ def build_ivf_index(
     as absent, so a crash mid-build can never serve a half-written index."""
     spark = corpus.sparkSession
     centroids = train_centroids(corpus, id_col, vec_col, n_centroids, iterations, sample_target)
-    spark.createDataFrame(
-        [(cid, vec) for cid, vec in centroids], "cid INT, vec ARRAY<DOUBLE>"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "centroids.parquet"))
+    local_rows(
+        spark, [(cid, vec) for cid, vec in centroids], "cid INT, vec ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(os.path.join(index_path, "centroids.parquet"))
     cells = _assign(_spread(corpus), id_col, vec_col, centroids).select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("cell_id")
     )
@@ -226,9 +228,9 @@ def build_ivf_index(
         "cell_id"
     ).parquet(os.path.join(index_path, "cells.parquet"))
     if fingerprint is not None:
-        spark.createDataFrame(
-            [(fingerprint,)], "fingerprint STRING"
-        ).coalesce(1).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
+        local_rows(
+            spark, [(fingerprint,)], "fingerprint STRING"
+        ).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
 
 
 def ivf_query(

@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .ivf import _hadoop_fs, _read_index_fingerprint, corpus_fingerprint
+from ..session import local_rows
 from .similarity import (
     _hyperplanes,
     _spread,
@@ -80,9 +81,9 @@ def build_lsh_index(
         "tbl", "sig"
     ).parquet(os.path.join(index_path, "buckets.parquet"))
     meta = [(fingerprint, int(n_planes), int(n_tables), int(dim))]
-    spark.createDataFrame(
-        meta, "fingerprint string, n_planes int, n_tables int, dim int"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    local_rows(
+        spark, meta, "fingerprint string, n_planes int, n_tables int, dim int"
+    ).write.mode("overwrite").parquet(
         os.path.join(index_path, "meta.parquet")
     )
 
@@ -362,10 +363,10 @@ def append_to_lsh_index(
     if batch_id is not None:
         commit_batch(spark, commits, batch_id)
     new_fp = fingerprint if fingerprint is not None else m["fingerprint"]
-    spark.createDataFrame(
-        [(new_fp, n_planes, n_tables, dim)],
+    local_rows(
+        spark, [(new_fp, n_planes, n_tables, dim)],
         "fingerprint string, n_planes int, n_tables int, dim int",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_path)
+    ).write.mode("overwrite").parquet(meta_path)
     return n
 
 

@@ -60,6 +60,8 @@ from .ivf import (
 )
 from .similarity import _spread, cosine
 
+from ..session import local_rows
+
 __all__ = [
     "train_pq_codebook",
     "encode_pq",
@@ -222,19 +224,20 @@ def build_ivfpq_index(
     codebook = train_pq_codebook(
         corpus, id_col, vec_col, m, ksub, pq_iterations, sample_target
     )
-    spark.createDataFrame(
-        [(cid, vec) for cid, vec in centroids], "cid INT, vec ARRAY<DOUBLE>"
-    ).coalesce(1).write.mode("overwrite").parquet(
+    local_rows(
+        spark, [(cid, vec) for cid, vec in centroids], "cid INT, vec ARRAY<DOUBLE>"
+    ).write.mode("overwrite").parquet(
         os.path.join(index_path, "centroids.parquet")
     )
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [
             (sub, j, [float(x) for x in codebook[sub, j]])
             for sub in range(codebook.shape[0])
             for j in range(codebook.shape[1])
         ],
         "m INT, j INT, vec ARRAY<DOUBLE>",
-    ).coalesce(1).write.mode("overwrite").parquet(
+    ).write.mode("overwrite").parquet(
         os.path.join(index_path, "codebook.parquet")
     )
     # assignment (JVM argmax expression) and PQ encoding (Arrow UDF) are
@@ -250,8 +253,8 @@ def build_ivfpq_index(
         "cell_id"
     ).parquet(os.path.join(index_path, "cells.parquet"))
     if fingerprint is not None:
-        spark.createDataFrame([(fingerprint,)], "fingerprint STRING").coalesce(
-            1
+        local_rows(
+            spark, [(fingerprint,)], "fingerprint STRING"
         ).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
 
 
@@ -478,7 +481,7 @@ def append_to_ivfpq_index(
     if batch_id is not None:
         commit_batch(spark, commits, batch_id)
     if fingerprint is not None:
-        spark.createDataFrame([(fingerprint,)], "fingerprint STRING").coalesce(
-            1
+        local_rows(
+            spark, [(fingerprint,)], "fingerprint STRING"
         ).write.mode("overwrite").parquet(os.path.join(index_path, "meta.parquet"))
     return n

@@ -44,6 +44,8 @@ from pyspark.sql import functions as F
 from .bm25 import bm25_query, bm25_topk, rrf_fuse
 from .ivf import ivf_query, ivf_topk
 
+from ..session import local_rows
+
 __all__ = [
     "build_retrieval_index",
     "append_to_retrieval_root",
@@ -151,7 +153,8 @@ def build_retrieval_index(
 
 
 def _write_manifest(spark: SparkSession, out: str, **fields) -> None:
-    spark.createDataFrame(
+    local_rows(
+        spark,
         [(
             fields["unit"], fields["n_passages"], fields["has_ann"],
             fields["embed_dim"], fields["embed_seed"],
@@ -159,7 +162,7 @@ def _write_manifest(spark: SparkSession, out: str, **fields) -> None:
         )],
         "unit string, n_passages long, has_ann boolean, "
         "embed_dim int, embed_seed int, chunk_tokens int, overlap_tokens int",
-    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/manifest.parquet")
+    ).write.mode("overwrite").parquet(f"{out}/manifest.parquet")
 
 
 def hybrid_search(

@@ -43,6 +43,8 @@ from .dedup import cluster_pairs
 from .ivf import _centroid_array_col, train_centroids
 from .similarity import _spread, cosine
 
+from ..session import local_rows
+
 
 def assign_clusters(
     corpus: DataFrame,
@@ -244,9 +246,9 @@ def semantic_dedup_batch(
     centroids = _load_centroids(spark, cent_path)
     if centroids is None:
         centroids = train_centroids(docs, id_col, vec_col, k, iterations, sample_target)
-        spark.createDataFrame(
-            [(cid, vec) for cid, vec in centroids], "cid INT, vec ARRAY<DOUBLE>"
-        ).coalesce(1).write.parquet(cent_path)
+        local_rows(
+            spark, [(cid, vec) for cid, vec in centroids], "cid INT, vec ARRAY<DOUBLE>"
+        ).write.parquet(cent_path)
 
     assigned = assign_clusters(docs, id_col, vec_col, centroids=centroids)
     members = _read_members(spark, members_path, id_type)

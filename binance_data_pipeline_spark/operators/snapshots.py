@@ -59,6 +59,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import local_rows
 from .ivf import _hadoop_fs
 
 __all__ = [
@@ -237,12 +238,12 @@ def _write_sidecar_checkpoint(spark: SparkSession, table: str, version: int) -> 
         for p, s in entries
     ]
     tmp = f"{table.rstrip('/')}/__vtmp_{uuid.uuid4().hex[:12]}"
-    spark.createDataFrame(
-        rows,
+    local_rows(
+        spark, rows,
         "path string, version long, operation string, committed_at double,"
         " stats string, stream_hwm long, table_schema string,"
         " action string, base long, n_live long",
-    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    ).write.mode("overwrite").parquet(tmp)
     fs, cdir = _hadoop_fs(spark, _ckpts_dir(table))
     fs.mkdirs(cdir)
     _claim_version(spark, tmp, f"{_ckpts_dir(table)}/{_vname(version)}")
@@ -667,10 +668,10 @@ def _write_constraints(
         ks = _list_constraint_versions(spark, table)
         nxt = (ks[-1] + 1) if ks else 0
         tmp = f"{base}/__ktmp_{uuid.uuid4().hex[:12]}"
-        spark.createDataFrame(
-            sorted(constraints.items()) or [(None, None)],
+        local_rows(
+            spark, sorted(constraints.items()) or [(None, None)],
             "name string, expr string",
-        ).where(F.col("name").isNotNull()).coalesce(1).write.mode(
+        ).where(F.col("name").isNotNull()).write.mode(
             "overwrite"
         ).parquet(tmp)
         fs, kdir = _hadoop_fs(spark, _constraints_dir(table))
@@ -874,12 +875,12 @@ def _write_manifest_commit(
     if rows is None:  # checkpoint: full live listing, base = self
         rows = [_row(p, s, "add", next_v) for p, s in entries]
     tmp = f"{base}/__vtmp_{uuid.uuid4().hex[:12]}"
-    spark.createDataFrame(
-        rows,
+    local_rows(
+        spark, rows,
         "path string, version long, operation string, committed_at double,"
         " stats string, stream_hwm long, table_schema string,"
         " action string, base long, n_live long",
-    ).coalesce(1).write.mode("overwrite").parquet(tmp)
+    ).write.mode("overwrite").parquet(tmp)
     fs, vdir = _hadoop_fs(spark, _versions_dir(table))
     fs.mkdirs(vdir)
     return _claim_version(spark, tmp, f"{_versions_dir(table)}/{_vname(next_v)}")

@@ -42,6 +42,8 @@ from pyspark.errors import AnalysisException
 
 from .ivf import _hadoop_fs
 
+from ..session import local_rows
+
 __all__ = ["merge_state_batch", "read_state", "batch_committed", "commit_batch"]
 
 
@@ -125,9 +127,9 @@ def merge_state_batch(
 
     tmp = f"{state}__swap_{uuid.uuid4().hex[:8]}"
     merged.write.mode("overwrite").parquet(f"{tmp}/table.parquet")
-    spark.createDataFrame(
-        [(committed_id,)], "last_batch_id long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{tmp}/meta.parquet")
+    local_rows(
+        spark, [(committed_id,)], "last_batch_id long"
+    ).write.mode("overwrite").parquet(f"{tmp}/meta.parquet")
 
     fs, dest = _hadoop_fs(spark, state)
     _, tmp_p = _hadoop_fs(spark, tmp)

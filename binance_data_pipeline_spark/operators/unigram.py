@@ -41,6 +41,8 @@ from pyspark.sql.functions import pandas_udf
 
 from .vocab import token_frequencies
 
+from ..session import local_rows
+
 __all__ = [
     "train_unigram",
     "unigram_tokenize",
@@ -292,9 +294,9 @@ def unigram_token_count(
 def save_unigram(spark, model: dict[str, float], path: str) -> None:
     """Persist the model as a parquet artifact (piece, log_prob) — one
     small file, inspectable by any reader, shipped beside the corpus."""
-    spark.createDataFrame(
-        sorted(model.items()), "piece string, log_prob double"
-    ).coalesce(1).write.mode("overwrite").parquet(path)
+    local_rows(
+        spark, sorted(model.items()), "piece string, log_prob double"
+    ).write.mode("overwrite").parquet(path)
 
 
 def load_unigram(spark, path: str) -> dict[str, float]:

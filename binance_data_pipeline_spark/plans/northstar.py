@@ -21,6 +21,8 @@ from ..operators import similarity as S
 from ..operators import text as T
 from ..operators.text import STOPWORDS
 
+from ..session import local_rows
+
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting per document — whitespace AND BPE-ish pre-tokenizer
@@ -183,10 +185,10 @@ def _with_recall(
             .collect()[0]
         )
         cached_row = (row["recall_vs_exact"], row["recall_ok"])
-        spark.createDataFrame(
-            [cached_row + (fp,)],
+        local_rows(
+            spark, [cached_row + (fp,)],
             "recall_vs_exact double, recall_ok boolean, fingerprint string",
-        ).coalesce(1).write.mode("overwrite").parquet(cache)
+        ).write.mode("overwrite").parquet(cache)
     _RECALL_MEMO[key] = (fp, cached_row)
     strict = os.environ.get("BDP_STRICT_RECALL", "1").lower() not in (
         "0",
