@@ -316,7 +316,11 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
                     self._host, self._port, self._commit_group,
                     self._topic, {int(p): int(v) for p, v in end.items()},
                 )
-            except (OSError, ValueError):
+            except Exception:
+                # truly best-effort: a truncated broker response raises
+                # struct.error, a malformed one AssertionError — none of
+                # these may fail the streaming query (exactly-once rests
+                # on the engine checkpoint, not this mirror).
                 pass
 
 

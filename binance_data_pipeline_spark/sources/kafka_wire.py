@@ -460,6 +460,23 @@ class MiniKafkaBroker:
 # ---------------------------------------------------------------------------
 
 
+def _recv_exact(sock: socket.socket, n: int) -> bytes:
+    """Read exactly n bytes; raise on a peer that closes mid-response.
+
+    recv() returning b'' means EOF — looping on it would spin forever
+    (a broker that drops the connection after a partial response must
+    surface as an error, not a hang)."""
+    data = b""
+    while len(data) < n:
+        chunk = sock.recv(n - len(data))
+        if not chunk:
+            raise ConnectionError(
+                f"broker closed connection mid-response ({len(data)}/{n} bytes)"
+            )
+        data += chunk
+    return data
+
+
 def _roundtrip(host: str, port: int, api_key: int, api_version: int, body: bytes) -> io.BytesIO:
     req = io.BytesIO()
     req.write(struct.pack(">hhi", api_key, api_version, 7))
@@ -468,11 +485,8 @@ def _roundtrip(host: str, port: int, api_key: int, api_version: int, body: bytes
     payload = req.getvalue()
     with socket.create_connection((host, port), timeout=10) as s:
         s.sendall(struct.pack(">i", len(payload)) + payload)
-        hdr = s.recv(4)
-        (size,) = struct.unpack(">i", hdr)
-        data = b""
-        while len(data) < size:
-            data += s.recv(size - len(data))
+        (size,) = struct.unpack(">i", _recv_exact(s, 4))
+        data = _recv_exact(s, size)
     buf = io.BytesIO(data)
     (corr,) = struct.unpack(">i", buf.read(4))
     if corr != 7:

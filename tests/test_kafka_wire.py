@@ -165,3 +165,88 @@ def test_broker_rejects_corrupt_produce():
         # and the log stayed clean — a later produce lands at offset 0
         base = kafka_produce("127.0.0.1", broker.port, "t", 0, recs)
         assert base == 0
+
+
+def test_roundtrip_raises_on_mid_response_close():
+    """A broker that closes the connection after a PARTIAL response must
+    raise promptly — recv() returning b'' is EOF, and looping on it
+    would hang the client (and, through the commit mirror, the stream)
+    forever (ADVICE r10)."""
+    import socket
+    import threading
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def _half_responder():
+        conn, _ = srv.accept()
+        with conn:
+            # read the request frame fully, then answer with a size
+            # header promising 100 bytes but deliver only 4 and close.
+            hdr = conn.recv(4)
+            (n,) = struct.unpack(">i", hdr)
+            got = b""
+            while len(got) < n:
+                got += conn.recv(n - len(got))
+            conn.sendall(struct.pack(">i", 100) + b"\x00\x00\x00\x07")
+
+    t = threading.Thread(target=_half_responder, daemon=True)
+    t.start()
+    try:
+        from binance_data_pipeline_spark.sources import kafka_wire as KW
+
+        with pytest.raises((ConnectionError, OSError)):
+            KW._roundtrip("127.0.0.1", port, 2, 1, b"")
+        t.join(timeout=5)
+        assert not t.is_alive()
+    finally:
+        srv.close()
+
+
+def test_roundtrip_raises_on_immediate_close():
+    """EOF before even the 4-byte size header → error, not a struct
+    crash deep in the caller."""
+    import socket
+    import threading
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def _slammer():
+        conn, _ = srv.accept()
+        conn.close()
+
+    t = threading.Thread(target=_slammer, daemon=True)
+    t.start()
+    try:
+        from binance_data_pipeline_spark.sources import kafka_wire as KW
+
+        with pytest.raises((ConnectionError, OSError)):
+            KW._roundtrip("127.0.0.1", port, 2, 1, b"")
+    finally:
+        srv.close()
+
+
+def test_commit_mirror_swallows_malformed_broker_errors(monkeypatch, tmp_path):
+    """The broker OffsetCommit mirror is best-effort by contract: a
+    truncated response (struct.error) or a malformed one
+    (AssertionError) must not escape commit() and fail the streaming
+    query (ADVICE r10, medium)."""
+    from binance_data_pipeline_spark.sources import kafka_source as KS
+
+    reader = KS._KafkaWireStreamReader(
+        "127.0.0.1", 1, "t", "earliest", None,
+        cursor_dir=str(tmp_path), commit_group="lagmon",
+    )
+
+    for exc in (struct.error("short read"), AssertionError("ntopics"),
+                ConnectionError("mid-response close")):
+        def _boom(*a, _exc=exc, **k):
+            raise _exc
+
+        monkeypatch.setattr(KS, "kafka_offset_commit", _boom)
+        reader.commit({"0": 5})  # must not raise
