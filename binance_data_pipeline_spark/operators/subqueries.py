@@ -37,9 +37,13 @@ the result executes) and the branch decision snapshots the inner's
 state at construction rather than execution time. For a bare table
 scan or key list (the intended 100 TB shape) both costs are noise; for
 an expensive inner subplan pass ``cache_inner=True``, which persists
-the projected value frame across the stats action and the join leg
-(caller unpersists via the frame the helpers leave cached, or lets it
-age out of the storage pool). `in_filter` / `exists_filter` /
+the projected value frame across the stats action and the join leg.
+Cache lifecycle: branches whose result does NOT reference the value
+frame (empty/NULL-short-circuit, predicate-only lowerings) unpersist
+it before returning; when the returned plan DOES read the cached frame
+the helper attaches it as ``result._cached_inner`` — call
+``result._cached_inner.unpersist()`` once the result is consumed, or
+let it age out of the storage pool. `in_filter` / `exists_filter` /
 `not_exists_filter` / `scalar_agg_filter` stay fully lazy.
 
 The module covers the complete classic subquery surface: single-column
@@ -69,6 +73,20 @@ from pyspark.sql import functions as F
 def _values(inner: DataFrame, inner_col: str | Column) -> DataFrame:
     c = F.col(inner_col) if isinstance(inner_col, str) else inner_col
     return inner.select(c.alias("__subq_v"))
+
+
+def _drop_cache(vals: DataFrame, cached: bool) -> None:
+    """Release the opt-in cache on branches whose result never reads it."""
+    if cached:
+        vals.unpersist()
+
+
+def _hand_off_cache(out: DataFrame, vals: DataFrame, cached: bool) -> DataFrame:
+    """The returned plan reads the cached frame — give the caller the
+    release handle the module docstring promises."""
+    if cached:
+        out._cached_inner = vals
+    return out
 
 
 def in_filter(
@@ -104,13 +122,16 @@ def not_in_filter(
         F.count(F.lit(1)), F.count(F.col("__subq_v"))
     ).first()
     if n == 0:
+        _drop_cache(vals, cache_inner)
         return df  # NOT IN (empty) is TRUE for every probe, even NULL
     if n_nonnull < n:
+        _drop_cache(vals, cache_inner)
         return df.limit(0)  # a NULL in S: NOT IN is never TRUE
     rhs = vals.distinct()
-    return df.where(probe.isNotNull()).join(
+    out = df.where(probe.isNotNull()).join(
         rhs, on=probe == rhs["__subq_v"], how="left_anti"
     )
+    return _hand_off_cache(out, vals, cache_inner)
 
 
 def exists_filter(df: DataFrame, inner: DataFrame, cond: Column) -> DataFrame:
@@ -194,6 +215,7 @@ def not_in_filter_rows(
         F.count(F.when(inner_any_null, F.lit(1))),
     ).first()
     if n == 0:
+        _drop_cache(vals, cache_inner)
         return df  # NOT IN (empty) is TRUE for every probe
     # the broadcast hint is safe only because n is KNOWN here (the same
     # aggregate that decided the branches); a huge distinct value set
@@ -232,7 +254,7 @@ def not_in_filter_rows(
 
     nullp = df.where(probe_any_null)
     nullp = nullp.join(bcast(vals), on=_kleene_not_false(vals), how="left_anti")
-    return clean.unionByName(nullp)
+    return _hand_off_cache(clean.unionByName(nullp), vals, cache_inner)
 
 
 _ORDERED_OPS = {
@@ -277,6 +299,15 @@ def all_filter(
     if cache_inner:
         vals = vals.cache()
     n, n_null, vmin, vmax, n_dist = _quant_stats(vals)
+    if op in ("<>", "!="):
+        # <> ALL is NOT IN; reuse its exact lowering over the (possibly
+        # cached) value frame so the inner subplan is not re-read
+        return _hand_off_cache(
+            not_in_filter(df, col, vals, "__subq_v"), vals, cache_inner
+        )
+    # every remaining lowering is a pure predicate — the cached frame
+    # served only the stats action and can be released now
+    _drop_cache(vals, cache_inner)
     if n == 0:
         return df  # vacuous truth, even for NULL probes
     if n_null:
@@ -290,10 +321,6 @@ def all_filter(
         if n_dist != 1:
             return df.limit(0)
         return df.where(probe == F.lit(vmin))
-    if op in ("<>", "!="):
-        # <> ALL is NOT IN; reuse its exact lowering over the (possibly
-        # cached) value frame so the inner subplan is not re-read
-        return not_in_filter(df, col, vals, "__subq_v")
     raise ValueError(f"unsupported quantified op {op!r}")
 
 
@@ -316,14 +343,19 @@ def any_filter(
     if cache_inner:
         vals = vals.cache()
     n, n_null, vmin, vmax, n_dist = _quant_stats(vals)
+    if op == "=":
+        # = ANY is IN — the one lowering whose plan reads the value frame
+        return _hand_off_cache(
+            in_filter(df, col, vals, "__subq_v"), vals, cache_inner
+        )
+    # every remaining lowering is a pure predicate — release the cache
+    _drop_cache(vals, cache_inner)
     if n == 0 or n == n_null:
         # no non-null witness can exist: FALSE (empty) or UNKNOWN
         return df.limit(0)
     if op in _ORDERED_OPS:
         bound = vmin if op in (">", ">=") else vmax
         return df.where(_ORDERED_OPS[op](probe, F.lit(bound)))
-    if op == "=":
-        return in_filter(df, col, vals, "__subq_v")
     if op in ("<>", "!="):
         if n_dist >= 2:
             # some value must differ from any non-null probe

@@ -42,15 +42,38 @@ def _run(cmd: list[str], timeout: int) -> tuple[int, str]:
 
 
 def _last_json_line(text: str, prefix: str = "") -> dict | None:
+    """Last parseable JSON line; with a prefix, ONLY prefixed lines count
+    (a stray '{...}' log line after the marker must not be mistaken for
+    the result — ADVICE r10)."""
     for line in reversed(text.splitlines()):
         line = line.strip()
-        if prefix and line.startswith(prefix):
+        if prefix:
+            if not line.startswith(prefix):
+                continue
             line = line[len(prefix):].strip()
         if line.startswith("{"):
             try:
                 return json.loads(line)
             except json.JSONDecodeError:
                 continue
+    return None
+
+
+def _pytest_summary(text: str) -> dict | None:
+    """Parse counts from pytest's own '=== ... ===' summary line only,
+    so incidental strings like '0 errors detected' in the log tail can't
+    flip the verdict (ADVICE r10)."""
+    for line in reversed(text.splitlines()):
+        if re.match(r"^=+ .*(passed|failed|error|skipped).* =+\s*$", line):
+            def _n(word: str) -> int:
+                m = re.search(rf"(\d+) {word}", line)
+                return int(m.group(1)) if m else 0
+            return {
+                "passed": _n("passed"),
+                "failed": _n("failed"),
+                "skipped": _n("skipped"),
+                "errors": _n("errors?"),
+            }
     return None
 
 
@@ -73,18 +96,12 @@ def main() -> int:
     # ---- axis 1: suite ----------------------------------------------------
     if args.suite_log and os.path.exists(args.suite_log):
         tail = open(args.suite_log).read()[-4000:]
-        m = re.search(r"(\d+) passed", tail)
-        f = re.search(r"(\d+) failed", tail)
-        s = re.search(r"(\d+) skipped", tail)
-        e = re.search(r"(\d+) error", tail)
-        out["suite"] = {
-            "passed": int(m.group(1)) if m else 0,
-            "failed": int(f.group(1)) if f else 0,
-            "skipped": int(s.group(1)) if s else 0,
-            "errors": int(e.group(1)) if e else 0,
-            "log": args.suite_log,
-        }
-        if not m or f or e:
+        counts = _pytest_summary(tail)
+        out["suite"] = {**(counts or {"passed": 0, "failed": 0,
+                                      "skipped": 0, "errors": 0}),
+                        "log": args.suite_log}
+        if (not counts or not counts["passed"] or counts["failed"]
+                or counts["errors"]):
             ok = False
     else:
         out["suite"] = "no_log"
@@ -97,10 +114,10 @@ def main() -> int:
              "-p", "no:cacheprovider"],
             timeout=2400,
         )
-        m = re.search(r"(\d+) passed", text[-2000:])
+        counts = _pytest_summary(text[-2000:])
         out["smoke_tier"] = {
             "rc": rc,
-            "passed": int(m.group(1)) if m else 0,
+            "passed": counts["passed"] if counts else 0,
             "wall_sec": round(time.time() - t0, 1),
         }
         if rc != 0:

@@ -11,8 +11,13 @@ SF_MED = "/root/testdata/sf0.01"
 # One representative test per operator-family module plus the FULL oracle
 # catalog and the plan-pin suite, so a ~15-minute run still pins every
 # oracle query and one behavior per family. Selection is centralized here
-# (not scattered pytestmark lines): every module contributes its FIRST
-# collected test by default; modules below override that.
+# (not scattered pytestmark lines): every module contributes its
+# alphabetically-FIRST collected test by default (order-independent, so
+# -p xdist / random collection order can't change the tier); modules
+# below override that. NOTE (ADVICE r10): the representative is chosen
+# among COLLECTED items — `-m smoke` is only meaningful over the full
+# tests/ directory; running it on a file subset or under -k picks the
+# representative within that subset by design.
 
 # every test in these modules is smoke (the correctness gate itself)
 _SMOKE_ALL = {
@@ -30,7 +35,15 @@ _SMOKE_OVERRIDE: dict[str, str | None] = {
 
 
 def pytest_collection_modifyitems(config, items):
-    first_by_module: dict[str, object] = {}
+    rep_by_module: dict[str, object] = {}
+
+    def _offer(fname: str, item) -> None:
+        # alphabetically-first nodeid wins: deterministic regardless of
+        # collection order (ADVICE r10)
+        cur = rep_by_module.get(fname)
+        if cur is None or item.nodeid < cur.nodeid:
+            rep_by_module[fname] = item
+
     for item in items:
         fname = item.fspath.basename
         if fname in _SMOKE_ALL:
@@ -38,13 +51,11 @@ def pytest_collection_modifyitems(config, items):
             continue
         if fname in _SMOKE_OVERRIDE:
             want = _SMOKE_OVERRIDE[fname]
-            if want is not None and item.name.startswith(want) \
-                    and fname not in first_by_module:
-                first_by_module[fname] = item
+            if want is not None and item.name.startswith(want):
+                _offer(fname, item)
             continue
-        if fname not in first_by_module:
-            first_by_module[fname] = item
-    for item in first_by_module.values():
+        _offer(fname, item)
+    for item in rep_by_module.values():
         item.add_marker(pytest.mark.smoke)
 
 

@@ -261,6 +261,50 @@ def test_subquery_cache_inner_single_scan(spark):
     spark.catalog.clearCache()
 
 
+def test_subquery_cache_inner_lifecycle(spark):
+    """ADVICE r10: cache_inner must not strand unreachable cached frames.
+    Branches whose result never reads the value frame unpersist it
+    before returning; branches whose plan does read it attach the
+    release handle as result._cached_inner."""
+    from binance_data_pipeline_spark.catalog import load_table
+    from binance_data_pipeline_spark.operators.subqueries import (
+        all_filter, any_filter, not_in_filter, not_in_filter_rows,
+    )
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+
+    def n_cached() -> int:
+        return jsc.getPersistentRDDs().size()
+
+    o = load_table(spark, SF_SMALL, "orders")
+    c = load_table(spark, SF_SMALL, "customer")
+    empty = c.where(F.lit(False))
+
+    # early-return branches: cache released before returning
+    assert not_in_filter(o, "o_custkey", empty, "c_custkey",
+                         cache_inner=True).count() == o.count()
+    assert not_in_filter_rows(o, ["o_custkey"], empty, ["c_custkey"],
+                              cache_inner=True).count() == o.count()
+    # predicate-only lowerings (ordered ALL/ANY): cache released too
+    all_filter(o, "o_custkey", "<=", c, "c_custkey", cache_inner=True)
+    any_filter(o, "o_custkey", ">", c, "c_custkey", cache_inner=True)
+    assert n_cached() == 0, "early-return/predicate branches leaked cache"
+
+    # join-leg branches: handle attached, unpersist() releases
+    kept = not_in_filter(o, "o_custkey", c, "c_custkey", cache_inner=True)
+    assert hasattr(kept, "_cached_inner")
+    assert n_cached() == 1
+    kept._cached_inner.unpersist(blocking=True)
+    assert n_cached() == 0
+
+    eq_any = any_filter(o, "o_custkey", "=", c, "c_custkey",
+                        cache_inner=True)
+    assert hasattr(eq_any, "_cached_inner")
+    eq_any._cached_inner.unpersist(blocking=True)
+    assert n_cached() == 0
+
+
 def test_scalar_agg_count_empty_value_leg_is_broadcast(spark):
     """scalar_agg_filter's ANSI empty-group patch adds a one-row
     aggregate over inner.limit(0) to the plan. It must enter as a
