@@ -56,9 +56,24 @@ HEADLINE = [
 #: Reference wall time of the calibration query on a quiet host
 #: (min of repeated samples, this container, local[32]). The emitted
 #: ``host_drag`` = measured/ref; ``queries_normalized`` divides every
-#: per-query time by host_drag so cross-round numbers are comparable
-#: without paired reruns on the same host state.
+#: per-query time by the COMBINED drag (max of host_drag and io_drag,
+#: floored at 1.0) so cross-round numbers are comparable without paired
+#: reruns on the same host state.
 CALIBRATION_REF_SEC = 0.41
+
+#: Reference for the IO calibration probe (sf0.1 lineitem scan+decode,
+#: min of samples): the r9 quiet-host point recorded in BASELINE.md.
+#: ``io_drag`` = measured/ref catches storage/memory-bandwidth tenancy
+#: the pure-CPU probe cannot see (VERDICT r10 task 1).
+IO_CALIBRATION_REF_SEC = 0.19
+
+#: Reference for the shuffle calibration probe (see
+#: ``shuffle_calibration_query``): quiet-host min recorded round 11.
+#: DIAGNOSTIC axis #3 — the r9/r10 quiet-floor inflation hit
+#: shuffle-heavy joins while BOTH the CPU and scan probes read fast, so
+#: the missing signal plausibly lives in shuffle write/read (local disk
+#: + serialization). Raw samples only until a reference is pinned.
+SHUFFLE_CALIBRATION_REF_SEC = None  # pinned after first quiet recording
 
 
 def calibration_query(spark):
@@ -87,6 +102,67 @@ def calibration_query(spark):
     )
 
 
+def shuffle_calibration_query(spark):
+    """Fixed workload dominated by shuffle write+read (local-disk spill
+    files + serialization): a 32->32 full repartition of 20M rows, then
+    a count. The CPU probe never touches shuffle files and the IO probe
+    only reads page-cache-warm parquet, so this is the axis that moves
+    with local-disk/tmpfs tenancy."""
+    from pyspark.sql import functions as F
+
+    return (
+        spark.range(0, 20_000_000, 1, 32)
+        .repartition(32, (F.col("id") % 997).cast("int"))
+        .agg(F.count(F.lit(1)))
+    )
+
+
+def emit_result(metric, timings, sf, cal_samples, io_samples,
+                shuffle_samples) -> None:
+    """One JSON line with every calibration axis. Normalization divides
+    by the COMBINED drag — max(host_drag, io_drag) floored at 1.0
+    (VERDICT r10 task 1) — so storage/memory tenancy invisible to the
+    CPU probe no longer reads as a code regression. The shuffle probe is
+    raw-diagnostic until its quiet reference is pinned."""
+    cal = min(cal_samples)
+    drag = round(cal / CALIBRATION_REF_SEC, 3)
+    io_sec = min(io_samples)
+    io_drag = round(io_sec / IO_CALIBRATION_REF_SEC, 3)
+    combined = round(max(1.0, drag, io_drag), 3)
+    normalized = {n: round(t / combined, 3) for n, t in timings.items()}
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                # Calibration protocol (VERDICT r6 task 1 + r10 task 1):
+                # pinned synthetic probes whose time moves only with host
+                # state. drag > 1 -> host slower than the reference
+                # state; *_normalized rescale by the combined drag (never
+                # scaling UP a quiet-host run: floor 1.0).
+                "calibration_sec": cal,
+                "calibration_samples": cal_samples,
+                "calibration_ref_sec": CALIBRATION_REF_SEC,
+                "host_drag": drag,
+                "io_calibration_sec": io_sec,
+                "io_calibration_samples": io_samples,
+                "io_calibration_ref_sec": IO_CALIBRATION_REF_SEC,
+                "io_drag": io_drag,
+                "combined_drag": combined,
+                "shuffle_calibration_sec": min(shuffle_samples)
+                if shuffle_samples else None,
+                "shuffle_calibration_samples": shuffle_samples,
+                "shuffle_calibration_ref_sec": SHUFFLE_CALIBRATION_REF_SEC,
+                "value_normalized": round(sum(normalized.values()), 3),
+                "queries_normalized": normalized,
+            }
+        )
+    )
+
+
 def run_suite(spark, sf_dir, sf, queries, names, metric) -> None:
     """The headline protocol applied to an alternate query set: untimed
     warmup of the first query, calibration samples before/between/after,
@@ -103,9 +179,7 @@ def run_suite(spark, sf_dir, sf, queries, names, metric) -> None:
     def time_io_calibration() -> float:
         # scan+decode of a fixed real file (page-cache warm after the
         # first sample): moves with storage/memory-bandwidth tenancy,
-        # which the pure-CPU calibration query cannot see. DIAGNOSTIC
-        # ONLY — reported raw, never used for normalization (no pinned
-        # reference; cross-round comparison is the point).
+        # which the pure-CPU calibration query cannot see.
         from pyspark.sql import functions as F
 
         t0 = time.time()
@@ -115,10 +189,17 @@ def run_suite(spark, sf_dir, sf, queries, names, metric) -> None:
         )
         return round(time.time() - t0, 3)
 
+    def time_shuffle_calibration() -> float:
+        t0 = time.time()
+        force(shuffle_calibration_query(spark))
+        return round(time.time() - t0, 3)
+
     force(queries[names[0]](spark, sf_dir))
     time_calibration()
     cal_samples = [time_calibration()]
     io_samples = [time_io_calibration(), time_io_calibration()]
+    time_shuffle_calibration()  # shuffle probe's own warmup, untimed
+    shuffle_samples = [time_shuffle_calibration(), time_shuffle_calibration()]
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in names:
@@ -130,28 +211,8 @@ def run_suite(spark, sf_dir, sf, queries, names, metric) -> None:
             spark.catalog.clearCache()
             release_barriers(spark)
         cal_samples.append(time_calibration())
-    cal = min(cal_samples)
-    drag = round(cal / CALIBRATION_REF_SEC, 3)
-    normalized = {n: round(t / max(drag, 1.0), 3) for n, t in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "calibration_sec": cal,
-                "calibration_samples": cal_samples,
-                "calibration_ref_sec": CALIBRATION_REF_SEC,
-                "host_drag": drag,
-                "io_calibration_sec": min(io_samples),
-                "io_calibration_samples": io_samples,
-                "value_normalized": round(sum(normalized.values()), 3),
-                "queries_normalized": normalized,
-            }
-        )
-    )
+    emit_result(metric, timings, sf, cal_samples, io_samples,
+                shuffle_samples)
 
 
 def main() -> None:
@@ -254,8 +315,6 @@ def main() -> None:
         # scan+decode of the sf dir's lineitem file (page-cache warm
         # after the first sample): moves with storage/memory-bandwidth
         # tenancy, which the pure-CPU calibration query cannot see.
-        # DIAGNOSTIC ONLY — raw samples, never used for normalization;
-        # cross-round comparison separates IO drag from CPU drag.
         from pyspark.sql import functions as F
 
         t0 = time.time()
@@ -265,9 +324,16 @@ def main() -> None:
         )
         return round(time.time() - t0, 3)
 
+    def time_shuffle_calibration() -> float:
+        t0 = time.time()
+        force(shuffle_calibration_query(spark))
+        return round(time.time() - t0, 3)
+
     time_calibration()  # calibration's own codegen warmup, untimed
     cal_samples = [time_calibration()]
     io_samples = [time_io_calibration(), time_io_calibration()]
+    time_shuffle_calibration()  # shuffle probe's own warmup, untimed
+    shuffle_samples = [time_shuffle_calibration(), time_shuffle_calibration()]
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in HEADLINE:
@@ -280,34 +346,8 @@ def main() -> None:
             release_barriers(spark)         # eager localCheckpoint blocks
         cal_samples.append(time_calibration())
 
-    cal = min(cal_samples)
-    drag = round(cal / CALIBRATION_REF_SEC, 3)
-    normalized = {n: round(t / max(drag, 1.0), 3) for n, t in timings.items()}
-    total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # Calibration protocol (VERDICT r6 task 1): a pinned
-                # synthetic query whose time moves only with host state.
-                # host_drag > 1 → the host was slower than the reference
-                # state; *_normalized rescale by it (never scaling UP a
-                # quiet-host run: drag floors at 1.0).
-                "calibration_sec": cal,
-                "calibration_samples": cal_samples,
-                "calibration_ref_sec": CALIBRATION_REF_SEC,
-                "host_drag": drag,
-                "io_calibration_sec": min(io_samples),
-                "io_calibration_samples": io_samples,
-                "value_normalized": round(sum(normalized.values()), 3),
-                "queries_normalized": normalized,
-            }
-        )
-    )
+    emit_result("headline_total_wall", timings, sf, cal_samples,
+                io_samples, shuffle_samples)
 
 
 if __name__ == "__main__":

@@ -171,8 +171,12 @@ def main() -> int:
             "passes": len(samples),
             "pairwise_min_total_sec": round(sum(qmin.values()), 3),
             "host_drag": [s.get("host_drag") for s in samples],
+            "io_drag": [s.get("io_drag") for s in samples],
+            "combined_drag": [s.get("combined_drag") for s in samples],
             "io_calibration_sec": [s.get("io_calibration_sec")
                                    for s in samples],
+            "shuffle_calibration_sec": [s.get("shuffle_calibration_sec")
+                                        for s in samples],
             "raw_totals": [s.get("value") for s in samples],
             "queries_min": qmin,
         }
