@@ -218,21 +218,22 @@ def mview_refresh(
         # would scan every view dir for zero update keys
         import time as _time
 
+        from .snapshots import _head_version as _head_of
         from .snapshots import _max_streamed_batch, _write_manifest_commit
         from .snapshots import _live_entries as _entries
         from .snapshots import table_schema as _tschema
 
         for _ in range(10):
-            vs = _list_versions(spark, view_table)
+            vh = _head_of(spark, view_table)
             if _write_manifest_commit(
                 spark,
                 view_table,
-                vs[-1] + 1,
-                _entries(spark, view_table, vs[-1]),
+                vh + 1,
+                _entries(spark, view_table, vh),
                 f"{_OP}:{head}",
                 _time.time(),
                 stream_hwm=_max_streamed_batch(spark, view_table),
-                table_schema_json=_tschema(spark, view_table, vs[-1]).json(),
+                table_schema_json=_tschema(spark, view_table, vh).json(),
             ):
                 return head
         raise RuntimeError(f"mview cursor commit to {view_table} lost 10 races")

@@ -114,6 +114,65 @@ def _list_versions(spark: SparkSession, table: str) -> list[int]:
     return sorted(out)
 
 
+# Head pointer (VERDICT r10 task 2): the commit hot path needs only the
+# HEAD version, but _list_versions is an O(#versions) directory listing
+# — the last growing per-commit term in the r10 phase tables. Every
+# successful manifest claim drops a tiny `_HEAD` hint file next to the
+# version dirs; head lookup reads it and probes FORWARD, so the
+# steady-state cost is one read + one negative exists() regardless of
+# table history length. The hint is best-effort BY CONSTRUCTION:
+# out-of-order racer writes or a crash between claim and hint write
+# leave it stale-low (readers probe past it), a corrupt/missing hint
+# (legacy tables) falls back to the full listing — it can never yield a
+# wrong head, only extra probes.
+_HEAD_NAME = "_HEAD"
+
+
+def _head_hint_path(table: str) -> str:
+    return f"{_versions_dir(table)}/{_HEAD_NAME}"
+
+
+def _write_head_hint(spark: SparkSession, table: str, version: int) -> None:
+    try:
+        fs, p = _hadoop_fs(spark, _head_hint_path(table))
+        out = fs.create(p, True)
+        out.write(bytearray(str(int(version)).encode("ascii")))
+        out.close()
+    except Exception:
+        pass  # hint only — the version dirs remain the source of truth
+
+
+def _head_version(spark: SparkSession, table: str) -> int | None:
+    """Current head version, O(1) steady state; None for an empty table."""
+    fs, p = _hadoop_fs(spark, _head_hint_path(table))
+    try:
+        if fs.exists(p):
+            stream = fs.open(p)
+            try:
+                raw = bytearray()
+                while len(raw) < 32:
+                    b = stream.read()
+                    if b < 0:
+                        break
+                    raw.append(b)
+            finally:
+                stream.close()
+            v = int(bytes(raw).decode("ascii").strip())
+            _, vp = _hadoop_fs(spark, f"{_versions_dir(table)}/{_vname(v)}")
+            if v >= 0 and fs.exists(vp):
+                while True:
+                    _, nxt = _hadoop_fs(
+                        spark, f"{_versions_dir(table)}/{_vname(v + 1)}"
+                    )
+                    if not fs.exists(nxt):
+                        return v
+                    v += 1
+    except Exception:
+        pass  # unreadable/corrupt hint: fall through to the listing
+    versions = _list_versions(spark, table)
+    return versions[-1] if versions else None
+
+
 def _read_manifest(spark: SparkSession, table: str, version: int) -> DataFrame:
     return spark.read.parquet(f"{_versions_dir(table)}/{_vname(version)}")
 
@@ -124,6 +183,13 @@ def _read_manifest(spark: SparkSession, table: str, version: int) -> DataFrame:
 # cost is O(changed dirs), not O(live dirs) — the 100x smokes measured
 # the full-listing form growing 13-16x per commit as dir count grew.
 _CKPT_EVERY = 10
+
+# Per-commit phase timings (VERDICT r10 task 2): when a caller (the
+# scale smoke's commit loops) sets this to a list, commit_snapshot
+# appends one {phase: seconds} dict per successful commit, so growth in
+# ANY phase (head lookup, schema/constraints, data write, stats,
+# manifest write) is attributable without ad-hoc profiling runs.
+_PHASE_SINK: list | None = None
 
 
 def _live_state(
@@ -883,7 +949,10 @@ def _write_manifest_commit(
     ).write.mode("overwrite").parquet(tmp)
     fs, vdir = _hadoop_fs(spark, _versions_dir(table))
     fs.mkdirs(vdir)
-    return _claim_version(spark, tmp, f"{_versions_dir(table)}/{_vname(next_v)}")
+    if _claim_version(spark, tmp, f"{_versions_dir(table)}/{_vname(next_v)}"):
+        _write_head_hint(spark, table, next_v)
+        return True
+    return False
 
 
 def commit_snapshot(
@@ -941,9 +1010,10 @@ def commit_snapshot(
     # claimed. Head schema comes from the manifest's recorded
     # table_schema (KB metadata), so the steady-state cost is one tiny
     # read — not a footer probe of every live dir.
-    pre_versions = _list_versions(spark, table)
+    _ph_t0 = time.time()
+    pre_head = _head_version(spark, table)
     head_schema = (
-        table_schema(spark, table, pre_versions[-1]) if pre_versions else None
+        table_schema(spark, table, pre_head) if pre_head is not None else None
     )
     if mode == "append":
         _check_append_schema(head_schema, df, evolve_schema, table)
@@ -958,23 +1028,30 @@ def commit_snapshot(
     writer = df.write.mode("errorifexists")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    _ph_t1 = time.time()
     writer.parquet(data_dir)
+    _ph_t2 = time.time()
+    _ph = {"pre_sec": _ph_t1 - _ph_t0, "data_write_sec": _ph_t2 - _ph_t1,
+           "head_sec": 0.0, "stats_sec": 0.0, "hwm_sec": 0.0,
+           "manifest_sec": 0.0}
 
     op = operation or mode
     new_stats: str | None = None
     stats_done = False
     for attempt in range(max_retries):
-        versions = _list_versions(spark, table)
-        next_v = (versions[-1] + 1) if versions else 0
+        _ph_a = time.time()
+        head = _head_version(spark, table)
+        next_v = (head + 1) if head is not None else 0
         prior_state = (
-            _live_state(spark, table, versions[-1]) if versions else ([], 0)
+            _live_state(spark, table, head) if head is not None else ([], 0)
         )
         prior = prior_state[0]
-        if attempt and mode == "append" and versions:
+        _ph["head_sec"] += time.time() - _ph_a
+        if attempt and mode == "append" and head is not None:
             # lost a race: the winner may have evolved the schema —
             # re-merge against ITS recorded schema so the manifest we
             # commit doesn't drop the winner's new columns
-            head_schema = table_schema(spark, table, versions[-1])
+            head_schema = table_schema(spark, table, head)
             _check_append_schema(head_schema, df, evolve_schema, table)
             schema_json = _merged_schema_json(head_schema, df)
         # stamped per ATTEMPT, not per call: a race loser re-stamps, so
@@ -983,6 +1060,7 @@ def commit_snapshot(
         # whose live set postdates the requested time
         committed_at = time.time()
         if not stats_done:
+            _ph_s = time.time()
             cols = stats_cols or _stats_cols_of(prior)
             bspec = (
                 {c: {"m": int(bloom_bits), "k": int(bloom_hashes)} for c in bloom_cols}
@@ -995,23 +1073,31 @@ def commit_snapshot(
                 else None
             )
             stats_done = True  # retries re-derive the live set, not our stats
-        if mode == "append" and versions:
+            _ph["stats_sec"] += time.time() - _ph_s
+        if mode == "append" and head is not None:
             live = prior + [(data_dir, new_stats)]
         else:
             live = [(data_dir, new_stats)]
         # carry the stream high-water mark forward (and raise it if this
         # commit IS a stream append) — re-derived per attempt so a race
         # loser picks up ids the winner just applied
-        hwm = _max_streamed_batch(spark, table) if versions else None
+        _ph_h = time.time()
+        hwm = _max_streamed_batch(spark, table) if head is not None else None
         if op.startswith(f"{_STREAM_OP}:"):
             own = int(op.split(":", 1)[1])
             hwm = own if hwm is None else max(hwm, own)
+        _ph["hwm_sec"] += time.time() - _ph_h
         # a lost claim re-derives the live set from the WINNER's commit
-        if _write_manifest_commit(
+        _ph_m = time.time()
+        claimed = _write_manifest_commit(
             spark, table, next_v, live, op, committed_at, stream_hwm=hwm,
             table_schema_json=schema_json,
-            prior=prior_state if mode == "append" and versions else None,
-        ):
+            prior=prior_state if mode == "append" and head is not None else None,
+        )
+        _ph["manifest_sec"] += time.time() - _ph_m
+        if claimed:
+            if _PHASE_SINK is not None:
+                _PHASE_SINK.append({k: round(v, 4) for k, v in _ph.items()})
             return next_v
     fs, dp = _hadoop_fs(spark, data_dir)
     fs.delete(dp, True)
@@ -1023,14 +1109,18 @@ def commit_snapshot(
 def _resolve_version(
     spark: SparkSession, table: str, version: int | None, as_of: float | None
 ) -> int:
-    versions = _list_versions(spark, table)
-    if not versions:
+    head = _head_version(spark, table)
+    if head is None:
         raise ValueError(f"{table} has no committed snapshots")
     if version is not None and as_of is not None:
         raise ValueError("pass version OR as_of, not both")
     if version is not None:
-        if version not in versions:
-            raise ValueError(f"version {version} not in {table} (have {versions})")
+        fs, vp = _hadoop_fs(spark, f"{_versions_dir(table)}/{_vname(version)}")
+        if not fs.exists(vp):  # O(1) probe; full listing only on error
+            raise ValueError(
+                f"version {version} not in {table} "
+                f"(have {_list_versions(spark, table)})"
+            )
         return version
     if as_of is not None:
         hist = snapshot_history(spark, table).where(
@@ -1040,7 +1130,7 @@ def _resolve_version(
         if row is None or row["v"] is None:
             raise ValueError(f"no snapshot of {table} at or before {as_of}")
         return int(row["v"])
-    return versions[-1]
+    return head
 
 
 def read_snapshot(
@@ -1294,7 +1384,7 @@ def rollback_snapshot(spark: SparkSession, table: str, version: int) -> int:
         raise ValueError(f"version {version} not in {table} (have {versions})")
     restored_schema = table_schema(spark, table, version)
     for _ in range(10):
-        next_v = _list_versions(spark, table)[-1] + 1
+        next_v = _head_version(spark, table) + 1
         live = _live_entries(spark, table, version)  # stats ride along
         # per-attempt stamp: keeps committed_at monotonic in version
         if _write_manifest_commit(
@@ -1599,8 +1689,7 @@ def snapshot_tail(
     for rnd in range(int(max_rounds)):
         if rnd and poll is not None:
             poll()
-        versions = _list_versions(spark, table)
-        head = versions[-1] if versions else None
+        head = _head_version(spark, table)
         if head is None or (cursor is not None and head <= cursor):
             continue
         if cursor is None:
@@ -1845,10 +1934,9 @@ def snapshot_merge(
     constraints = get_snapshot_constraints(spark, table)
 
     for _ in range(max_retries):
-        versions = _list_versions(spark, table)
-        if not versions:
+        head = _head_version(spark, table)
+        if head is None:
             raise ValueError(f"{table} has no committed snapshots")
-        head = versions[-1]
         entries, ckpt_base = _live_state(spark, table, head)
         live = [p for p, _ in entries]
         # manifest-stats pruning: dirs whose k0 range cannot meet the
@@ -2033,11 +2121,11 @@ def _dml_rewrite(
     re-derives discovery against the winner's live set). No matching
     row anywhere → no commit, the current head is returned."""
     base = table.rstrip("/")
-    if not _list_versions(spark, table):
+    if _head_version(spark, table) is None:
         raise ValueError(f"{table} has no committed snapshots")
     constraints = get_snapshot_constraints(spark, table)
     for _ in range(max_retries):
-        head = _list_versions(spark, table)[-1]
+        head = _head_version(spark, table)
         entries, ckpt_base = _live_state(spark, table, head)
         live = [p for p, _ in entries]
         touched = _predicate_touched_dirs(spark, live, pred)
@@ -2136,11 +2224,11 @@ def snapshot_replace_where(
             *[F.col(c) for c in df.columns[1:]],
         )
     base = table.rstrip("/")
-    if not _list_versions(spark, table):
+    if _head_version(spark, table) is None:
         raise ValueError(f"{table} has no committed snapshots")
     constraints = get_snapshot_constraints(spark, table)
     for _ in range(max_retries):
-        head = _list_versions(spark, table)[-1]
+        head = _head_version(spark, table)
         entries, ckpt_base = _live_state(spark, table, head)
         live = [p for p, _ in entries]
         touched = _predicate_touched_dirs(spark, live, pred)
@@ -2356,11 +2444,11 @@ def compact_snapshot(
             total += it.next().getLen()
         return total
 
-    if not _list_versions(spark, table):
+    if _head_version(spark, table) is None:
         raise ValueError(f"{table} has no committed snapshots")
 
     # Both modes share ONE optimistic-concurrency loop: every attempt
-    # re-lists the head version, re-derives which dirs to rewrite, and
+    # re-reads the head version, re-derives which dirs to rewrite, and
     # keeps everything else BY REFERENCE — so a concurrent append that
     # lands between source-set resolution and the version claim makes
     # our claim lose, and the retry picks the new dir up by reference
@@ -2368,7 +2456,7 @@ def compact_snapshot(
     # committed a blind overwrite here: a lost-update window).
     base = table.rstrip("/")
     for _ in range(10):
-        head = _list_versions(spark, table)[-1]
+        head = _head_version(spark, table)
         entries = _live_entries(spark, table, head)
         sizes = {p: _dir_bytes(p) for p, _ in entries}
         if only_small_mb is None:

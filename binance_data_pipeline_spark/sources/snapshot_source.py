@@ -88,6 +88,33 @@ def _list_versions(table: str) -> list[int]:
     return sorted(out)
 
 
+def _head_version(table: str) -> int | None:
+    """O(1) head lookup via the writer's `_HEAD` hint file (see
+    operators/snapshots.py): read the hint, probe forward past any
+    stale-low value, fall back to the full listing for legacy tables.
+    Matters here because the streaming reader polls latestOffset every
+    trigger — with the hint, a 10k-commit table costs one read + one
+    negative stat per poll instead of a 10k-entry listing."""
+    from pyarrow import fs as pafs
+
+    f, root = _fs_of(table.rstrip("/"))
+    try:
+        with f.open_input_stream(f"{root}/versions/_HEAD") as s:
+            v = int(s.read(32).decode("ascii").strip())
+        if v >= 0 and f.get_file_info(
+            f"{root}/versions/v{v:011d}"
+        ).type != pafs.FileType.NotFound:
+            while f.get_file_info(
+                f"{root}/versions/v{v + 1:011d}"
+            ).type != pafs.FileType.NotFound:
+                v += 1
+            return v
+    except Exception:
+        pass
+    versions = _list_versions(table)
+    return versions[-1] if versions else None
+
+
 def _live_dirs(table: str, version: int) -> list[str]:
     import pyarrow.parquet as pq
     from pyarrow import fs as pafs
@@ -250,8 +277,7 @@ class _SnapshotStreamReader(DataSourceStreamReader):
         return self._initial
 
     def latestOffset(self) -> dict:
-        versions = _list_versions(self._table)
-        return {"v": versions[-1]}
+        return {"v": _head_version(self._table)}
 
     def partitions(self, start: dict, end: dict):
         if start.get("v") == end.get("v"):

@@ -33,6 +33,24 @@ from pyspark.sql import functions as F
 from binance_data_pipeline_spark.session import get_spark
 
 
+def warm_arrow_worker(spark) -> None:
+    """Untimed Arrow/pandas-UDF worker warmup (VERDICT r10 task 4): the
+    FIRST pandas_udf action in a fresh JVM pays several seconds of
+    Python-worker + Arrow setup (r10 measured simhash 100x at 34.0 s
+    cold vs 9.1 s warm). Smoke tables are warm-context by contract —
+    pay it here, before anything is timed."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(64).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10, help="copies of the sf0.1 inputs")
@@ -102,6 +120,7 @@ def main() -> None:
         open(f"{base}/_READY", "w").close()
 
     gen()
+    warm_arrow_worker(spark)
     docs = spark.read.parquet(f"{base}/documents.parquet")
     emb = spark.read.parquet(f"{base}/embeddings.parquet")
     print("rows:", docs.count(), emb.count(), flush=True)
@@ -290,17 +309,42 @@ def main() -> None:
 
     tbl = f"{base}/snap_lineitem"
 
+    def _phase_table(sink: list) -> dict:
+        """First/last-decile mean per commit phase (VERDICT r10 task 2):
+        a growing term shows up as late/early > ~1.2 on ITS row, not as
+        an unattributed total."""
+        if len(sink) < 10:
+            return {"phases_n": len(sink)}
+        d = max(1, len(sink) // 10)
+        out = {"phases_n": len(sink)}
+        for k in sink[0]:
+            early = sum(p[k] for p in sink[:d]) / d
+            late = sum(p[k] for p in sink[-d:]) / d
+            out[k] = {
+                "early": round(early, 3),
+                "late": round(late, 3),
+                "late_over_early": round(late / early, 2) if early > 1e-4
+                else None,
+            }
+        return out
+
     def run_commits():
         if os.path.exists(f"{tbl}/versions"):
             return {}
-        for c in range(mult):
-            commit_snapshot(
-                spark,
-                tbl,
-                spark.read.parquet(f"{base}/lineitem_chunks/c{c}.parquet"),
-                stats_cols=["l_orderkey"],
-            )
-        return {}
+        from binance_data_pipeline_spark.operators import snapshots as SN
+
+        SN._PHASE_SINK = sink = []
+        try:
+            for c in range(mult):
+                commit_snapshot(
+                    spark,
+                    tbl,
+                    spark.read.parquet(f"{base}/lineitem_chunks/c{c}.parquet"),
+                    stats_cols=["l_orderkey"],
+                )
+        finally:
+            SN._PHASE_SINK = None
+        return {"phase_table": _phase_table(sink)}
 
     smoke("snapshot_commits", run_commits)
 
@@ -508,11 +552,17 @@ def main() -> None:
     def run_manifest_metadata_loop():
         mtbl = f"{base}/meta_loop"
         one = spark.range(1).selectExpr("id", "id * 2 as v")
+        from binance_data_pipeline_spark.operators import snapshots as SN
+
+        SN._PHASE_SINK = sink = []
         walls = []
-        for _ in range(60):
-            t0 = time.time()
-            commit_snapshot(spark, mtbl, one, stats_cols=["id"])
-            walls.append(time.time() - t0)
+        try:
+            for _ in range(60):
+                t0 = time.time()
+                commit_snapshot(spark, mtbl, one, stats_cols=["id"])
+                walls.append(time.time() - t0)
+        finally:
+            SN._PHASE_SINK = None
         early = sorted(walls[5:15])
         late = sorted(walls[-10:])
         return {
@@ -521,6 +571,7 @@ def main() -> None:
             "late_over_early": round(
                 late[len(late) // 2] / early[len(early) // 2], 2
             ),
+            "phase_table": _phase_table(sink),
         }
 
     smoke("manifest_metadata_loop", run_manifest_metadata_loop)

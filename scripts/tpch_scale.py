@@ -34,6 +34,25 @@ from pyspark.sql import functions as F
 from binance_data_pipeline_spark.plans import tpch
 from binance_data_pipeline_spark.session import get_spark
 
+
+def warm_arrow_worker(spark) -> None:
+    """Untimed Arrow/pandas-UDF worker warmup (VERDICT r10 task 4): the
+    FIRST pandas_udf action in a fresh JVM pays several seconds of
+    Python-worker + Arrow setup (r10 measured simhash 100x at 34.0 s
+    cold vs 9.1 s warm). Smoke tables are warm-context by contract —
+    pay it here, before anything is timed."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(64).select(_warm("id")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+
 SCALED = {"lineitem": "l_orderkey", "orders": "o_orderkey", "customer": None}
 FIXED = ("region", "nation", "supplier", "part", "events", "documents", "embeddings")
 KEY_STRIDE = 10_000_000
@@ -94,6 +113,7 @@ def main() -> None:
         open(f"{base}/_READY", "w").close()
 
     gen()
+    warm_arrow_worker(spark)
 
     ui = spark.sparkContext.uiWebUrl
     app = json.load(urllib.request.urlopen(f"{ui}/api/v1/applications"))[0]["id"]
