@@ -65,6 +65,10 @@ FEATURE_SCHEMA = (
     "media_id long, kind string, n_bytes long, payload_hash string, feature array<float>"
 )
 
+#: quarantine variant: feature is NULL and quarantine_reason carries the
+#: decoder's error class+message for rows the decoder cannot handle
+FEATURE_Q_SCHEMA = FEATURE_SCHEMA + ", quarantine_reason string"
+
 #: decoder(payload bytes, mime) -> feature list[float]
 Decoder = Callable[[bytes, str], list[float]]
 
@@ -525,35 +529,59 @@ def synthetic_wav(
 
 
 def extract_features(
-    media: DataFrame, decoder: Decoder = decode_stub, batch_hint: int = 64
+    media: DataFrame, decoder: Decoder = decode_stub, batch_hint: int = 64,
+    on_error: str = "raise",
 ) -> DataFrame:
     """payload → feature vector via Arrow-batched mapInPandas.
 
     The UDF boundary transfers (media_id, kind, mime, payload) only —
     project before calling if the table carries more columns.
+
+    ``on_error="quarantine"`` (VERDICT r10 task 5): a web-scraped corpus
+    always contains payloads the configured decoder cannot handle
+    (progressive JPEG / Adam7 PNG under the dependency-free decoders,
+    truncated or mislabeled bytes under ANY decoder). One such row must
+    not fail a 100 TB job: decode errors flow to the output as
+    feature=NULL + ``quarantine_reason`` ("ErrorClass: message"), so the
+    caller splits decoded from quarantined with one filter and can
+    re-drive the quarantine through a heavier decoder later. The default
+    stays "raise" — loud for pipelines that expect full decodability.
     """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
+    quarantine = on_error == "quarantine"
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
         for pdf in batches:
-            feats, hashes, sizes = [], [], []
+            feats, hashes, sizes, reasons = [], [], [], []
             for payload, mime in zip(pdf["payload"], pdf["mime"]):
                 raw = bytes(payload) if payload is not None else b""
                 sizes.append(len(raw))
                 hashes.append(hashlib.md5(raw).hexdigest())
-                feats.append(decoder(raw, mime))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "kind": pdf["kind"],
-                    "n_bytes": sizes,
-                    "payload_hash": hashes,
-                    "feature": feats,
-                }
-            )
+                if quarantine:
+                    try:
+                        feats.append(decoder(raw, mime))
+                        reasons.append(None)
+                    except Exception as e:  # any decode failure, incl. stub
+                        feats.append(None)
+                        reasons.append(f"{type(e).__name__}: {e}")
+                else:
+                    feats.append(decoder(raw, mime))
+            cols = {
+                "media_id": pdf["media_id"],
+                "kind": pdf["kind"],
+                "n_bytes": sizes,
+                "payload_hash": hashes,
+                "feature": feats,
+            }
+            if quarantine:
+                cols["quarantine_reason"] = reasons
+            yield pd.DataFrame(cols)
 
     return media.select("media_id", "kind", "mime", "payload").mapInPandas(
-        run, FEATURE_SCHEMA
+        run, FEATURE_Q_SCHEMA if quarantine else FEATURE_SCHEMA
     )
 
 

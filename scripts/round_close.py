@@ -8,7 +8,7 @@ Axes:
                             fresh `-m smoke` tier run here (--run-smoke)
   2. sf0.1 oracle catalog — scripts/oracle_sf01.py (45/45 expected)
   3. recall at 100x       — scripts/scale_smoke.py --mult 100
-                            --families ivf_build,lsh_build,recall_at_scale
+                            --families ivf_build,lsh_build,ivfpq_build,recall_at_scale
                             (floors mirror plans/northstar)
   4. quiet bench          — bench.py twice, pairwise-min per query
 
@@ -136,7 +136,7 @@ def main() -> int:
     else:
         rc, text = _run(
             [sys.executable, "scripts/scale_smoke.py", "--mult", "100",
-             "--families", "ivf_build,lsh_build,recall_at_scale"],
+             "--families", "ivf_build,lsh_build,ivfpq_build,recall_at_scale"],
             timeout=5400,
         )
         j = _last_json_line(text, prefix="FINAL")

@@ -194,6 +194,19 @@ def main() -> None:
 
     lidx = f"{base}/lsh_index"
     smoke("lsh_build", lambda: build_lsh_index(emb, lidx) or {})
+
+    # 3b'. IVFPQ build (compressed-domain ANN; VERDICT r10 task 3)
+    from binance_data_pipeline_spark.operators.pq import (
+        build_ivfpq_index,
+        ivfpq_query,
+    )
+
+    pqidx = f"{base}/ivfpq_index"
+    smoke(
+        "ivfpq_build",
+        lambda: build_ivfpq_index(emb, pqidx, n_centroids=64, m=8, ksub=16)
+        or {},
+    )
     smoke(
         "lsh_serve",
         lambda: {
@@ -263,6 +276,12 @@ def main() -> None:
         for name, fn, floor in (
             ("ann_ivf", lambda: ivf_query(spark, idx, q, k=10, nprobe=8), 0.4),
             ("ann_lsh", lambda: lsh_query(spark, lidx, q, k=10), 0.5),
+            # IVFPQ serve path as deployed: ADC candidates + exact
+            # re-rank against the corpus (refine_source). The ADC stage
+            # is lossy — the floor is ITS honest measured level, pinned
+            # per round like the others (VERDICT r10 task 3).
+            ("ann_ivfpq", lambda: ivfpq_query(
+                spark, pqidx, q, k=10, nprobe=8, refine_source=emb), 0.3),
         ):
             got = fn().select("query_id", "neighbor_id")
             hit = truth_ann.join(
@@ -273,6 +292,46 @@ def main() -> None:
                 "truth_rows": n_truth,
                 "floor": floor,
             }
+        # SemDedup pair recall, probe-restricted EXACTLY (VERDICT r10
+        # task 3): cluster assignment is a pure per-row map over the
+        # FULL corpus, so the uncapped operator's within-cell pairs
+        # restricted to probe ids are identical to semantic_pairs run
+        # on the probe subset after full-corpus assignment — the
+        # measurement covers the operator's real recall trade at this
+        # scale (pairs split across cells), at probe-slice cost. The
+        # max_cluster_size cap is a separately-documented skew guard
+        # and is NOT exercised here.
+        from binance_data_pipeline_spark.operators.semdedup import (
+            assign_clusters,
+            semantic_pairs,
+        )
+        from binance_data_pipeline_spark.operators.similarity import cosine
+
+        assigned = assign_clusters(emb, k=64)
+        probe_emb = emb.where(F.pmod(F.col("vec_id"), F.lit(10_000_000)) < 25)
+        approx_sd = (
+            semantic_pairs(
+                assigned.where(
+                    F.pmod(F.col("id"), F.lit(10_000_000)) < 25
+                ),
+                threshold=0.9,
+            )
+            .select("id_a", "id_b")
+        )
+        pl = probe_emb.select(
+            F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+        )
+        pr = probe_emb.select(
+            F.col("vec_id").alias("id_b"), F.col("embedding").alias("eb")
+        )
+        truth_sd = (
+            pl.join(pr, F.col("id_a") < F.col("id_b"))
+            .where(cosine(F.col("ea"), F.col("eb")) >= 0.9)
+            .select("id_a", "id_b")
+        )
+        rec, t = pair_recall(approx_sd, truth_sd)
+        out["semdedup"] = {"recall": round(rec, 4), "truth_pairs": t,
+                           "floor": 0.5}
         return out
 
     smoke("recall_at_scale", run_recall_at_scale)

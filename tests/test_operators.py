@@ -1034,6 +1034,51 @@ def test_simhash_gate_paths_agree(spark):
     assert via_distinct == via_perdoc and via_distinct
 
 
+def test_simhash_gate_boundary_corpus(spark):
+    """VERDICT r10 task 7: the gate decision rests on approx_count_distinct,
+    whose ~2% estimation error could flip the branch on a corpus whose
+    true duplication ratio sits AT the 1.25 gate. Engineer exactly that
+    corpus (200 docs / 160 distinct texts = ratio 1.25) and pin that the
+    estimator's error is harmless by construction: both forced paths AND
+    the real gated call produce the identical pair set, whichever branch
+    the estimate lands on."""
+    import random as _rnd
+
+    rng = _rnd.Random(711)
+    words = ("alpha beta gamma delta market order trade fee spark shuffle "
+             "manifest parquet stream window corpus token shard batch").split()
+
+    def _text(i: int) -> str:
+        return " ".join(rng.choice(words) for _ in range(18)) + f" u{i}"
+
+    distinct = [_text(i) for i in range(160)]
+    rows = [(i, distinct[i]) for i in range(160)]
+    # 40 byte-identical extras spread over the first 20 texts -> some dup
+    # classes of 3, keeping the corpus realistic (mixed class sizes)
+    rows += [(1000 + j, distinct[j % 20]) for j in range(40)]
+    d = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    # the corpus really sits at the gate: exact ratio 1.25, estimate near
+    sig = D._materialize(D.with_simhash(d))
+    n_docs, n_est = sig.agg(
+        F.count(F.lit(1)), F.approx_count_distinct("simhash")
+    ).first()
+    n_true = sig.select("simhash").distinct().count()
+    assert n_docs / n_true == pytest.approx(1.25, abs=0.01)
+    assert 1.15 <= n_docs / n_est <= 1.35, "estimate strayed off the boundary"
+
+    def pairs(**kw):
+        return {(r["id_a"], r["id_b"], r["hamming"])
+                for r in D.simhash_near_dups(d, **kw).collect()}
+
+    via_distinct = pairs(dup_ratio_gate=0.0)
+    via_perdoc = pairs(dup_ratio_gate=float("inf"))
+    via_gated = pairs()  # whatever branch the estimator picks
+    assert via_distinct == via_perdoc == via_gated
+    # the 20 three-member classes alone contribute 3 pairs each
+    assert len(via_gated) >= 60
+
+
 def test_simhash_block_cap_keeps_identical_pairs(spark):
     """max_block_size weights blocks by DOC count (sum of members), so
     the skew guard means what it did; identical-signature pairs are
