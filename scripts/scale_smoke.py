@@ -280,8 +280,11 @@ def main() -> None:
             # re-rank against the corpus (refine_source). The ADC stage
             # is lossy — the floor is ITS honest measured level, pinned
             # per round like the others (VERDICT r10 task 3).
+            # floor from measurement (r11): 0.868 @100x, 0.70 @2x —
+            # ADC candidate loss is real but bounded; 0.6 holds both
+            # measured scale points with margin
             ("ann_ivfpq", lambda: ivfpq_query(
-                spark, pqidx, q, k=10, nprobe=8, refine_source=emb), 0.3),
+                spark, pqidx, q, k=10, nprobe=8, refine_source=emb), 0.6),
         ):
             got = fn().select("query_id", "neighbor_id")
             hit = truth_ann.join(
@@ -330,8 +333,10 @@ def main() -> None:
             .select("id_a", "id_b")
         )
         rec, t = pair_recall(approx_sd, truth_sd)
+        # floor from measurement (r11): 0.99 @100x (108,947 truth
+        # pairs), 1.0 @2x — the loss is pairs split across k-means cells
         out["semdedup"] = {"recall": round(rec, 4), "truth_pairs": t,
-                           "floor": 0.5}
+                           "floor": 0.8}
         return out
 
     smoke("recall_at_scale", run_recall_at_scale)
