@@ -104,3 +104,25 @@ def test_streaming_source_head_reader_matches(spark, tmp_path):
     with open(_head_hint_path(t), "w") as fh:
         fh.write("1")  # stale-low: probe forward
     assert SRC._head_version(t) == 2
+
+
+def test_commit_phase_sink_records_all_phases(spark, tmp_path):
+    """The permanent phase instrumentation (VERDICT r10 task 2): with the
+    sink enabled, every successful commit appends one record naming all
+    six phases; disabled, commits append nothing."""
+    from binance_data_pipeline_spark.operators import snapshots as SN
+
+    t = str(tmp_path / "t")
+    SN._PHASE_SINK = sink = []
+    try:
+        for i in range(3):
+            commit_snapshot(spark, t, _df(spark, i, i + 2), stats_cols=["k"])
+    finally:
+        SN._PHASE_SINK = None
+    assert len(sink) == 3
+    want = {"pre_sec", "data_write_sec", "head_sec", "stats_sec",
+            "hwm_sec", "manifest_sec"}
+    assert all(set(p) == want for p in sink)
+    assert all(v >= 0 for p in sink for v in p.values())
+    commit_snapshot(spark, t, _df(spark, 50, 51))
+    assert len(sink) == 3  # disabled sink stays untouched
