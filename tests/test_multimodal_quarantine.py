@@ -119,12 +119,14 @@ def test_injected_decoder_drains_quarantine(mixed_corpus):
 
 def test_raise_mode_still_fails_loud(mixed_corpus):
     """The default contract is unchanged: pipelines that expect full
-    decodability get the error, not silent NULLs."""
-    from py4j.protocol import Py4JJavaError
-
+    decodability get the error, not silent NULLs. WHICH exotic row fails
+    first depends on partition scheduling (progressive -> NotImplemented,
+    truncated -> ValueError/shape errors), so assert only that the job
+    fails from inside the decode path."""
     with pytest.raises(Exception) as ei:
         extract_features(mixed_corpus, default_decoder()).collect()
-    assert isinstance(ei.value, Py4JJavaError) or "NotImplementedError" in str(ei.value)
+    msg = str(ei.value)
+    assert "multimodal" in msg or "NotImplementedError" in msg or "jpeg" in msg
 
 
 def test_quarantine_then_targeted_redrive(mixed_corpus, spark):

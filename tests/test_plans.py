@@ -277,6 +277,11 @@ def test_subquery_cache_inner_lifecycle(spark):
     def n_cached() -> int:
         return jsc.getPersistentRDDs().size()
 
+    # measure RELATIVE to the session's standing persists: mid-suite,
+    # earlier modules legitimately hold localCheckpoint/graph RDDs that
+    # clearCache() does not (and must not) drop
+    base = n_cached()
+
     o = load_table(spark, SF_SMALL, "orders")
     c = load_table(spark, SF_SMALL, "customer")
     empty = c.where(F.lit(False))
@@ -289,20 +294,20 @@ def test_subquery_cache_inner_lifecycle(spark):
     # predicate-only lowerings (ordered ALL/ANY): cache released too
     all_filter(o, "o_custkey", "<=", c, "c_custkey", cache_inner=True)
     any_filter(o, "o_custkey", ">", c, "c_custkey", cache_inner=True)
-    assert n_cached() == 0, "early-return/predicate branches leaked cache"
+    assert n_cached() == base, "early-return/predicate branches leaked cache"
 
     # join-leg branches: handle attached, unpersist() releases
     kept = not_in_filter(o, "o_custkey", c, "c_custkey", cache_inner=True)
     assert hasattr(kept, "_cached_inner")
-    assert n_cached() == 1
+    assert n_cached() == base + 1
     kept._cached_inner.unpersist(blocking=True)
-    assert n_cached() == 0
+    assert n_cached() == base
 
     eq_any = any_filter(o, "o_custkey", "=", c, "c_custkey",
                         cache_inner=True)
     assert hasattr(eq_any, "_cached_inner")
     eq_any._cached_inner.unpersist(blocking=True)
-    assert n_cached() == 0
+    assert n_cached() == base
 
 
 def test_scalar_agg_count_empty_value_leg_is_broadcast(spark):
