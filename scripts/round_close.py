@@ -59,12 +59,20 @@ def _last_json_line(text: str, prefix: str = "") -> dict | None:
     return None
 
 
+_SUMMARY_RE = re.compile(
+    # pytest's final summary line: '=== N passed ... ===' in normal mode,
+    # bare 'N passed[, M failed...] in 12.3s' under -q — anchored to the
+    # WHOLE line shape either way, so incidental strings like '0 errors
+    # detected' in a log tail can't flip the verdict (ADVICE r10)
+    r"^(=+ )?\d+ (passed|failed|error|errors|skipped|xfailed|xpassed)"
+    r"(, \d+ \w+)* in [\d.]+s( \([0-9:]+\))?( =+)?\s*$"
+)
+
+
 def _pytest_summary(text: str) -> dict | None:
-    """Parse counts from pytest's own '=== ... ===' summary line only,
-    so incidental strings like '0 errors detected' in the log tail can't
-    flip the verdict (ADVICE r10)."""
+    """Parse counts from pytest's own summary line only (see _SUMMARY_RE)."""
     for line in reversed(text.splitlines()):
-        if re.match(r"^=+ .*(passed|failed|error|skipped).* =+\s*$", line):
+        if _SUMMARY_RE.match(line):
             def _n(word: str) -> int:
                 m = re.search(rf"(\d+) {word}", line)
                 return int(m.group(1)) if m else 0

@@ -53,5 +53,14 @@ def test_pytest_summary_counts_failures_and_errors():
     assert c == {"passed": 100, "failed": 3, "skipped": 0, "errors": 2}
 
 
+def test_pytest_summary_parses_quiet_mode_bare_line():
+    """pytest -q omits the === border — the r11 suite log's actual shape."""
+    c = RC._pytest_summary("noise\n1138 passed in 2959.30s (0:49:19)")
+    assert c == {"passed": 1138, "failed": 0, "skipped": 0, "errors": 0}
+    c = RC._pytest_summary("2 failed, 1135 passed in 3396.06s (0:56:36)")
+    assert c == {"passed": 1135, "failed": 2, "skipped": 0, "errors": 0}
+
+
 def test_pytest_summary_none_without_summary_line():
     assert RC._pytest_summary("no summary here\n5 passed maybe") is None
+    assert RC._pytest_summary("3 error responses retried in 2 clients") is None
