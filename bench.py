@@ -102,6 +102,43 @@ def calibration_query(spark):
     )
 
 
+def host_telemetry() -> dict:
+    """Kernel-side tenancy counters the calibration QUERIES cannot see
+    (r10/r11 ghost: TPC-H legs +25% with CPU, warm-scan IO, and shuffle
+    probes all reading fast): cumulative CPU ticks incl. STEAL from
+    /proc/stat, and PSI stall totals (us) from /proc/pressure. Emitted
+    as deltas over the measured window — steal_pct > ~1% or a nonzero
+    cpu-full PSI delta is hypervisor/cgroup tenancy, full stop."""
+    out = {}
+    try:
+        parts = open("/proc/stat").readline().split()
+        ticks = [int(x) for x in parts[1:11]]
+        out["cpu_total_ticks"] = sum(ticks)
+        out["cpu_steal_ticks"] = ticks[7] if len(ticks) > 7 else 0
+        out["cpu_iowait_ticks"] = ticks[4] if len(ticks) > 4 else 0
+    except Exception:
+        pass
+    for res in ("cpu", "io", "memory"):
+        try:
+            for line in open(f"/proc/pressure/{res}"):
+                kind, *kv = line.split()
+                tot = dict(p.split("=") for p in kv).get("total")
+                if tot is not None:
+                    out[f"psi_{res}_{kind}_us"] = int(tot)
+        except Exception:
+            pass
+    return out
+
+
+def telemetry_delta(t0: dict, t1: dict) -> dict:
+    d = {k: t1[k] - t0[k] for k in t0 if k in t1}
+    total = d.get("cpu_total_ticks", 0)
+    if total:
+        d["steal_pct"] = round(100.0 * d.get("cpu_steal_ticks", 0) / total, 3)
+        d["iowait_pct"] = round(100.0 * d.get("cpu_iowait_ticks", 0) / total, 3)
+    return d
+
+
 def shuffle_calibration_query(spark):
     """Fixed workload dominated by shuffle write+read (local-disk spill
     files + serialization): a 32->32 full repartition of 20M rows, then
@@ -118,7 +155,7 @@ def shuffle_calibration_query(spark):
 
 
 def emit_result(metric, timings, sf, cal_samples, io_samples,
-                shuffle_samples) -> None:
+                shuffle_samples, telemetry=None) -> None:
     """One JSON line with every calibration axis. Normalization divides
     by the COMBINED drag — max(host_drag, io_drag) floored at 1.0
     (VERDICT r10 task 1) — so storage/memory tenancy invisible to the
@@ -156,6 +193,7 @@ def emit_result(metric, timings, sf, cal_samples, io_samples,
                 if shuffle_samples else None,
                 "shuffle_calibration_samples": shuffle_samples,
                 "shuffle_calibration_ref_sec": SHUFFLE_CALIBRATION_REF_SEC,
+                "host_telemetry": telemetry,
                 "value_normalized": round(sum(normalized.values()), 3),
                 "queries_normalized": normalized,
             }
@@ -200,6 +238,7 @@ def run_suite(spark, sf_dir, sf, queries, names, metric) -> None:
     io_samples = [time_io_calibration(), time_io_calibration()]
     time_shuffle_calibration()  # shuffle probe's own warmup, untimed
     shuffle_samples = [time_shuffle_calibration(), time_shuffle_calibration()]
+    tele0 = host_telemetry()
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in names:
@@ -212,7 +251,7 @@ def run_suite(spark, sf_dir, sf, queries, names, metric) -> None:
             release_barriers(spark)
         cal_samples.append(time_calibration())
     emit_result(metric, timings, sf, cal_samples, io_samples,
-                shuffle_samples)
+                shuffle_samples, telemetry_delta(tele0, host_telemetry()))
 
 
 def main() -> None:
@@ -334,6 +373,7 @@ def main() -> None:
     io_samples = [time_io_calibration(), time_io_calibration()]
     time_shuffle_calibration()  # shuffle probe's own warmup, untimed
     shuffle_samples = [time_shuffle_calibration(), time_shuffle_calibration()]
+    tele0 = host_telemetry()
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in HEADLINE:
@@ -347,7 +387,8 @@ def main() -> None:
         cal_samples.append(time_calibration())
 
     emit_result("headline_total_wall", timings, sf, cal_samples,
-                io_samples, shuffle_samples)
+                io_samples, shuffle_samples,
+                telemetry_delta(tele0, host_telemetry()))
 
 
 if __name__ == "__main__":
