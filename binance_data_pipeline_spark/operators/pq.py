@@ -279,13 +279,27 @@ def ivfpq_query(
     nprobe: int = 4,
     refine_factor: int = 4,
     refine_source: DataFrame | None = None,
+    rerank_candidates: int | None = None,
 ) -> DataFrame:
     """Serve from a persisted IVF-PQ index. Coarse probe (nprobe nearest
     cells per query), candidate join on cell_id (partition-pruned: only
     probed cells are listed/read — and each row is an M-byte code), ADC
-    top-``refine_factor × k``, then exact cosine re-rank against
-    ``refine_source`` (id → true vector). Without a refine source the ADC
-    score itself ranks the final top-k (pure compressed-domain search).
+    top-R shortlist, then exact cosine re-rank against ``refine_source``
+    (id → true vector). Without a refine source the ADC score itself
+    ranks the final top-k (pure compressed-domain search).
+
+    ``R = rerank_candidates or refine_factor × k``. ADC codes are lossy
+    (the r11 100× pin measured recall 0.868 at R = 40): near-identical
+    vectors share a code and tie in ADC, so the true top-k can sit
+    anywhere inside the tied band — a small shortlist truncates it. The
+    classic fix (FAISS IndexRefineFlat) is a LARGE exact re-rank pool;
+    R ≈ 1000 restores recall to the coarse-probe ceiling at negligible
+    cost because the re-rank stage below is id-join shaped: only
+    (query_id, neighbor_id) pairs are broadcast (R × Q × ~24 B), the
+    corpus is scanned once filtered by that broadcast, and query vectors
+    join back from the Q-row query frame — query vectors are never
+    replicated R times through a broadcast.
+
     Output matches ivf_query: (query_id, neighbor_id, sim, rk)."""
     cent_rows = spark.read.parquet(
         os.path.join(index_path, "centroids.parquet")
@@ -320,11 +334,12 @@ def ivfpq_query(
         .where(F.col("query_id") != F.col("neighbor_id"))
         .withColumn("approx_sim", score(F.col("qv"), F.col("code")))
     )
+    R = rerank_candidates if rerank_candidates is not None else refine_factor * k
     wa = Window.partitionBy("query_id").orderBy(
         F.col("approx_sim").desc(), F.col("neighbor_id")
     )
     shortlist = cand.withColumn("ark", F.row_number().over(wa)).where(
-        F.col("ark") <= refine_factor * k
+        F.col("ark") <= R
     )
 
     if refine_source is None:
@@ -341,11 +356,15 @@ def ivfpq_query(
     vecs = refine_source.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
-    # shortlist is ≤ refine_factor·k rows per query — broadcast it into the
-    # refine join so the full vector table is scanned once, never shuffled
-    refined = F.broadcast(
-        shortlist.select("query_id", "qv", "neighbor_id")
-    ).join(vecs, "neighbor_id").withColumn(
+    # id-pairs only into the broadcast (R·Q rows × ~24 B): the full vector
+    # table is scanned once and filtered by the pair join, never shuffled;
+    # query vectors come back from the Q-row query frame, also broadcast —
+    # neither side replicates a vector R times.
+    pairs = F.broadcast(shortlist.select("query_id", "neighbor_id"))
+    qvs = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    )
+    refined = vecs.join(pairs, "neighbor_id").join(qvs, "query_id").withColumn(
         "sim", F.round(cosine(F.col("qv"), F.col("cv")), 4)
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -374,6 +393,7 @@ def ivfpq_topk(
     index_path: str | None = None,
     sample_target: int | None = 4096,
     refine: bool = True,
+    rerank_candidates: int | None = 1024,
 ) -> DataFrame:
     """IVF-PQ ANN top-k with the ivf_topk contract: with ``index_path``
     the persisted index is built IF missing/stale (corpus fingerprint +
@@ -381,7 +401,10 @@ def ivfpq_topk(
     race/crash posture to ivf.ivf_topk) and served from; without, a
     one-shot build serves a single call. ``refine=True`` re-ranks the ADC
     shortlist against the true vectors (recall ≈ IVF-flat at a fraction
-    of the index size); ``refine=False`` stays fully compressed-domain."""
+    of the index size); ``refine=False`` stays fully compressed-domain.
+    ``rerank_candidates`` (default 1024, the r12 recall fix — see
+    ivfpq_query) sizes the exact re-rank pool; None falls back to
+    ``refine_factor × k``."""
     spark = corpus.sparkSession
     refine_src = corpus if refine else None
     if index_path is not None:
@@ -409,7 +432,7 @@ def ivfpq_topk(
                     )
         return ivfpq_query(
             spark, index_path, queries, id_col, vec_col, k, nprobe,
-            refine_factor, refine_src,
+            refine_factor, refine_src, rerank_candidates,
         )
 
     tmp = None
@@ -425,7 +448,7 @@ def ivfpq_topk(
         )
         out = ivfpq_query(
             spark, tmp, queries, id_col, vec_col, k, nprobe,
-            refine_factor, refine_src,
+            refine_factor, refine_src, rerank_candidates,
         )
         # materialize before the temp dir can be reclaimed by the caller
         return out.localCheckpoint(eager=True)
