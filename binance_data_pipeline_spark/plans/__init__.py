@@ -13,7 +13,7 @@ DuckDB. Per-row arithmetic is IEEE-deterministic and left unrounded.
 
 from __future__ import annotations
 
-from . import advanced, northstar, pipeline, relational, tpch
+from . import advanced, northstar, pipeline, relational, retrieval_tier, tpch
 
 # Catalog is capped at 50 entries (the driver's correctness window records
 # exactly the first 50 in iteration order — every entry must land a row).
@@ -22,8 +22,9 @@ from . import advanced, northstar, pipeline, relational, tpch
 _MODULES = (relational, pipeline, northstar, advanced)
 
 # Oracle-checked tiers OUTSIDE the driver window (same parity bar, pinned by
-# the local harness instead): plans/tpch.py completes TPC-H Q8/Q11-Q22.
-_EXTENDED_MODULES = (tpch,)
+# the local harness instead): plans/tpch.py completes TPC-H Q8/Q11-Q22;
+# plans/retrieval_tier.py pins the BM25 ranking math (r12).
+_EXTENDED_MODULES = (tpch, retrieval_tier)
 
 
 def all_queries():

@@ -40,6 +40,36 @@ def test_query_parity(spark, duck, name):
         assert rows is not None
 
 
+SF_LARGE = "/root/testdata/sf0.1"
+
+
+@pytest.mark.parametrize("sf", [SF_SMALL, "/root/testdata/sf0.01", SF_LARGE])
+def test_bm25_extended_tier_parity(spark, sf):
+    """BM25 ranking math vs DuckDB (VERDICT r11 task 3): the extended-tier
+    entry (plans/retrieval_tier.py) replays bm25_topk's full one-shot path
+    — tokenization, postings, idf, tf saturation, rounded-score top-k —
+    in SQL, at all three scale factors. This is retrieval_hybrid's BM25
+    leg's first value-level oracle evidence."""
+    from binance_data_pipeline_spark.plans import retrieval_tier
+
+    con = duck_connection(sf)
+    try:
+        df = retrieval_tier.QUERIES["bm25_topk"](spark, sf)
+        oracle = con.sql(retrieval_tier.ORACLE["bm25_topk"]).df()
+        assert len(oracle) > 0
+        errors = compare(df, oracle, f"bm25_topk@{sf}")
+        assert not errors, "\n".join(errors)
+    finally:
+        con.close()
+
+
+def test_bm25_extended_tier_plan_scale_clean(spark):
+    from binance_data_pipeline_spark.plans import retrieval_tier
+    from binance_data_pipeline_spark.plans.audit import assert_scale_clean
+
+    assert_scale_clean(retrieval_tier.QUERIES["bm25_topk"](spark, SF_SMALL))
+
+
 def test_entry_smoke(spark):
     from __spark_entry__ import entry
 
