@@ -546,6 +546,11 @@ def extract_features(
     caller splits decoded from quarantined with one filter and can
     re-drive the quarantine through a heavier decoder later. The default
     stays "raise" — loud for pipelines that expect full decodability.
+
+    Contract tests: tests/test_multimodal_quarantine.py — the split, the
+    injected-decoder drain, raise-mode loudness, AND the two-phase
+    re-drive (quarantine → targeted heavy-decoder pass → union), whose
+    result is pinned bit-identical to an all-heavy-decoder run (r12).
     """
     if on_error not in ("raise", "quarantine"):
         raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
