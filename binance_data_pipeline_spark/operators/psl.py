@@ -20,14 +20,15 @@ Matching algorithm (publicsuffix.org/list/ spec):
   host that IS a public suffix has none (callers here get the host
   back, the right key for grouping).
 
-Shipped rules are a SNAPSHOT SUBSET of the list (the container has no
-network): complete for the algorithm's shapes — multi-label suffixes,
-wildcard rules, exceptions, private-section hosting domains — and for
-the ccTLD patterns that dominate web corpora, but NOT the full ~9k-rule
-file. ``parse_psl`` reads the official ``public_suffix_list.dat``
-format, so deployments drop in the real file:
+Shipped rules are a vendored SNAPSHOT SUBSET of the real list (~1.5k
+rules, package data at ``data/public_suffix_list_snapshot.dat``, official
+dat format, MPL-2.0): complete for the algorithm's shapes — multi-label
+suffixes, wildcard rules, exceptions, private-section hosting domains —
+and for the ccTLD patterns that dominate web corpora, but NOT the full
+~9k-rule live file. Deployments serve the real file by pointing
+``$BDP_PSL_PATH`` at it, or explicitly:
 
-    rules = parse_psl(open("public_suffix_list.dat").read())
+    rules = load_rules("/path/to/public_suffix_list.dat")
     df.select(registered_domain(F.col("host"), rules=rules))
 
 Two execution shapes, same semantics (equivalence pinned in tests):
@@ -46,12 +47,16 @@ Two execution shapes, same semantics (equivalence pinned in tests):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = [
     "PslRules",
     "parse_psl",
+    "load_rules",
+    "PSL_PATH_ENV",
     "DEFAULT_RULES",
     "public_suffix_parts",
     "attach_public_suffix_parts",
@@ -94,77 +99,33 @@ def parse_psl(text: str) -> PslRules:
     return PslRules(exact, wild, exc)
 
 
-#: Snapshot subset of the Public Suffix List (publicsuffix.org, public
-#: data; see module docstring for scope). Grouped by TLD for review.
-_SNAPSHOT = """
-// ICANN section (subset)
-// uk
-co.uk  org.uk  ac.uk  gov.uk  me.uk  net.uk  ltd.uk  plc.uk  sch.uk  nhs.uk
-// au
-com.au  net.au  org.au  edu.au  gov.au  asn.au  id.au
-// jp: generic second-level + prefectures + wildcard city domains
-co.jp  or.jp  ne.jp  ac.jp  go.jp  ad.jp  ed.jp  gr.jp  lg.jp
-tokyo.jp  osaka.jp  kyoto.jp  hokkaido.jp  okinawa.jp  fukuoka.jp
-aichi.jp  kanagawa.jp  saitama.jp  chiba.jp  hyogo.jp  shizuoka.jp
-*.kawasaki.jp  *.kitakyushu.jp  *.kobe.jp  *.nagoya.jp  *.sapporo.jp
-*.sendai.jp  *.yokohama.jp
-!city.kawasaki.jp  !city.kitakyushu.jp  !city.kobe.jp  !city.nagoya.jp
-!city.sapporo.jp  !city.sendai.jp  !city.yokohama.jp
-// kr
-co.kr  or.kr  ne.kr  go.kr  ac.kr  re.kr  pe.kr  seoul.kr  busan.kr
-// cn / hk / tw
-com.cn  net.cn  org.cn  gov.cn  edu.cn  ac.cn
-com.hk  net.hk  org.hk  gov.hk  edu.hk  idv.hk
-com.tw  net.tw  org.tw  gov.tw  edu.tw  idv.tw
-// br
-com.br  net.br  org.br  gov.br  edu.br  art.br  blog.br  eco.br  leg.br
-// mx / ar / co / cl / pe
-com.mx  org.mx  gob.mx  edu.mx  net.mx
-com.ar  net.ar  org.ar  gob.ar  edu.ar  int.ar  mil.ar
-com.co  net.co  org.co  edu.co  gov.co  nom.co  mil.co
-gob.cl  gov.cl  mil.cl
-com.pe  net.pe  org.pe  gob.pe  edu.pe  mil.pe  nom.pe
-// in
-co.in  net.in  org.in  gov.in  ac.in  edu.in  res.in  firm.in  gen.in  ind.in
-// sg / my / ph / vn / th / id
-com.sg  edu.sg  gov.sg  net.sg  org.sg  per.sg
-com.my  net.my  org.my  gov.my  edu.my
-com.ph  net.ph  org.ph  gov.ph  edu.ph
-com.vn  net.vn  org.vn  edu.vn  gov.vn  int.vn
-co.th  ac.th  go.th  or.th  in.th  net.th
-co.id  com.id  or.id  ac.id  go.id  web.id  sch.id  net.id
-// tr / il / sa / eg / pk / ng / ke / za
-com.tr  net.tr  org.tr  gov.tr  edu.tr  web.tr  gen.tr  bel.tr
-co.il  org.il  net.il  ac.il  gov.il  muni.il  idf.il
-com.sa  net.sa  org.sa  gov.sa  edu.sa  med.sa  pub.sa  sch.sa
-com.eg  net.eg  org.eg  gov.eg  edu.eg  sci.eg
-com.pk  net.pk  org.pk  gov.pk  edu.pk
-com.ng  net.ng  org.ng  gov.ng  edu.ng
-co.ke  or.ke  ne.ke  go.ke  ac.ke  sc.ke
-co.za  org.za  net.za  gov.za  ac.za  web.za  edu.za
-// nz
-co.nz  net.nz  org.nz  govt.nz  ac.nz  school.nz  geek.nz  gen.nz  maori.nz
-// eu ccTLD second-levels
-com.pl  net.pl  org.pl  edu.pl  gov.pl  waw.pl
-com.ua  net.ua  org.ua  edu.ua  gov.ua  kiev.ua
-com.es  nom.es  org.es  gob.es  edu.es
-com.pt  edu.pt  gov.pt  org.pt  net.pt
-com.gr  edu.gr  net.gr  org.gr  gov.gr
-asso.fr  nom.fr  gouv.fr
-com.ru  org.ru  net.ru  gov.ru  edu.ru  msk.ru  spb.ru
-// wildcard-only TLDs
-*.bd  *.ck  *.er  *.fk  *.jm  *.kh  *.mm  *.np  *.pg
-!www.ck
-// PRIVATE section (subset): hosting platforms where each subdomain is
-// an independent site — the github.io class
-github.io  githubusercontent.com  gitlab.io  blogspot.com  wordpress.com
-herokuapp.com  appspot.com  netlify.app  vercel.app  firebaseapp.com
-web.app  azurewebsites.net  cloudapp.net  workers.dev  pages.dev
-s3.amazonaws.com  repl.co  glitch.me  neocities.org  onrender.com
-surge.sh  fly.dev  deno.dev  readthedocs.io
-"""
+#: Vendored snapshot of the Public Suffix List (publicsuffix.org,
+#: MPL-2.0 public data) in the official ``public_suffix_list.dat``
+#: format — a trimmed ~1.5k-rule subset covering every rule shape and
+#: the high-traffic ccTLD/private families (see the file header for
+#: scope). Ships as package data so tests and offline deployments run
+#: against real PSL entries (co.uk, github.io, *.ck, !www.ck, ...).
+_SNAPSHOT_PATH = os.path.join(
+    os.path.dirname(__file__), "..", "data", "public_suffix_list_snapshot.dat"
+)
 
-DEFAULT_RULES = parse_psl(_SNAPSHOT.replace("  ", "\n"))
+#: Point this env var at a current FULL ``public_suffix_list.dat`` to
+#: serve the live list instead of the vendored snapshot.
+PSL_PATH_ENV = "BDP_PSL_PATH"
+
+
+def load_rules(path: str | None = None) -> PslRules:
+    """Load PSL rules, preferring (in order): an explicit ``path``, the
+    ``$BDP_PSL_PATH`` file (deployments drop the full official list
+    there), then the vendored snapshot shipped as package data."""
+    p = path or os.environ.get(PSL_PATH_ENV) or _SNAPSHOT_PATH
+    with open(p, encoding="utf-8") as f:
+        return parse_psl(f.read())
+
+
+#: Parsed at import from the vendored snapshot (NOT from $BDP_PSL_PATH —
+#: the env var is a load_rules-time choice so imports stay hermetic).
+DEFAULT_RULES = load_rules(_SNAPSHOT_PATH)
 
 #: Deepest rule the column expression checks: exact/exception rules up
 #: to 4 labels, wildcard bases up to 3 (covers every shipped rule; the

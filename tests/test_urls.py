@@ -117,6 +117,64 @@ def test_registered_domain_psl_semantics(spark):
         assert r["d"] == r["want"], (r["d"], r["want"])
 
 
+def test_vendored_psl_snapshot_and_loader(spark, tmp_path, monkeypatch):
+    """The vendored snapshot (VERDICT r11 task 8): DEFAULT_RULES parses
+    from the package-data .dat file (official format, ~1.5k real
+    entries), and load_rules prefers explicit path > $BDP_PSL_PATH >
+    snapshot."""
+    from binance_data_pipeline_spark.operators.psl import (
+        DEFAULT_RULES,
+        PSL_PATH_ENV,
+        _SNAPSHOT_PATH,
+        load_rules,
+    )
+    import os
+
+    # the snapshot file is real package data in the official format
+    assert os.path.exists(_SNAPSHOT_PATH)
+    head = open(_SNAPSHOT_PATH).read(400)
+    assert "publicsuffix.org" in head and "Mozilla Public License" in head
+    # scale and shape: ~1.5k rules covering every algorithm branch
+    assert len(DEFAULT_RULES.exact) > 1000
+    for e in ("co.uk", "github.io", "k12.va.us", "com.au"):
+        assert e in DEFAULT_RULES.exact, e
+    assert "ck" in DEFAULT_RULES.wildcard and "kawasaki.jp" in DEFAULT_RULES.wildcard
+    assert "www.ck" in DEFAULT_RULES.exceptions
+    assert "city.kawasaki.jp" in DEFAULT_RULES.exceptions
+
+    # loader preference chain
+    custom = tmp_path / "mini.dat"
+    custom.write_text("// mini\nfoo.test\n*.wild.test\n!ok.wild.test\n")
+    r = load_rules(str(custom))  # explicit path wins
+    assert r.exact == ["foo.test"] and r.wildcard == ["wild.test"]
+    assert r.exceptions == ["ok.wild.test"]
+    monkeypatch.setenv(PSL_PATH_ENV, str(custom))
+    assert load_rules().exact == ["foo.test"]  # env var next
+    monkeypatch.delenv(PSL_PATH_ENV)
+    assert len(load_rules().exact) == len(DEFAULT_RULES.exact)  # snapshot last
+
+
+def test_registered_domain_real_psl_entries(spark):
+    """Families only the vendored file (not the old in-code subset)
+    carries: US state school districts, CN provinces, BR second-levels,
+    dynamic-DNS private suffixes."""
+    rows = [
+        ("school.k12.va.us", "school.k12.va.us"),
+        ("www.school.k12.va.us", "school.k12.va.us"),
+        ("library.lib.tx.us", "library.lib.tx.us"),
+        ("site.sh.cn", "site.sh.cn"),
+        ("www.site.sh.cn", "site.sh.cn"),
+        ("loja.blog.br", "loja.blog.br"),
+        ("myhost.duckdns.org", "myhost.duckdns.org"),
+        ("deep.myhost.duckdns.org", "myhost.duckdns.org"),
+        ("b.blogspot.com.br", "b.blogspot.com.br"),
+    ]
+    df = spark.createDataFrame(rows, "host string, want string")
+    got = df.select(registered_domain("host").alias("d"), "want").collect()
+    for r in got:
+        assert r["d"] == r["want"], (r["d"], r["want"])
+
+
 def test_psl_parser_official_format(spark):
     """parse_psl reads the official dat format (comments, sections,
     wildcards, exceptions) so the full public file drops in."""
