@@ -301,7 +301,17 @@ def all_filter(
     n, n_null, vmin, vmax, n_dist = _quant_stats(vals)
     if op in ("<>", "!="):
         # <> ALL is NOT IN; reuse its exact lowering over the (possibly
-        # cached) value frame so the inner subplan is not re-read
+        # cached) value frame so the inner subplan is not re-read. Its
+        # early-return branches (empty inner / NULL in S) are decided by
+        # stats we already hold — take them HERE so the cache is released
+        # on branches whose result never reads the value frame (and the
+        # caller's df is never handed a _cached_inner it does not own).
+        if n == 0:
+            _drop_cache(vals, cache_inner)
+            return df  # NOT IN (empty) is TRUE for every probe
+        if n_null:
+            _drop_cache(vals, cache_inner)
+            return df.limit(0)  # a NULL in S: never TRUE
         return _hand_off_cache(
             not_in_filter(df, col, vals, "__subq_v"), vals, cache_inner
         )

@@ -127,6 +127,7 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
         self._max = max_per_trigger
         self._cursor_dir = cursor_dir
         self._commit_group = commit_group
+        self._mirror_warned: set[str] = set()  # once-per-type mirror warnings
         # Rate-limit anchor: the last offsets handed to the engine.
         # None until the first poll. The engine chains micro-batch
         # ranges from our PREVIOUS latestOffset return (observed: it
@@ -316,12 +317,27 @@ class _KafkaWireStreamReader(DataSourceStreamReader):
                     self._host, self._port, self._commit_group,
                     self._topic, {int(p): int(v) for p, v in end.items()},
                 )
-            except Exception:
+            except Exception as e:
                 # truly best-effort: a truncated broker response raises
                 # struct.error, a malformed one AssertionError — none of
                 # these may fail the streaming query (exactly-once rests
-                # on the engine checkpoint, not this mirror).
-                pass
+                # on the engine checkpoint, not this mirror). But a
+                # PERMANENTLY broken mirror must stay diagnosable
+                # (ADVICE r11): warn once per exception type, so a
+                # programming error shows up in lag monitoring instead
+                # of being swallowed on every batch.
+                key = type(e).__name__
+                if key not in self._mirror_warned:
+                    self._mirror_warned.add(key)
+                    import warnings
+
+                    warnings.warn(
+                        f"kafka offset-commit mirror failed ({key}: {e}); "
+                        "stream continues, broker-visible lag will not "
+                        "advance until the mirror recovers",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
 
 
 class _KafkaWireBatchReader(DataSourceReader):

@@ -309,6 +309,27 @@ def test_subquery_cache_inner_lifecycle(spark):
     eq_any._cached_inner.unpersist(blocking=True)
     assert n_cached() == base
 
+    # ADVICE r11: <>-ALL's NOT IN delegation — early-return branches
+    # (empty inner / NULL in S) must release the cache AND must not
+    # mutate the caller's probe frame with a _cached_inner handle
+    out_empty = all_filter(o, "o_custkey", "<>", empty, "c_custkey",
+                           cache_inner=True)
+    assert out_empty.count() == o.count()
+    with_null = c.select(
+        F.when(F.col("c_custkey") == 1, F.lit(None))
+        .otherwise(F.col("c_custkey")).alias("c_custkey"))
+    out_null = all_filter(o, "o_custkey", "<>", with_null, "c_custkey",
+                          cache_inner=True)
+    assert out_null.count() == 0
+    assert n_cached() == base, "<>-ALL early returns leaked cache"
+    assert not hasattr(o, "_cached_inner"), "caller's frame was mutated"
+    # the join-leg branch still hands off the release handle
+    ne_all = all_filter(o, "o_custkey", "<>", c, "c_custkey",
+                        cache_inner=True)
+    assert hasattr(ne_all, "_cached_inner")
+    ne_all._cached_inner.unpersist(blocking=True)
+    assert n_cached() == base
+
 
 def test_scalar_agg_count_empty_value_leg_is_broadcast(spark):
     """scalar_agg_filter's ANSI empty-group patch adds a one-row
