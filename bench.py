@@ -75,6 +75,101 @@ IO_CALIBRATION_REF_SEC = 0.19
 #: + serialization). Raw samples only until a reference is pinned.
 SHUFFLE_CALIBRATION_REF_SEC = None  # pinned after first quiet recording
 
+#: The IO probe reads the sf dir's OWN lineitem file, but its reference
+#: is pinned to the sf0.1 file — at any other scale factor the ratio
+#: measures dataset size, not host tenancy (ADVICE r11). io_drag is
+#: computed (and folded into combined_drag) only at this sf; elsewhere
+#: the raw sample is still emitted.
+IO_CALIBRATION_REF_SF = 0.1
+
+# ---------------------------------------------------------------------------
+# Episode classification (VERDICT r11 task 2): label each bench pass so
+# round records separate comparable (quiet) floors from host-weather
+# samples without the manual per-query adjudication r9-r11 needed.
+# ---------------------------------------------------------------------------
+
+#: Untouched TPC-H sentinel legs with their recorded QUIET per-query
+#: times (BASELINE.md: the r11 instrumented quiet sample — q7 0.730,
+#: q9 0.857, revenue_by_nation 0.749 at steal 0.005% — on code unchanged
+#: since; these are the legs every historical inflation band moved).
+#: Update when a new quiet floor is recorded AND the leg's plan changed.
+SENTINEL_QUIET_FLOORS = {
+    "q7_volume_shipping": 0.730,
+    "q9_product_profit": 0.857,
+    "revenue_by_nation": 0.749,
+}
+
+#: Median normalized-sentinel ratio above which a pass is an
+#: unattributed band. Calibrated on the recorded history: the r10
+#: driver sample (manually adjudicated "band") sits at 1.09 with quiet
+#: probes; the r9 driver sample (drag 1.28, normalizes to floor) at
+#: 1.05; the r11 mid-session quiet sample at ≤1.01.
+BAND_RATIO_THRESHOLD = 1.08
+
+#: Probe drag above which the probe itself testifies to tenancy.
+PROBE_QUIET_THRESHOLD = 1.08
+
+
+def classify_bench_sample(sample: dict) -> dict:
+    """Label one emitted bench sample:
+
+    - ``quiet``            — probes quiet, sentinels at floor: comparable.
+    - ``cpu-tenancy``      — CPU probe (or steal/PSI-cpu) inflated and the
+                             combined drag EXPLAINS the sentinel inflation.
+    - ``io-tenancy``       — same with the IO probe / iowait / PSI-io.
+    - ``unattributed-band``— sentinels inflated AFTER normalization: the
+                             r9-r11 ghost (page-cache/NUMA/frequency
+                             tenancy none of the probes see).
+    - ``no-sentinels``     — sample lacks the sentinel queries (alternate
+                             suites): probe evidence only, no band call.
+
+    Pure function of the sample dict, so it reruns over recorded
+    BENCH_r*.json history (pinned in tests/test_bench_classifier.py
+    against the manual r9/r10/r11 adjudications in BASELINE.md)."""
+    q = sample.get("queries") or {}
+    drag = sample.get("host_drag")
+    io_drag = sample.get("io_drag")
+    tele = sample.get("host_telemetry") or {}
+    steal = tele.get("steal_pct") or 0.0
+    iowait = tele.get("iowait_pct") or 0.0
+    combined = max(1.0, drag or 1.0, io_drag or 1.0)
+
+    # sentinel floors are sf0.1 quantities — at any other sf the band
+    # axis is undefined and only probe evidence remains
+    sf = sample.get("sf")
+    sf_matches = sf is not None and abs(sf - IO_CALIBRATION_REF_SF) < 1e-9
+    sentinels = {
+        k: round(q[k] / combined / f, 3)
+        for k, f in SENTINEL_QUIET_FLOORS.items()
+        if k in q
+    } if sf_matches else {}
+    cpu_evidence = (drag or 0.0) > PROBE_QUIET_THRESHOLD or steal > 0.5
+    io_evidence = (io_drag or 0.0) > PROBE_QUIET_THRESHOLD or iowait > 2.0
+
+    out = {
+        "sentinel_ratios_normalized": sentinels,
+        "combined_drag": combined,
+        "cpu_evidence": cpu_evidence,
+        "io_evidence": io_evidence,
+    }
+    if not sentinels:
+        out["verdict"] = "no-sentinels"
+        return out
+    vals = sorted(sentinels.values())
+    band = vals[len(vals) // 2] if len(vals) % 2 else (
+        (vals[len(vals) // 2 - 1] + vals[len(vals) // 2]) / 2
+    )
+    out["band_ratio"] = round(band, 3)
+    if band > BAND_RATIO_THRESHOLD:
+        out["verdict"] = "unattributed-band"
+    elif cpu_evidence and (not io_evidence or (drag or 0) >= (io_drag or 0)):
+        out["verdict"] = "cpu-tenancy"
+    elif io_evidence:
+        out["verdict"] = "io-tenancy"
+    else:
+        out["verdict"] = "quiet"
+    return out
+
 
 def calibration_query(spark):
     """Fixed, data-independent workload with a pinned plan shape
@@ -164,41 +259,48 @@ def emit_result(metric, timings, sf, cal_samples, io_samples,
     cal = min(cal_samples)
     drag = round(cal / CALIBRATION_REF_SEC, 3)
     io_sec = min(io_samples)
-    io_drag = round(io_sec / IO_CALIBRATION_REF_SEC, 3)
-    combined = round(max(1.0, drag, io_drag), 3)
+    # io_drag is a tenancy ratio ONLY when the probe file is the one the
+    # reference was pinned on (sf0.1 lineitem); at any other sf the raw
+    # sample is emitted but never normalizes queries (ADVICE r11)
+    io_ref_applies = sf is not None and abs(sf - IO_CALIBRATION_REF_SF) < 1e-9
+    io_drag = round(io_sec / IO_CALIBRATION_REF_SEC, 3) if io_ref_applies else None
+    combined = round(max(1.0, drag, io_drag or 0.0), 3)
     normalized = {n: round(t / combined, 3) for n, t in timings.items()}
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                # Calibration protocol (VERDICT r6 task 1 + r10 task 1):
-                # pinned synthetic probes whose time moves only with host
-                # state. drag > 1 -> host slower than the reference
-                # state; *_normalized rescale by the combined drag (never
-                # scaling UP a quiet-host run: floor 1.0).
-                "calibration_sec": cal,
-                "calibration_samples": cal_samples,
-                "calibration_ref_sec": CALIBRATION_REF_SEC,
-                "host_drag": drag,
-                "io_calibration_sec": io_sec,
-                "io_calibration_samples": io_samples,
-                "io_calibration_ref_sec": IO_CALIBRATION_REF_SEC,
-                "io_drag": io_drag,
-                "combined_drag": combined,
-                "shuffle_calibration_sec": min(shuffle_samples)
-                if shuffle_samples else None,
-                "shuffle_calibration_samples": shuffle_samples,
-                "shuffle_calibration_ref_sec": SHUFFLE_CALIBRATION_REF_SEC,
-                "host_telemetry": telemetry,
-                "value_normalized": round(sum(normalized.values()), 3),
-                "queries_normalized": normalized,
-            }
-        )
-    )
+    result = {
+        "metric": metric,
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        # Calibration protocol (VERDICT r6 task 1 + r10 task 1):
+        # pinned synthetic probes whose time moves only with host
+        # state. drag > 1 -> host slower than the reference
+        # state; *_normalized rescale by the combined drag (never
+        # scaling UP a quiet-host run: floor 1.0).
+        "calibration_sec": cal,
+        "calibration_samples": cal_samples,
+        "calibration_ref_sec": CALIBRATION_REF_SEC,
+        "host_drag": drag,
+        "io_calibration_sec": io_sec,
+        "io_calibration_samples": io_samples,
+        "io_calibration_ref_sec": (
+            IO_CALIBRATION_REF_SEC if io_ref_applies else None
+        ),
+        "io_drag": io_drag,
+        "combined_drag": combined,
+        "shuffle_calibration_sec": min(shuffle_samples)
+        if shuffle_samples else None,
+        "shuffle_calibration_samples": shuffle_samples,
+        "shuffle_calibration_ref_sec": SHUFFLE_CALIBRATION_REF_SEC,
+        "host_telemetry": telemetry,
+        "value_normalized": round(sum(normalized.values()), 3),
+        "queries_normalized": normalized,
+    }
+    # per-pass adjudication (VERDICT r11 task 2): quiet / cpu-tenancy /
+    # io-tenancy / unattributed-band, from the calibration trio +
+    # steal/PSI + the normalized sentinel legs
+    result["episode"] = classify_bench_sample(result)
+    print(json.dumps(result))
 
 
 def run_suite(spark, sf_dir, sf, queries, names, metric) -> None:

@@ -62,6 +62,12 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    # Parallel test shards (scripts/par_suite.py) give each worker its own
+    # warehouse so saveAsTable targets never collide; unset = Spark default
+    # (./spark-warehouse), which single-process runs keep.
+    wh = os.environ.get("SPARK_WAREHOUSE_DIR")
+    if wh:
+        builder = builder.config("spark.sql.warehouse.dir", wh)
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):

@@ -10,7 +10,11 @@ Axes:
   3. recall at 100x       — scripts/scale_smoke.py --mult 100
                             --families ivf_build,lsh_build,ivfpq_build,recall_at_scale
                             (floors mirror plans/northstar)
-  4. quiet bench          — bench.py twice, pairwise-min per query
+  4. quiet bench          — bench.py twice, pairwise-min per query;
+                            each pass adjudicated (quiet / cpu-tenancy /
+                            io-tenancy / unattributed-band) by
+                            bench.classify_bench_sample, and
+                            comparable_floor = min over QUIET passes
 
 Usage:
     python scripts/round_close.py --round 10 \
@@ -171,6 +175,20 @@ def main() -> int:
             break
         samples.append(j)
     if samples:
+        # per-pass adjudication (VERDICT r11 task 2): bench.py emits an
+        # "episode" verdict per sample; re-derive here for samples from
+        # older bench versions so the block is always populated
+        sys.path.insert(0, REPO)
+        from bench import classify_bench_sample
+
+        episodes = [
+            s.get("episode") or classify_bench_sample(s) for s in samples
+        ]
+        verdicts = [e.get("verdict") for e in episodes]
+        quiet_totals = [
+            s["value"] for s, e in zip(samples, episodes)
+            if e.get("verdict") == "quiet"
+        ]
         qmin = {
             q: min(s["queries"][q] for s in samples)
             for q in samples[0]["queries"]
@@ -178,6 +196,14 @@ def main() -> int:
         out["bench"] = {
             "passes": len(samples),
             "pairwise_min_total_sec": round(sum(qmin.values()), 3),
+            "pass_verdicts": verdicts,
+            "episodes": episodes,
+            # the number rounds compare: min over QUIET passes only —
+            # null when no pass was quiet (tenancy/band sessions are
+            # recorded but never become the floor)
+            "comparable_floor": (
+                round(min(quiet_totals), 3) if quiet_totals else None
+            ),
             "host_drag": [s.get("host_drag") for s in samples],
             "io_drag": [s.get("io_drag") for s in samples],
             "combined_drag": [s.get("combined_drag") for s in samples],
