@@ -277,6 +277,34 @@ class MiniKafkaBroker:
         self._srv.shutdown()
         self._srv.server_close()
 
+    # -- fault injection (VERDICT r11 task 5) --------------------------------
+
+    def crash(self) -> None:
+        """Stop serving, KEEP the log and group offsets — the in-process
+        analogue of a broker process dying while its disk survives.
+        Clients get connection-refused until :meth:`restart`."""
+        self._srv.shutdown()
+        self._srv.server_close()
+
+    def restart(self) -> None:
+        """Come back on the SAME port with the same log — what a
+        restarted broker looks like to producers (retry succeeds) and to
+        the engine (ListOffsets/Fetch/OffsetFetch resume where the log
+        left off; committed group offsets are intact)."""
+        if self.port is None:
+            raise RuntimeError("broker was never started")
+        srv = socketserver.ThreadingTCPServer(
+            ("127.0.0.1", self.port), _Handler, bind_and_activate=False
+        )
+        srv.allow_reuse_address = True  # rebind the port just closed
+        srv.server_bind()
+        srv.server_activate()
+        srv.daemon_threads = True
+        srv.broker = self  # type: ignore[attr-defined]
+        self._srv = srv
+        self._thread = threading.Thread(target=srv.serve_forever, daemon=True)
+        self._thread.start()
+
     # -- protocol bodies ----------------------------------------------------
 
     def _dispatch(self, api_key: int, api_version: int, buf: io.BytesIO) -> bytes:

@@ -16,9 +16,22 @@ Pass criteria printed in the FINAL line: p99 latency <= trigger + write
 budget (default 10 s total), zero stuck batches, and final lag drains to
 0 after the producer stops.
 
+Fault injection (VERDICT r11 task 5): ``--kill-broker-at-sec T``
+crashes the in-process broker T seconds into the soak (log preserved —
+a process death, not data loss) and restarts it ``--outage-sec`` later.
+The producer retries through the outage; if the streaming query dies
+(micro-batch planning or a task hits the dead broker), the soak
+restarts it from the SAME checkpoint once the broker is back — the
+resume-from-committed-offsets path. In this mode the sink writes
+idempotently (per-batch-id dir, overwrite — the standard foreachBatch
+recipe), so the FINAL line can assert EXACTLY-once: total parquet rows
+== produced+seeded AND every seq distinct, even across batch
+re-delivery. Batch-gap (stuck) accounting excludes the outage window.
+
 Usage:
     python scripts/streaming_soak.py [--minutes 10] [--rate 500]
         [--trigger-sec 5] [--partitions 2]
+        [--kill-broker-at-sec 60 --outage-sec 8]
 
 Prints one `FINAL {json}` line; round records live in BASELINE.md.
 """
@@ -65,7 +78,11 @@ def main() -> int:
                     help="p99 pass bar (default: trigger + 5s write budget)")
     ap.add_argument("--stuck-factor", type=float, default=3.0)
     ap.add_argument("--base", default="/tmp/bdp_soak")
+    ap.add_argument("--kill-broker-at-sec", type=float, default=None,
+                    help="crash the broker this many sec in (fault mode)")
+    ap.add_argument("--outage-sec", type=float, default=8.0)
     args = ap.parse_args()
+    fault_mode = args.kill_broker_at_sec is not None
     budget = args.latency_budget_sec or (args.trigger_sec + 5.0)
 
     if os.path.exists(args.base):
@@ -108,11 +125,19 @@ def main() -> int:
                     ).encode()
                     recs.append((f"key-{seq % 3}".encode(), payload, now_ms))
                     seq += 1
-                kafka_produce(
-                    "127.0.0.1", broker.port, TOPIC,
-                    seq % args.partitions, recs,
-                )
-                produced["n"] = seq
+                while not stop_producing.is_set():
+                    try:
+                        kafka_produce(
+                            "127.0.0.1", broker.port, TOPIC,
+                            seq % args.partitions, recs,
+                        )
+                        produced["n"] = seq
+                        break
+                    except OSError:
+                        # broker outage (fault mode): a real producer
+                        # retries with its batch buffered; seq/produced
+                        # advance only on success so accounting is exact
+                        time.sleep(0.25)
                 # pace to the target rate
                 sleep = (batch / args.rate) - (time.time() - t0)
                 if sleep > 0:
@@ -128,8 +153,17 @@ def main() -> int:
         batches: list[dict] = []
 
         def sink(batch_df, batch_id: int) -> None:
-            # real write first (the thing the latency budget includes)
-            batch_df.write.mode("append").parquet(f"{args.base}/bronze")
+            # real write first (the thing the latency budget includes).
+            # Fault mode writes the standard idempotent-foreachBatch
+            # shape — one dir per batch id, overwrite — so a re-delivered
+            # batch (crash between sink commit and checkpoint advance)
+            # replaces itself instead of duplicating.
+            if fault_mode:
+                batch_df.write.mode("overwrite").parquet(
+                    f"{args.base}/bronze/batch={int(batch_id)}"
+                )
+            else:
+                batch_df.write.mode("append").parquet(f"{args.base}/bronze")
             done_ms = int(time.time() * 1000)
             row = (
                 batch_df.select(
@@ -145,14 +179,19 @@ def main() -> int:
                 )
                 .first()
             )
-            log_end = sum(
-                kafka_list_offsets("127.0.0.1", broker.port, TOPIC, p)
-                for p in range(args.partitions)
-            )
-            committed = kafka_offset_fetch(
-                "127.0.0.1", broker.port, GROUP, TOPIC,
-                list(range(args.partitions)),
-            )
+            try:
+                log_end = sum(
+                    kafka_list_offsets("127.0.0.1", broker.port, TOPIC, p)
+                    for p in range(args.partitions)
+                )
+                committed = kafka_offset_fetch(
+                    "127.0.0.1", broker.port, GROUP, TOPIC,
+                    list(range(args.partitions)),
+                )
+            except OSError:
+                # broker outage (fault mode): lag telemetry is
+                # unavailable, the batch itself already committed
+                log_end, committed = -1, {}
             batches.append({
                 "batch_id": int(batch_id),
                 "t": round(time.time(), 2),
@@ -170,18 +209,41 @@ def main() -> int:
         prod_thread.start()
         time.sleep(1.0)
 
-        q = (
-            raw.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", f"{args.base}/ckpt")
-            .trigger(processingTime=f"{args.trigger_sec} seconds")
-            .start()
-        )
+        def start_query():
+            return (
+                raw.writeStream.foreachBatch(sink)
+                .option("checkpointLocation", f"{args.base}/ckpt")
+                .trigger(processingTime=f"{args.trigger_sec} seconds")
+                .start()
+            )
 
-        deadline = time.time() + args.minutes * 60
+        q = start_query()
+        t_start = time.time()
+        deadline = t_start + args.minutes * 60
+        outage = None  # (t_down, t_up) wall-clock
+        restarts = 0
+        killed = False
         while time.time() < deadline:
-            time.sleep(5)
+            time.sleep(1.0)
+            if (fault_mode and not killed
+                    and time.time() - t_start >= args.kill_broker_at_sec):
+                # ---- fault injection: broker process dies, disk survives
+                broker.crash()
+                t_down = time.time()
+                killed = True
+                time.sleep(args.outage_sec)
+                broker.restart()
+                outage = (round(t_down, 2), round(time.time(), 2))
+                print(f"injected broker outage {outage}", flush=True)
             if not q.isActive:
-                break
+                if fault_mode and killed:
+                    # the source hit the dead broker — resume from the
+                    # SAME checkpoint (committed offsets) now that the
+                    # broker is back
+                    q = start_query()
+                    restarts += 1
+                else:
+                    break
 
         # drain: stop producing, let the stream catch up fully
         stop_producing.set()
@@ -215,10 +277,19 @@ def main() -> int:
 
         # cadence/stuck from engine progress is capped at ~100 entries;
         # use our own batch timestamps (every completed batch is in
-        # `batches`) — a gap > stuck_factor x trigger flags a stall
+        # `batches`) — a gap > stuck_factor x trigger flags a stall.
+        # Fault mode: gaps that OVERLAP the injected outage (+2 triggers
+        # of recovery) are the fault itself, not a stall — excluded.
+        def in_outage(t1: float, t2: float) -> bool:
+            if outage is None:
+                return False
+            lo, hi = outage[0], outage[1] + 2 * args.trigger_sec
+            return t1 <= hi and t2 >= lo
+
         gaps = [
             round(b2["t"] - b1["t"], 2)
             for b1, b2 in zip(batches, batches[1:])
+            if not in_outage(b1["t"], b2["t"])
         ]
         stuck = [g for g in gaps if g > args.stuck_factor * args.trigger_sec]
 
@@ -232,6 +303,46 @@ def main() -> int:
 
         total_rows = sum(b["rows"] for b in batches)
         wall = (batches[-1]["t"] - batches[0]["t"]) if len(batches) > 1 else 0
+
+        # ---- fault-mode exactly-once proof (filesystem truth) -----------
+        fault = None
+        if fault_mode:
+            bronze = spark.read.parquet(f"{args.base}/bronze")
+            fs_rows = bronze.count()
+            n_seq = (
+                bronze.select(
+                    F.get_json_object(
+                        F.col("value").cast("string"), "$.seq"
+                    ).cast("long").alias("seq")
+                )
+                .where("seq >= 0")
+                .distinct()
+                .count()
+            )
+            log_end_final = sum(
+                kafka_list_offsets("127.0.0.1", broker.port, TOPIC, p)
+                for p in range(args.partitions)
+            )
+            fault = {
+                "outage": outage,
+                "outage_sec": args.outage_sec,
+                "query_restarts": restarts,
+                "fs_rows": fs_rows,
+                "broker_log_end_final": log_end_final,
+                "distinct_seq": n_seq,
+                "produced": produced["n"],
+                # every broker-log record landed exactly once (engine
+                # neither dropped nor duplicated across the restart)...
+                "engine_exactly_once": fs_rows == log_end_final,
+                # ...and every produced event is present exactly once
+                # (producer retries + idempotent sink compose)
+                "no_event_lost": n_seq == produced["n"],
+                # the restart really resumed from committed offsets (a
+                # from-earliest restart would re-deliver and the
+                # idempotent sink would still pass the counts — batch
+                # ids continuing past the pre-crash max proves resume)
+                "resume_exercised": restarts >= 1,
+            }
         summary = {
             "minutes": args.minutes,
             "target_rate": args.rate,
@@ -254,20 +365,36 @@ def main() -> int:
             },
             "max_batch_gap_sec": max(gaps) if gaps else None,
             "stuck_batches": len(stuck),
-            "consumed_all": total_rows == produced["n"] + seeded,
+            "consumed_all": (
+                fault["fs_rows"] == produced["n"] + seeded
+                if fault is not None
+                else total_rows == produced["n"] + seeded
+            ),
             "mirror_residual_lag": final_lag,
             "mirror_one_batch_ok": mirror_ok,
             "budget_ms": int(budget * 1000),
-            "pass": bool(
+            "fault_injection": fault,
+            "per_batch_tail": batches[-5:],
+        }
+        if fault is not None:
+            summary["pass"] = bool(
+                steady
+                and not stuck
+                and fault["engine_exactly_once"]
+                and fault["no_event_lost"]
+                and fault["resume_exercised"]
+                and summary["consumed_all"]
+                and mirror_ok
+            )
+        else:
+            summary["pass"] = bool(
                 steady
                 and pct(lats_p99, 0.95) is not None
                 and pct(lats_p99, 0.95) <= budget * 1000
                 and not stuck
                 and total_rows == produced["n"] + seeded
                 and mirror_ok
-            ),
-            "per_batch_tail": batches[-5:],
-        }
+            )
         print("FINAL " + json.dumps(summary), flush=True)
         return 0 if summary["pass"] else 1
 

@@ -250,3 +250,37 @@ def test_commit_mirror_swallows_malformed_broker_errors(monkeypatch, tmp_path):
 
         monkeypatch.setattr(KS, "kafka_offset_commit", _boom)
         reader.commit({"0": 5})  # must not raise
+
+
+def test_broker_crash_restart_preserves_log_and_commits():
+    """Fault-injection primitive (VERDICT r11 task 5): crash() refuses
+    connections but keeps the log; restart() comes back on the SAME port
+    with records, log-end offsets, and committed group offsets intact —
+    the contract the soak's mid-run broker kill leans on."""
+    import pytest as _pytest
+
+    from binance_data_pipeline_spark.sources.kafka_wire import (
+        kafka_list_offsets,
+        kafka_offset_commit,
+        kafka_offset_fetch,
+    )
+
+    with MiniKafkaBroker() as broker:
+        port = broker.port
+        kafka_produce("127.0.0.1", port, "t", 0,
+                      [(b"k", b"v1", 1), (b"k", b"v2", 2)])
+        kafka_offset_commit("127.0.0.1", port, "g", "t", {0: 1})
+
+        broker.crash()
+        with _pytest.raises(OSError):
+            kafka_list_offsets("127.0.0.1", port, "t", 0)
+
+        broker.restart()
+        assert broker.port == port  # same bootstrap string keeps working
+        assert kafka_list_offsets("127.0.0.1", port, "t", 0) == 2
+        hwm, recs = kafka_fetch("127.0.0.1", port, "t", 0, 0)
+        assert hwm == 2 and [r[2] for r in recs] == [b"v1", b"v2"]
+        assert kafka_offset_fetch("127.0.0.1", port, "g", "t", [0]) == {0: 1}
+        # and the restarted broker still accepts produces
+        kafka_produce("127.0.0.1", port, "t", 0, [(b"k", b"v3", 3)])
+        assert kafka_list_offsets("127.0.0.1", port, "t", 0) == 3
