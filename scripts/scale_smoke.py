@@ -409,6 +409,31 @@ def main() -> None:
             return {}
         from binance_data_pipeline_spark.operators import snapshots as SN
 
+        # Read-path scale pin (VERDICT r11 task 6): sample the three read
+        # shapes as history grows — read-at-head and read-at-v1 time the
+        # DataFrame construction (version resolution + manifest chain +
+        # dir listing, the metadata path), history is the one O(#versions)
+        # walk BY CONTRACT (it reads every manifest — that IS the query)
+        # and lives off the hot path: neither read shape calls it.
+        read_sink: list = []
+        first_v: int | None = None
+        every = max(1, mult // 10)
+
+        def sample_reads() -> None:
+            t0 = time.time()
+            read_snapshot(spark, tbl)
+            th = time.time() - t0
+            t0 = time.time()
+            read_snapshot(spark, tbl, version=first_v)
+            tv = time.time() - t0
+            t0 = time.time()
+            n_vers = snapshot_history(spark, tbl).count()
+            thist = time.time() - t0
+            read_sink.append({
+                "read_head_plan": th, "read_v1_plan": tv,
+                "history": thist, "n_versions": float(n_vers),
+            })
+
         SN._PHASE_SINK = sink = []
         try:
             for c in range(mult):
@@ -418,9 +443,21 @@ def main() -> None:
                     spark.read.parquet(f"{base}/lineitem_chunks/c{c}.parquet"),
                     stats_cols=["l_orderkey"],
                 )
+                if first_v is None:
+                    first_v = SN._head_version(spark, tbl)
+                if (c + 1) % every == 0:
+                    sample_reads()
         finally:
             SN._PHASE_SINK = None
-        return {"phase_table": _phase_table(sink)}
+        return {
+            "phase_table": _phase_table(sink),
+            # flat-or-data-proportional expectation: read_head_plan may
+            # grow with LIVE DIR count (each commit adds a data dir —
+            # that is the table growing, not version-walk cost);
+            # read_v1_plan pins the fixed-version path; history's
+            # late/early tracks n_versions by design
+            "read_phase_table": _phase_table(read_sink),
+        }
 
     smoke("snapshot_commits", run_commits)
 
