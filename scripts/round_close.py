@@ -106,14 +106,25 @@ def main() -> int:
     ok = True
 
     # ---- axis 1: suite ----------------------------------------------------
+    # Accepts either a serial pytest log or scripts/par_suite.py output
+    # (its FINAL line carries merged pass/fail counts + wall).
     if args.suite_log and os.path.exists(args.suite_log):
-        tail = open(args.suite_log).read()[-4000:]
-        counts = _pytest_summary(tail)
+        text = open(args.suite_log).read()
+        par = _last_json_line(text, prefix="FINAL")
+        if par and "shard_rcs" in par:
+            counts = {k: par.get(k, 0)
+                      for k in ("passed", "failed", "skipped", "errors")}
+            counts["wall_sec"] = par.get("wall_sec")
+            counts["workers"] = par.get("workers")
+            ok_shards = all(rc == 0 for rc in par.get("shard_rcs", [1]))
+        else:
+            counts = _pytest_summary(text[-4000:])
+            ok_shards = True
         out["suite"] = {**(counts or {"passed": 0, "failed": 0,
                                       "skipped": 0, "errors": 0}),
                         "log": args.suite_log}
         if (not counts or not counts["passed"] or counts["failed"]
-                or counts["errors"]):
+                or counts["errors"] or not ok_shards):
             ok = False
     else:
         out["suite"] = "no_log"
