@@ -2,14 +2,15 @@
 with typed metadata, processed in Arrow batches via mapInPandas.
 
 Decode support is tiered:
-  - REAL, no dependencies: PPM (P6), PNG (8-bit, non-interlaced) and
+  - REAL, no dependencies: PPM (P6), PNG (8/16-bit, sequential AND
+    Adam7-interlaced — r12) and
     baseline-sequential JPEG (operators/jpeg) images and PCM WAV audio
     decode with numpy + stdlib — `baseline_decoder` /
     `baseline_resizer` run the feature and resize paths end-to-end,
     un-stubbed, on those formats (synthetic fixture builders included).
   - AUTO-DETECTED: `default_decoder()` / `default_resizer()` probe for PIL
     once at construction and route the remaining compressed images
-    (WebP, progressive JPEG, 16-bit or interlaced PNG) through it when
+    (WebP, progressive JPEG, sub-8-bit PNG) through it when
     importable — decoding to RGB and reusing the SAME `_rgb_features`,
     so identical pixels give identical vectors in either container
     format.
@@ -106,19 +107,69 @@ JPEG_MIME = "image/jpeg"
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
+def _unfilter(raw: bytes, ph: int, stride: int, bpp: int):
+    """Undo PNG per-scanline filtering for one (sub-)image: ``raw`` is
+    ph scanlines of (1 filter byte + stride data bytes); ``bpp`` is the
+    filter's left-neighbor distance in BYTES (channels x bytes/sample).
+    Returns (ph, stride) uint8. None/Up rows are pure numpy; Sub/
+    Average/Paeth have a left data dependency so those rows run a
+    per-byte loop — fine for thumbnails and fixtures, and the decoder
+    runs inside the Arrow-batched mapInPandas plumbing either way."""
+    import numpy as np
+
+    if len(raw) != ph * (stride + 1):
+        raise ValueError("PNG scanline data has unexpected length")
+    arr = np.frombuffer(raw, np.uint8).reshape(ph, stride + 1)
+    ftypes = arr[:, 0]
+    out = np.zeros((ph, stride), np.int32)
+    for y in range(ph):
+        f = int(ftypes[y])
+        rec = arr[y, 1:].astype(np.int32)
+        prior = out[y - 1] if y else np.zeros(stride, np.int32)
+        if f == 0:
+            pass
+        elif f == 2:  # Up — vectorized
+            rec = (rec + prior) & 0xFF
+        elif f == 1:  # Sub
+            for x in range(bpp, stride):
+                rec[x] = (rec[x] + rec[x - bpp]) & 0xFF
+        elif f == 3:  # Average
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for x in range(stride):
+                a = int(rec[x - bpp]) if x >= bpp else 0
+                b = int(prior[x])
+                cc = int(prior[x - bpp]) if x >= bpp else 0
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+                rec[x] = (rec[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {f}")
+        out[y] = rec
+    return out.astype(np.uint8)
+
+
+#: Adam7 pass geometry: (x_start, y_start, x_step, y_step) per pass.
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
 def decode_png(payload: bytes):
     """Parse a PNG with stdlib zlib + numpy: returns (width, height,
     HxWx3 uint8 RGB array). Real decode, no PIL: chunk walk → IDAT
     inflate → per-scanline unfilter (all five PNG filter types) → color
     conversion for gray / RGB / palette / gray+alpha / RGBA. Supports
-    bit depth 8, non-interlaced — the overwhelmingly common case; 16-bit
-    and Adam7 raise NotImplementedError (inject a PIL decoder for those).
-
-    Unfilter cost: None/Up rows are pure numpy; Sub/Average/Paeth have a
-    left-neighbor data dependency, so those rows run a per-byte loop —
-    fine for thumbnails and fixtures, and the decoder runs inside the
-    Arrow-batched mapInPandas plumbing either way. Alpha is dropped
-    (features are RGB-defined)."""
+    bit depths 8 AND 16 (16-bit samples take their high byte — features
+    are RGB-8-defined) and both interlace methods: sequential and Adam7
+    (r12 — each of the 7 passes unfilters as its own sub-image, then
+    scatters into place by the pass geometry). Bit depths below 8
+    (1/2/4-bit palette/gray) still raise NotImplementedError — inject a
+    PIL decoder for those. Alpha is dropped (features are RGB-defined)."""
     import struct
     import zlib
 
@@ -146,48 +197,40 @@ def decode_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth != 8 or interlace != 0:
+    if depth not in (8, 16):
         raise NotImplementedError(
-            f"PNG bit depth {depth} / interlace {interlace} unsupported by the "
-            "dependency-free decoder; inject a PIL-backed Decoder"
+            f"PNG bit depth {depth} unsupported by the dependency-free "
+            "decoder; inject a PIL-backed Decoder"
         )
+    if interlace not in (0, 1):
+        raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    stride = w * channels
+    bps = depth // 8  # bytes per sample
+    bpp = channels * bps
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG scanline data has unexpected length")
-    arr = np.frombuffer(raw, np.uint8).reshape(h, stride + 1)
-    ftypes = arr[:, 0]
-    out = np.zeros((h, stride), np.int32)
-    c = channels
-    for y in range(h):
-        f = int(ftypes[y])
-        rec = arr[y, 1:].astype(np.int32)
-        prior = out[y - 1] if y else np.zeros(stride, np.int32)
-        if f == 0:
-            pass
-        elif f == 2:  # Up — vectorized
-            rec = (rec + prior) & 0xFF
-        elif f == 1:  # Sub
-            for x in range(c, stride):
-                rec[x] = (rec[x] + rec[x - c]) & 0xFF
-        elif f == 3:  # Average
-            for x in range(stride):
-                left = rec[x - c] if x >= c else 0
-                rec[x] = (rec[x] + ((left + prior[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            for x in range(stride):
-                a = int(rec[x - c]) if x >= c else 0
-                b = int(prior[x])
-                cc = int(prior[x - c]) if x >= c else 0
-                p = a + b - cc
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
-                rec[x] = (rec[x] + pred) & 0xFF
-        else:
-            raise ValueError(f"unknown PNG filter type {f}")
-        out[y] = rec
-    px = out.astype(np.uint8).reshape(h, w, c)
+
+    if interlace == 0:
+        flat = _unfilter(raw, h, w * bpp, bpp).reshape(h, w * bpp)
+    else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        flat = np.zeros((h, w * bpp), np.uint8)
+        off = 0
+        for x0, y0, xs, ys in _ADAM7:
+            pw = (w - x0 + xs - 1) // xs
+            ph = (h - y0 + ys - 1) // ys
+            if pw <= 0 or ph <= 0:
+                continue  # pass empty at this image size
+            n = ph * (pw * bpp + 1)
+            sub = _unfilter(raw[off : off + n], ph, pw * bpp, bpp)
+            off += n
+            sub = sub.reshape(ph, pw, bpp)
+            flat.reshape(h, w, bpp)[y0::ys, x0::xs] = sub
+        if off != len(raw):
+            raise ValueError("PNG Adam7 data has unexpected length")
+
+    if depth == 16:
+        # big-endian u16 samples -> high byte (8-bit features)
+        flat = flat.reshape(h, w * channels, 2)[:, :, 0]
+    px = flat.reshape(h, w, channels)
     if color_type == 3:
         if plte is None:
             raise ValueError("palette PNG without PLTE chunk")
@@ -201,15 +244,21 @@ def decode_png(payload: bytes):
     return w, h, px
 
 
-def encode_png(pixels) -> bytes:
+def encode_png(pixels, interlace: bool = False, bit_depth: int = 8) -> bytes:
     """Encode an HxWx3 uint8 array as an RGB PNG (filter type 0 per
     scanline, one zlib-compressed IDAT). Stdlib-only; round-trips with
-    decode_png bit-exactly."""
+    decode_png bit-exactly. ``interlace=True`` writes Adam7 pass order
+    (r12); ``bit_depth=16`` widens samples as v*257 (high byte == v, so
+    the 8-bit decode round-trips exactly). Both exist so the decoder's
+    exotic-format paths are pinned against REAL container bytes, not
+    header-patched fakes."""
     import struct
     import zlib
 
     import numpy as np
 
+    if bit_depth not in (8, 16):
+        raise ValueError(f"bit_depth must be 8 or 16, got {bit_depth}")
     px = np.ascontiguousarray(np.asarray(pixels, dtype=np.uint8))
     h, w, _ = px.shape
 
@@ -221,8 +270,23 @@ def encode_png(pixels) -> bytes:
             + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
         )
 
-    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    def row_bytes(sub) -> bytes:
+        if bit_depth == 8:
+            return sub.tobytes()
+        return (sub.astype(np.uint16) * 257).astype(">u2").tobytes()
+
+    if not interlace:
+        raw = b"".join(b"\x00" + row_bytes(px[y]) for y in range(h))
+    else:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = px[y0::ys, x0::xs]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            for y in range(sub.shape[0]):
+                parts.append(b"\x00" + row_bytes(sub[y]))
+        raw = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 2, 0, 0, 1 if interlace else 0)
     return (
         _PNG_SIG
         + chunk(b"IHDR", ihdr)
@@ -440,8 +504,9 @@ def default_decoder() -> Decoder:
         if mime in (PPM_MIME, WAV_MIME):
             return baseline_decoder(payload, mime)
         if mime == PNG_MIME:
-            # stdlib PNG covers 8-bit non-interlaced; 16-bit/Adam7 fall
-            # through to PIL when present rather than dead-ending
+            # stdlib PNG covers 8/16-bit, sequential and Adam7; sub-8-bit
+            # depths fall through to PIL when present rather than
+            # dead-ending
             try:
                 return baseline_decoder(payload, mime)
             except NotImplementedError:

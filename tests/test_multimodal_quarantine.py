@@ -1,11 +1,13 @@
 """Multimodal quarantine contract (VERDICT r10 task 5): a corpus
 containing payloads the configured decoder cannot handle — progressive
-JPEG, Adam7-interlaced PNG, >2x sampling factors, 16-bit PNG, truncated
-bytes — must flow those rows to a quarantine column (id + reason) and
-decode the rest, with ZERO job failure; an injected PIL-style decoder
-drains the quarantine. Exotic fixtures are real container bytes built
-from the module's own encoders with the relevant header bytes patched
-(exactly how such files differ on the wire)."""
+JPEG, >2x sampling factors, corrupt containers, truncated bytes — must
+flow those rows to a quarantine column (id + reason) and decode the
+rest, with ZERO job failure; an injected PIL-style decoder drains the
+quarantine. Since r12 the dependency-free decoder handles Adam7 and
+16-bit PNG natively, so REAL interlaced/16-bit fixtures (built by
+encode_png itself) sit on the DECODABLE side; the header-patched
+variants (an IHDR that contradicts the scanline data) stay on the
+quarantine side as what they really are: corrupt containers."""
 
 from __future__ import annotations
 
@@ -50,13 +52,15 @@ def _oversampled_jpeg() -> bytes:
     return bytes(data)
 
 
-def _adam7_png() -> bytes:
+def _corrupt_adam7_png() -> bytes:
+    # IHDR claims Adam7 but the scanline data is sequential — corrupt
     data = bytearray(encode_png(_px(3)))
     data[28] = 1  # IHDR interlace byte -> Adam7
     return bytes(data)
 
 
-def _png16() -> bytes:
+def _corrupt_png16() -> bytes:
+    # IHDR claims 16-bit but the data stream is 8-bit — corrupt
     data = bytearray(encode_png(_px(4)))
     data[24] = 16  # IHDR bit depth -> 16
     return bytes(data)
@@ -69,11 +73,14 @@ def mixed_corpus(spark):
         (1, "image", PPM_MIME, synthetic_ppm(16, 12, seed=9), 16, 12, None),
         (2, "image", PNG_MIME, encode_png(_px(5)), 16, 16, None),
         (3, "image", JPEG_MIME, encode_jpeg(_px(6), 90), 16, 16, None),
+        # real exotic PNGs: natively decodable since r12
+        (4, "image", PNG_MIME, encode_png(_px(8), interlace=True), 16, 16, None),
+        (5, "image", PNG_MIME, encode_png(_px(9), bit_depth=16), 16, 16, None),
         # quarantine candidates
         (10, "image", JPEG_MIME, _progressive_jpeg(), 16, 16, None),
         (11, "image", JPEG_MIME, _oversampled_jpeg(), 16, 16, None),
-        (12, "image", PNG_MIME, _adam7_png(), 16, 16, None),
-        (13, "image", PNG_MIME, _png16(), 16, 16, None),
+        (12, "image", PNG_MIME, _corrupt_adam7_png(), 16, 16, None),
+        (13, "image", PNG_MIME, _corrupt_png16(), 16, 16, None),
         (14, "image", JPEG_MIME, encode_jpeg(_px(7), 85)[:40], 16, 16, None),
     ]
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -85,11 +92,11 @@ def test_quarantine_splits_corpus_without_failing(mixed_corpus):
     out = extract_features(
         mixed_corpus, default_decoder(), on_error="quarantine"
     ).collect()
-    assert len(out) == 8  # every input row accounted for
+    assert len(out) == 10  # every input row accounted for
     by_id = {r["media_id"]: r for r in out}
     decoded = {i for i, r in by_id.items() if r["quarantine_reason"] is None}
     quarantined = {i for i, r in by_id.items() if r["quarantine_reason"] is not None}
-    assert decoded == {1, 2, 3}
+    assert decoded == {1, 2, 3, 4, 5}
     assert quarantined == {10, 11, 12, 13, 14}
     # decoded rows carry real features; quarantined rows NULL features
     assert all(by_id[i]["feature"] is not None for i in decoded)
@@ -97,8 +104,9 @@ def test_quarantine_splits_corpus_without_failing(mixed_corpus):
     # reasons name the boundary, so a re-drive can route by cause
     assert "progressive" in by_id[10]["quarantine_reason"]
     assert "sampling factors 3x3" in by_id[11]["quarantine_reason"]
-    assert "interlace 1" in by_id[12]["quarantine_reason"]
-    assert "bit depth 16" in by_id[13]["quarantine_reason"]
+    # header-contradicts-data corpses are VALUE errors, not unsupported
+    assert by_id[12]["quarantine_reason"].startswith("ValueError")
+    assert by_id[13]["quarantine_reason"].startswith("ValueError")
     assert by_id[14]["quarantine_reason"].split(":")[0] in (
         "ValueError", "error", "IndexError", "struct.error",
     )
@@ -112,7 +120,7 @@ def test_injected_decoder_drains_quarantine(mixed_corpus):
     out = extract_features(
         mixed_corpus, deterministic_fake_decoder(dim=8), on_error="quarantine"
     ).collect()
-    assert len(out) == 8
+    assert len(out) == 10
     assert all(r["quarantine_reason"] is None for r in out)
     assert all(r["feature"] is not None and len(r["feature"]) == 8 for r in out)
 
@@ -155,7 +163,7 @@ def test_quarantine_then_targeted_redrive(mixed_corpus, spark):
         .unionByName(redriven)
     )
     rows = final.collect()
-    assert sorted(r["media_id"] for r in rows) == [1, 2, 3, 10, 11, 12, 13, 14]
+    assert sorted(r["media_id"] for r in rows) == [1, 2, 3, 4, 5, 10, 11, 12, 13, 14]
     assert all(r["feature"] is not None for r in rows)
     # full recovery: the re-drive left nothing in quarantine
     assert all(r["quarantine_reason"] is None for r in rows)

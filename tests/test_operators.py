@@ -465,14 +465,43 @@ def test_png_unsupported_shapes_raise():
 
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
-    # 16-bit depth → explicit NotImplementedError, not silent garbage
+    # sub-8-bit depth → explicit NotImplementedError, not silent garbage
+    # (16-bit and Adam7 decode natively since r12)
     def chunk(t, d):
         return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
     sig = b"\x89PNG\r\n\x1a\n"
-    deep = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)) + chunk(
+    deep = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)) + chunk(
         b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
     with pytest.raises(NotImplementedError):
         decode_png(deep)
+
+
+def test_png_adam7_and_16bit_roundtrip():
+    """r12: the dependency-free decoder covers Adam7 interlacing and
+    16-bit depth natively — encode/decode round-trips bit-exactly for
+    every (interlace, depth) combination, including image sizes where
+    some Adam7 passes are EMPTY (w or h below the pass offsets)."""
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(42)
+    for (h, w) in [(16, 16), (13, 7), (8, 9), (3, 2), (2, 2), (1, 1)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        plain = decode_png(encode_png(px))[2]
+        for interlace in (False, True):
+            for depth in (8, 16):
+                got_w, got_h, out = decode_png(
+                    encode_png(px, interlace=interlace, bit_depth=depth)
+                )
+                assert (got_w, got_h) == (w, h)
+                # bit-exact with the source AND with the plain decode —
+                # identical pixels give identical features downstream
+                assert np.array_equal(out, px), (h, w, interlace, depth)
+                assert np.array_equal(out, plain)
 
 
 def test_decode_stub_raises(media_df):
@@ -570,11 +599,12 @@ def test_default_decoder_autodetect(spark, monkeypatch):
 
 
 def test_png_unsupported_by_stdlib_falls_back_to_pil(monkeypatch):
-    """16-bit / interlaced PNGs must not dead-end on the stdlib decoder
-    when PIL is importable: default_decoder/default_resizer retry them
-    through the compressed (PIL) path. Supported 8-bit PNGs still take
-    the dependency-free path (no PIL call); without any PIL the stdlib
-    limitation surfaces as the documented NotImplementedError."""
+    """PNGs beyond the stdlib decoder (sub-8-bit depths, since r12
+    decodes 16-bit and Adam7 natively) must not dead-end when PIL is
+    importable: default_decoder/default_resizer retry them through the
+    compressed (PIL) path. Supported PNGs still take the dependency-free
+    path (no PIL call); without any PIL the stdlib limitation surfaces
+    as the documented NotImplementedError."""
     import importlib.util
     import struct
     import sys
@@ -593,19 +623,19 @@ def test_png_unsupported_by_stdlib_falls_back_to_pil(monkeypatch):
             + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
         )
 
-    # syntactically complete PNG whose IHDR declares 16-bit depth
-    png16 = (
+    # syntactically complete PNG whose IHDR declares 4-bit depth
+    png4 = (
         b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 16, 2, 0, 0, 0))
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 4, 2, 0, 0, 0))
         + chunk(b"IDAT", b"\x00")
         + chunk(b"IEND", b"")
     )
 
     if importlib.util.find_spec("PIL") is None:
-        with pytest.raises(NotImplementedError, match="bit depth 16"):
-            M.default_decoder()(png16, M.PNG_MIME)
-        with pytest.raises(NotImplementedError, match="bit depth 16"):
-            M.default_resizer()(png16, M.PNG_MIME, 4, 4)
+        with pytest.raises(NotImplementedError, match="bit depth 4"):
+            M.default_decoder()(png4, M.PNG_MIME)
+        with pytest.raises(NotImplementedError, match="bit depth 4"):
+            M.default_resizer()(png4, M.PNG_MIME, 4, 4)
 
     px = (np.arange(3 * 4 * 3, dtype=np.uint8) * 7 % 256).reshape(3, 4, 3)
     pil_calls = []
@@ -643,10 +673,10 @@ def test_png_unsupported_by_stdlib_falls_back_to_pil(monkeypatch):
     png8 = M.encode_png(M.decode_ppm(ppm)[2])
     assert dec(png8, M.PNG_MIME) == M.baseline_decoder(ppm, M.PPM_MIME)
     assert not pil_calls
-    # 16-bit PNG: falls through to the PIL-backed decode/resize
-    assert dec(png16, M.PNG_MIME) == M._rgb_features(px)
+    # sub-8-bit PNG: falls through to the PIL-backed decode/resize
+    assert dec(png4, M.PNG_MIME) == M._rgb_features(px)
     assert pil_calls
-    resized = rsz(png16, M.PNG_MIME, 2, 2)
+    resized = rsz(png4, M.PNG_MIME, 2, 2)
     assert M.decode_ppm(resized)[:2] == (2, 2)
 
 
