@@ -1,21 +1,24 @@
-"""Dependency-free baseline JPEG codec (ITU-T T.81 sequential DCT,
-Huffman entropy coding, JFIF container) — closes the compressed-image
-stub family in operators/multimodal.py: with this module, PPM, PNG,
-WAV and baseline JPEG all decode/encode with numpy + stdlib only, and
-PIL remains an optional upgrade for progressive JPEG / WebP / 16-bit
-PNG.
+"""Dependency-free JPEG codec (ITU-T T.81, JFIF container) — closes
+the compressed-image stub family in operators/multimodal.py: with this
+module, PPM, PNG, WAV, baseline JPEG and (since r12) PROGRESSIVE JPEG
+all decode/encode with numpy + stdlib only; PIL remains an optional
+upgrade for WebP / arithmetic-coded JPEG / sub-8-bit PNG.
 
 Scope (the overwhelmingly common interchange case):
-  decode: baseline sequential (SOF0), 8-bit, Huffman, 1 or 3
-          components, sampling factors 1-2 (4:4:4 / 4:2:2 / 4:2:0),
-          restart markers honored. Progressive (SOF2) and arithmetic
-          coding raise NotImplementedError → the multimodal
+  decode: baseline sequential (SOF0) AND progressive (SOF2 — full
+          spectral selection + successive approximation + EOB runs,
+          r12), 8-bit, Huffman, 1 or 3 components, sampling factors
+          1-2 (4:4:4 / 4:2:2 / 4:2:0), restart markers honored.
+          Arithmetic coding raises NotImplementedError → the multimodal
           default_decoder falls through to PIL when importable, same
-          contract as the 16-bit-PNG path.
+          contract as the sub-8-bit-PNG path.
   encode: baseline sequential 4:4:4 with the Annex K quantization +
-          Huffman tables (quality-scaled, libjpeg formula) — tables are
-          embedded in the stream, so any standards-compliant decoder
-          (including this module's) reads the output.
+          Huffman tables (quality-scaled, libjpeg formula), or
+          progressive (an 8-scan SA script exercising every decode
+          path; quantized coefficients identical to baseline, so both
+          forms decode bit-identically) — tables are embedded in the
+          stream, so any standards-compliant decoder (including this
+          module's) reads the output.
 
 Throughput posture: the DCT/IDCT and color transforms are vectorized
 numpy over all 8×8 blocks at once; only the Huffman bit stream walks a
@@ -183,6 +186,7 @@ def encode_jpeg(
     quality: int = 85,
     subsample: bool = False,
     restart_interval: int | None = None,
+    progressive: bool = False,
 ) -> bytes:
     """Encode an HxWx3 uint8 RGB array as baseline JFIF (Annex K tables
     quality-scaled). Any compliant decoder reads the output; the lossy
@@ -193,7 +197,16 @@ def encode_jpeg(
     camera/web default — ~2× smaller, chroma detail halved);
     ``restart_interval=N`` emits DRI + RSTn markers every N MCUs (the
     error-resilience feature streaming producers set). Both exercise the
-    decoder paths real-world JPEGs use."""
+    decoder paths real-world JPEGs use.
+
+    ``progressive=True`` (r12) emits SOF2 with an 8-scan script that
+    exercises every progressive decode path — DC first at Al=1
+    (interleaved), per-component AC first 1..63 at Al=1 (EOB + ZRL),
+    DC refinement, per-component AC refinement (newly-nonzero sign
+    bits, correction bits, EOB-carried corrections). The QUANTIZED
+    COEFFICIENTS are identical to the baseline encoding, so decode
+    output is bit-identical to the baseline file's — the differential
+    oracle the tests pin. Not combinable with restart_interval."""
     import numpy as np
 
     px = np.asarray(pixels, np.uint8)
@@ -242,6 +255,231 @@ def encode_jpeg(
         quant = np.round(coef / qt).astype(np.int32).reshape(-1, 64)
         comp_zz.append(quant[:, _ZZ].reshape(rows, cols, 64))
 
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    if progressive:
+        if restart_interval:
+            raise ValueError("progressive + restart_interval not supported")
+        out = bytearray(JPEG_SIG)
+        out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        for tid, qt in enumerate(qtabs):
+            out += seg(0xFFDB, bytes([tid]) + bytes(int(qt[z]) for z in _ZZ))
+        sof = struct.pack(">BHHB", 8, h, w, 3)
+        for i, (hi, vi) in enumerate(samp):
+            sof += bytes([i + 1, (hi << 4) | vi, 0 if i == 0 else 1])
+        out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+        # Progressive AC scans emit EOBn symbols ((r<<4)|0, r=1..14) for
+        # multi-block EOB runs — absent from the Annex K tables, so use a
+        # flat custom AC table (every symbol at code length 8; canonical
+        # order). Valid JPEG: any decoder reads the DHT from the stream.
+        ac_syms = sorted(
+            {0x00, 0xF0}
+            | {(r << 4) for r in range(1, 15)}
+            | {(r << 4) | s for r in range(16) for s in range(1, 11)}
+        )
+        ac_bits = [0] * 16
+        ac_bits[7] = len(ac_syms)  # all codes 8 bits long
+        prog_ac = _canonical_codes(ac_bits, ac_syms)
+        ac_codes = [prog_ac, prog_ac]
+        for cls, tid, (bits, vals) in (
+            (0, 0, _DC_LUM), (1, 0, ([0] * 16, [])), (0, 1, _DC_CHR),
+        ):
+            if cls == 1:
+                bits, vals = ac_bits, ac_syms
+            out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+        out += seg(0xFFC4, bytes([(1 << 4) | 1]) + bytes(ac_bits) + bytes(ac_syms))
+
+        def sos_hdr(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
+            body = bytes([len(comp_ids)])
+            for cid in comp_ids:
+                t = 0 if cid == 1 else 1
+                body += bytes([cid, (t << 4) | t])
+            return seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+
+        def grid(ci: int) -> tuple[int, int]:
+            hi, vi = samp[ci]
+            cw = -(-w * hi // hmax)
+            ch_ = -(-h * vi // vmax)
+            return -(-ch_ // 8), -(-cw // 8)  # (cbh, cbw)
+
+        # scan 1: DC first, interleaved, Al=1 (arithmetic shift per spec)
+        bwr = _BitWriter()
+        pred = [0, 0, 0]
+        for mcu in range(mcx * mcy):
+            my, mx = divmod(mcu, mcx)
+            for ci in range(3):
+                hi, vi = samp[ci]
+                t = 0 if ci == 0 else 1
+                for v in range(vi):
+                    for hh in range(hi):
+                        dc = int(comp_zz[ci][my * vi + v, mx * hi + hh, 0]) >> 1
+                        diff = dc - pred[ci]
+                        pred[ci] = dc
+                        s = _category(diff)
+                        ln, code = dc_codes[t][s]
+                        bwr.write(code, ln)
+                        if s:
+                            bwr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+        bwr.flush()
+        out += sos_hdr([1, 2, 3], 0, 0, 0, 1) + bwr.out
+
+        # scans 2-4: AC first per component, band 1..63, Al=1, with
+        # true multi-block EOB runs (EOBn symbols from the custom table)
+        for ci in range(3):
+            t = 0 if ci == 0 else 1
+            cbh, cbw_ = grid(ci)
+            bwr = _BitWriter()
+            eobrun = 0
+
+            def flush_eobrun():
+                nonlocal eobrun
+                if not eobrun:
+                    return
+                r = eobrun.bit_length() - 1
+                ln, code = ac_codes[t][r << 4]
+                bwr.write(code, ln)
+                if r:
+                    bwr.write(eobrun - (1 << r), r)
+                eobrun = 0
+
+            for by in range(cbh):
+                for bx in range(cbw_):
+                    zz = comp_zz[ci][by, bx]
+                    vals = [
+                        (1 if int(v) > 0 else -1) * (abs(int(v)) >> 1)
+                        for v in zz[1:64]
+                    ]
+                    last = max(
+                        (i for i, v in enumerate(vals) if v), default=-1
+                    )
+                    if last < 0:
+                        eobrun += 1  # whole band empty: extend the run
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+                        continue
+                    flush_eobrun()
+                    run = 0
+                    for i, v in enumerate(vals):
+                        if i > last:
+                            eobrun = 1  # block ends early: run starts
+                            break
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            ln, code = ac_codes[t][0xF0]  # ZRL
+                            bwr.write(code, ln)
+                            run -= 16
+                        s = _category(v)
+                        ln, code = ac_codes[t][(run << 4) | s]
+                        bwr.write(code, ln)
+                        bwr.write(v if v > 0 else v + (1 << s) - 1, s)
+                        run = 0
+            flush_eobrun()
+            bwr.flush()
+            out += sos_hdr([ci + 1], 1, 63, 0, 1) + bwr.out
+
+        # scan 5: DC refinement, interleaved (one raw bit per block)
+        bwr = _BitWriter()
+        for mcu in range(mcx * mcy):
+            my, mx = divmod(mcu, mcx)
+            for ci in range(3):
+                hi, vi = samp[ci]
+                for v in range(vi):
+                    for hh in range(hi):
+                        bwr.write(int(comp_zz[ci][my * vi + v, mx * hi + hh, 0]) & 1, 1)
+        bwr.flush()
+        out += sos_hdr([1, 2, 3], 0, 0, 1, 0) + bwr.out
+
+        # scans 6-8: AC refinement per component (G.1.2.3 encode,
+        # WINDOW-ACCURATE: each ZRL / (r<<4|1) symbol is followed by the
+        # correction bits of exactly the history-nonzero coefficients the
+        # decoder passes inside that symbol's zero-run window — flushing
+        # bits across a window boundary desyncs the decoder's walk)
+        for ci in range(3):
+            t = 0 if ci == 0 else 1
+            cbh, cbw_ = grid(ci)
+            bwr = _BitWriter()
+            eobrun = 0
+            pend: list[int] = []  # correction bits buffered across the run
+
+            def flush_eobrun():
+                nonlocal eobrun
+                if not eobrun:
+                    return
+                r = eobrun.bit_length() - 1
+                ln, code = ac_codes[t][r << 4]
+                bwr.write(code, ln)
+                if r:
+                    bwr.write(eobrun - (1 << r), r)
+                for bit in pend:
+                    bwr.write(bit, 1)
+                pend.clear()
+                eobrun = 0
+
+            for by in range(cbh):
+                for bx in range(cbw_):
+                    zz = comp_zz[ci][by, bx]
+                    absv = [abs(int(v)) for v in zz[1:64]]
+                    n = len(absv)
+                    pos = 0
+                    has_new = any(a == 1 for a in absv)
+                    if not has_new:
+                        # no newly-nonzero anywhere: whole block joins the
+                        # EOB run (correction bits for history-nonzero)
+                        eobrun += 1
+                        pend.extend(a & 1 for a in absv if a > 1)
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+                        continue
+                    flush_eobrun()  # a content block ends any pending run
+                    while True:
+                        nxt = next(
+                            (j for j in range(pos, n) if absv[j] == 1), None
+                        )
+                        if nxt is None:
+                            break
+                        # ZRL windows: 16 zero-history each, with the
+                        # correction bits of nonzero-history inside them
+                        while True:
+                            zeros = [
+                                p for p in range(pos, nxt) if absv[p] == 0
+                            ]
+                            if len(zeros) <= 15:
+                                break
+                            w_end = zeros[15]  # 16th zero: window boundary
+                            ln, code = ac_codes[t][0xF0]
+                            bwr.write(code, ln)
+                            for p in range(pos, w_end + 1):
+                                if absv[p] > 1:
+                                    bwr.write(absv[p] & 1, 1)
+                            pos = w_end + 1
+                        r = sum(1 for p in range(pos, nxt) if absv[p] == 0)
+                        ln, code = ac_codes[t][(r << 4) | 1]
+                        bwr.write(code, ln)
+                        bwr.write(1 if int(zz[1 + nxt]) > 0 else 0, 1)
+                        for p in range(pos, nxt):
+                            if absv[p] > 1:
+                                bwr.write(absv[p] & 1, 1)
+                        pos = nxt + 1
+                    if pos < n:
+                        # trailing band content joins the EOB run; its
+                        # correction bits ride the run's buffer (in block
+                        # order) and flush with the EOBn symbol
+                        eobrun += 1
+                        pend.extend(
+                            absv[p] & 1 for p in range(pos, n) if absv[p] > 1
+                        )
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+            flush_eobrun()
+            bwr.flush()
+            out += sos_hdr([ci + 1], 1, 63, 1, 0) + bwr.out
+
+        out += struct.pack(">H", 0xFFD9)
+        return bytes(out)
+
     bw = _BitWriter()
     pred = [0, 0, 0]
 
@@ -289,9 +527,6 @@ def encode_jpeg(
                 for hh in range(hi):
                     emit_block(comp_zz[ci][my * vi + v, mx * hi + hh], ci)
     bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     out = bytearray(JPEG_SIG)
     out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -347,11 +582,12 @@ def _extend(v: int, s: int) -> int:
 
 
 def decode_jpeg(payload: bytes):
-    """Parse a baseline JFIF/JPEG: returns (width, height, HxWx3 uint8
-    RGB). Grayscale decodes with the luma plane replicated to RGB.
-    Progressive (SOF2), arithmetic coding, 12-bit precision and
-    sampling factors > 2 raise NotImplementedError (inject a PIL-backed
-    decoder for those — operators/multimodal.default_decoder does)."""
+    """Parse a JFIF/JPEG: returns (width, height, HxWx3 uint8 RGB).
+    Grayscale decodes with the luma plane replicated to RGB. Progressive
+    (SOF2) streams route to _decode_progressive (r12: native support).
+    Arithmetic coding, 12-bit precision and sampling factors > 2 raise
+    NotImplementedError (inject a PIL-backed decoder for those —
+    operators/multimodal.default_decoder does)."""
     import numpy as np
 
     if not payload.startswith(JPEG_SIG):
@@ -408,9 +644,11 @@ def decode_jpeg(payload: bytes):
                 if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise NotImplementedError(f"sampling factors {hi}x{vi}")
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC2:  # progressive DCT (r12: native decode)
+            return _decode_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive/arithmetic/hierarchical JPEG — inject a "
+                "arithmetic/hierarchical/lossless JPEG — inject a "
                 "PIL-backed decoder"
             )
         elif marker == 0xDD:  # DRI
@@ -498,9 +736,281 @@ def decode_jpeg(payload: bytes):
     if mcu < n_mcus:
         raise ValueError(f"corrupt JPEG: decoded {mcu}/{n_mcus} MCUs")
 
+    return _reconstruct(order, qtabs, mcy, hmax, vmax, w, h)
+
+
+def _decode_progressive(payload: bytes):
+    """Progressive (SOF2) JPEG decode — full spectral-selection +
+    successive-approximation support (ITU T.81 Annex G.2, the jdphuff
+    shape): every scan accumulates into per-component zigzag coefficient
+    arrays; reconstruction is the same dequant/IDCT tail as baseline, so
+    a progressive file decodes BIT-IDENTICALLY to the baseline encoding
+    of the same quantized coefficients (pinned in tests).
+
+    Scan kinds (Ss==0 is DC, else AC; Ah==0 is first, else refinement):
+      - DC first      : Huffman diff coding of coef>>Al, interleaved or
+                        not (Ns decides), restart-aware prediction.
+      - DC refinement : one raw bit per block -> coef |= bit<<Al.
+      - AC first      : run/size symbols with EOBRUN (EOBn carries a
+                        block-run), values scaled <<Al. Always Ns==1;
+                        block order is the COMPONENT's own grid (spec
+                        A.2.2), not the padded MCU grid.
+      - AC refinement : correction bits for history-nonzero coefs, sign
+                        bits for newly-nonzero ones, EOB runs carrying
+                        correction bits to the band end (G.1.2.3).
+    """
+    import numpy as np
+
+    qtabs: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scans: list[dict] = []
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                tab = np.zeros(64, np.int32)
+                tab[_ZZ] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                qtabs[tq] = tab
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                cls, tid = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nv = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nv])
+                huff[(cls, tid)] = {
+                    (ln_, code): sym
+                    for sym, (ln_, code) in _canonical_codes(bits, vals).items()
+                }
+                i += 17 + nv
+        elif marker == 0xC2:
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i : 9 + 3 * i]
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError(f"sampling factors {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scomps = []
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scomps.append((cid, tabs >> 4, tabs & 0xF))
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = a >> 4, a & 0xF
+            # entropy data: destuff, split at restarts, stop at a marker
+            chunks: list[bytes] = []
+            cur = bytearray()
+            i = pos
+            while i < len(payload):
+                bsrc = payload[i]
+                if bsrc != 0xFF:
+                    cur.append(bsrc)
+                    i += 1
+                    continue
+                nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    i += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    chunks.append(bytes(cur))
+                    cur = bytearray()
+                    i += 2
+                else:
+                    break
+            chunks.append(bytes(cur))
+            pos = i  # resume the marker walk at the terminating marker
+            scans.append({
+                "comps": scomps, "ss": ss, "se": se, "ah": ah, "al": al,
+                "chunks": chunks, "ri": restart_interval,
+                # table snapshot: redefinition between scans replaces the
+                # dict object, so capturing references here is correct
+                "huff": dict(huff),
+            })
+        # APPn/COM: skipped
+    if not comps or not scans:
+        raise ValueError("corrupt JPEG: missing SOF2/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    for c in comps:
+        c["bw"] = mcx * c["h"]
+        c["coefs"] = np.zeros((mcy * c["v"] * c["bw"], 64), np.int32)
+        # non-interleaved (Ns==1) geometry: the component's OWN grid
+        cw = -(-w * c["h"] // hmax)   # component width in samples
+        ch = -(-h * c["v"] // vmax)
+        c["cbw"] = -(-cw // 8)
+        c["cbh"] = -(-ch // 8)
+
+    for sc in scans:
+        _progressive_scan(sc, by_id, mcx, mcy)
+
+    return _reconstruct(comps, qtabs, mcy, hmax, vmax, w, h)
+
+
+def _progressive_scan(sc, by_id, mcx, mcy) -> None:
+    """Apply one scan's entropy data to the coefficient arrays."""
+    ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+    scomps = [(by_id[cid], dct, act) for cid, dct, act in sc["comps"]]
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "corrupt progressive JPEG: DC scan (Ss=0) must have Se=0"
+        )
+    if ss > 0 and len(scomps) != 1:
+        raise ValueError(
+            "corrupt progressive JPEG: AC scans must be single-component"
+        )
+    if ss == 0:
+        dc_tabs = {c["id"]: sc["huff"].get((0, dct)) for c, dct, _ in scomps}
+        if ah == 0 and any(t is None for t in dc_tabs.values()):
+            raise ValueError("corrupt JPEG: missing DC Huffman table")
+
+    interleaved = len(scomps) > 1
+    if interleaved:
+        units = mcx * mcy  # MCUs
+    else:
+        c0 = scomps[0][0]
+        units = c0["cbw"] * c0["cbh"]  # blocks in the component grid
+
+    def block_indexes(unit: int):
+        if interleaved:
+            my, mx = divmod(unit, mcx)
+            for c, dct, act in scomps:
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        yield c, dct, act, (my * c["v"] + v) * c["bw"] + mx * c["h"] + hh
+        else:
+            c, dct, act = scomps[0]
+            by, bx = divmod(unit, c["cbw"])
+            yield c, dct, act, by * c["bw"] + bx
+
+    ri = sc["ri"]
+    unit = 0
+    for chunk in sc["chunks"]:
+        if unit >= units:
+            break
+        br = _BitReader(chunk)
+        pred = {c["id"]: 0 for c, _, _ in scomps}
+        eobrun = 0
+        limit = min(units, unit + ri) if ri else units
+        while unit < limit:
+            for c, dct, act, bi in block_indexes(unit):
+                zz = c["coefs"][bi]
+                if ss == 0 and ah == 0:  # DC first
+                    tab = sc["huff"][(0, dct)]
+                    s = _decode_symbol(br, tab)
+                    diff = _extend(br.bits(s), s) if s else 0
+                    pred[c["id"]] += diff
+                    zz[0] = pred[c["id"]] << al
+                elif ss == 0:  # DC refinement
+                    if br.bit():
+                        zz[0] |= 1 << al
+                elif ah == 0:  # AC first
+                    if eobrun > 0:
+                        eobrun -= 1
+                        continue
+                    tab = sc["huff"][(1, act)]
+                    k = ss
+                    while k <= se:
+                        sym = _decode_symbol(br, tab)
+                        r, s = sym >> 4, sym & 0xF
+                        if s == 0:
+                            if r == 15:
+                                k += 16  # ZRL
+                                continue
+                            eobrun = (1 << r) - 1 + (br.bits(r) if r else 0)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("corrupt JPEG: AC run overflow")
+                        zz[k] = _extend(br.bits(s), s) << al
+                        k += 1
+                else:  # AC refinement (G.1.2.3)
+                    eobrun = _ac_refine_block(
+                        br, sc["huff"][(1, act)], zz, ss, se, al, eobrun
+                    )
+            unit += 1
+
+
+def _ac_refine_block(br, tab, zz, ss, se, al, eobrun) -> int:
+    """Refine one block's AC band; returns the updated EOB run."""
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            sym = _decode_symbol(br, tab)
+            r, s = sym >> 4, sym & 0xF
+            if s == 0:
+                if r < 15:
+                    # refine EOBn counts the CURRENT block too (jdphuff):
+                    # the post-loop correction pass below finishes it and
+                    # decrements — unlike the first-scan form's (1<<r)-1
+                    eobrun = (1 << r) + (br.bits(r) if r else 0)
+                    break
+                val = 0  # ZRL in a refinement scan: skip 16 zero-history
+            else:
+                if s != 1:
+                    raise ValueError("corrupt JPEG: refinement size != 1")
+                val = p1 if br.bit() else -p1
+            # advance past r zero-HISTORY coefficients, emitting
+            # correction bits for the nonzero ones passed over
+            while k <= se:
+                if zz[k] != 0:
+                    if br.bit() and (abs(int(zz[k])) & p1) == 0:
+                        zz[k] += p1 if zz[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if val and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        # EOB run covers the rest of this band: correction bits only
+        while k <= se:
+            if zz[k] != 0 and br.bit() and (abs(int(zz[k])) & p1) == 0:
+                zz[k] += p1 if zz[k] > 0 else -p1
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _reconstruct(comps, qtabs, mcy, hmax, vmax, w, h):
+    """Shared decode tail: dequantize zigzag coefficients, inverse DCT,
+    upsample subsampled planes, convert to RGB. ``comps`` entries carry
+    coefs (blocks x 64, zigzag order), tq, h, v, bw."""
+    import numpy as np
+
     cmat = _dct_matrix()
     planes = []
-    for c in order:
+    for c in comps:
         qt = qtabs[c["tq"]].astype(np.float64)
         deq = np.zeros((len(c["coefs"]), 64), np.float64)
         deq[:, _ZZ] = c["coefs"] * qt[_ZZ]

@@ -10,7 +10,7 @@ Decode support is tiered:
     un-stubbed, on those formats (synthetic fixture builders included).
   - AUTO-DETECTED: `default_decoder()` / `default_resizer()` probe for PIL
     once at construction and route the remaining compressed images
-    (WebP, progressive JPEG, sub-8-bit PNG) through it when
+    (WebP, arithmetic-coded JPEG, sub-8-bit PNG) through it when
     importable — decoding to RGB and reusing the SAME `_rgb_features`,
     so identical pixels give identical vectors in either container
     format.
@@ -513,9 +513,10 @@ def default_decoder() -> Decoder:
                 if compressed is None:
                     raise
         if mime == JPEG_MIME:
-            # baseline sequential decodes dependency-free; progressive/
-            # arithmetic (NotImplementedError) and mislabeled payloads
-            # (ValueError — PIL sniffs content, not mime) fall through
+            # baseline AND progressive decode dependency-free;
+            # arithmetic/hierarchical (NotImplementedError), corrupt and
+            # mislabeled payloads (ValueError — PIL sniffs content, not
+            # mime) fall through
             try:
                 return baseline_decoder(payload, mime)
             except (NotImplementedError, ValueError):
@@ -604,7 +605,7 @@ def extract_features(
 
     ``on_error="quarantine"`` (VERDICT r10 task 5): a web-scraped corpus
     always contains payloads the configured decoder cannot handle
-    (progressive JPEG / Adam7 PNG under the dependency-free decoders,
+    (arithmetic-coded JPEG / sub-8-bit PNG under the dependency-free decoders,
     truncated or mislabeled bytes under ANY decoder). One such row must
     not fail a 100 TB job: decode errors flow to the output as
     feature=NULL + ``quarantine_reason`` ("ErrorClass: message"), so the

@@ -68,13 +68,46 @@ def test_stream_is_standard_jfif():
     assert b"\xff\xc0" in data and b"\xff\xda" in data
 
 
-def test_progressive_raises_not_implemented():
-    """A SOF2 (progressive) stream must raise NotImplementedError — the
-    multimodal default_decoder contract for falling through to PIL."""
+def test_progressive_decodes_bit_identical_to_baseline():
+    """r12: progressive (SOF2) decodes natively. The progressive encoder
+    emits an 8-scan successive-approximation script over the SAME
+    quantized coefficients as baseline, so decode output must be
+    BIT-IDENTICAL — across subsampling, odd dimensions, flat images
+    (long EOB runs) and noise (dense ZRL windows)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (_gradient(16, 16), False), (_gradient(17, 23), False),
+        (_gradient(24, 24), True), (_gradient(13, 7), True),
+        (np.full((32, 24, 3), 99, np.uint8), False),   # flat: EOB runs
+        (np.full((24, 40, 3), 200, np.uint8), True),
+        (rng.integers(0, 256, (24, 24, 3), dtype=np.uint8), False),  # noise
+        (rng.integers(0, 256, (17, 31, 3), dtype=np.uint8), True),
+    ]
+    for px, sub in cases:
+        base = decode_jpeg(encode_jpeg(px, 85, subsample=sub))[2]
+        prog = decode_jpeg(encode_jpeg(px, 85, subsample=sub, progressive=True))[2]
+        assert np.array_equal(base, prog), (px.shape, sub)
+
+
+def test_progressive_stream_is_standard_sof2():
+    """The progressive stream is standards-shaped: SOF2 marker, multiple
+    SOS segments, custom AC DHT embedded, EOI-terminated."""
+    data = encode_jpeg(_gradient(16, 16), 85, progressive=True)
+    assert b"\xff\xc2" in data          # SOF2
+    assert data.count(b"\xff\xda") >= 8  # 8-scan script
+    assert data.endswith(b"\xff\xd9")
+
+
+def test_corrupt_progressive_scan_script_raises():
+    """A baseline stream with its SOF0 patched to SOF2 is CORRUPT (the
+    single scan claims Ss=0..Se=63, illegal for progressive): ValueError,
+    not a wrong image — the quarantine path for mislabeled files."""
     data = bytearray(encode_jpeg(_gradient(8, 8), 85))
     i = bytes(data).find(b"\xff\xc0")
     data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError, match="progressive"):
         decode_jpeg(bytes(data))
 
 

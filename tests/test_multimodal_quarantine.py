@@ -1,13 +1,14 @@
 """Multimodal quarantine contract (VERDICT r10 task 5): a corpus
-containing payloads the configured decoder cannot handle — progressive
-JPEG, >2x sampling factors, corrupt containers, truncated bytes — must
+containing payloads the configured decoder cannot handle — >2x sampling
+factors, corrupt containers, truncated bytes — must
 flow those rows to a quarantine column (id + reason) and decode the
 rest, with ZERO job failure; an injected PIL-style decoder drains the
-quarantine. Since r12 the dependency-free decoder handles Adam7 and
-16-bit PNG natively, so REAL interlaced/16-bit fixtures (built by
-encode_png itself) sit on the DECODABLE side; the header-patched
-variants (an IHDR that contradicts the scanline data) stay on the
-quarantine side as what they really are: corrupt containers."""
+quarantine. Since r12 the dependency-free decoders handle Adam7 PNG,
+16-bit PNG AND progressive JPEG natively, so REAL exotic fixtures
+(built by the module's own encoders) sit on the DECODABLE side; the
+header-patched variants (a header that contradicts the stream data)
+stay on the quarantine side as what they really are: corrupt
+containers."""
 
 from __future__ import annotations
 
@@ -73,9 +74,11 @@ def mixed_corpus(spark):
         (1, "image", PPM_MIME, synthetic_ppm(16, 12, seed=9), 16, 12, None),
         (2, "image", PNG_MIME, encode_png(_px(5)), 16, 16, None),
         (3, "image", JPEG_MIME, encode_jpeg(_px(6), 90), 16, 16, None),
-        # real exotic PNGs: natively decodable since r12
+        # real exotic formats: natively decodable since r12
         (4, "image", PNG_MIME, encode_png(_px(8), interlace=True), 16, 16, None),
         (5, "image", PNG_MIME, encode_png(_px(9), bit_depth=16), 16, 16, None),
+        (6, "image", JPEG_MIME, encode_jpeg(_px(10), 85, progressive=True),
+         16, 16, None),
         # quarantine candidates
         (10, "image", JPEG_MIME, _progressive_jpeg(), 16, 16, None),
         (11, "image", JPEG_MIME, _oversampled_jpeg(), 16, 16, None),
@@ -92,17 +95,20 @@ def test_quarantine_splits_corpus_without_failing(mixed_corpus):
     out = extract_features(
         mixed_corpus, default_decoder(), on_error="quarantine"
     ).collect()
-    assert len(out) == 10  # every input row accounted for
+    assert len(out) == 11  # every input row accounted for
     by_id = {r["media_id"]: r for r in out}
     decoded = {i for i, r in by_id.items() if r["quarantine_reason"] is None}
     quarantined = {i for i, r in by_id.items() if r["quarantine_reason"] is not None}
-    assert decoded == {1, 2, 3, 4, 5}
+    assert decoded == {1, 2, 3, 4, 5, 6}
     assert quarantined == {10, 11, 12, 13, 14}
     # decoded rows carry real features; quarantined rows NULL features
     assert all(by_id[i]["feature"] is not None for i in decoded)
     assert all(by_id[i]["feature"] is None for i in quarantined)
     # reasons name the boundary, so a re-drive can route by cause
+    # the SOF2-patched baseline is a corrupt scan script since r12
+    # (real progressive decodes — id 6); reason still names progressive
     assert "progressive" in by_id[10]["quarantine_reason"]
+    assert by_id[10]["quarantine_reason"].startswith("ValueError")
     assert "sampling factors 3x3" in by_id[11]["quarantine_reason"]
     # header-contradicts-data corpses are VALUE errors, not unsupported
     assert by_id[12]["quarantine_reason"].startswith("ValueError")
@@ -120,7 +126,7 @@ def test_injected_decoder_drains_quarantine(mixed_corpus):
     out = extract_features(
         mixed_corpus, deterministic_fake_decoder(dim=8), on_error="quarantine"
     ).collect()
-    assert len(out) == 10
+    assert len(out) == 11
     assert all(r["quarantine_reason"] is None for r in out)
     assert all(r["feature"] is not None and len(r["feature"]) == 8 for r in out)
 
@@ -163,7 +169,8 @@ def test_quarantine_then_targeted_redrive(mixed_corpus, spark):
         .unionByName(redriven)
     )
     rows = final.collect()
-    assert sorted(r["media_id"] for r in rows) == [1, 2, 3, 4, 5, 10, 11, 12, 13, 14]
+    assert sorted(r["media_id"] for r in rows) == [
+        1, 2, 3, 4, 5, 6, 10, 11, 12, 13, 14]
     assert all(r["feature"] is not None for r in rows)
     # full recovery: the re-drive left nothing in quarantine
     assert all(r["quarantine_reason"] is None for r in rows)
