@@ -2,7 +2,7 @@
 the compressed-image stub family in operators/multimodal.py: with this
 module, PPM, PNG, WAV, baseline JPEG and (since r12) PROGRESSIVE JPEG
 all decode/encode with numpy + stdlib only; PIL remains an optional
-upgrade for WebP / arithmetic-coded JPEG / sub-8-bit PNG.
+upgrade for WebP / arithmetic-coded JPEG.
 
 Scope (the overwhelmingly common interchange case):
   decode: baseline sequential (SOF0) AND progressive (SOF2 — full
@@ -11,7 +11,7 @@ Scope (the overwhelmingly common interchange case):
           1-2 (4:4:4 / 4:2:2 / 4:2:0), restart markers honored.
           Arithmetic coding raises NotImplementedError → the multimodal
           default_decoder falls through to PIL when importable, same
-          contract as the sub-8-bit-PNG path.
+          contract the WebP path uses too.
   encode: baseline sequential 4:4:4 with the Annex K quantization +
           Huffman tables (quality-scaled, libjpeg formula), or
           progressive (an 8-scan SA script exercising every decode

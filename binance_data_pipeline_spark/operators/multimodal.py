@@ -10,7 +10,7 @@ Decode support is tiered:
     un-stubbed, on those formats (synthetic fixture builders included).
   - AUTO-DETECTED: `default_decoder()` / `default_resizer()` probe for PIL
     once at construction and route the remaining compressed images
-    (WebP, arithmetic-coded JPEG, sub-8-bit PNG) through it when
+    (WebP, arithmetic-coded JPEG) through it when
     importable — decoding to RGB and reusing the SAME `_rgb_features`,
     so identical pixels give identical vectors in either container
     format.
@@ -167,9 +167,10 @@ def decode_png(payload: bytes):
     bit depths 8 AND 16 (16-bit samples take their high byte — features
     are RGB-8-defined) and both interlace methods: sequential and Adam7
     (r12 — each of the 7 passes unfilters as its own sub-image, then
-    scatters into place by the pass geometry). Bit depths below 8
-    (1/2/4-bit palette/gray) still raise NotImplementedError — inject a
-    PIL decoder for those. Alpha is dropped (features are RGB-defined)."""
+    scatters into place by the pass geometry), plus sub-byte depths
+    1/2/4 for gray and palette (MSB-first unpack after unfilter; gray
+    scales to full 8-bit range). That is the COMPLETE PNG depth/
+    interlace matrix. Alpha is dropped (features are RGB-defined)."""
     import struct
     import zlib
 
@@ -197,39 +198,67 @@ def decode_png(payload: bytes):
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
     w, h, depth, color_type, _comp, _filt, interlace = ihdr
-    if depth not in (8, 16):
-        raise NotImplementedError(
-            f"PNG bit depth {depth} unsupported by the dependency-free "
-            "decoder; inject a PIL-backed Decoder"
-        )
+    if depth not in (1, 2, 4, 8, 16):
+        raise ValueError(f"invalid PNG bit depth {depth}")
     if interlace not in (0, 1):
         raise ValueError(f"unknown PNG interlace method {interlace}")
     channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
-    bps = depth // 8  # bytes per sample
-    bpp = channels * bps
+    if depth < 8 and color_type not in (0, 3):
+        raise ValueError(
+            f"PNG depth {depth} is only valid for gray/palette "
+            f"(color type {color_type})"
+        )
     raw = zlib.decompress(b"".join(idat))
 
+    if depth >= 8:
+        bps = depth // 8  # bytes per sample
+        bpp = channels * bps
+
+        def sub_image(data: bytes, ph: int, pw: int):
+            return _unfilter(data, ph, pw * bpp, bpp).reshape(ph, pw, bpp)
+
+        def row_bytes(pw: int) -> int:
+            return pw * bpp
+    else:
+        # sub-byte depths (1/2/4-bit gray or palette): filter distance
+        # is ONE byte per spec; samples unpack MSB-first after unfilter
+        bpp = 1
+
+        def sub_image(data: bytes, ph: int, pw: int):
+            stride = (pw * depth + 7) // 8
+            rows = _unfilter(data, ph, stride, 1)
+            bits = np.unpackbits(rows, axis=1).reshape(ph, stride, 8)
+            # group each byte's bits into 8//depth samples
+            groups = bits.reshape(ph, stride, 8 // depth, depth)
+            samples = (groups * (1 << np.arange(depth - 1, -1, -1))).sum(axis=3)
+            return samples.reshape(ph, -1)[:, :pw].astype(np.uint8)[:, :, None]
+
+        def row_bytes(pw: int) -> int:
+            return (pw * depth + 7) // 8
+
     if interlace == 0:
-        flat = _unfilter(raw, h, w * bpp, bpp).reshape(h, w * bpp)
+        flat = sub_image(raw, h, w)
     else:  # Adam7: 7 independently-filtered sub-images, scattered back
-        flat = np.zeros((h, w * bpp), np.uint8)
+        flat = np.zeros((h, w, bpp), np.uint8)
         off = 0
         for x0, y0, xs, ys in _ADAM7:
             pw = (w - x0 + xs - 1) // xs
             ph = (h - y0 + ys - 1) // ys
             if pw <= 0 or ph <= 0:
                 continue  # pass empty at this image size
-            n = ph * (pw * bpp + 1)
-            sub = _unfilter(raw[off : off + n], ph, pw * bpp, bpp)
+            n = ph * (row_bytes(pw) + 1)
+            flat[y0::ys, x0::xs] = sub_image(raw[off : off + n], ph, pw)
             off += n
-            sub = sub.reshape(ph, pw, bpp)
-            flat.reshape(h, w, bpp)[y0::ys, x0::xs] = sub
         if off != len(raw):
             raise ValueError("PNG Adam7 data has unexpected length")
+    flat = flat.reshape(h, -1)
 
     if depth == 16:
         # big-endian u16 samples -> high byte (8-bit features)
         flat = flat.reshape(h, w * channels, 2)[:, :, 0]
+    elif depth < 8 and color_type == 0:
+        # scale d-bit gray to full 8-bit range (0..2^d-1 -> 0..255)
+        flat = (flat.astype(np.int32) * 255 // ((1 << depth) - 1)).astype(np.uint8)
     px = flat.reshape(h, w, channels)
     if color_type == 3:
         if plte is None:
@@ -293,6 +322,97 @@ def encode_png(pixels, interlace: bool = False, bit_depth: int = 8) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw))
         + chunk(b"IEND", b"")
     )
+
+
+def _png_chunks(ihdr_body: bytes, extra: list[tuple[bytes, bytes]], raw: bytes) -> bytes:
+    import struct
+    import zlib
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    out = _PNG_SIG + chunk(b"IHDR", ihdr_body)
+    for ctype, data in extra:
+        out += chunk(ctype, data)
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def _pack_rows(samples, depth: int) -> bytes:
+    """Pack (ph, pw) d-bit samples MSB-first into filter-0 scanlines."""
+    import numpy as np
+
+    ph, pw = samples.shape
+    per_byte = 8 // depth
+    padded_w = -(-pw // per_byte) * per_byte
+    pad = np.zeros((ph, padded_w), np.uint8)
+    pad[:, :pw] = samples
+    bits = ((pad[:, :, None] >> np.arange(depth - 1, -1, -1)) & 1).astype(np.uint8)
+    rows = np.packbits(bits.reshape(ph, -1), axis=1)
+    return b"".join(b"\x00" + rows[y].tobytes() for y in range(ph))
+
+
+def encode_png_gray(gray, bit_depth: int, interlace: bool = False) -> bytes:
+    """Encode an HxW array of d-bit gray SAMPLES (values 0..2^d-1) as a
+    grayscale PNG at depth 1/2/4 — fixture builder for the sub-byte
+    decode paths (decode scales samples to the full 8-bit range)."""
+    import struct
+
+    import numpy as np
+
+    if bit_depth not in (1, 2, 4):
+        raise ValueError("encode_png_gray is for depths 1/2/4")
+    g = np.asarray(gray, np.uint8)
+    assert g.max(initial=0) < (1 << bit_depth)
+    h, w = g.shape
+    if not interlace:
+        raw = _pack_rows(g, bit_depth)
+    else:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = g[y0::ys, x0::xs]
+            if sub.size:
+                parts.append(_pack_rows(sub, bit_depth))
+        raw = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 0, 0, 0, 1 if interlace else 0)
+    return _png_chunks(ihdr, [], raw)
+
+
+def encode_png_palette(indices, palette, bit_depth: int, interlace: bool = False) -> bytes:
+    """Encode an HxW index array + (n,3) palette as a paletted PNG at
+    depth 1/2/4/8 — fixture builder for the palette sub-byte paths."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, np.uint8)
+    pal = np.asarray(palette, np.uint8)
+    assert idx.max(initial=0) < len(pal) <= (1 << bit_depth)
+    h, w = idx.shape
+    if bit_depth == 8:
+        if not interlace:
+            raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+        else:
+            parts = []
+            for x0, y0, xs, ys in _ADAM7:
+                sub = idx[y0::ys, x0::xs]
+                if sub.size:
+                    parts.append(b"".join(b"\x00" + sub[y].tobytes()
+                                          for y in range(sub.shape[0])))
+            raw = b"".join(parts)
+    elif not interlace:
+        raw = _pack_rows(idx, bit_depth)
+    else:
+        parts = []
+        for x0, y0, xs, ys in _ADAM7:
+            sub = idx[y0::ys, x0::xs]
+            if sub.size:
+                parts.append(_pack_rows(sub, bit_depth))
+        raw = b"".join(parts)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth, 3, 0, 0, 1 if interlace else 0)
+    return _png_chunks(ihdr, [(b"PLTE", pal.tobytes())], raw)
 
 
 def decode_ppm(payload: bytes):
@@ -504,14 +624,10 @@ def default_decoder() -> Decoder:
         if mime in (PPM_MIME, WAV_MIME):
             return baseline_decoder(payload, mime)
         if mime == PNG_MIME:
-            # stdlib PNG covers 8/16-bit, sequential and Adam7; sub-8-bit
-            # depths fall through to PIL when present rather than
-            # dead-ending
-            try:
-                return baseline_decoder(payload, mime)
-            except NotImplementedError:
-                if compressed is None:
-                    raise
+            # stdlib PNG covers the COMPLETE depth/interlace matrix
+            # (1/2/4/8/16-bit, sequential + Adam7) — no PIL fallback
+            # needed; corrupt payloads raise ValueError (quarantine)
+            return baseline_decoder(payload, mime)
         if mime == JPEG_MIME:
             # baseline AND progressive decode dependency-free;
             # arithmetic/hierarchical (NotImplementedError), corrupt and
@@ -541,11 +657,8 @@ def default_resizer() -> Resizer:
         if mime == PPM_MIME:
             return baseline_resizer(payload, mime, w, h)
         if mime == PNG_MIME:
-            try:
-                return baseline_resizer(payload, mime, w, h)
-            except NotImplementedError:
-                if compressed is None:
-                    raise
+            # full native PNG decode (all depths/interlace) — no fallback
+            return baseline_resizer(payload, mime, w, h)
         if mime == JPEG_MIME:
             try:
                 return baseline_resizer(payload, mime, w, h)
@@ -605,7 +718,7 @@ def extract_features(
 
     ``on_error="quarantine"`` (VERDICT r10 task 5): a web-scraped corpus
     always contains payloads the configured decoder cannot handle
-    (arithmetic-coded JPEG / sub-8-bit PNG under the dependency-free decoders,
+    (arithmetic-coded JPEG / WebP under the dependency-free decoders,
     truncated or mislabeled bytes under ANY decoder). One such row must
     not fail a 100 TB job: decode errors flow to the output as
     feature=NULL + ``quarantine_reason`` ("ErrorClass: message"), so the

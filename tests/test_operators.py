@@ -465,15 +465,19 @@ def test_png_unsupported_shapes_raise():
 
     with pytest.raises(ValueError):
         decode_png(b"not a png at all")
-    # sub-8-bit depth → explicit NotImplementedError, not silent garbage
-    # (16-bit and Adam7 decode natively since r12)
+    # every real depth decodes since r12; what REMAINS invalid is a
+    # spec violation — sub-byte depth on an RGB color type
     def chunk(t, d):
         return struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
     sig = b"\x89PNG\r\n\x1a\n"
-    deep = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)) + chunk(
+    bad = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 4, 2, 0, 0, 0)) + chunk(
         b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
-    with pytest.raises(NotImplementedError):
-        decode_png(deep)
+    with pytest.raises(ValueError, match="gray/palette"):
+        decode_png(bad)
+    bad3 = sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 3, 0, 0, 0, 0)) + chunk(
+        b"IDAT", zlib.compress(b"\x00" * 4)) + chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="bit depth"):
+        decode_png(bad3)
 
 
 def test_png_adam7_and_16bit_roundtrip():
@@ -598,50 +602,65 @@ def test_default_decoder_autodetect(spark, monkeypatch):
     assert M.decode_ppm(resized)[:2] == (8, 6)
 
 
-def test_png_unsupported_by_stdlib_falls_back_to_pil(monkeypatch):
-    """PNGs beyond the stdlib decoder (sub-8-bit depths, since r12
-    decodes 16-bit and Adam7 natively) must not dead-end when PIL is
-    importable: default_decoder/default_resizer retry them through the
-    compressed (PIL) path. Supported PNGs still take the dependency-free
-    path (no PIL call); without any PIL the stdlib limitation surfaces
-    as the documented NotImplementedError."""
+def test_png_sub_byte_depths_roundtrip():
+    """r12: depths 1/2/4 (gray and palette), sequential AND Adam7 —
+    exact round-trips through the module's own fixture encoders; gray
+    samples scale to the full 8-bit range, palette indexes resolve
+    through PLTE. With 8/16-bit this completes the PNG depth matrix."""
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png_gray,
+        encode_png_palette,
+    )
+
+    rng = np.random.default_rng(11)
+    for (h, w) in [(16, 16), (13, 7), (3, 2), (1, 1), (9, 17)]:
+        for d in (1, 2, 4):
+            for il in (False, True):
+                g = rng.integers(0, 1 << d, (h, w), dtype=np.uint8)
+                ww, hh, out = decode_png(encode_png_gray(g, d, interlace=il))
+                want = (g.astype(np.int32) * 255 // ((1 << d) - 1)).astype(np.uint8)
+                assert (ww, hh) == (w, h)
+                assert np.array_equal(out, np.repeat(want[:, :, None], 3, 2)), (h, w, d, il)
+        for d in (1, 2, 4, 8):
+            for il in (False, True):
+                n = 1 << d
+                pal = rng.integers(0, 256, (n, 3), dtype=np.uint8)
+                idx = rng.integers(0, n, (h, w), dtype=np.uint8)
+                _, _, out = decode_png(encode_png_palette(idx, pal, d, interlace=il))
+                assert np.array_equal(out, pal[idx]), (h, w, d, il)
+
+
+def test_png_fully_native_and_webp_falls_back_to_pil(monkeypatch):
+    """Since r12 the stdlib PNG decoder covers the COMPLETE depth/
+    interlace matrix (1/2/4/8/16-bit x sequential/Adam7 x gray/palette/
+    RGB/alpha forms) — every PNG decodes natively with zero PIL calls.
+    The PIL fallback contract survives for genuinely-unsupported image
+    mimes (WebP): routed through PIL when importable, the documented
+    NotImplementedError without it."""
     import importlib.util
-    import struct
     import sys
     import types
-    import zlib
 
     import numpy as np
 
     from binance_data_pipeline_spark.operators import multimodal as M
 
-    def chunk(typ, data):
-        return (
-            struct.pack(">I", len(data))
-            + typ
-            + data
-            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
-        )
-
-    # syntactically complete PNG whose IHDR declares 4-bit depth
-    png4 = (
-        b"\x89PNG\r\n\x1a\n"
-        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 3, 4, 2, 0, 0, 0))
-        + chunk(b"IDAT", b"\x00")
-        + chunk(b"IEND", b"")
-    )
+    webp = b"RIFF\x00\x00\x00\x00WEBPVP8 "  # container sniff only
 
     if importlib.util.find_spec("PIL") is None:
-        with pytest.raises(NotImplementedError, match="bit depth 4"):
-            M.default_decoder()(png4, M.PNG_MIME)
-        with pytest.raises(NotImplementedError, match="bit depth 4"):
-            M.default_resizer()(png4, M.PNG_MIME, 4, 4)
+        with pytest.raises(NotImplementedError):
+            M.default_decoder()(webp, "image/webp")
+        with pytest.raises(NotImplementedError):
+            M.default_resizer()(webp, "image/webp", 4, 4)
 
     px = (np.arange(3 * 4 * 3, dtype=np.uint8) * 7 % 256).reshape(3, 4, 3)
     pil_calls = []
 
     class _FakeImg:
-        format = "PNG"
+        format = "WEBP"
 
         def __init__(self, arr):
             self._px = arr
@@ -668,15 +687,22 @@ def test_png_unsupported_by_stdlib_falls_back_to_pil(monkeypatch):
     monkeypatch.setitem(sys.modules, "PIL", fake_pil)
 
     dec, rsz = M.default_decoder(), M.default_resizer()
-    # supported 8-bit PNG: still the stdlib path, PIL untouched
+    # the full PNG matrix: always the stdlib path, PIL untouched
     ppm = M.synthetic_ppm(6, 5, seed=1)
-    png8 = M.encode_png(M.decode_ppm(ppm)[2])
-    assert dec(png8, M.PNG_MIME) == M.baseline_decoder(ppm, M.PPM_MIME)
+    rgb = M.decode_ppm(ppm)[2]
+    forms = [M.encode_png(rgb), M.encode_png(rgb, interlace=True),
+             M.encode_png(rgb, bit_depth=16),
+             M.encode_png_gray((rgb[:, :, 0] >> 6), 2),
+             M.encode_png_palette(
+                 np.zeros(rgb.shape[:2], np.uint8), [[1, 2, 3]], 1)]
+    for f in forms:
+        dec(f, M.PNG_MIME)
+        rsz(f, M.PNG_MIME, 3, 3)
     assert not pil_calls
-    # sub-8-bit PNG: falls through to the PIL-backed decode/resize
-    assert dec(png4, M.PNG_MIME) == M._rgb_features(px)
+    # WebP: falls through to the PIL-backed decode/resize
+    assert dec(webp, "image/webp") == M._rgb_features(px)
     assert pil_calls
-    resized = rsz(png4, M.PNG_MIME, 2, 2)
+    resized = rsz(webp, "image/webp", 2, 2)
     assert M.decode_ppm(resized)[:2] == (2, 2)
 
 
