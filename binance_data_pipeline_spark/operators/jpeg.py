@@ -16,9 +16,11 @@ Scope (the overwhelmingly common interchange case):
           Huffman tables (quality-scaled, libjpeg formula), or
           progressive (an 8-scan SA script exercising every decode
           path; quantized coefficients identical to baseline, so both
-          forms decode bit-identically) — tables are embedded in the
-          stream, so any standards-compliant decoder (including this
-          module's) reads the output.
+          forms decode bit-identically), optionally with restart
+          markers in every scan (per-scan RST chunking: DC prediction
+          and EOB runs never cross a restart) — tables are embedded in
+          the stream, so any standards-compliant decoder (including
+          this module's) reads the output.
 
 Throughput posture: the DCT/IDCT and color transforms are vectorized
 numpy over all 8×8 blocks at once; only the Huffman bit stream walks a
@@ -206,7 +208,10 @@ def encode_jpeg(
     bits, correction bits, EOB-carried corrections). The QUANTIZED
     COEFFICIENTS are identical to the baseline encoding, so decode
     output is bit-identical to the baseline file's — the differential
-    oracle the tests pin. Not combinable with restart_interval."""
+    oracle the tests pin. Combines with ``restart_interval`` (r12):
+    every scan chunks at RST boundaries, resetting DC prediction and
+    flushing EOB runs — the decoder's per-scan restart path is thereby
+    exercised by real bytes."""
     import numpy as np
 
     px = np.asarray(pixels, np.uint8)
@@ -259,8 +264,7 @@ def encode_jpeg(
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     if progressive:
-        if restart_interval:
-            raise ValueError("progressive + restart_interval not supported")
+        rst_i = int(restart_interval) if restart_interval else 0
         out = bytearray(JPEG_SIG)
         out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         for tid, qt in enumerate(qtabs):
@@ -290,6 +294,14 @@ def encode_jpeg(
             out += seg(0xFFC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
         out += seg(0xFFC4, bytes([(1 << 4) | 1]) + bytes(ac_bits) + bytes(ac_syms))
 
+        if rst_i:
+            out += seg(0xFFDD, struct.pack(">H", rst_i))
+
+        def rst_marker(bwr, n_emitted: int) -> None:
+            # byte-align and insert RSTn (cycling 0-7) mid-scan
+            bwr.flush()
+            bwr.out += struct.pack(">H", 0xFFD0 + ((n_emitted - 1) % 8))
+
         def sos_hdr(comp_ids: list[int], ss: int, se: int, ah: int, al: int) -> bytes:
             body = bytes([len(comp_ids)])
             for cid in comp_ids:
@@ -307,6 +319,9 @@ def encode_jpeg(
         bwr = _BitWriter()
         pred = [0, 0, 0]
         for mcu in range(mcx * mcy):
+            if rst_i and mcu and mcu % rst_i == 0:
+                rst_marker(bwr, mcu // rst_i)
+                pred = [0, 0, 0]
             my, mx = divmod(mcu, mcx)
             for ci in range(3):
                 hi, vi = samp[ci]
@@ -343,8 +358,13 @@ def encode_jpeg(
                     bwr.write(eobrun - (1 << r), r)
                 eobrun = 0
 
+            blk = 0
             for by in range(cbh):
                 for bx in range(cbw_):
+                    if rst_i and blk and blk % rst_i == 0:
+                        flush_eobrun()  # a run never crosses a restart
+                        rst_marker(bwr, blk // rst_i)
+                    blk += 1
                     zz = comp_zz[ci][by, bx]
                     vals = [
                         (1 if int(v) > 0 else -1) * (abs(int(v)) >> 1)
@@ -383,6 +403,8 @@ def encode_jpeg(
         # scan 5: DC refinement, interleaved (one raw bit per block)
         bwr = _BitWriter()
         for mcu in range(mcx * mcy):
+            if rst_i and mcu and mcu % rst_i == 0:
+                rst_marker(bwr, mcu // rst_i)
             my, mx = divmod(mcu, mcx)
             for ci in range(3):
                 hi, vi = samp[ci]
@@ -418,8 +440,13 @@ def encode_jpeg(
                 pend.clear()
                 eobrun = 0
 
+            blk = 0
             for by in range(cbh):
                 for bx in range(cbw_):
+                    if rst_i and blk and blk % rst_i == 0:
+                        flush_eobrun()  # run + its buffered bits end here
+                        rst_marker(bwr, blk // rst_i)
+                    blk += 1
                     zz = comp_zz[ci][by, bx]
                     absv = [abs(int(v)) for v in zz[1:64]]
                     n = len(absv)
@@ -636,6 +663,8 @@ def decode_jpeg(payload: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if not (0 < w and 0 < h and w * h <= 1 << 28):
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
             for i in range(nc):
@@ -803,6 +832,8 @@ def _decode_progressive(payload: bytes):
             prec, h, w, nc = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if not (0 < w and 0 < h and w * h <= 1 << 28):
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
             if nc not in (1, 3):
                 raise NotImplementedError(f"{nc}-component JPEG")
             for i in range(nc):

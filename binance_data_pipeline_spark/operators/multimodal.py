@@ -208,6 +208,10 @@ def decode_png(payload: bytes):
             f"PNG depth {depth} is only valid for gray/palette "
             f"(color type {color_type})"
         )
+    if not (0 < w <= 1 << 24 and 0 < h <= 1 << 24 and w * h <= 1 << 28):
+        # corrupt/hostile header: refuse before any allocation (a web
+        # corpus decoder must quarantine bombs, not OOM the executor)
+        raise ValueError(f"implausible PNG dimensions {w}x{h}")
     raw = zlib.decompress(b"".join(idat))
 
     if depth >= 8:
@@ -239,6 +243,17 @@ def decode_png(payload: bytes):
     if interlace == 0:
         flat = sub_image(raw, h, w)
     else:  # Adam7: 7 independently-filtered sub-images, scattered back
+        expect = sum(
+            ph_ * (row_bytes(pw_) + 1)
+            for x0, y0, xs, ys in _ADAM7
+            for pw_ in [(w - x0 + xs - 1) // xs]
+            for ph_ in [(h - y0 + ys - 1) // ys]
+            if pw_ > 0 and ph_ > 0
+        )
+        if expect != len(raw):
+            # checked BEFORE the output buffer exists: a corrupt header
+            # never costs an allocation proportional to its claims
+            raise ValueError("PNG Adam7 data has unexpected length")
         flat = np.zeros((h, w, bpp), np.uint8)
         off = 0
         for x0, y0, xs, ys in _ADAM7:

@@ -204,3 +204,58 @@ def test_chroma_subsampling_roundtrip():
     w, h, out = decode_jpeg(encode_jpeg(odd, 90, subsample=True, restart_interval=2))
     assert (w, h) == (21, 19)
     assert np.abs(out.astype(int) - odd.astype(int)).mean() < 6.0
+
+
+def test_progressive_with_restart_markers_identical():
+    """r12: progressive + restart_interval — every scan chunks at RSTn
+    (DC prediction and EOB runs reset per chunk; a run never crosses a
+    restart). Decode must stay bit-identical to baseline, down to the
+    most hostile interval (restart after every unit)."""
+    import numpy as np
+
+    for ri in (1, 2, 7):
+        for sub in (False, True):
+            px = _gradient(33, 26)
+            base = decode_jpeg(encode_jpeg(px, 85, subsample=sub))[2]
+            prog = decode_jpeg(
+                encode_jpeg(px, 85, subsample=sub, progressive=True,
+                            restart_interval=ri)
+            )[2]
+            assert np.array_equal(base, prog), (ri, sub)
+
+
+def test_codec_corruption_fuzz_never_hangs_or_garbles_silently():
+    """Robustness pin for the quarantine story: flipping any byte of a
+    valid stream (JPEG baseline/progressive, PNG plain/Adam7/16-bit)
+    must either still decode to SOMETHING or raise a catchable error —
+    never hang, never crash the interpreter. Seeded, 120 mutations per
+    container."""
+    import numpy as np
+
+    from binance_data_pipeline_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+    )
+
+    rng = np.random.default_rng(1234)
+    px = _gradient(16, 16)
+    streams = [
+        ("jpeg-base", encode_jpeg(px, 85), decode_jpeg),
+        ("jpeg-prog", encode_jpeg(px, 85, progressive=True), decode_jpeg),
+        ("png", encode_png(px), decode_png),
+        ("png-adam7", encode_png(px, interlace=True), decode_png),
+        ("png-16", encode_png(px, bit_depth=16), decode_png),
+    ]
+    for name, payload, dec in streams:
+        for _ in range(120):
+            data = bytearray(payload)
+            i = int(rng.integers(0, len(data)))
+            data[i] ^= int(rng.integers(1, 256))
+            try:
+                dec(bytes(data))
+            except Exception as e:  # noqa: BLE001 — the contract IS "raises cleanly"
+                assert isinstance(
+                    e, (ValueError, NotImplementedError, IndexError,
+                        KeyError, OverflowError, ZeroDivisionError)
+                ) or type(e).__module__ in ("zlib", "struct", "builtins"), (
+                    name, type(e), e)
