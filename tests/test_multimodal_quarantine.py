@@ -134,9 +134,9 @@ def test_injected_decoder_drains_quarantine(mixed_corpus):
 def test_raise_mode_still_fails_loud(mixed_corpus):
     """The default contract is unchanged: pipelines that expect full
     decodability get the error, not silent NULLs. WHICH exotic row fails
-    first depends on partition scheduling (progressive -> NotImplemented,
-    truncated -> ValueError/shape errors), so assert only that the job
-    fails from inside the decode path."""
+    first depends on partition scheduling (oversampled -> NotImplemented,
+    corrupt/truncated -> ValueError), so assert only that the job fails
+    from inside the decode path."""
     with pytest.raises(Exception) as ei:
         extract_features(mixed_corpus, default_decoder()).collect()
     msg = str(ei.value)
