@@ -189,6 +189,7 @@ def encode_jpeg(
     subsample: bool = False,
     restart_interval: int | None = None,
     progressive: bool = False,
+    dc_noninterleaved: bool = False,
 ) -> bytes:
     """Encode an HxWx3 uint8 RGB array as baseline JFIF (Annex K tables
     quality-scaled). Any compliant decoder reads the output; the lossy
@@ -208,7 +209,10 @@ def encode_jpeg(
     bits, correction bits, EOB-carried corrections). The QUANTIZED
     COEFFICIENTS are identical to the baseline encoding, so decode
     output is bit-identical to the baseline file's — the differential
-    oracle the tests pin. Combines with ``restart_interval`` (r12):
+    oracle the tests pin. ``dc_noninterleaved=True`` swaps the
+    interleaved DC scans for per-component Ns=1 scans (component-grid
+    block order, spec A.2.2) so the decoder's non-interleaved DC path is
+    also pinned by real bytes. Combines with ``restart_interval`` (r12):
     every scan chunks at RST boundaries, resetting DC prediction and
     flushing EOB runs — the decoder's per-scan restart path is thereby
     exercised by real bytes."""
@@ -315,29 +319,51 @@ def encode_jpeg(
             ch_ = -(-h * vi // vmax)
             return -(-ch_ // 8), -(-cw // 8)  # (cbh, cbw)
 
-        # scan 1: DC first, interleaved, Al=1 (arithmetic shift per spec)
-        bwr = _BitWriter()
-        pred = [0, 0, 0]
-        for mcu in range(mcx * mcy):
-            if rst_i and mcu and mcu % rst_i == 0:
-                rst_marker(bwr, mcu // rst_i)
-                pred = [0, 0, 0]
-            my, mx = divmod(mcu, mcx)
+        # scan 1: DC first at Al=1 (arithmetic shift per spec) —
+        # interleaved MCU order, or per-component Ns=1 scans on request
+        def emit_dc_diff(bwr, t, dc, pred, ci):
+            diff = dc - pred[ci]
+            pred[ci] = dc
+            s = _category(diff)
+            ln, code = dc_codes[t][s]
+            bwr.write(code, ln)
+            if s:
+                bwr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
+
+        if dc_noninterleaved:
             for ci in range(3):
-                hi, vi = samp[ci]
                 t = 0 if ci == 0 else 1
-                for v in range(vi):
-                    for hh in range(hi):
-                        dc = int(comp_zz[ci][my * vi + v, mx * hi + hh, 0]) >> 1
-                        diff = dc - pred[ci]
-                        pred[ci] = dc
-                        s = _category(diff)
-                        ln, code = dc_codes[t][s]
-                        bwr.write(code, ln)
-                        if s:
-                            bwr.write(diff if diff > 0 else diff + (1 << s) - 1, s)
-        bwr.flush()
-        out += sos_hdr([1, 2, 3], 0, 0, 0, 1) + bwr.out
+                cbh, cbw_ = grid(ci)
+                bwr = _BitWriter()
+                pred = [0, 0, 0]
+                blk = 0
+                for by in range(cbh):
+                    for bx in range(cbw_):
+                        if rst_i and blk and blk % rst_i == 0:
+                            rst_marker(bwr, blk // rst_i)
+                            pred = [0, 0, 0]
+                        blk += 1
+                        dc = int(comp_zz[ci][by, bx, 0]) >> 1
+                        emit_dc_diff(bwr, t, dc, pred, ci)
+                bwr.flush()
+                out += sos_hdr([ci + 1], 0, 0, 0, 1) + bwr.out
+        else:
+            bwr = _BitWriter()
+            pred = [0, 0, 0]
+            for mcu in range(mcx * mcy):
+                if rst_i and mcu and mcu % rst_i == 0:
+                    rst_marker(bwr, mcu // rst_i)
+                    pred = [0, 0, 0]
+                my, mx = divmod(mcu, mcx)
+                for ci in range(3):
+                    hi, vi = samp[ci]
+                    t = 0 if ci == 0 else 1
+                    for v in range(vi):
+                        for hh in range(hi):
+                            dc = int(comp_zz[ci][my * vi + v, mx * hi + hh, 0]) >> 1
+                            emit_dc_diff(bwr, t, dc, pred, ci)
+            bwr.flush()
+            out += sos_hdr([1, 2, 3], 0, 0, 0, 1) + bwr.out
 
         # scans 2-4: AC first per component, band 1..63, Al=1, with
         # true multi-block EOB runs (EOBn symbols from the custom table)
@@ -400,19 +426,34 @@ def encode_jpeg(
             bwr.flush()
             out += sos_hdr([ci + 1], 1, 63, 0, 1) + bwr.out
 
-        # scan 5: DC refinement, interleaved (one raw bit per block)
-        bwr = _BitWriter()
-        for mcu in range(mcx * mcy):
-            if rst_i and mcu and mcu % rst_i == 0:
-                rst_marker(bwr, mcu // rst_i)
-            my, mx = divmod(mcu, mcx)
+        # scan 5: DC refinement (one raw bit per block), same ordering
+        # choice as the DC-first scan
+        if dc_noninterleaved:
             for ci in range(3):
-                hi, vi = samp[ci]
-                for v in range(vi):
-                    for hh in range(hi):
-                        bwr.write(int(comp_zz[ci][my * vi + v, mx * hi + hh, 0]) & 1, 1)
-        bwr.flush()
-        out += sos_hdr([1, 2, 3], 0, 0, 1, 0) + bwr.out
+                cbh, cbw_ = grid(ci)
+                bwr = _BitWriter()
+                blk = 0
+                for by in range(cbh):
+                    for bx in range(cbw_):
+                        if rst_i and blk and blk % rst_i == 0:
+                            rst_marker(bwr, blk // rst_i)
+                        blk += 1
+                        bwr.write(int(comp_zz[ci][by, bx, 0]) & 1, 1)
+                bwr.flush()
+                out += sos_hdr([ci + 1], 0, 0, 1, 0) + bwr.out
+        else:
+            bwr = _BitWriter()
+            for mcu in range(mcx * mcy):
+                if rst_i and mcu and mcu % rst_i == 0:
+                    rst_marker(bwr, mcu // rst_i)
+                my, mx = divmod(mcu, mcx)
+                for ci in range(3):
+                    hi, vi = samp[ci]
+                    for v in range(vi):
+                        for hh in range(hi):
+                            bwr.write(int(comp_zz[ci][my * vi + v, mx * hi + hh, 0]) & 1, 1)
+            bwr.flush()
+            out += sos_hdr([1, 2, 3], 0, 0, 1, 0) + bwr.out
 
         # scans 6-8: AC refinement per component (G.1.2.3 encode,
         # WINDOW-ACCURATE: each ZRL / (r<<4|1) symbol is followed by the

@@ -259,3 +259,20 @@ def test_codec_corruption_fuzz_never_hangs_or_garbles_silently():
                         KeyError, OverflowError, ZeroDivisionError)
                 ) or type(e).__module__ in ("zlib", "struct", "builtins"), (
                     name, type(e), e)
+
+
+def test_progressive_noninterleaved_dc_scans_identical():
+    """r12: Ns=1 DC scans (component-grid block order, spec A.2.2) —
+    the decoder's non-interleaved DC first + refinement paths, pinned
+    bit-identical to baseline, with and without restarts."""
+    import numpy as np
+
+    for sub in (False, True):
+        for ri in (None, 2):
+            px = _gradient(33, 26)
+            base = decode_jpeg(encode_jpeg(px, 85, subsample=sub))[2]
+            prog = decode_jpeg(
+                encode_jpeg(px, 85, subsample=sub, progressive=True,
+                            dc_noninterleaved=True, restart_interval=ri)
+            )[2]
+            assert np.array_equal(base, prog), (sub, ri)
