@@ -1,17 +1,19 @@
 """Dependency-free JPEG codec (ITU-T T.81, JFIF container) — closes
 the compressed-image stub family in operators/multimodal.py: with this
-module, PPM, PNG, WAV, baseline JPEG and (since r12) PROGRESSIVE JPEG
-all decode/encode with numpy + stdlib only; PIL remains an optional
-upgrade for WebP / arithmetic-coded JPEG.
+module, PPM, PNG, WAV, baseline JPEG and (since r12) PROGRESSIVE and
+ARITHMETIC-CODED JPEG all decode/encode with numpy + stdlib only; PIL
+remains an optional upgrade for WebP only.
 
 Scope (the overwhelmingly common interchange case):
-  decode: baseline sequential (SOF0) AND progressive (SOF2 — full
+  decode: baseline sequential (SOF0), progressive (SOF2 — full
           spectral selection + successive approximation + EOB runs,
-          r12), 8-bit, Huffman, 1 or 3 components, sampling factors
-          1-2 (4:4:4 / 4:2:2 / 4:2:0), restart markers honored.
-          Arithmetic coding raises NotImplementedError → the multimodal
-          default_decoder falls through to PIL when importable, same
-          contract the WebP path uses too.
+          r12) AND sequential arithmetic (SOF9 — QM coder, r12; see
+          operators/jpeg_arith.py), 8-bit, 1 or 3 components, sampling
+          factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), restart markers honored.
+          Progressive-arithmetic (SOF10) / hierarchical / lossless
+          raise NotImplementedError → the multimodal default_decoder
+          falls through to PIL when importable, same contract the WebP
+          path uses too.
   encode: baseline sequential 4:4:4 with the Annex K quantization +
           Huffman tables (quality-scaled, libjpeg formula), or
           progressive (an 8-scan SA script exercising every decode
@@ -190,6 +192,7 @@ def encode_jpeg(
     restart_interval: int | None = None,
     progressive: bool = False,
     dc_noninterleaved: bool = False,
+    arithmetic: bool = False,
 ) -> bytes:
     """Encode an HxWx3 uint8 RGB array as baseline JFIF (Annex K tables
     quality-scaled). Any compliant decoder reads the output; the lossy
@@ -215,9 +218,22 @@ def encode_jpeg(
     also pinned by real bytes. Combines with ``restart_interval`` (r12):
     every scan chunks at RST boundaries, resetting DC prediction and
     flushing EOB runs — the decoder's per-scan restart path is thereby
-    exercised by real bytes."""
+    exercised by real bytes.
+
+    ``arithmetic=True`` (r12) swaps the Huffman entropy layer for the
+    T.81 QM arithmetic coder (SOF9 + DAC conditioning segments instead
+    of SOF0 + DHT; see operators/jpeg_arith.py, including its honest
+    interchange caveat). The quantized coefficients are identical to
+    the baseline encoding, so both forms decode bit-identically — the
+    differential oracle the tests pin. Combines with ``subsample`` and
+    ``restart_interval``; not with ``progressive`` (SOF10 is out of
+    scope)."""
     import numpy as np
 
+    if arithmetic and progressive:
+        raise ValueError(
+            "progressive arithmetic (SOF10) not supported — pick one"
+        )
     px = np.asarray(pixels, np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_jpeg expects an HxWx3 RGB array")
@@ -266,6 +282,31 @@ def encode_jpeg(
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    if arithmetic:
+        from .jpeg_arith import encode_scan_arith
+
+        data = encode_scan_arith(comp_zz, samp, mcx, mcy, restart_interval)
+        out = bytearray(JPEG_SIG)
+        out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        for tid, qt in enumerate(qtabs):
+            out += seg(0xFFDB, bytes([tid]) + bytes(int(qt[z]) for z in _ZZ))
+        sof = struct.pack(">BHHB", 8, h, w, 3)
+        for i, (hi, vi) in enumerate(samp):
+            sof += bytes([i + 1, (hi << 4) | vi, 0 if i == 0 else 1])
+        out += seg(0xFFC9, sof)  # SOF9: extended sequential, arithmetic
+        # DAC: default conditioning, stated explicitly in the stream
+        # (DC tables 0/1: L=0,U=1 -> Cs=0x10; AC tables 0/1: Kx=5)
+        out += seg(
+            0xFFCC,
+            bytes([0x00, 0x10, 0x01, 0x10, 0x10, 0x05, 0x11, 0x05]),
+        )
+        if restart_interval:
+            out += seg(0xFFDD, struct.pack(">H", int(restart_interval)))
+        out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+        out += data
+        out += struct.pack(">H", 0xFFD9)
+        return bytes(out)
 
     if progressive:
         rst_i = int(restart_interval) if restart_interval else 0
@@ -716,10 +757,14 @@ def decode_jpeg(payload: bytes):
                 comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
         elif marker == 0xC2:  # progressive DCT (r12: native decode)
             return _decode_progressive(payload)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC9:  # sequential arithmetic (r12: native decode)
+            from .jpeg_arith import decode_jpeg_arith
+
+            return decode_jpeg_arith(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "arithmetic/hierarchical/lossless JPEG — inject a "
-                "PIL-backed decoder"
+                "progressive-arithmetic/hierarchical/lossless JPEG — "
+                "inject a PIL-backed decoder"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])

@@ -1,0 +1,624 @@
+"""Arithmetic-coded JPEG (ITU T.81 SOF9) — QM-coder entropy layer for
+operators/jpeg.py, closing the last JPEG NotImplementedError in the
+dependency-free codec tier (only SOF10 progressive-arithmetic and the
+differential/lossless/hierarchical processes still route to an injected
+decoder).
+
+What is standard here, and what is self-consistent-by-construction:
+
+  * The QM probability state machine (the 113-entry Qe table with
+    NMPS/NLPS/switch transitions, T.81 Table D.3), the conditional
+    MPS/LPS interval exchange, and the renormalization discipline are
+    implemented per the spec.
+  * The statistical models — DC difference conditioning contexts
+    (0/4/8/12/16 by previous-diff class with L/U thresholds), the
+    per-k AC context triplets (EOB decision, zero/nonzero, low
+    magnitude) at 3*(k-1), the magnitude-category ladders (DC X1 at
+    bin 20; AC X2+ at bin 189 for k<=Kx else 217), the +14 mantissa
+    offset, and the non-adaptive 0x5A1D "fixed" bin for AC signs —
+    follow T.81 F.1.4 / F.2.4 exactly (the layout libjpeg's
+    jcarith/jdarith also use; bin budgets: 64 DC, 256 AC).
+  * The marker layout is standard: SOF9, DAC conditioning segments
+    (DC Cs=(U<<4)|L, AC Cs=Kx), SOS, DRI/RSTn with full coder + stats
+    + prediction reset at restarts.
+  * The byte-level termination and stuffing convention is implemented
+    SELF-CONSISTENTLY and documented rather than claimed standard: the
+    encoder resolves carries at the bit level before serialization,
+    stuffs a zero bit after every 0xFF output byte, and flushes by
+    emitting the in-interval value with >=15 trailing zero bits; the
+    decoder mirrors (7-bit read after 0xFF, zero-bit feed past the end
+    of a chunk). Streams this module writes decode bit-exactly (the
+    tests pin arithmetic decode == Huffman decode of the same
+    quantized coefficients); cross-implementation interchange is
+    untested in this container (no libjpeg/PIL), so foreign SOF9
+    streams decode best-effort and quarantine per the multimodal
+    contract (operators/multimodal.py) on any mismatch that raises.
+
+Reference scope note: the binance reference pipeline has no media
+handling (698 LoC of pandas/Kafka/dbt); this module extends the
+multimodal-column surface the build brief requires.
+"""
+
+from __future__ import annotations
+
+import struct
+
+__all__ = ["encode_scan_arith", "decode_jpeg_arith"]
+
+#: T.81 Table D.3: (Qe, NMPS, NLPS, switch). Index 113 is the
+#: non-adaptive ~equiprobable bin used for AC coefficient signs.
+_QE = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 77, 0), (0x5832, 81, 80, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 88, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 95, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    (0x5A1D, 113, 113, 0),  # 113: fixed ~0.5 bin (AC signs), never adapts
+]
+
+_DC_BINS = 64
+_AC_BINS = 256
+
+
+class _QMEncoder:
+    """QM arithmetic encoder, bottom-interval-MPS convention.
+
+    Interval: [C, C+A) at the current window scale; MPS normally takes
+    the bottom (C unchanged, A-=Qe), LPS the top (C+=A-Qe, A=Qe), with
+    the conditional exchange when A-Qe < Qe. Carries resolve into the
+    already-emitted bit string (provably never past its front: the code
+    value stays inside the initial interval), so serialization never
+    rewrites committed bytes."""
+
+    def __init__(self) -> None:
+        self.a = 0x10000
+        self.c = 0
+        self.bits = bytearray()
+
+    def _carry1(self) -> None:
+        bits = self.bits
+        i = len(bits) - 1
+        while i >= 0 and bits[i]:
+            bits[i] = 0
+            i -= 1
+        if i < 0:  # value would exceed the initial interval: impossible
+            raise AssertionError("carry out of arithmetic code prefix")
+        bits[i] = 1
+
+    def _addc(self, x: int) -> None:
+        self.c += x
+        if self.c & 0x10000:
+            self.c &= 0xFFFF
+            self._carry1()
+
+    def _renorm(self) -> None:
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.c <<= 1
+            if self.c & 0x10000:
+                self.c &= 0xFFFF
+                self.bits.append(1)
+            else:
+                self.bits.append(0)
+
+    def encode(self, stats: bytearray, ctx: int, bit: int) -> None:
+        sv = stats[ctx]
+        mps = sv & 1
+        qe, nmps, nlps, sw = _QE[sv >> 1]
+        self.a -= qe
+        if bit == mps:
+            if self.a >= 0x8000:
+                return
+            if self.a < qe:  # conditional exchange: MPS takes the top
+                self._addc(self.a)
+                self.a = qe
+            stats[ctx] = (nmps << 1) | mps
+        else:
+            if self.a >= qe:  # no exchange: LPS takes the top
+                self._addc(self.a)
+                self.a = qe
+            if sw:
+                mps ^= 1
+            stats[ctx] = (nlps << 1) | mps
+        self._renorm()
+
+    def flush_bits(self) -> None:
+        """Append the final window: the value in [C, C+A) with >=15
+        trailing zero bits, so the decoder's zero-bit feed past the end
+        reconstructs it exactly."""
+        x = (self.c + self.a - 1) & ~0x7FFF
+        if x < self.c:
+            x += 0x8000
+        if x & 0x10000:
+            # only reachable after >=1 renorm (c+a<=0x10000 until then),
+            # so the carry always has emitted bits to land in
+            self._carry1()
+            x &= 0xFFFF
+        for i in range(15, -1, -1):
+            self.bits.append((x >> i) & 1)
+
+    def tobytes(self) -> bytes:
+        """Serialize with bit stuffing: after any 0xFF output byte the
+        next byte's MSB is a stuffed 0 (so nothing in the entropy data
+        ever parses as a marker); a trailing 0xFF gets a 0x00 pad byte
+        so chunk boundaries stay unambiguous."""
+        out = bytearray()
+        cur, n = 0, 0
+        stuffed = False
+        for b in self.bits:
+            if n == 0 and stuffed:
+                cur, n = 0, 1  # stuffed zero bit in the MSB
+                stuffed = False
+            cur = (cur << 1) | b
+            n += 1
+            if n == 8:
+                out.append(cur)
+                stuffed = cur == 0xFF
+                cur, n = 0, 0
+        if n:
+            out.append(cur << (8 - n))
+        if out and out[-1] == 0xFF:
+            out.append(0x00)
+        return bytes(out)
+
+
+class _QMDecoder:
+    """Mirror of _QMEncoder over one entropy chunk: v tracks the code
+    value minus the subtracted interval bottoms; byte feed skips the
+    stuffed MSB after 0xFF and supplies zero bits past the end."""
+
+    def __init__(self, data: bytes) -> None:
+        self._gen = self._bitgen(data)
+        v = 0
+        for _ in range(16):
+            v = (v << 1) | next(self._gen)
+        self.v = v
+        self.a = 0x10000
+
+    @staticmethod
+    def _bitgen(data: bytes):
+        prev_ff = False
+        for by in data:
+            for i in range((6 if prev_ff else 7), -1, -1):
+                yield (by >> i) & 1
+            prev_ff = by == 0xFF
+        while True:
+            yield 0
+
+    def decode(self, stats: bytearray, ctx: int) -> int:
+        sv = stats[ctx]
+        mps = sv & 1
+        qe, nmps, nlps, sw = _QE[sv >> 1]
+        self.a -= qe
+        if self.v < self.a:  # bottom interval
+            if self.a >= 0x8000:
+                return mps
+            if self.a < qe:  # exchange: bottom was the LPS
+                bit = mps ^ 1
+                if sw:
+                    mps ^= 1
+                stats[ctx] = (nlps << 1) | mps
+            else:
+                bit = mps
+                stats[ctx] = (nmps << 1) | mps
+        else:  # top interval (size qe at offset a-qe)
+            self.v -= self.a
+            if self.a < qe:  # exchange: top was the MPS
+                bit = mps
+                stats[ctx] = (nmps << 1) | mps
+            else:
+                bit = mps ^ 1
+                if sw:
+                    mps ^= 1
+                stats[ctx] = (nlps << 1) | mps
+            self.a = qe
+        g = self._gen
+        while self.a < 0x8000:
+            self.a <<= 1
+            self.v = (self.v << 1) | next(g)
+        return bit
+
+
+# ---------------------------------------------------------------------------
+# Statistical models (T.81 F.1.4 encode / F.2.4 decode)
+# ---------------------------------------------------------------------------
+
+
+def _enc_dc(enc, st, dc_ctx, ci, diff, low, up) -> None:
+    c0 = dc_ctx[ci]
+    if diff == 0:
+        enc.encode(st, c0, 0)
+        dc_ctx[ci] = 0
+        return
+    enc.encode(st, c0, 1)
+    sign = 1 if diff < 0 else 0
+    enc.encode(st, c0 + 1, sign)
+    v = (-diff if sign else diff) - 1
+    stp = c0 + 2 + sign
+    m = 0
+    if v:
+        enc.encode(st, stp, 1)
+        m = 1
+        v2 = v
+        stp = 20
+        while v2 >> 1:
+            v2 >>= 1
+            enc.encode(st, stp, 1)
+            m <<= 1
+            stp += 1
+        enc.encode(st, stp, 0)
+    else:
+        enc.encode(st, stp, 0)
+    if m < (1 << low) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << up) >> 1:
+        dc_ctx[ci] = 12 + sign * 4
+    else:
+        dc_ctx[ci] = 4 + sign * 4
+    stp += 14
+    while m >> 1:
+        m >>= 1
+        enc.encode(st, stp, 1 if v & m else 0)
+
+
+def _dec_dc(dec, st, dc_ctx, ci, low, up) -> int:
+    c0 = dc_ctx[ci]
+    if not dec.decode(st, c0):
+        dc_ctx[ci] = 0
+        return 0
+    sign = dec.decode(st, c0 + 1)
+    stp = c0 + 2 + sign
+    m = dec.decode(st, stp)
+    if m:
+        stp = 20
+        while dec.decode(st, stp):
+            m <<= 1
+            if m > 0x8000:
+                raise ValueError("corrupt arithmetic JPEG: DC magnitude")
+            stp += 1
+    if m < (1 << low) >> 1:
+        dc_ctx[ci] = 0
+    elif m > (1 << up) >> 1:
+        dc_ctx[ci] = 12 + sign * 4
+    else:
+        dc_ctx[ci] = 4 + sign * 4
+    v = m
+    stp += 14
+    while m >> 1:
+        m >>= 1
+        if dec.decode(st, stp):
+            v |= m
+    v += 1
+    return -v if sign else v
+
+
+def _enc_ac(enc, st, fixed, zz, kx) -> None:
+    ke = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            ke = i
+            break
+    k = 1
+    while k <= ke:
+        stp = 3 * (k - 1)
+        enc.encode(st, stp, 0)  # not EOB yet
+        while zz[k] == 0:
+            enc.encode(st, stp + 1, 0)
+            k += 1
+            stp += 3
+        enc.encode(st, stp + 1, 1)
+        val = int(zz[k])
+        sign = 1 if val < 0 else 0
+        enc.encode(fixed, 0, sign)
+        v = (-val if sign else val) - 1
+        stp += 2
+        m = 0
+        if v:
+            enc.encode(st, stp, 1)
+            m = 1
+            v2 = v
+            if v2 >> 1:
+                v2 >>= 1
+                enc.encode(st, stp, 1)
+                m <<= 1
+                stp = 189 if k <= kx else 217
+                while v2 >> 1:
+                    v2 >>= 1
+                    enc.encode(st, stp, 1)
+                    m <<= 1
+                    stp += 1
+                enc.encode(st, stp, 0)
+            else:
+                enc.encode(st, stp, 0)
+        else:
+            enc.encode(st, stp, 0)
+        stp += 14
+        while m >> 1:
+            m >>= 1
+            enc.encode(st, stp, 1 if v & m else 0)
+        k += 1
+    if ke < 63:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _dec_ac(dec, st, fixed, zz, kx) -> None:
+    k = 1
+    while k <= 63:
+        stp = 3 * (k - 1)
+        if dec.decode(st, stp):
+            return  # EOB
+        while not dec.decode(st, stp + 1):
+            k += 1
+            stp += 3
+            if k > 63:
+                raise ValueError("corrupt arithmetic JPEG: AC run overflow")
+        sign = dec.decode(fixed, 0)
+        stp += 2
+        m = dec.decode(st, stp)
+        if m:
+            if dec.decode(st, stp):
+                m <<= 1
+                stp = 189 if k <= kx else 217
+                while dec.decode(st, stp):
+                    m <<= 1
+                    if m > 0x8000:
+                        raise ValueError(
+                            "corrupt arithmetic JPEG: AC magnitude"
+                        )
+                    stp += 1
+        v = m
+        stp += 14
+        while m >> 1:
+            m >>= 1
+            if dec.decode(st, stp):
+                v |= m
+        v += 1
+        zz[k] = -v if sign else v
+        k += 1
+
+
+# ---------------------------------------------------------------------------
+# Scan-level encode (called by jpeg.encode_jpeg(arithmetic=True))
+# ---------------------------------------------------------------------------
+
+
+def encode_scan_arith(
+    comp_zz, samp, mcx, mcy, restart_interval: int | None,
+    low: int = 0, up: int = 1, kx: int = 5,
+) -> bytes:
+    """Arithmetic-encode an interleaved sequential scan over the same
+    quantized-zigzag component arrays the Huffman path uses (so the two
+    entropy codings of one image decode bit-identically — the test
+    oracle). Luma uses stats tables 0, chroma 1, matching the SOS
+    Td/Ta ids jpeg.encode_jpeg writes. Restarts flush the coder,
+    byte-align with RSTn, and reset stats + DC state per T.81."""
+    n_comp = len(comp_zz)
+    rst = int(restart_interval) if restart_interval else 0
+    out = bytearray()
+
+    def fresh():
+        return (
+            _QMEncoder(),
+            [bytearray([0] * _DC_BINS) for _ in range(2)],
+            [bytearray([0] * _AC_BINS) for _ in range(2)],
+            bytearray([113 << 1]),
+            [0] * n_comp,
+            [0] * n_comp,
+        )
+
+    enc, dc_st, ac_st, fixed, dc_ctx, pred = fresh()
+    n_emitted = 0
+    for mcu in range(mcx * mcy):
+        if rst and mcu and mcu % rst == 0:
+            enc.flush_bits()
+            out += enc.tobytes()
+            out += struct.pack(">H", 0xFFD0 + ((mcu // rst - 1) % 8))
+            enc, dc_st, ac_st, fixed, dc_ctx, pred = fresh()
+            n_emitted += 1
+        my, mx = divmod(mcu, mcx)
+        for ci in range(n_comp):
+            hi, vi = samp[ci]
+            t = 0 if ci == 0 else 1
+            for v in range(vi):
+                for hh in range(hi):
+                    zz = comp_zz[ci][my * vi + v, mx * hi + hh]
+                    dc = int(zz[0])
+                    _enc_dc(enc, dc_st[t], dc_ctx, ci, dc - pred[ci], low, up)
+                    pred[ci] = dc
+                    _enc_ac(enc, ac_st[t], fixed, zz, kx)
+    enc.flush_bits()
+    out += enc.tobytes()
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Full-stream decode (routed from jpeg.decode_jpeg on SOF9)
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg_arith(payload: bytes):
+    """Decode a sequential arithmetic-coded JPEG (SOF9). Marker walk,
+    dimension gates and reconstruction mirror jpeg.decode_jpeg's
+    baseline path; only the entropy layer differs (QM coder + DAC
+    conditioning instead of DHT Huffman tables)."""
+    import numpy as np
+
+    from .jpeg import JPEG_SIG, _reconstruct, _ZZ
+
+    if not payload.startswith(JPEG_SIG):
+        raise ValueError("not a JPEG payload")
+
+    qtabs: dict[int, np.ndarray] = {}
+    cond_dc: dict[int, tuple[int, int]] = {}  # table id -> (L, U)
+    cond_ac: dict[int, int] = {}  # table id -> Kx
+    comps: list[dict] = []
+    scan: list[tuple[int, int, int]] = []
+    h = w = 0
+    restart_interval = 0
+    pos = 2
+    data_start = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quantization tables")
+                tab = np.zeros(64, np.int32)
+                tab[_ZZ] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
+                qtabs[tq] = tab
+                i += 65
+        elif marker == 0xCC:  # DAC: arithmetic conditioning
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0xF
+                cs = body[i + 1]
+                if tc == 0:
+                    low, up = cs & 0xF, cs >> 4
+                    if not (0 <= low <= up <= 15):
+                        raise ValueError("corrupt DAC: DC conditioning")
+                    cond_dc[tb] = (low, up)
+                else:
+                    if not (1 <= cs <= 63):
+                        raise ValueError("corrupt DAC: AC Kx")
+                    cond_ac[tb] = cs
+                i += 2
+        elif marker == 0xC9:  # SOF9: extended sequential, arithmetic
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if not (0 < w and 0 < h and w * h <= 1 << 28):
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            for i in range(nc):
+                cid, sampb, tq = body[6 + 3 * i : 9 + 3 * i]
+                hi, vi = sampb >> 4, sampb & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError(f"sampling factors {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cid, tabs >> 4, tabs & 0xF))
+            data_start = pos
+            break
+        # APPn/COM/others: skipped
+    if data_start is None or not comps:
+        raise ValueError("corrupt JPEG: missing SOF9/SOS")
+
+    # split entropy data at restart markers; 0xFF followed by <=0x8F is
+    # arithmetic DATA (bit-stuffed byte), NOT Huffman 0xFF00 destuffing
+    chunks: list[bytes] = []
+    cur = bytearray()
+    i = data_start
+    while i < len(payload):
+        bsrc = payload[i]
+        if bsrc != 0xFF:
+            cur.append(bsrc)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+        if nxt <= 0x8F:  # stuffed data byte: keep both
+            cur.append(0xFF)
+            cur.append(nxt)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            chunks.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker
+            break
+    chunks.append(bytes(cur))
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    n_mcus = mcx * mcy
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cid, tdc, tac in scan:
+        c = by_id[cid]
+        c["low"], c["up"] = cond_dc.get(tdc, (0, 1))
+        c["kx"] = cond_ac.get(tac, 5)
+        c["tdc"], c["tac"] = tdc, tac
+        c["bw"] = mcx * c["h"]
+        c["coefs"] = np.zeros((mcy * c["v"] * c["bw"], 64), np.int32)
+        order.append(c)
+    n_comp = len(order)
+
+    mcu = 0
+    for chunk in chunks:
+        if mcu >= n_mcus:
+            break
+        dec = _QMDecoder(chunk)
+        dc_st = {t: bytearray([0] * _DC_BINS) for t in {c["tdc"] for c in order}}
+        ac_st = {t: bytearray([0] * _AC_BINS) for t in {c["tac"] for c in order}}
+        fixed = bytearray([113 << 1])
+        dc_ctx = [0] * n_comp
+        pred = [0] * n_comp
+        limit = min(n_mcus, mcu + restart_interval) if restart_interval else n_mcus
+        while mcu < limit:
+            my, mx = divmod(mcu, mcx)
+            for ci, c in enumerate(order):
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        zz = np.zeros(64, np.int32)
+                        diff = _dec_dc(
+                            dec, dc_st[c["tdc"]], dc_ctx, ci, c["low"], c["up"]
+                        )
+                        pred[ci] += diff
+                        zz[0] = pred[ci]
+                        _dec_ac(dec, ac_st[c["tac"]], fixed, zz, c["kx"])
+                        bi = (my * c["v"] + v) * c["bw"] + mx * c["h"] + hh
+                        c["coefs"][bi] = zz
+            mcu += 1
+    if mcu < n_mcus:
+        raise ValueError(f"corrupt JPEG: decoded {mcu}/{n_mcus} MCUs")
+
+    return _reconstruct(order, qtabs, mcy, hmax, vmax, w, h)

@@ -10,7 +10,7 @@ Decode support is tiered:
     un-stubbed, on those formats (synthetic fixture builders included).
   - AUTO-DETECTED: `default_decoder()` / `default_resizer()` probe for PIL
     once at construction and route the remaining compressed images
-    (WebP, arithmetic-coded JPEG) through it when
+    (WebP, progressive-arithmetic/hierarchical JPEG) through it when
     importable — decoding to RGB and reusing the SAME `_rgb_features`,
     so identical pixels give identical vectors in either container
     format.
@@ -644,8 +644,9 @@ def default_decoder() -> Decoder:
             # needed; corrupt payloads raise ValueError (quarantine)
             return baseline_decoder(payload, mime)
         if mime == JPEG_MIME:
-            # baseline AND progressive decode dependency-free;
-            # arithmetic/hierarchical (NotImplementedError), corrupt and
+            # baseline, progressive AND sequential-arithmetic decode
+            # dependency-free; progressive-arithmetic/hierarchical
+            # (NotImplementedError), corrupt and
             # mislabeled payloads (ValueError — PIL sniffs content, not
             # mime) fall through
             try:
@@ -733,7 +734,7 @@ def extract_features(
 
     ``on_error="quarantine"`` (VERDICT r10 task 5): a web-scraped corpus
     always contains payloads the configured decoder cannot handle
-    (arithmetic-coded JPEG / WebP under the dependency-free decoders,
+    (WebP under the dependency-free decoders,
     truncated or mislabeled bytes under ANY decoder). One such row must
     not fail a 100 TB job: decode errors flow to the output as
     feature=NULL + ``quarantine_reason`` ("ErrorClass: message"), so the
