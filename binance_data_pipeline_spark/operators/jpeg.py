@@ -675,6 +675,29 @@ class _BitReader:
         return v
 
 
+def _parse_dqt(body: bytes, qtabs: dict) -> None:
+    """Parse one DQT segment (possibly several tables) into ``qtabs``,
+    natural order. Pq=0 (8-bit) and Pq=1 (16-bit big-endian, r12 — T.81
+    pairs it with 12-bit precision but real encoders emit it with 8-bit
+    streams too) both decode; dequantization is int32 throughout so the
+    wider values flow through unchanged."""
+    import numpy as np
+
+    i = 0
+    while i < len(body):
+        pq, tq = body[i] >> 4, body[i] & 0xF
+        if pq > 1:
+            raise ValueError(f"corrupt DQT: precision flag {pq}")
+        n = 128 if pq else 64
+        raw = body[i + 1 : i + 1 + n]
+        if len(raw) < n:
+            raise ValueError("corrupt DQT: truncated table")
+        tab = np.zeros(64, np.int32)
+        tab[_ZZ] = np.frombuffer(raw, ">u2" if pq else np.uint8)
+        qtabs[tq] = tab
+        i += 1 + n
+
+
 def _decode_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
     code, ln = 0, 0
     while ln < 16:
@@ -719,16 +742,8 @@ def decode_jpeg(payload: bytes):
         (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
         body = payload[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
-        if marker == 0xDB:  # DQT (possibly several tables per segment)
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                tab = np.zeros(64, np.int32)
-                tab[_ZZ] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
-                qtabs[tq] = tab
-                i += 65
+        if marker == 0xDB:  # DQT (8- or 16-bit tables, several per segment)
+            _parse_dqt(body, qtabs)
         elif marker == 0xC4:  # DHT
             i = 0
             while i < len(body):
@@ -893,15 +908,7 @@ def _decode_progressive(payload: bytes):
         body = payload[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                tab = np.zeros(64, np.int32)
-                tab[_ZZ] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
-                qtabs[tq] = tab
-                i += 65
+            _parse_dqt(body, qtabs)
         elif marker == 0xC4:
             i = 0
             while i < len(body):

@@ -476,7 +476,7 @@ def decode_jpeg_arith(payload: bytes):
     conditioning instead of DHT Huffman tables)."""
     import numpy as np
 
-    from .jpeg import JPEG_SIG, _reconstruct, _ZZ
+    from .jpeg import JPEG_SIG, _parse_dqt, _reconstruct
 
     if not payload.startswith(JPEG_SIG):
         raise ValueError("not a JPEG payload")
@@ -500,15 +500,7 @@ def decode_jpeg_arith(payload: bytes):
         body = payload[pos + 4 : pos + 2 + ln]
         pos += 2 + ln
         if marker == 0xDB:
-            i = 0
-            while i < len(body):
-                pq, tq = body[i] >> 4, body[i] & 0xF
-                if pq != 0:
-                    raise NotImplementedError("16-bit quantization tables")
-                tab = np.zeros(64, np.int32)
-                tab[_ZZ] = np.frombuffer(body[i + 1 : i + 65], np.uint8)
-                qtabs[tq] = tab
-                i += 65
+            _parse_dqt(body, qtabs)
         elif marker == 0xCC:  # DAC: arithmetic conditioning
             i = 0
             while i + 1 < len(body):

@@ -224,6 +224,51 @@ def test_progressive_with_restart_markers_identical():
             assert np.array_equal(base, prog), (ri, sub)
 
 
+def test_16bit_quantization_tables_decode_identically():
+    """r12: DQT Pq=1 (16-bit big-endian tables). T.81 pairs it with
+    12-bit sample precision but real encoders emit it with 8-bit streams
+    too — closing the last DQT NotImplementedError. Oracle: rewrite a
+    valid stream's 8-bit tables in wide form (same values) — decode must
+    be bit-identical on every entropy path (baseline / progressive /
+    arithmetic). A truncated wide table is a ValueError, not a garble."""
+    import numpy as np
+
+    def widen_dqt(data: bytes) -> bytes:
+        out = bytearray()
+        pos = 0
+        while pos < len(data):
+            if data[pos] == 0xFF and pos + 1 < len(data) and data[pos + 1] == 0xDB:
+                (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+                body = data[pos + 4 : pos + 2 + ln]
+                new = bytearray()
+                i = 0
+                while i < len(body):
+                    new.append(0x10 | (body[i] & 0xF))  # Pq=1, same Tq
+                    for v in body[i + 1 : i + 65]:
+                        new += struct.pack(">H", v)
+                    i += 65
+                out += struct.pack(">HH", 0xFFDB, len(new) + 2) + new
+                pos += 2 + ln
+            else:
+                out.append(data[pos])
+                pos += 1
+        return bytes(out)
+
+    px = _gradient()
+    for kind in ({}, {"progressive": True}, {"arithmetic": True}):
+        narrow = encode_jpeg(px, 85, **kind)
+        wide = widen_dqt(narrow)
+        assert len(wide) == len(narrow) + 128  # two tables, 64B wider each
+        a, b = decode_jpeg(narrow), decode_jpeg(wide)
+        assert a[:2] == b[:2] and np.array_equal(a[2], b[2]), kind
+
+    wide = bytearray(widen_dqt(encode_jpeg(px, 85)))
+    i = wide.find(b"\xff\xdb")
+    trunc = wide[:i] + struct.pack(">HH", 0xFFDB, 60) + wide[i + 4 : i + 62] + wide[i + 133 :]
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg(bytes(trunc))
+
+
 def test_codec_corruption_fuzz_never_hangs_or_garbles_silently():
     """Robustness pin for the quarantine story: flipping any byte of a
     valid stream (JPEG baseline/progressive, PNG plain/Adam7/16-bit)
