@@ -7,13 +7,13 @@ remains an optional upgrade for WebP only.
 Scope (the overwhelmingly common interchange case):
   decode: baseline sequential (SOF0), progressive (SOF2 — full
           spectral selection + successive approximation + EOB runs,
-          r12) AND sequential arithmetic (SOF9 — QM coder, r12; see
-          operators/jpeg_arith.py), 8-bit, 1 or 3 components, sampling
-          factors 1-2 (4:4:4 / 4:2:2 / 4:2:0), restart markers honored.
-          Progressive-arithmetic (SOF10) / hierarchical / lossless
-          raise NotImplementedError → the multimodal default_decoder
-          falls through to PIL when importable, same contract the WebP
-          path uses too.
+          r12) AND both arithmetic processes (SOF9 sequential + SOF10
+          progressive — QM coder, r12; see operators/jpeg_arith.py),
+          8-bit, 1 or 3 components, sampling factors 1-2 (4:4:4 /
+          4:2:2 / 4:2:0), restart markers honored. Hierarchical /
+          lossless raise NotImplementedError → the multimodal
+          default_decoder falls through to PIL when importable, same
+          contract the WebP path uses too.
   encode: baseline sequential 4:4:4 with the Annex K quantization +
           Huffman tables (quality-scaled, libjpeg formula), or
           progressive (an 8-scan SA script exercising every decode
@@ -225,15 +225,12 @@ def encode_jpeg(
     of SOF0 + DHT; see operators/jpeg_arith.py, including its honest
     interchange caveat). The quantized coefficients are identical to
     the baseline encoding, so both forms decode bit-identically — the
-    differential oracle the tests pin. Combines with ``subsample`` and
-    ``restart_interval``; not with ``progressive`` (SOF10 is out of
-    scope)."""
+    differential oracle the tests pin. Combines with every other
+    option: with ``progressive`` it emits SOF10 (the same 8-scan SA
+    script, QM-coded per Annex G.1.3), with ``restart_interval`` every
+    scan chunks at RSTn with full coder/stats reset."""
     import numpy as np
 
-    if arithmetic and progressive:
-        raise ValueError(
-            "progressive arithmetic (SOF10) not supported — pick one"
-        )
     px = np.asarray(pixels, np.uint8)
     if px.ndim != 3 or px.shape[2] != 3:
         raise ValueError("encode_jpeg expects an HxWx3 RGB array")
@@ -284,9 +281,6 @@ def encode_jpeg(
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     if arithmetic:
-        from .jpeg_arith import encode_scan_arith
-
-        data = encode_scan_arith(comp_zz, samp, mcx, mcy, restart_interval)
         out = bytearray(JPEG_SIG)
         out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         for tid, qt in enumerate(qtabs):
@@ -294,7 +288,8 @@ def encode_jpeg(
         sof = struct.pack(">BHHB", 8, h, w, 3)
         for i, (hi, vi) in enumerate(samp):
             sof += bytes([i + 1, (hi << 4) | vi, 0 if i == 0 else 1])
-        out += seg(0xFFC9, sof)  # SOF9: extended sequential, arithmetic
+        # SOF9 = extended sequential; SOF10 = progressive (both QM-coded)
+        out += seg(0xFFCA if progressive else 0xFFC9, sof)
         # DAC: default conditioning, stated explicitly in the stream
         # (DC tables 0/1: L=0,U=1 -> Cs=0x10; AC tables 0/1: Kx=5)
         out += seg(
@@ -303,8 +298,24 @@ def encode_jpeg(
         )
         if restart_interval:
             out += seg(0xFFDD, struct.pack(">H", int(restart_interval)))
-        out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
-        out += data
+        if progressive:
+            from .jpeg_arith import encode_scans_arith_progressive
+
+            for comp_ids, ss, se, ah, al, data in encode_scans_arith_progressive(
+                comp_zz, samp, w, h, mcx, mcy, restart_interval,
+                dc_noninterleaved,
+            ):
+                body = bytes([len(comp_ids)])
+                for cid in comp_ids:
+                    t = 0 if cid == 1 else 1
+                    body += bytes([cid, (t << 4) | t])
+                out += seg(0xFFDA, body + bytes([ss, se, (ah << 4) | al]))
+                out += data
+        else:
+            from .jpeg_arith import encode_scan_arith
+
+            out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+            out += encode_scan_arith(comp_zz, samp, mcx, mcy, restart_interval)
         out += struct.pack(">H", 0xFFD9)
         return bytes(out)
 
@@ -776,10 +787,13 @@ def decode_jpeg(payload: bytes):
             from .jpeg_arith import decode_jpeg_arith
 
             return decode_jpeg_arith(payload)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xCA:  # progressive arithmetic (r12: native decode)
+            from .jpeg_arith import decode_jpeg_arith_progressive
+
+            return decode_jpeg_arith_progressive(payload)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "progressive-arithmetic/hierarchical/lossless JPEG — "
-                "inject a PIL-backed decoder"
+                "hierarchical/lossless JPEG — inject a PIL-backed decoder"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])

@@ -1,8 +1,8 @@
-"""Arithmetic-coded JPEG (ITU T.81 SOF9) — QM-coder entropy layer for
-operators/jpeg.py, closing the last JPEG NotImplementedError in the
-dependency-free codec tier (only SOF10 progressive-arithmetic and the
-differential/lossless/hierarchical processes still route to an injected
-decoder).
+"""Arithmetic-coded JPEG (ITU T.81 SOF9 sequential + SOF10
+progressive) — QM-coder entropy layer for operators/jpeg.py, closing
+the last JPEG NotImplementedErrors in the dependency-free codec tier
+(only the differential/lossless/hierarchical processes still route to
+an injected decoder).
 
 What is standard here, and what is self-consistent-by-construction:
 
@@ -18,9 +18,14 @@ What is standard here, and what is self-consistent-by-construction:
     offset, and the non-adaptive 0x5A1D "fixed" bin for AC signs —
     follow T.81 F.1.4 / F.2.4 exactly (the layout libjpeg's
     jcarith/jdarith also use; bin budgets: 64 DC, 256 AC).
-  * The marker layout is standard: SOF9, DAC conditioning segments
-    (DC Cs=(U<<4)|L, AC Cs=Kx), SOS, DRI/RSTn with full coder + stats
-    + prediction reset at restarts.
+  * The marker layout is standard: SOF9/SOF10, DAC conditioning
+    segments (DC Cs=(U<<4)|L, AC Cs=Kx), SOS, DRI/RSTn with full coder
+    + stats + prediction reset at restarts. Progressive scans use the
+    Annex G.1.3 models: first scans are the sequential models over the
+    spectral band at the point transform, DC refinement is one
+    fixed-bin bit per block, AC refinement codes correction bits at
+    context stp+2 / newly-nonzero decisions at stp+1 with the EOB
+    decision only past the previous stage's end of band.
   * The byte-level termination and stuffing convention is implemented
     SELF-CONSISTENTLY and documented rather than claimed standard: the
     encoder resolves carries at the bit level before serialization,
@@ -43,7 +48,12 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["encode_scan_arith", "decode_jpeg_arith"]
+__all__ = [
+    "encode_scan_arith",
+    "encode_scans_arith_progressive",
+    "decode_jpeg_arith",
+    "decode_jpeg_arith_progressive",
+]
 
 #: T.81 Table D.3: (Qe, NMPS, NLPS, switch). Index 113 is the
 #: non-adaptive ~equiprobable bin used for AC coefficient signs.
@@ -325,17 +335,20 @@ def _dec_dc(dec, st, dc_ctx, ci, low, up) -> int:
     return -v if sign else v
 
 
-def _enc_ac(enc, st, fixed, zz, kx) -> None:
+def _enc_ac(enc, st, fixed, zz, kx, ss=1, se=63, al=0) -> None:
+    """AC band encode (T.81 F.1.4.3). Defaults are the sequential full
+    band; progressive first scans pass the spectral band (ss..se) and
+    point transform (values coded at magnitude >> al)."""
     ke = 0
-    for i in range(63, 0, -1):
-        if zz[i]:
+    for i in range(se, ss - 1, -1):
+        if abs(int(zz[i])) >> al:
             ke = i
             break
-    k = 1
+    k = ss
     while k <= ke:
         stp = 3 * (k - 1)
         enc.encode(st, stp, 0)  # not EOB yet
-        while zz[k] == 0:
+        while (abs(int(zz[k])) >> al) == 0:
             enc.encode(st, stp + 1, 0)
             k += 1
             stp += 3
@@ -343,7 +356,7 @@ def _enc_ac(enc, st, fixed, zz, kx) -> None:
         val = int(zz[k])
         sign = 1 if val < 0 else 0
         enc.encode(fixed, 0, sign)
-        v = (-val if sign else val) - 1
+        v = (abs(val) >> al) - 1
         stp += 2
         m = 0
         if v:
@@ -370,20 +383,20 @@ def _enc_ac(enc, st, fixed, zz, kx) -> None:
             m >>= 1
             enc.encode(st, stp, 1 if v & m else 0)
         k += 1
-    if ke < 63:
+    if ke < se:
         enc.encode(st, 3 * (k - 1), 1)  # EOB
 
 
-def _dec_ac(dec, st, fixed, zz, kx) -> None:
-    k = 1
-    while k <= 63:
+def _dec_ac(dec, st, fixed, zz, kx, ss=1, se=63, al=0) -> None:
+    k = ss
+    while k <= se:
         stp = 3 * (k - 1)
         if dec.decode(st, stp):
             return  # EOB
         while not dec.decode(st, stp + 1):
             k += 1
             stp += 3
-            if k > 63:
+            if k > se:
                 raise ValueError("corrupt arithmetic JPEG: AC run overflow")
         sign = dec.decode(fixed, 0)
         stp += 2
@@ -406,7 +419,74 @@ def _dec_ac(dec, st, fixed, zz, kx) -> None:
             if dec.decode(st, stp):
                 v |= m
         v += 1
-        zz[k] = -v if sign else v
+        zz[k] = (-(v) if sign else v) << al
+        k += 1
+
+
+def _enc_ac_refine(enc, st, fixed, zz, ss, se, ah, al) -> None:
+    """Successive-approximation AC refinement (T.81 G.1.3.3, the
+    jcarith shape): coefficients with history (|v| >> ah nonzero) get a
+    correction bit at context stp+2; newly nonzero ones a stp+1 decision
+    plus a fixed-bin sign; the EOB decision is coded only past EOBx (the
+    previous stage's end of band, which the decoder derives from its own
+    accumulated coefficients)."""
+    ke = 0
+    for i in range(se, ss - 1, -1):
+        if abs(int(zz[i])) >> al:
+            ke = i
+            break
+    kex = 0
+    for i in range(se, ss - 1, -1):
+        if abs(int(zz[i])) >> ah:
+            kex = i
+            break
+    k = ss
+    while k <= ke:
+        stp = 3 * (k - 1)
+        if k > kex:
+            enc.encode(st, stp, 0)  # not EOB yet
+        while True:
+            a = abs(int(zz[k]))
+            if a >> al:
+                if a >> ah:  # history nonzero: one correction bit
+                    enc.encode(st, stp + 2, (a >> al) & 1)
+                else:  # newly nonzero: decision + sign (magnitude is 1)
+                    enc.encode(st, stp + 1, 1)
+                    enc.encode(fixed, 0, 1 if int(zz[k]) < 0 else 0)
+                break
+            enc.encode(st, stp + 1, 0)
+            k += 1
+            stp += 3
+        k += 1
+    if ke < se:
+        enc.encode(st, 3 * (k - 1), 1)  # EOB
+
+
+def _dec_ac_refine(dec, st, fixed, zz, ss, se, al) -> None:
+    p1 = 1 << al
+    kex = 0
+    for i in range(se, ss - 1, -1):
+        if zz[i]:
+            kex = i
+            break
+    k = ss
+    while k <= se:
+        stp = 3 * (k - 1)
+        if k > kex and dec.decode(st, stp):
+            return  # EOB
+        while True:
+            v = int(zz[k])
+            if v:  # history nonzero: correction bit
+                if dec.decode(st, stp + 2):
+                    zz[k] = v + (p1 if v > 0 else -p1)
+                break
+            if dec.decode(st, stp + 1):  # newly nonzero
+                zz[k] = -p1 if dec.decode(fixed, 0) else p1
+                break
+            k += 1
+            stp += 3
+            if k > se:
+                raise ValueError("corrupt arithmetic JPEG: AC refine overflow")
         k += 1
 
 
@@ -464,9 +544,171 @@ def encode_scan_arith(
     return bytes(out)
 
 
+def encode_scans_arith_progressive(
+    comp_zz, samp, w, h, mcx, mcy, restart_interval: int | None = None,
+    dc_noninterleaved: bool = False, low: int = 0, up: int = 1, kx: int = 5,
+) -> list[tuple[list[int], int, int, int, int, bytes]]:
+    """Arithmetic progressive (SOF10) scan script — mirrors the Huffman
+    progressive encoder's 8-scan successive-approximation plan over the
+    SAME quantized coefficients (jpeg.py encode_jpeg progressive=True),
+    so all four entropy/scan-shape combinations of one image decode
+    bit-identically: DC first at Al=1 (interleaved, or per-component
+    when ``dc_noninterleaved``), AC first per component (band 1-63,
+    Al=1), DC refinement, AC refinement per component. Returns
+    (component_ids, Ss, Se, Ah, Al, entropy_bytes) per scan; restarts
+    chunk every scan with full coder/stats/prediction reset."""
+    n_comp = len(comp_zz)
+    rst = int(restart_interval) if restart_interval else 0
+    hmax = max(s[0] for s in samp)
+    vmax = max(s[1] for s in samp)
+
+    def grid(ci: int) -> tuple[int, int]:
+        hi, vi = samp[ci]
+        cw = -(-w * hi // hmax)
+        ch = -(-h * vi // vmax)
+        return -(-ch // 8), -(-cw // 8)  # (cbh, cbw)
+
+    scans: list[tuple[list[int], int, int, int, int, bytes]] = []
+
+    def run_scan(comp_ids, ss, se, ah, al, n_units, code_unit) -> None:
+        """Drive one scan: fresh coder + stats, restart chunking, then
+        code_unit(state, unit) for each MCU/block index."""
+
+        def fresh():
+            return {
+                "enc": _QMEncoder(),
+                "dc": [bytearray(_DC_BINS) for _ in range(2)],
+                "ac": [bytearray(_AC_BINS) for _ in range(2)],
+                "fixed": bytearray([113 << 1]),
+                "ctx": [0] * n_comp,
+                "pred": [0] * n_comp,
+            }
+
+        st = fresh()
+        out = bytearray()
+        for unit in range(n_units):
+            if rst and unit and unit % rst == 0:
+                st["enc"].flush_bits()
+                out += st["enc"].tobytes()
+                out += struct.pack(">H", 0xFFD0 + ((unit // rst - 1) % 8))
+                st = fresh()
+            code_unit(st, unit)
+        st["enc"].flush_bits()
+        out += st["enc"].tobytes()
+        scans.append((comp_ids, ss, se, ah, al, bytes(out)))
+
+    # scan 1: DC first at Al=1
+    def dc_first_blocks(st, ci, blocks):
+        t = 0 if ci == 0 else 1
+        for zz in blocks:
+            dc = int(zz[0]) >> 1
+            _enc_dc(st["enc"], st["dc"][t], st["ctx"], ci, dc - st["pred"][ci],
+                    low, up)
+            st["pred"][ci] = dc
+
+    def mcu_blocks(ci, unit):
+        hi, vi = samp[ci]
+        my, mx = divmod(unit, mcx)
+        for v in range(vi):
+            for hh in range(hi):
+                yield comp_zz[ci][my * vi + v, mx * hi + hh]
+
+    if dc_noninterleaved:
+        for ci in range(n_comp):
+            cbh, cbw = grid(ci)
+
+            def unit_fn(st, unit, ci=ci, cbw=cbw):
+                by, bx = divmod(unit, cbw)
+                dc_first_blocks(st, ci, [comp_zz[ci][by, bx]])
+
+            run_scan([ci + 1], 0, 0, 0, 1, cbh * cbw, unit_fn)
+    else:
+        def unit_fn(st, unit):
+            for ci in range(n_comp):
+                dc_first_blocks(st, ci, mcu_blocks(ci, unit))
+
+        run_scan(list(range(1, n_comp + 1)), 0, 0, 0, 1, mcx * mcy, unit_fn)
+
+    # scans 2-4: AC first per component, band 1-63, Al=1
+    for ci in range(n_comp):
+        cbh, cbw = grid(ci)
+        t = 0 if ci == 0 else 1
+
+        def unit_fn(st, unit, ci=ci, cbw=cbw, t=t):
+            by, bx = divmod(unit, cbw)
+            _enc_ac(st["enc"], st["ac"][t], st["fixed"], comp_zz[ci][by, bx],
+                    kx, 1, 63, 1)
+
+        run_scan([ci + 1], 1, 63, 0, 1, cbh * cbw, unit_fn)
+
+    # scan 5: DC refinement (Ah=1, Al=0) — one fixed-bin bit per block
+    def dc_refine_blocks(st, ci, blocks):
+        for zz in blocks:
+            st["enc"].encode(st["fixed"], 0, int(zz[0]) & 1)
+
+    if dc_noninterleaved:
+        for ci in range(n_comp):
+            cbh, cbw = grid(ci)
+
+            def unit_fn(st, unit, ci=ci, cbw=cbw):
+                by, bx = divmod(unit, cbw)
+                dc_refine_blocks(st, ci, [comp_zz[ci][by, bx]])
+
+            run_scan([ci + 1], 0, 0, 1, 0, cbh * cbw, unit_fn)
+    else:
+        def unit_fn(st, unit):
+            for ci in range(n_comp):
+                dc_refine_blocks(st, ci, mcu_blocks(ci, unit))
+
+        run_scan(list(range(1, n_comp + 1)), 0, 0, 1, 0, mcx * mcy, unit_fn)
+
+    # scans 6-8: AC refinement per component (Ah=1, Al=0)
+    for ci in range(n_comp):
+        cbh, cbw = grid(ci)
+        t = 0 if ci == 0 else 1
+
+        def unit_fn(st, unit, ci=ci, cbw=cbw, t=t):
+            by, bx = divmod(unit, cbw)
+            _enc_ac_refine(st["enc"], st["ac"][t], st["fixed"],
+                           comp_zz[ci][by, bx], 1, 63, 1, 0)
+
+        run_scan([ci + 1], 1, 63, 1, 0, cbh * cbw, unit_fn)
+
+    return scans
+
+
 # ---------------------------------------------------------------------------
 # Full-stream decode (routed from jpeg.decode_jpeg on SOF9)
 # ---------------------------------------------------------------------------
+
+
+def _split_entropy(payload: bytes, start: int) -> tuple[list[bytes], int]:
+    """Split entropy data at restart markers; 0xFF followed by <=0x8F is
+    arithmetic DATA (bit-stuffed byte), NOT Huffman 0xFF00 destuffing.
+    Returns the chunks and the offset of the terminating marker (EOI or
+    the next segment's 0xFF)."""
+    chunks: list[bytes] = []
+    cur = bytearray()
+    i = start
+    while i < len(payload):
+        bsrc = payload[i]
+        if bsrc != 0xFF:
+            cur.append(bsrc)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
+        if nxt <= 0x8F:  # stuffed data byte: keep both
+            cur.append(0xFF)
+            cur.append(nxt)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:
+            chunks.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next marker
+            break
+    chunks.append(bytes(cur))
+    return chunks, i
 
 
 def decode_jpeg_arith(payload: bytes):
@@ -543,29 +785,7 @@ def decode_jpeg_arith(payload: bytes):
     if data_start is None or not comps:
         raise ValueError("corrupt JPEG: missing SOF9/SOS")
 
-    # split entropy data at restart markers; 0xFF followed by <=0x8F is
-    # arithmetic DATA (bit-stuffed byte), NOT Huffman 0xFF00 destuffing
-    chunks: list[bytes] = []
-    cur = bytearray()
-    i = data_start
-    while i < len(payload):
-        bsrc = payload[i]
-        if bsrc != 0xFF:
-            cur.append(bsrc)
-            i += 1
-            continue
-        nxt = payload[i + 1] if i + 1 < len(payload) else 0xD9
-        if nxt <= 0x8F:  # stuffed data byte: keep both
-            cur.append(0xFF)
-            cur.append(nxt)
-            i += 2
-        elif 0xD0 <= nxt <= 0xD7:
-            chunks.append(bytes(cur))
-            cur = bytearray()
-            i += 2
-        else:  # EOI or next marker
-            break
-    chunks.append(bytes(cur))
+    chunks, _ = _split_entropy(payload, data_start)
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
@@ -614,3 +834,178 @@ def decode_jpeg_arith(payload: bytes):
         raise ValueError(f"corrupt JPEG: decoded {mcu}/{n_mcus} MCUs")
 
     return _reconstruct(order, qtabs, mcy, hmax, vmax, w, h)
+
+
+# ---------------------------------------------------------------------------
+# Progressive arithmetic decode (routed from jpeg.decode_jpeg on SOF10)
+# ---------------------------------------------------------------------------
+
+
+def decode_jpeg_arith_progressive(payload: bytes):
+    """Decode a progressive arithmetic-coded JPEG (SOF10, T.81 Annex
+    G.1.3). Scan script handling mirrors jpeg._decode_progressive
+    (accumulating per-component zigzag coefficient arrays through DC/AC
+    first + refinement scans, component-grid block order for Ns=1
+    scans); the entropy layer is the QM coder with the Annex G
+    statistical models instead of Huffman run/size symbols — notably
+    there are no cross-block EOB runs, the EOB decision is adaptively
+    coded per block."""
+    import numpy as np
+
+    from .jpeg import JPEG_SIG, _parse_dqt, _reconstruct
+
+    if not payload.startswith(JPEG_SIG):
+        raise ValueError("not a JPEG payload")
+
+    qtabs: dict[int, np.ndarray] = {}
+    cond_dc: dict[int, tuple[int, int]] = {}
+    cond_ac: dict[int, int] = {}
+    comps: list[dict] = []
+    scans: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("corrupt JPEG: expected marker")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            _parse_dqt(body, qtabs)
+        elif marker == 0xCC:  # DAC
+            i = 0
+            while i + 1 < len(body):
+                tc, tb = body[i] >> 4, body[i] & 0xF
+                cs = body[i + 1]
+                if tc == 0:
+                    low, up = cs & 0xF, cs >> 4
+                    if not (0 <= low <= up <= 15):
+                        raise ValueError("corrupt DAC: DC conditioning")
+                    cond_dc[tb] = (low, up)
+                else:
+                    if not (1 <= cs <= 63):
+                        raise ValueError("corrupt DAC: AC Kx")
+                    cond_ac[tb] = cs
+                i += 2
+        elif marker == 0xCA:  # SOF10: progressive, arithmetic
+            prec, h, w, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit JPEG precision")
+            if not (0 < w and 0 < h and w * h <= 1 << 28):
+                raise ValueError(f"implausible JPEG dimensions {w}x{h}")
+            if nc not in (1, 3):
+                raise NotImplementedError(f"{nc}-component JPEG")
+            for i in range(nc):
+                cid, sampb, tq = body[6 + 3 * i : 9 + 3 * i]
+                hi, vi = sampb >> 4, sampb & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
+                    raise NotImplementedError(f"sampling factors {hi}x{vi}")
+                comps.append({"id": cid, "h": hi, "v": vi, "tq": tq})
+        elif marker == 0xDD:
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:
+            ns = body[0]
+            scomps = []
+            for i in range(ns):
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scomps.append((cid, tabs >> 4, tabs & 0xF))
+            ss, se, a = body[1 + 2 * ns : 4 + 2 * ns]
+            chunks, pos = _split_entropy(payload, pos)
+            scans.append({
+                "comps": scomps, "ss": ss, "se": se,
+                "ah": a >> 4, "al": a & 0xF,
+                "chunks": chunks, "ri": restart_interval,
+            })
+        # APPn/COM: skipped
+    if not comps or not scans:
+        raise ValueError("corrupt JPEG: missing SOF10/SOS")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcx = -(-w // (8 * hmax))
+    mcy = -(-h // (8 * vmax))
+    by_id = {c["id"]: c for c in comps}
+    for c in comps:
+        c["bw"] = mcx * c["h"]
+        c["coefs"] = np.zeros((mcy * c["v"] * c["bw"], 64), np.int32)
+        cw = -(-w * c["h"] // hmax)
+        ch = -(-h * c["v"] // vmax)
+        c["cbw"] = -(-cw // 8)
+        c["cbh"] = -(-ch // 8)
+
+    for sc in scans:
+        _arith_progressive_scan(sc, by_id, mcx, mcy, cond_dc, cond_ac)
+
+    return _reconstruct(comps, qtabs, mcy, hmax, vmax, w, h)
+
+
+def _arith_progressive_scan(sc, by_id, mcx, mcy, cond_dc, cond_ac) -> None:
+    """Apply one arithmetic scan's entropy data to the coefficient
+    arrays (the four scan kinds of jpeg._progressive_scan, QM models)."""
+    ss, se, ah, al = sc["ss"], sc["se"], sc["ah"], sc["al"]
+    scomps = [(by_id[cid], tdc, tac) for cid, tdc, tac in sc["comps"]]
+    if ss == 0 and se != 0:
+        raise ValueError(
+            "corrupt progressive JPEG: DC scan (Ss=0) must have Se=0"
+        )
+    if ss > 0 and len(scomps) != 1:
+        raise ValueError(
+            "corrupt progressive JPEG: AC scans must be single-component"
+        )
+
+    interleaved = len(scomps) > 1
+    if interleaved:
+        units = mcx * mcy
+    else:
+        c0 = scomps[0][0]
+        units = c0["cbw"] * c0["cbh"]
+
+    def block_indexes(unit: int):
+        if interleaved:
+            my, mx = divmod(unit, mcx)
+            for idx, (c, tdc, tac) in enumerate(scomps):
+                for v in range(c["v"]):
+                    for hh in range(c["h"]):
+                        yield idx, c, tdc, tac, (
+                            (my * c["v"] + v) * c["bw"] + mx * c["h"] + hh
+                        )
+        else:
+            c, tdc, tac = scomps[0]
+            by, bx = divmod(unit, c["cbw"])
+            yield 0, c, tdc, tac, by * c["bw"] + bx
+
+    ri = sc["ri"]
+    unit = 0
+    for chunk in sc["chunks"]:
+        if unit >= units:
+            break
+        dec = _QMDecoder(chunk)
+        dc_st = {t: bytearray(_DC_BINS) for _, t, _ in scomps}
+        ac_st = {t: bytearray(_AC_BINS) for _, _, t in scomps}
+        fixed = bytearray([113 << 1])
+        dc_ctx = [0] * len(scomps)
+        pred = [0] * len(scomps)
+        limit = min(units, unit + ri) if ri else units
+        while unit < limit:
+            for idx, c, tdc, tac, bi in block_indexes(unit):
+                zz = c["coefs"][bi]
+                if ss == 0 and ah == 0:  # DC first
+                    low, up = cond_dc.get(tdc, (0, 1))
+                    diff = _dec_dc(dec, dc_st[tdc], dc_ctx, idx, low, up)
+                    pred[idx] += diff
+                    zz[0] = pred[idx] << al
+                elif ss == 0:  # DC refinement: one fixed-bin bit
+                    if dec.decode(fixed, 0):
+                        zz[0] |= 1 << al
+                elif ah == 0:  # AC first (band, point transform)
+                    _dec_ac(dec, ac_st[tac], fixed, zz,
+                            cond_ac.get(tac, 5), ss, se, al)
+                else:  # AC refinement
+                    _dec_ac_refine(dec, ac_st[tac], fixed, zz, ss, se, al)
+            unit += 1
+    if unit < units:
+        raise ValueError(f"corrupt JPEG: decoded {unit}/{units} scan units")

@@ -87,18 +87,53 @@ def test_arith_stream_is_standard_sof9_container():
     assert len(data) < len(encode_jpeg(px, 85))  # QM beats Huffman here
 
 
-def test_arith_progressive_combination_rejected():
-    """SOF10 (progressive-arithmetic) is out of scope: the encoder
-    refuses the combination up front, and a synthesized SOF10 stream
-    routes to NotImplementedError (PIL escape hatch), not a garble."""
-    px = _gradient(16, 16)
-    with pytest.raises(ValueError, match="progressive arithmetic"):
-        encode_jpeg(px, 85, arithmetic=True, progressive=True)
-    data = bytearray(encode_jpeg(px, 85, arithmetic=True))
-    i = bytes(data).find(b"\xff\xc9")
-    data[i + 1] = 0xCA  # SOF9 -> SOF10
+def test_arith_progressive_bit_identical_to_baseline():
+    """r12: SOF10 (progressive + arithmetic, T.81 Annex G.1.3). The
+    encoder runs the same 8-scan successive-approximation script as the
+    Huffman progressive path with QM-coded models, over the same
+    quantized coefficients — so decode must be BIT-IDENTICAL to the
+    baseline encoding, across subsampling, odd dimensions, restarts,
+    non-interleaved DC scans, flat images and noise."""
+    rng = np.random.default_rng(3)
+    cases = [
+        (_gradient(), 85, False, None, False),
+        (_gradient(19, 21), 90, True, 2, False),  # odd dims, 4:2:0, RST
+        (_gradient(33, 26), 85, True, 1, True),   # hostile RST + Ns=1 DC
+        (np.full((16, 16, 3), 77, np.uint8), 85, False, None, False),
+        (rng.integers(0, 256, (24, 40, 3)).astype(np.uint8), 95, False,
+         None, True),
+        (rng.integers(0, 256, (33, 26, 3)).astype(np.uint8), 10, True,
+         7, False),
+    ]
+    for px, q, sub, ri, dcn in cases:
+        base = decode_jpeg(encode_jpeg(px, q, subsample=sub))
+        prog = decode_jpeg(
+            encode_jpeg(px, q, subsample=sub, arithmetic=True,
+                        progressive=True, restart_interval=ri,
+                        dc_noninterleaved=dcn)
+        )
+        assert base[:2] == prog[:2], (px.shape, q, sub, ri, dcn)
+        assert np.array_equal(base[2], prog[2]), (px.shape, q, sub, ri, dcn)
+
+
+def test_arith_progressive_container_and_compactness():
+    """SOF10 layout: DAC not DHT, one SOS per scan of the 8-scan
+    script; denser than the Huffman progressive form of the same image.
+    Hierarchical (SOF11-family patch) still routes to the PIL escape
+    hatch, not a garble."""
+    px = _gradient(32, 32)
+    data = encode_jpeg(px, 80, arithmetic=True, progressive=True)
+    assert data.startswith(JPEG_SIG) and data.endswith(b"\xff\xd9")
+    assert b"\xff\xca" in data and b"\xff\xc2" not in data  # SOF10, no SOF2
+    assert b"\xff\xcc" in data and b"\xff\xc4" not in data  # DAC, no DHT
+    assert data.count(b"\xff\xda") == 8  # DC + 3xAC + DCref + 3xACref
+    assert len(data) < len(encode_jpeg(px, 80, progressive=True))
+
+    patched = bytearray(data)
+    i = bytes(patched).find(b"\xff\xca")
+    patched[i + 1] = 0xCB  # SOF10 -> SOF11 (lossless arithmetic)
     with pytest.raises(NotImplementedError):
-        decode_jpeg(bytes(data))
+        decode_jpeg(bytes(patched))
 
 
 def test_arith_corruption_fuzz_never_hangs_or_garbles_silently():
@@ -111,6 +146,7 @@ def test_arith_corruption_fuzz_never_hangs_or_garbles_silently():
     for payload in (
         encode_jpeg(px, 85, arithmetic=True),
         encode_jpeg(px, 85, arithmetic=True, restart_interval=2),
+        encode_jpeg(px, 85, arithmetic=True, progressive=True),
     ):
         for _ in range(120):
             data = bytearray(payload)
