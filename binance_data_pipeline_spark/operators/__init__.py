@@ -54,5 +54,7 @@ snapshots        snapshot-versioned tables (atomic commits, time travel, rollbac
 mview            incrementally maintained materialized aggregate views (change-feed fold, exactly-once cursor-in-manifest)
 export           sharded manifest-gated training-data export (jsonl[.gz]/parquet/WebDataset tar)
 multimodal       binary-column plumbing; real PPM/PNG/WAV codecs, PIL autodetect
-jpeg             dependency-free baseline JPEG codec (T.81 sequential, JFIF)
+jpeg             dependency-free JPEG codec (T.81 baseline + progressive, JFIF)
+jpeg_arith       arithmetic-coded JPEG (SOF9/SOF10 QM coder) for jpeg.py
+jpeg_lossless    lossless JPEG (SOF3 predictive, 2-16 bit) for jpeg.py
 """

@@ -10,10 +10,11 @@ Scope (the overwhelmingly common interchange case):
           r12) AND both arithmetic processes (SOF9 sequential + SOF10
           progressive — QM coder, r12; see operators/jpeg_arith.py),
           8-bit, 1 or 3 components, sampling factors 1-2 (4:4:4 /
-          4:2:2 / 4:2:0), restart markers honored. Hierarchical /
-          lossless raise NotImplementedError → the multimodal
-          default_decoder falls through to PIL when importable, same
-          contract the WebP path uses too.
+          4:2:2 / 4:2:0), restart markers honored; plus LOSSLESS (SOF3,
+          2-16 bit — operators/jpeg_lossless.py). Hierarchical and
+          arithmetic-lossless raise NotImplementedError → the
+          multimodal default_decoder falls through to PIL when
+          importable, same contract the WebP path uses too.
   encode: baseline sequential 4:4:4 with the Annex K quantization +
           Huffman tables (quality-scaled, libjpeg formula), or
           progressive (an 8-scan SA script exercising every decode
@@ -791,9 +792,14 @@ def decode_jpeg(payload: bytes):
             from .jpeg_arith import decode_jpeg_arith_progressive
 
             return decode_jpeg_arith_progressive(payload)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
+        elif marker == 0xC3:  # lossless sequential (r12: native decode)
+            from .jpeg_lossless import decode_jpeg_lossless
+
+            return decode_jpeg_lossless(payload)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                "hierarchical/lossless JPEG — inject a PIL-backed decoder"
+                "hierarchical/arithmetic-lossless JPEG — inject a "
+                "PIL-backed decoder"
             )
         elif marker == 0xDD:  # DRI
             (restart_interval,) = struct.unpack(">H", body[:2])

@@ -1,8 +1,8 @@
 """Arithmetic-coded JPEG (ITU T.81 SOF9 sequential + SOF10
 progressive) — QM-coder entropy layer for operators/jpeg.py, closing
 the last JPEG NotImplementedErrors in the dependency-free codec tier
-(only the differential/lossless/hierarchical processes still route to
-an injected decoder).
+(only the hierarchical processes and arithmetic lossless still route
+to an injected decoder; Huffman lossless is jpeg_lossless.py).
 
 What is standard here, and what is self-consistent-by-construction:
 

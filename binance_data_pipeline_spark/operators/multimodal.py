@@ -10,7 +10,7 @@ Decode support is tiered:
     un-stubbed, on those formats (synthetic fixture builders included).
   - AUTO-DETECTED: `default_decoder()` / `default_resizer()` probe for PIL
     once at construction and route the remaining compressed images
-    (WebP, hierarchical/lossless JPEG) through it when
+    (WebP, hierarchical JPEG) through it when
     importable — decoding to RGB and reusing the SAME `_rgb_features`,
     so identical pixels give identical vectors in either container
     format.
@@ -644,9 +644,9 @@ def default_decoder() -> Decoder:
             # needed; corrupt payloads raise ValueError (quarantine)
             return baseline_decoder(payload, mime)
         if mime == JPEG_MIME:
-            # baseline, progressive AND arithmetic (sequential +
-            # progressive) decode dependency-free; hierarchical/
-            # lossless (NotImplementedError), corrupt and
+            # baseline, progressive, arithmetic (sequential +
+            # progressive) AND lossless decode dependency-free;
+            # hierarchical (NotImplementedError), corrupt and
             # mislabeled payloads (ValueError — PIL sniffs content, not
             # mime) fall through
             try:
