@@ -57,4 +57,5 @@ multimodal       binary-column plumbing; real PPM/PNG/WAV codecs, PIL autodetect
 jpeg             dependency-free JPEG codec (T.81 baseline + progressive, JFIF)
 jpeg_arith       arithmetic-coded JPEG (SOF9/SOF10 QM coder) for jpeg.py
 jpeg_lossless    lossless JPEG (SOF3 predictive, 2-16 bit) for jpeg.py
+gif              GIF87a/89a codec (LZW, interlace, animation compositing, timestamped frames)
 """

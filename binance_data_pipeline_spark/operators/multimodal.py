@@ -103,6 +103,7 @@ PPM_MIME = "image/x-portable-pixmap"
 WAV_MIME = "audio/wav"
 PNG_MIME = "image/png"
 JPEG_MIME = "image/jpeg"
+GIF_MIME = "image/gif"
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -518,8 +519,10 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
 
     PPM  → _rgb_features (see above)
     PNG  → decode_png (stdlib zlib + unfilter) → the SAME _rgb_features
-    JPEG → decode_jpeg (operators/jpeg: baseline sequential Huffman +
-           vectorized IDCT) → the SAME _rgb_features
+    JPEG → decode_jpeg (operators/jpeg: baseline/progressive/
+           arithmetic/lossless) → the SAME _rgb_features
+    GIF  → decode_gif (operators/gif: LZW + compositing, first frame)
+           → the SAME _rgb_features
     WAV  → [duration s, RMS, zero-crossing rate, peak, rate/48k, ch, 0, 2.0]
 
     Other mimes raise NotImplementedError (they need PIL/libav)."""
@@ -535,6 +538,11 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
         from .jpeg import decode_jpeg
 
         _, _, px = decode_jpeg(payload)
+        return _rgb_features(px)
+    if mime == GIF_MIME:
+        from .gif import decode_gif
+
+        _, _, px = decode_gif(payload)  # first composited frame
         return _rgb_features(px)
     if mime == WAV_MIME:
         rate, channels, s = decode_wav(payload)
@@ -556,10 +564,11 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
 
 
 def baseline_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
-    """Real nearest-neighbor resize for PPM, PNG and baseline JPEG,
+    """Real nearest-neighbor resize for PPM, PNG, JPEG and GIF,
     re-encoded in the source container; other formats need an imaging
     library. (A PNG with alpha comes back as RGB — features and resize
-    are RGB-defined; JPEG re-encodes at quality 90.)"""
+    are RGB-defined; JPEG re-encodes at quality 90; an animated GIF
+    resizes its first composited frame to a single-frame GIF.)"""
     import numpy as np
 
     if mime == PPM_MIME:
@@ -570,6 +579,10 @@ def baseline_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
         from .jpeg import decode_jpeg
 
         src_w, src_h, px = decode_jpeg(payload)
+    elif mime == GIF_MIME:
+        from .gif import decode_gif
+
+        src_w, src_h, px = decode_gif(payload)  # first composited frame
     else:
         raise NotImplementedError(f"no dependency-free resizer for {mime}")
     ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
@@ -581,6 +594,12 @@ def baseline_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
         from .jpeg import encode_jpeg
 
         return encode_jpeg(resized, quality=90)
+    if mime == GIF_MIME:
+        from .gif import encode_gif
+
+        # NN resize introduces no new colors, so the exact-palette
+        # encoder always applies (single-frame output)
+        return encode_gif(resized)
     return encode_png(resized)
 
 
@@ -642,6 +661,11 @@ def default_decoder() -> Decoder:
             # stdlib PNG covers the COMPLETE depth/interlace matrix
             # (1/2/4/8/16-bit, sequential + Adam7) — no PIL fallback
             # needed; corrupt payloads raise ValueError (quarantine)
+            return baseline_decoder(payload, mime)
+        if mime == GIF_MIME:
+            # full 87a/89a decode (LZW, interlace, LCTs, transparency,
+            # frame compositing) — no PIL fallback needed; corrupt
+            # payloads raise ValueError (quarantine)
             return baseline_decoder(payload, mime)
         if mime == JPEG_MIME:
             # baseline, progressive, arithmetic (sequential +
