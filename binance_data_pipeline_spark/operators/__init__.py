@@ -58,4 +58,6 @@ jpeg             dependency-free JPEG codec (T.81 baseline + progressive, JFIF)
 jpeg_arith       arithmetic-coded JPEG (SOF9/SOF10 QM coder) for jpeg.py
 jpeg_lossless    lossless JPEG (SOF3 predictive, 2-16 bit) for jpeg.py
 gif              GIF87a/89a codec (LZW, interlace, animation compositing, timestamped frames)
+bmp              BMP codec (palette/16/24/32-bit, BITFIELDS, RLE8/RLE4, top-down/bottom-up)
+tiff             baseline TIFF codec (strips, none/PackBits/LZW + predictor, both byte orders)
 """

@@ -104,6 +104,8 @@ WAV_MIME = "audio/wav"
 PNG_MIME = "image/png"
 JPEG_MIME = "image/jpeg"
 GIF_MIME = "image/gif"
+BMP_MIME = "image/bmp"
+TIFF_MIME = "image/tiff"
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -523,6 +525,10 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
            arithmetic/lossless) → the SAME _rgb_features
     GIF  → decode_gif (operators/gif: LZW + compositing, first frame)
            → the SAME _rgb_features
+    BMP  → decode_bmp (operators/bmp: palette/direct/BITFIELDS/RLE)
+           → the SAME _rgb_features
+    TIFF → decode_tiff (operators/tiff: strips, none/PackBits/LZW,
+           predictor, gray/RGB/palette) → the SAME _rgb_features
     WAV  → [duration s, RMS, zero-crossing rate, peak, rate/48k, ch, 0, 2.0]
 
     Other mimes raise NotImplementedError (they need PIL/libav)."""
@@ -543,6 +549,16 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
         from .gif import decode_gif
 
         _, _, px = decode_gif(payload)  # first composited frame
+        return _rgb_features(px)
+    if mime == BMP_MIME:
+        from .bmp import decode_bmp
+
+        _, _, px = decode_bmp(payload)
+        return _rgb_features(px)
+    if mime == TIFF_MIME:
+        from .tiff import decode_tiff
+
+        _, _, px = decode_tiff(payload)  # first page
         return _rgb_features(px)
     if mime == WAV_MIME:
         rate, channels, s = decode_wav(payload)
@@ -583,6 +599,14 @@ def baseline_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
         from .gif import decode_gif
 
         src_w, src_h, px = decode_gif(payload)  # first composited frame
+    elif mime == BMP_MIME:
+        from .bmp import decode_bmp
+
+        src_w, src_h, px = decode_bmp(payload)
+    elif mime == TIFF_MIME:
+        from .tiff import decode_tiff
+
+        src_w, src_h, px = decode_tiff(payload)  # first page
     else:
         raise NotImplementedError(f"no dependency-free resizer for {mime}")
     ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
@@ -600,6 +624,14 @@ def baseline_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
         # NN resize introduces no new colors, so the exact-palette
         # encoder always applies (single-frame output)
         return encode_gif(resized)
+    if mime == BMP_MIME:
+        from .bmp import encode_bmp
+
+        return encode_bmp(resized)
+    if mime == TIFF_MIME:
+        from .tiff import encode_tiff
+
+        return encode_tiff(resized, compression="packbits")
     return encode_png(resized)
 
 
@@ -662,11 +694,21 @@ def default_decoder() -> Decoder:
             # (1/2/4/8/16-bit, sequential + Adam7) — no PIL fallback
             # needed; corrupt payloads raise ValueError (quarantine)
             return baseline_decoder(payload, mime)
-        if mime == GIF_MIME:
-            # full 87a/89a decode (LZW, interlace, LCTs, transparency,
-            # frame compositing) — no PIL fallback needed; corrupt
-            # payloads raise ValueError (quarantine)
+        if mime in (GIF_MIME, BMP_MIME):
+            # GIF: full 87a/89a decode (LZW, interlace, LCTs,
+            # transparency, frame compositing); BMP: palette/direct/
+            # BITFIELDS/RLE — no PIL fallback needed; corrupt payloads
+            # raise ValueError (quarantine)
             return baseline_decoder(payload, mime)
+        if mime == TIFF_MIME:
+            # baseline strips (none/PackBits/LZW, predictor, all
+            # photometrics) decode dependency-free; tiled and
+            # CCITT/JPEG-in-TIFF (NotImplementedError) fall through
+            try:
+                return baseline_decoder(payload, mime)
+            except NotImplementedError:
+                if compressed is None:
+                    raise
         if mime == JPEG_MIME:
             # baseline, progressive, arithmetic (sequential +
             # progressive) AND lossless decode dependency-free;
