@@ -60,4 +60,5 @@ jpeg_lossless    lossless JPEG (SOF3 predictive, 2-16 bit) for jpeg.py
 gif              GIF87a/89a codec (LZW, interlace, animation compositing, timestamped frames)
 bmp              BMP codec (palette/16/24/32-bit, BITFIELDS, RLE8/RLE4, top-down/bottom-up)
 tiff             baseline TIFF codec (strips, none/PackBits/LZW + predictor, both byte orders)
+webp             WebP VP8L lossless codec (transforms, color cache, LZ77, meta groups)
 """

@@ -106,6 +106,7 @@ JPEG_MIME = "image/jpeg"
 GIF_MIME = "image/gif"
 BMP_MIME = "image/bmp"
 TIFF_MIME = "image/tiff"
+WEBP_MIME = "image/webp"
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -529,6 +530,8 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
            → the SAME _rgb_features
     TIFF → decode_tiff (operators/tiff: strips, none/PackBits/LZW,
            predictor, gray/RGB/palette) → the SAME _rgb_features
+    WebP → decode_webp (operators/webp: VP8L lossless — transforms,
+           color cache, LZ77, palette) → the SAME _rgb_features
     WAV  → [duration s, RMS, zero-crossing rate, peak, rate/48k, ch, 0, 2.0]
 
     Other mimes raise NotImplementedError (they need PIL/libav)."""
@@ -559,6 +562,11 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
         from .tiff import decode_tiff
 
         _, _, px = decode_tiff(payload)  # first page
+        return _rgb_features(px)
+    if mime == WEBP_MIME:
+        from .webp import decode_webp
+
+        _, _, px = decode_webp(payload)  # VP8L; lossy VP8 raises
         return _rgb_features(px)
     if mime == WAV_MIME:
         rate, channels, s = decode_wav(payload)
@@ -607,6 +615,10 @@ def baseline_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
         from .tiff import decode_tiff
 
         src_w, src_h, px = decode_tiff(payload)  # first page
+    elif mime == WEBP_MIME:
+        from .webp import decode_webp
+
+        src_w, src_h, px = decode_webp(payload)
     else:
         raise NotImplementedError(f"no dependency-free resizer for {mime}")
     ys = (np.arange(h) * src_h // h).clip(0, src_h - 1)
@@ -632,6 +644,10 @@ def baseline_resizer(payload: bytes, mime: str, w: int, h: int) -> bytes:
         from .tiff import encode_tiff
 
         return encode_tiff(resized, compression="packbits")
+    if mime == WEBP_MIME:
+        from .webp import encode_webp
+
+        return encode_webp(resized)
     return encode_png(resized)
 
 
@@ -704,6 +720,14 @@ def default_decoder() -> Decoder:
             # baseline strips (none/PackBits/LZW, predictor, all
             # photometrics) decode dependency-free; tiled and
             # CCITT/JPEG-in-TIFF (NotImplementedError) fall through
+            try:
+                return baseline_decoder(payload, mime)
+            except NotImplementedError:
+                if compressed is None:
+                    raise
+        if mime == WEBP_MIME:
+            # lossless (VP8L) decodes dependency-free; lossy VP8
+            # (NotImplementedError) falls through to PIL
             try:
                 return baseline_decoder(payload, mime)
             except NotImplementedError:
