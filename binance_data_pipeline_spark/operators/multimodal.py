@@ -2,18 +2,20 @@
 with typed metadata, processed in Arrow batches via mapInPandas.
 
 Decode support is tiered:
-  - REAL, no dependencies: PPM (P6), PNG (8/16-bit, sequential AND
-    Adam7-interlaced — r12) and
-    baseline-sequential JPEG (operators/jpeg) images and PCM WAV audio
-    decode with numpy + stdlib — `baseline_decoder` /
+  - REAL, no dependencies: PPM (P6), PNG (the complete 1-16-bit
+    sequential/Adam7 matrix), JPEG (baseline, progressive, arithmetic
+    SOF9/SOF10, lossless SOF3 — operators/jpeg), GIF (incl. animation
+    compositing — operators/gif), BMP, baseline TIFF, WebP lossless
+    VP8L (operators/bmp, operators/tiff, operators/webp) images and
+    PCM WAV audio decode with numpy + stdlib — `baseline_decoder` /
     `baseline_resizer` run the feature and resize paths end-to-end,
     un-stubbed, on those formats (synthetic fixture builders included).
   - AUTO-DETECTED: `default_decoder()` / `default_resizer()` probe for PIL
-    once at construction and route the remaining compressed images
-    (WebP, hierarchical JPEG) through it when
-    importable — decoding to RGB and reusing the SAME `_rgb_features`,
-    so identical pixels give identical vectors in either container
-    format.
+    once at construction and route the residual compressed cases
+    (lossy-VP8 WebP, hierarchical JPEG, tiled/CCITT TIFF) through it
+    when importable — decoding to RGB and reusing the SAME
+    `_rgb_features`, so identical pixels give identical vectors in
+    either container format.
   - STUBBED: without PIL (this container), the remaining formats fall
     back to `decode_stub`'s NotImplementedError; audio/video beyond PCM
     WAV needs libav — inject a real Decoder in production. The

@@ -118,6 +118,59 @@ def test_quarantine_splits_corpus_without_failing(mixed_corpus):
     )
 
 
+def test_quarantine_covers_new_format_tier(spark):
+    """r12 formats (GIF/BMP/TIFF/WebP) obey the same contract: clean
+    payloads decode natively (no PIL in this container), truncated or
+    byte-corrupted ones quarantine with attributable reasons — one
+    pass, no job failure."""
+    from binance_data_pipeline_spark.operators.bmp import encode_bmp
+    from binance_data_pipeline_spark.operators.gif import encode_gif
+    from binance_data_pipeline_spark.operators.multimodal import (
+        BMP_MIME,
+        GIF_MIME,
+        TIFF_MIME,
+        WEBP_MIME,
+    )
+    from binance_data_pipeline_spark.operators.tiff import encode_tiff
+    from binance_data_pipeline_spark.operators.webp import encode_webp
+
+    rng = np.random.default_rng(21)
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 16, (16, 16))]
+    gif, bmp = encode_gif(img), encode_bmp(img)
+    tif, webp = encode_tiff(img, compression="lzw"), encode_webp(img)
+
+    def corrupt(data: bytes) -> bytes:
+        b = bytearray(data)
+        b[len(b) // 2] ^= 0xFF
+        return bytes(b[: int(len(b) * 0.8)])  # flip + truncate
+
+    rows = [
+        (1, "image", GIF_MIME, gif, 16, 16, None),
+        (2, "image", BMP_MIME, bmp, 16, 16, None),
+        (3, "image", TIFF_MIME, tif, 16, 16, None),
+        (4, "image", WEBP_MIME, webp, 16, 16, None),
+        (11, "image", GIF_MIME, corrupt(gif), 16, 16, None),
+        (12, "image", BMP_MIME, corrupt(bmp), 16, 16, None),
+        (13, "image", TIFF_MIME, corrupt(tif), 16, 16, None),
+        (14, "image", WEBP_MIME, corrupt(webp), 16, 16, None),
+    ]
+    out = extract_features(
+        spark.createDataFrame(rows, MEDIA_SCHEMA),
+        default_decoder(),
+        on_error="quarantine",
+    ).collect()
+    by_id = {r["media_id"]: r for r in out}
+    assert {i for i, r in by_id.items() if r["quarantine_reason"] is None} == {
+        1, 2, 3, 4}
+    for i in (11, 12, 13, 14):
+        assert by_id[i]["feature"] is None
+        assert by_id[i]["quarantine_reason"].split(":")[0] in (
+            "ValueError", "IndexError", "KeyError", "error", "struct.error",
+            "NotImplementedError",
+        ), by_id[i]["quarantine_reason"]
+
+
 def test_injected_decoder_drains_quarantine(mixed_corpus):
     """With an injected PIL-style decoder (here: the deterministic fake,
     which accepts any payload — the same shape a pil_decoder() injection
