@@ -61,4 +61,5 @@ gif              GIF87a/89a codec (LZW, interlace, animation compositing, timest
 bmp              BMP codec (palette/16/24/32-bit, BITFIELDS, RLE8/RLE4, top-down/bottom-up)
 tiff             baseline TIFF codec (strips, none/PackBits/LZW + predictor, both byte orders)
 webp             WebP VP8L lossless codec (transforms, color cache, LZ77, meta groups)
+flac             FLAC codec (Rice partitions, fixed+LPC predictors, stereo decorrelation, CRCs)
 """

@@ -103,6 +103,7 @@ def deterministic_fake_decoder(dim: int = 8) -> Decoder:
 
 PPM_MIME = "image/x-portable-pixmap"
 WAV_MIME = "audio/wav"
+FLAC_MIME = "audio/flac"
 PNG_MIME = "image/png"
 JPEG_MIME = "image/jpeg"
 GIF_MIME = "image/gif"
@@ -570,8 +571,13 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
 
         _, _, px = decode_webp(payload)  # VP8L; lossy VP8 raises
         return _rgb_features(px)
-    if mime == WAV_MIME:
-        rate, channels, s = decode_wav(payload)
+    if mime in (WAV_MIME, FLAC_MIME):
+        if mime == WAV_MIME:
+            rate, channels, s = decode_wav(payload)
+        else:
+            from .flac import decode_flac
+
+            rate, channels, s = decode_flac(payload)
         n = len(s)
         zcr = float((np.signbit(s[1:]) != np.signbit(s[:-1])).mean()) if n > 1 else 0.0
         return [
@@ -705,7 +711,7 @@ def default_decoder() -> Decoder:
         compressed = None
 
     def decode(payload: bytes, mime: str) -> list[float]:
-        if mime in (PPM_MIME, WAV_MIME):
+        if mime in (PPM_MIME, WAV_MIME, FLAC_MIME):
             return baseline_decoder(payload, mime)
         if mime == PNG_MIME:
             # stdlib PNG covers the COMPLETE depth/interlace matrix
