@@ -62,4 +62,5 @@ bmp              BMP codec (palette/16/24/32-bit, BITFIELDS, RLE8/RLE4, top-down
 tiff             baseline TIFF codec (strips, none/PackBits/LZW + predictor, both byte orders)
 webp             WebP VP8L lossless codec (transforms, color cache, LZ77, meta groups)
 flac             FLAC codec (Rice partitions, fixed+LPC predictors, stereo decorrelation, CRCs)
+avi              MJPEG-AVI container codec (RIFF hdrl/movi/idx1, timestamped JPEG frames)
 """

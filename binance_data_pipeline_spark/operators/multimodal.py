@@ -110,6 +110,7 @@ GIF_MIME = "image/gif"
 BMP_MIME = "image/bmp"
 TIFF_MIME = "image/tiff"
 WEBP_MIME = "image/webp"
+AVI_MIME = "video/x-msvideo"
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -933,6 +934,103 @@ def resize_images(
     )
 
 
+SAMPLED_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms long, mime string, "
+    "payload binary"
+)
+
+#: frame extractor: (payload, mime) -> [(ts_ms, frame_bytes, frame_mime)]
+FrameExtractor = Callable[[bytes, str], list]
+
+
+def default_frame_extractor() -> FrameExtractor:
+    """Real, dependency-free frame extraction (r12) for the containers
+    whose codecs live in this package: MJPEG AVI (frames are the
+    embedded JPEG streams — operators/avi.py) and animated GIF
+    (composited frames re-encoded as PNG — operators/gif.py). Other
+    video mimes/codecs raise NotImplementedError — inject a
+    libav-backed FrameExtractor in production."""
+
+    def extract(payload: bytes, mime: str) -> list:
+        if mime == AVI_MIME:
+            from .avi import decode_avi_frames
+            from .jpeg import JPEG_SIG
+
+            _, _, _, fourcc, frames = decode_avi_frames(payload)
+            if fourcc not in (b"MJPG", b"mjpg") and frames and not frames[
+                0
+            ][1].startswith(JPEG_SIG):
+                raise NotImplementedError(
+                    f"AVI codec {fourcc!r} — inject a libav-backed "
+                    "FrameExtractor"
+                )
+            return [(ts, data, JPEG_MIME) for ts, data in frames]
+        if mime == GIF_MIME:
+            from .gif import decode_gif_frames
+
+            _, _, frames = decode_gif_frames(payload)
+            return [(ts, encode_png(fr), PNG_MIME) for ts, fr in frames]
+        raise NotImplementedError(
+            f"no dependency-free frame extractor for {mime}; inject a "
+            "libav-backed FrameExtractor"
+        )
+
+    return extract
+
+
+def extract_video_frames(
+    media: DataFrame, every_ms: int = 1000,
+    extractor: FrameExtractor | None = None,
+) -> DataFrame:
+    """REAL frame sampling (r12): video-kind rows are decoded by the
+    extractor and sampled on an ``every_ms`` grid (last frame at or
+    before each tick — video semantics, a frame persists until the
+    next). Emits one row per sampled tick with the actual frame bytes
+    and their image mime, ready to feed extract_features as images.
+    Arrow-batched like every decode path; the sibling ``sample_frames``
+    keeps the payload-reference grid shape for callers that bring
+    their own decode step."""
+    ex = extractor or default_frame_extractor()
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                frames = ex(bytes(row.payload), row.mime)
+                if not frames:
+                    continue
+                frames.sort(key=lambda f: f[0])
+                last_ts = frames[-1][0]
+                idx = 0
+                fi = 0
+                for tick in range(0, last_ts + every_ms, every_ms):
+                    while idx + 1 < len(frames) and frames[idx + 1][0] <= tick:
+                        idx += 1
+                    ts, data, fmime = frames[idx]
+                    out.append(
+                        {
+                            "media_id": row.media_id,
+                            "frame_idx": fi,
+                            "frame_ts_ms": ts,
+                            "mime": fmime,
+                            "payload": data,
+                        }
+                    )
+                    fi += 1
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id", "frame_idx", "frame_ts_ms", "mime", "payload",
+                ],
+            )
+
+    return (
+        media.where(F.col("kind") == "video")
+        .select("media_id", "mime", "payload")
+        .mapInPandas(run, SAMPLED_FRAMES_SCHEMA)
+    )
+
+
 def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Frame sampling for video rows: emits one row per sampled timestamp.
 
@@ -940,7 +1038,8 @@ def sample_frames(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     actual frame extraction is the stubbed decode step — here each frame
     row carries the source payload reference; a real decoder would replace
     it with the decoded frame bytes in the downstream extract_features
-    pass. The Spark-side shape (explode to frame rows, frame_idx/ts
+    pass (extract_video_frames above is the r12 real-decode variant).
+    The Spark-side shape (explode to frame rows, frame_idx/ts
     schema) is the real contract."""
     grid = media.where(F.col("kind") == "video").select(
         "media_id",
