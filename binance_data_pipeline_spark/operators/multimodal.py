@@ -439,17 +439,20 @@ def encode_png_palette(indices, palette, bit_depth: int, interlace: bool = False
 
 
 def decode_ppm(payload: bytes):
-    """Parse a binary PPM (P6): returns (width, height, HxWx3 uint8 array).
-    Pure numpy — the whole format is a whitespace-delimited header plus raw
-    RGB bytes."""
+    """Parse the binary Netpbm family: P6 pixmap, P5 graymap (maxval up
+    to 65535 — 16-bit big-endian samples scale to 8), P4 bitmap
+    (1 = black per PBM). Returns (width, height, HxWx3 uint8 array).
+    Pure numpy — whitespace-delimited header plus raw samples."""
     import numpy as np
 
-    if not payload.startswith(b"P6"):
-        raise ValueError("not a P6 PPM payload")
-    # header = magic, width, height, maxval tokens (comments start with #)
+    magic = payload[:2]
+    if magic not in (b"P4", b"P5", b"P6"):
+        raise ValueError("not a binary Netpbm (P4/P5/P6) payload")
+    n_tokens = 2 if magic == b"P4" else 3  # PBM has no maxval
+    # header tokens after the magic (comments start with #)
     tokens: list[bytes] = []
     i = 2
-    while len(tokens) < 3 and i < len(payload):
+    while len(tokens) < n_tokens and i < len(payload):
         c = payload[i : i + 1]
         if c == b"#":
             while i < len(payload) and payload[i : i + 1] != b"\n":
@@ -462,12 +465,34 @@ def decode_ppm(payload: bytes):
                 j += 1
             tokens.append(payload[i:j])
             i = j
-    i += 1  # single whitespace after maxval
-    w, h, maxval = int(tokens[0]), int(tokens[1]), int(tokens[2])
+    i += 1  # single whitespace after the last header token
+    w, h = int(tokens[0]), int(tokens[1])
+    if not (0 < w and 0 < h and w * h <= 1 << 28):
+        raise ValueError(f"implausible Netpbm dimensions {w}x{h}")
+    if magic == b"P4":
+        rowb = (w + 7) // 8
+        raw = np.frombuffer(payload, np.uint8, count=rowb * h, offset=i)
+        bits = np.unpackbits(raw.reshape(h, rowb), axis=1)[:, :w]
+        gray = ((1 - bits) * 255).astype(np.uint8)  # 1 = black
+        return w, h, np.repeat(gray[:, :, None], 3, axis=2)
+    maxval = int(tokens[2])
+    if not (0 < maxval < 65536):
+        raise ValueError(f"invalid Netpbm maxval {maxval}")
+    spp = 3 if magic == b"P6" else 1
+    if maxval > 255:
+        raw = np.frombuffer(
+            payload, np.dtype(">u2"), count=w * h * spp, offset=i
+        ).astype(np.uint32)
+    else:
+        raw = np.frombuffer(
+            payload, np.uint8, count=w * h * spp, offset=i
+        ).astype(np.uint32)
     if maxval != 255:
-        raise ValueError(f"only maxval=255 supported, got {maxval}")
-    pixels = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=i)
-    return w, h, pixels.reshape(h, w, 3)
+        raw = raw * 255 // maxval
+    px = raw.astype(np.uint8).reshape(h, w, spp)
+    if spp == 1:
+        px = np.repeat(px, 3, axis=2)
+    return w, h, px
 
 
 def encode_ppm(pixels) -> bytes:
@@ -477,22 +502,90 @@ def encode_ppm(pixels) -> bytes:
 
 
 def decode_wav(payload: bytes):
-    """Parse a PCM WAV via the stdlib `wave` module: returns
+    """Parse a WAV: linear PCM via the stdlib `wave` module, plus a
+    manual RIFF path for G.711 companded telephony audio (format tag 7
+    = mu-law, 6 = A-law — stdlib `wave` rejects those). Returns
     (framerate, channels, float samples in [-1, 1])."""
     import io
     import wave
 
     import numpy as np
 
-    with wave.open(io.BytesIO(payload), "rb") as wf:
-        rate, channels, width = wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
-        raw = wf.readframes(wf.getnframes())
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as wf:
+            rate, channels, width = (
+                wf.getframerate(), wf.getnchannels(), wf.getsampwidth()
+            )
+            raw = wf.readframes(wf.getnframes())
+    except wave.Error:
+        return _decode_wav_g711(payload)
     if width == 2:
         samples = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
     elif width == 1:
         samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float64) - 128.0) / 128.0
     else:
         raise ValueError(f"unsupported sample width {width}")
+    return rate, channels, samples
+
+
+def _g711_ulaw_table():
+    """256-entry mu-law byte -> linear int16 (ITU G.711, BIAS 0x84)."""
+    out = []
+    for b in range(256):
+        u = ~b & 0xFF
+        sign = u & 0x80
+        exp = (u >> 4) & 7
+        mant = u & 0x0F
+        mag = (((mant << 3) + 0x84) << exp) - 0x84
+        out.append(-mag if sign else mag)
+    return out
+
+
+def _g711_alaw_table():
+    """256-entry A-law byte -> linear int16 scale (max 32256), G.711."""
+    out = []
+    for b in range(256):
+        a = b ^ 0x55
+        sign = a & 0x80
+        exp = (a >> 4) & 7
+        mant = a & 0x0F
+        mag = (mant << 4) + 8 if exp == 0 else ((mant << 4) + 0x108) << (exp - 1)
+        out.append(-mag if sign else mag)
+    return out
+
+
+def _decode_wav_g711(payload: bytes):
+    """RIFF/WAVE walk for the companded formats the stdlib refuses."""
+    import struct as _struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos = 12
+    fmt = None
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos : pos + 4]
+        (size,) = _struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if tag == b"fmt " and len(body) >= 16:
+            fmt = _struct.unpack("<HHIIHH", body[:16])
+        elif tag == b"data":
+            data = body
+        pos += 8 + size + (size & 1)
+    if fmt is None or data is None:
+        raise ValueError("corrupt WAV: missing fmt/data chunk")
+    tag_id, channels, rate, _bps, _align, bits = fmt
+    if tag_id not in (6, 7):
+        raise ValueError(f"unsupported WAV format tag {tag_id}")
+    if bits not in (0, 8):
+        raise ValueError(f"corrupt G.711 WAV: {bits} bits per sample")
+    table = np.array(
+        _g711_alaw_table() if tag_id == 6 else _g711_ulaw_table(), np.float64
+    )
+    # both tables are at 16-bit scale (ulaw max 32124, alaw max 32256)
+    samples = table[np.frombuffer(data, np.uint8)] / 32768.0
     return rate, channels, samples
 
 
@@ -728,18 +821,20 @@ def default_decoder() -> Decoder:
         if mime == TIFF_MIME:
             # baseline strips (none/PackBits/LZW, predictor, all
             # photometrics) decode dependency-free; tiled and
-            # CCITT/JPEG-in-TIFF (NotImplementedError) fall through
+            # CCITT/JPEG-in-TIFF (NotImplementedError) and payloads
+            # this parser rejects (ValueError) fall through
             try:
                 return baseline_decoder(payload, mime)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
                 if compressed is None:
                     raise
         if mime == WEBP_MIME:
             # lossless (VP8L) decodes dependency-free; lossy VP8
-            # (NotImplementedError) falls through to PIL
+            # (NotImplementedError) and payloads this parser rejects
+            # (ValueError — PIL sniffs content) fall through to PIL
             try:
                 return baseline_decoder(payload, mime)
-            except NotImplementedError:
+            except (NotImplementedError, ValueError):
                 if compressed is None:
                     raise
         if mime == JPEG_MIME:
@@ -769,12 +864,12 @@ def default_resizer() -> Resizer:
         compressed = None
 
     def resize(payload: bytes, mime: str, w: int, h: int) -> bytes:
-        if mime == PPM_MIME:
+        if mime in (PPM_MIME, PNG_MIME, GIF_MIME, BMP_MIME):
+            # fully-native formats — no fallback needed
             return baseline_resizer(payload, mime, w, h)
-        if mime == PNG_MIME:
-            # full native PNG decode (all depths/interlace) — no fallback
-            return baseline_resizer(payload, mime, w, h)
-        if mime == JPEG_MIME:
+        if mime in (JPEG_MIME, TIFF_MIME, WEBP_MIME):
+            # residual variants (hierarchical JPEG, tiled TIFF, lossy
+            # VP8) and payloads this parser rejects fall through to PIL
             try:
                 return baseline_resizer(payload, mime, w, h)
             except (NotImplementedError, ValueError):

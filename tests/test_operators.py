@@ -294,12 +294,14 @@ def test_resize_real_ppm_roundtrip(real_media_df):
 def test_baseline_decoder_rejects_undecodable_mime():
     from binance_data_pipeline_spark.operators.multimodal import baseline_decoder
 
-    # formats beyond the stdlib codecs (PPM/PNG/JPEG/WAV) stay stubbed
+    # formats beyond the native codec tier stay stubbed
     with pytest.raises(NotImplementedError):
-        baseline_decoder(b"RIFF....WEBP", "image/webp")
-    # malformed payload for a SUPPORTED format is a data error, not a stub
+        baseline_decoder(b"????ftypheic", "image/heic")
+    # malformed payloads for SUPPORTED formats are data errors, not stubs
     with pytest.raises(ValueError):
         baseline_decoder(b"\xff\xd8\xff\xe0jfif-but-garbage", "image/jpeg")
+    with pytest.raises(ValueError):
+        baseline_decoder(b"RIFF....WEBP", "image/webp")  # native since r12
 
 
 # ------------------------------------------------------------- PNG codec
@@ -549,11 +551,12 @@ def test_default_decoder_autodetect(spark, monkeypatch):
     assert all(abs(got[i] - want_img[i]) < 1.5 for i in (2, 3, 4))  # lossy means
 
     if importlib.util.find_spec("PIL") is None:
-        # this container: formats beyond the stdlib codecs hit the stub
+        # this container: formats beyond the native codec tier hit the
+        # stub (WebP decodes natively since r12 — use HEIC)
         with pytest.raises(NotImplementedError):
-            dec(ppm, "image/webp")
+            dec(ppm, "image/heic")
         with pytest.raises(NotImplementedError):
-            M.default_resizer()(b"x", "image/webp", 4, 4)
+            M.default_resizer()(b"x", "image/heic", 4, 4)
     else:  # environment with a real PIL: the real decode path runs
         import io
 
@@ -633,14 +636,15 @@ def test_png_sub_byte_depths_roundtrip():
                 assert np.array_equal(out, pal[idx]), (h, w, d, il)
 
 
-def test_png_fully_native_and_webp_falls_back_to_pil(monkeypatch):
+def test_png_fully_native_and_lossy_webp_falls_back_to_pil(monkeypatch):
     """Since r12 the stdlib PNG decoder covers the COMPLETE depth/
     interlace matrix (1/2/4/8/16-bit x sequential/Adam7 x gray/palette/
     RGB/alpha forms) — every PNG decodes natively with zero PIL calls.
-    The PIL fallback contract survives for genuinely-unsupported image
-    mimes (WebP): routed through PIL when importable, the documented
+    The PIL fallback contract survives for the residual variants —
+    lossy (VP8) WebP: routed through PIL when importable, the native
     NotImplementedError without it."""
     import importlib.util
+    import struct
     import sys
     import types
 
@@ -648,7 +652,9 @@ def test_png_fully_native_and_webp_falls_back_to_pil(monkeypatch):
 
     from binance_data_pipeline_spark.operators import multimodal as M
 
-    webp = b"RIFF\x00\x00\x00\x00WEBPVP8 "  # container sniff only
+    # a well-formed container whose codec chunk is lossy VP8
+    vp8 = b"VP8 " + struct.pack("<I", 4) + b"\x00\x00\x00\x00"
+    webp = b"RIFF" + struct.pack("<I", 4 + len(vp8)) + b"WEBP" + vp8
 
     if importlib.util.find_spec("PIL") is None:
         with pytest.raises(NotImplementedError):
