@@ -63,4 +63,5 @@ tiff             baseline TIFF codec (strips, none/PackBits/LZW + predictor, bot
 webp             WebP VP8L lossless codec (transforms, color cache, LZ77, meta groups)
 flac             FLAC codec (Rice partitions, fixed+LPC predictors, stereo decorrelation, CRCs)
 avi              MJPEG-AVI container codec (RIFF hdrl/movi/idx1, timestamped JPEG frames)
+media_quality    LAION-style image curation gate (JVM rules over feature vectors, per-source thresholds)
 """
