@@ -39,7 +39,9 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "DEFAULT_THRESHOLDS",
+    "DEFAULT_AUDIO_THRESHOLDS",
     "image_flags",
+    "audio_flags",
     "filter_by_source",
     "image_quality_report",
 ]
@@ -90,6 +92,50 @@ def image_flags(
         & (bright <= lim("max_brightness")),
     }
     # NULL feature: every content rule fails closed, not NULL
+    safe = {
+        k: (decoded & F.coalesce(v, F.lit(False))) if k != "decoded" else v
+        for k, v in flags.items()
+    }
+    overall = None
+    for v in safe.values():
+        overall = v if overall is None else (overall & v)
+    return F.struct(
+        *[v.alias(k) for k, v in safe.items()], overall.alias("pass")
+    )
+
+
+#: audio gate defaults (over the WAV/FLAC feature vector
+#: [duration_s, rms, zcr, peak, rate/48k, channels, 0, tag])
+DEFAULT_AUDIO_THRESHOLDS = {
+    "min_duration_s": 0.5,
+    "max_duration_s": 3600.0,
+    "min_rms": 0.001,        # digital-silence floor
+    "max_peak": 0.999,       # full-scale peak ~ clipping
+    "min_rate_hz": 8000.0,
+}
+
+_A_DUR, _A_RMS, _A_ZCR, _A_PEAK, _A_RATE = 1, 2, 3, 4, 5
+
+
+def audio_flags(
+    feature: Column | str, thresholds: dict | None = None
+) -> Column:
+    """Audio counterpart of image_flags over the 8-dim WAV/FLAC vector:
+    duration band, not-silent (RMS floor), not-clipped (peak below full
+    scale), sample-rate floor, decoded. Same fail-closed NULL
+    semantics."""
+    f = F.col(feature) if isinstance(feature, str) else feature
+    th = {**DEFAULT_AUDIO_THRESHOLDS, **(thresholds or {})}
+    decoded = f.isNotNull()
+    flags = {
+        "decoded": decoded,
+        "duration": (F.element_at(f, _A_DUR) >= F.lit(float(th["min_duration_s"])))
+        & (F.element_at(f, _A_DUR) <= F.lit(float(th["max_duration_s"]))),
+        "not_silent": F.element_at(f, _A_RMS) >= F.lit(float(th["min_rms"])),
+        "not_clipped": F.element_at(f, _A_PEAK) <= F.lit(float(th["max_peak"])),
+        "sample_rate": F.element_at(f, _A_RATE) * 48000.0
+        >= F.lit(float(th["min_rate_hz"])) - 0.5,
+    }
     safe = {
         k: (decoded & F.coalesce(v, F.lit(False))) if k != "decoded" else v
         for k, v in flags.items()

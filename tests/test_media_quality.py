@@ -96,6 +96,34 @@ def test_image_quality_report_counts(spark):
     assert abs(rep["web"]["pass_rate"] - 1 / 3) < 1e-9
 
 
+def test_audio_flags_on_real_wav_features(spark):
+    """Audio gate over the real WAV feature vector: a healthy sine
+    passes; digital silence fails not_silent; a NULL feature fails
+    closed; duration band honored."""
+    from binance_data_pipeline_spark.operators.media_quality import audio_flags
+    from binance_data_pipeline_spark.operators.multimodal import (
+        WAV_MIME,
+        baseline_decoder,
+        synthetic_wav,
+    )
+
+    good = baseline_decoder(synthetic_wav(1000, 440.0, rate=16000), WAV_MIME)
+    silent = list(good)
+    silent[1] = 0.0  # RMS
+    short = list(good)
+    short[0] = 0.1  # duration s
+    df = spark.createDataFrame(
+        [(1, good), (2, silent), (3, short), (4, None)],
+        "media_id long, feature array<double>",
+    )
+    out = {r["media_id"]: r["q"] for r in
+           df.withColumn("q", audio_flags("feature")).collect()}
+    assert out[1]["pass"]
+    assert not out[2]["not_silent"] and not out[2]["pass"]
+    assert not out[3]["duration"] and not out[3]["pass"]
+    assert not out[4]["decoded"] and not out[4]["pass"]
+
+
 def test_end_to_end_on_real_encoded_images(spark):
     """Real payloads through extract_features then the gate: a detailed
     large image passes; a solid color and a sliver banner fail; a
