@@ -64,4 +64,5 @@ webp             WebP VP8L lossless codec (transforms, color cache, LZ77, meta g
 flac             FLAC codec (Rice partitions, fixed+LPC predictors, stereo decorrelation, CRCs)
 avi              MJPEG-AVI container codec (RIFF hdrl/movi/idx1, timestamped JPEG frames)
 media_quality    LAION-style image curation gate (JVM rules over feature vectors, per-source thresholds)
+ico              ICO/favicon codec (PNG + classic doubled-height DIB members, AND-mask/alpha compositing)
 """

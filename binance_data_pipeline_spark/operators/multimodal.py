@@ -110,6 +110,8 @@ GIF_MIME = "image/gif"
 BMP_MIME = "image/bmp"
 TIFF_MIME = "image/tiff"
 WEBP_MIME = "image/webp"
+ICO_MIME = "image/x-icon"
+ICO_MIME_ALT = "image/vnd.microsoft.icon"
 AVI_MIME = "video/x-msvideo"
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -665,6 +667,11 @@ def baseline_decoder(payload: bytes, mime: str) -> list[float]:
 
         _, _, px = decode_webp(payload)  # VP8L; lossy VP8 raises
         return _rgb_features(px)
+    if mime in (ICO_MIME, ICO_MIME_ALT):
+        from .ico import decode_ico
+
+        _, _, px = decode_ico(payload)  # largest member
+        return _rgb_features(px)
     if mime in (WAV_MIME, FLAC_MIME):
         if mime == WAV_MIME:
             rate, channels, s = decode_wav(payload)
@@ -812,11 +819,12 @@ def default_decoder() -> Decoder:
             # (1/2/4/8/16-bit, sequential + Adam7) — no PIL fallback
             # needed; corrupt payloads raise ValueError (quarantine)
             return baseline_decoder(payload, mime)
-        if mime in (GIF_MIME, BMP_MIME):
+        if mime in (GIF_MIME, BMP_MIME, ICO_MIME, ICO_MIME_ALT):
             # GIF: full 87a/89a decode (LZW, interlace, LCTs,
             # transparency, frame compositing); BMP: palette/direct/
-            # BITFIELDS/RLE — no PIL fallback needed; corrupt payloads
-            # raise ValueError (quarantine)
+            # BITFIELDS/RLE; ICO: PNG + classic-DIB members — no PIL
+            # fallback needed; corrupt payloads raise ValueError
+            # (quarantine)
             return baseline_decoder(payload, mime)
         if mime == TIFF_MIME:
             # baseline strips (none/PackBits/LZW, predictor, all
