@@ -89,9 +89,23 @@ def merge_upsert(
         existing.unionByName(increment, allowMissingColumns=True), unique_key, ts_col
     )
     n = merged.count()
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    merged.write.mode("overwrite").partitionBy(partition_col).parquet(fact_path)
+    _write_dynamic_partitions(spark, merged, partition_col, fact_path)
     return n
+
+
+def _write_dynamic_partitions(spark, df: DataFrame, partition_col: str, path: str) -> None:
+    """Partitioned overwrite in DYNAMIC mode (replace only the touched
+    partitions), with the session conf restored afterwards — leaking
+    dynamic mode onto a shared session silently changes every later
+    ``mode("overwrite").partitionBy(...)`` from table-truncate to
+    partial-replace (stale partitions would survive a "full rebuild")
+    and drops the _SUCCESS marker."""
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def exact_dedup_latest(df: DataFrame, key: str, ts_col: str) -> DataFrame:

@@ -98,8 +98,12 @@ def refresh_continuous_aggregate(
         result = agg_fn(scope)
         _check_bucket(result, bucket_col)
         n = result.count()
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-        result.write.mode("overwrite").partitionBy(bucket_col).parquet(table_path)
+        # scoped: dynamic mode must not leak onto the shared session
+        # (it silently turns later full-table partitioned overwrites
+        # into partial replaces) — see incremental._write_dynamic_partitions
+        from .incremental import _write_dynamic_partitions
+
+        _write_dynamic_partitions(spark, result, bucket_col, table_path)
 
     # watermark LAST: a crash above leaves the old marker and the next
     # refresh redoes the same buckets — overwrite-idempotent

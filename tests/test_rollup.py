@@ -146,3 +146,46 @@ def test_timestamp_buckets_on_real_events(spark, tmp_path):
     assert s["rows_written"] > 0
     direct = _rows(agg(events.withColumn("bucket", F.date_trunc("hour", F.col("ts")))))
     assert _rows(read_rollup(spark, rollup)) == direct
+
+
+def test_dynamic_overwrite_mode_never_leaks(spark, tmp_path):
+    """Regression (r12): the incremental-refresh path flips the session
+    to dynamic partition-overwrite for ITS write only. Leaking it turns
+    every later full-table `mode("overwrite").partitionBy(...)` in the
+    shared session into a partial replace (stale partitions survive a
+    "rebuild") and drops the _SUCCESS marker — exactly how the IVF
+    index test caught it when suite sharding reordered modules."""
+    import os
+
+    from binance_data_pipeline_spark.operators.rollup import (
+        refresh_continuous_aggregate,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    rows = [(i, f"e{i % 2}", float(i)) for i in range(20)]
+    events = spark.createDataFrame(rows, "bucket_src int, event_type string, value double")
+
+    def agg(df):
+        return df.groupBy("bucket", "event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    for _ in range(2):  # second refresh takes the incremental (dynamic) leg
+        refresh_continuous_aggregate(
+            spark, events, rollup, agg, ts_col="bucket_src",
+            bucket_expr=(F.col("bucket_src") % 4),
+        )
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+        == "static"
+    )
+
+    # a later unrelated partitioned overwrite keeps STATIC semantics:
+    # full truncate (the p=1 partition disappears) + _SUCCESS marker
+    tbl = str(tmp_path / "unrelated")
+    spark.createDataFrame([(0, "a"), (1, "b")], "p int, v string").write.mode(
+        "overwrite"
+    ).partitionBy("p").parquet(tbl)
+    spark.createDataFrame([(0, "c")], "p int, v string").write.mode(
+        "overwrite"
+    ).partitionBy("p").parquet(tbl)
+    assert os.path.exists(os.path.join(tbl, "_SUCCESS"))
+    assert not any(d.startswith("p=1") for d in os.listdir(tbl))
