@@ -197,46 +197,77 @@ def bm25_query(
             lambda r: (int(r["n_docs"]), float(r["avgdl"]))
         )(spark.read.parquet(stats_path).first()),
     )
-    # ONE probe-planning job: collect the (tiny, query-vocabulary-bounded)
-    # probe terms WITH their bucket ids — shuffle-free (the term-set
-    # dedup the BM25 Σ needs runs driver-side over the collected rows,
-    # not as a distinct() exchange) — then rebuild qt as a single-slice
-    # local relation: the bucket list and the broadcast build then cost
-    # zero further jobs, and the query-side plan (often a scan+sort
-    # upstream) never re-executes per leg. Over-large probes (a mis-used
-    # API, not a serving call) keep the distributed plan.
+    # ZERO-JOB probe planning (plain-text path): the query batch is
+    # collected once (bounded; free when the caller already passes a
+    # local relation — Project/Limit over LocalRelation fold in the
+    # optimizer), then tokenization + term hashing run as a DETERMINISTIC
+    # JVM projection over a rebuilt local relation, which
+    # ConvertToLocalRelation evaluates at optimization time — identical
+    # split/lower/xxhash64 semantics to the distributed plan, no Spark
+    # job, no Python reimplementation of Java regex/locale behavior.
+    # The term-set dedup the BM25 Σ needs happens driver-side (the
+    # distinct() exchange the distributed fallback pays). Over-large
+    # probes (a mis-used API, not a serving call) keep the distributed
+    # plan.
+    from .metacache import local_relation
+
     n_buckets = _index_buckets(spark, index_path)
     probe_cap = 100_000
+    qt = None
     if weighted_terms is not None:
         qt_plan = weighted_terms.select("query_id", "term", "qw")
-    else:
-        qt_plan = queries.select(
-            F.col(query_id_col).alias("query_id"),
-            F.explode(_token_array(query_text_col, tokenizer)).alias("term"),
+        qt_b = qt_plan.withColumn(
+            "tb", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
         )
-    qt_b = qt_plan.withColumn(
-        "tb", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
-    )
-    probe_rows = qt_b.limit(probe_cap + 1).collect()
-    if len(probe_rows) <= probe_cap:
-        if weighted_terms is None:
-            # BM25's Σ is over the query's term SET (bag-of-words form
-            # ignores duplicate query terms) — same dedup _query_terms'
-            # distinct() does, minus the exchange
-            probe_rows = list(dict.fromkeys(tuple(r) for r in probe_rows))
-        else:
+        probe_rows = qt_b.limit(probe_cap + 1).collect()
+        if len(probe_rows) <= probe_cap:
             probe_rows = [tuple(r) for r in probe_rows]
-        from .metacache import local_relation
-
-        buckets = sorted({r[-1] for r in probe_rows})
-        qt = local_relation(spark, probe_rows, qt_b.schema).drop("tb")
+            buckets = sorted({r[-1] for r in probe_rows})
+            qt = local_relation(spark, probe_rows, qt_b.schema).drop("tb")
+        else:
+            qt = qt_plan
+            buckets = [r["tb"] for r in qt_b.select("tb").distinct().collect()]
     else:
-        qt = (
-            qt_plan
-            if weighted_terms is not None
-            else _query_terms(queries, query_id_col, query_text_col, tokenizer)
-        )
-        buckets = [r["tb"] for r in qt_b.select("tb").distinct().collect()]
+        q2 = queries.select(F.col(query_id_col), F.col(query_text_col))
+        qrows = q2.limit(probe_cap + 1).collect()
+        if len(qrows) <= probe_cap:
+            folded = (
+                local_relation(spark, qrows, q2.schema)
+                .select(
+                    F.col(query_id_col).alias("query_id"),
+                    F.transform(
+                        _token_array(query_text_col, tokenizer),
+                        lambda t: F.struct(
+                            t.alias("term"), F.xxhash64(t).alias("h")
+                        ),
+                    ).alias("th"),
+                )
+                .collect()  # LocalTableScan after folding: no job
+            )
+            qid_type = q2.schema[query_id_col].dataType.simpleString()
+            seen: dict[tuple, int] = {}
+            for r in folded:
+                if r["th"] is None:
+                    continue
+                for e in r["th"]:
+                    key = (r["query_id"], e["term"])
+                    if key not in seen:
+                        # python % on the signed hash == Spark pmod
+                        seen[key] = int(e["h"]) % n_buckets
+            probe_rows = [(q, t, tb) for (q, t), tb in seen.items()]
+            buckets = sorted(set(seen.values()))
+            qt = local_relation(
+                spark,
+                probe_rows,
+                f"query_id {qid_type}, term string, tb int",
+            ).drop("tb")
+        else:
+            qt = _query_terms(queries, query_id_col, query_text_col, tokenizer)
+            qt_b = qt.withColumn(
+                "tb",
+                F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int"),
+            )
+            buckets = [r["tb"] for r in qt_b.select("tb").distinct().collect()]
     postings = spark.read.parquet(os.path.join(index_path, "postings.parquet")).where(
         F.col("tb").isin(buckets)
     )

@@ -169,6 +169,128 @@ def shingle_table(
     return _materialize(sh).where(F.size("sh") > 0)
 
 
+def _make_mm3_mix_long():
+    """Factory for one vectorized Murmur3_x86_32.hashLong step:
+    ``vals`` int64, ``h`` uint32 running hashes. Bit-identical to
+    Spark's ``F.hash`` accumulation over BIGINT children (verified
+    element-wise against the JVM in
+    tests/test_operators.py::test_minhash_table_parity). Nested so
+    executor closures capture it BY VALUE — the driver's vanilla
+    session does not ship this package to Python workers."""
+    import numpy as np
+
+    C1 = np.uint32(0xCC9E2D51)
+    C2 = np.uint32(0x1B873593)
+
+    def rotl(x, r):
+        return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+    def mm3_mix_long(vals, h):
+        u = vals.view(np.uint64)
+
+        def mix_k1(k1):
+            return rotl(k1 * C1, 15) * C2
+
+        def mix_h1(h1, k1):
+            return rotl(h1 ^ k1, 13) * np.uint32(5) + np.uint32(0xE6546B64)
+
+        h1 = mix_h1(h, mix_k1((u & np.uint64(0xFFFFFFFF)).astype(np.uint32)))
+        h1 = mix_h1(h1, mix_k1((u >> np.uint64(32)).astype(np.uint32)))
+        h1 = h1 ^ np.uint32(8)
+        h1 = h1 ^ (h1 >> np.uint32(16))
+        h1 = h1 * np.uint32(0x85EBCA6B)
+        h1 = h1 ^ (h1 >> np.uint32(13))
+        h1 = h1 * np.uint32(0xC2B2AE35)
+        h1 = h1 ^ (h1 >> np.uint32(16))
+        return h1
+
+    return mm3_mix_long
+
+
+_mm3_mix_long = _make_mm3_mix_long()
+
+
+def minhash_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_perm: int = 16,
+) -> DataFrame:
+    """ONE materialized (id, sh, sig) table for the minhash pipeline —
+    shingle-hash set AND minhash signature from a single Arrow pass over
+    the JVM token hashes (string hashing stays JVM xxhash64 for
+    bit-parity; the n-gram murmur3 combine, the distinct, and all
+    ``num_perm`` permutation minima run vectorized per batch).
+
+    Replaces the former two-stage shape (shingle checkpoint + signature
+    checkpoint: the signature HOFs re-read the stored shingle blocks as a
+    second job) with one job and one barrier. Shingle-hash VALUES are
+    bit-identical to ``hashed_shingles``; only the array ORDER differs
+    (sorted distinct vs first-occurrence distinct), which nothing
+    downstream observes — Jaccard uses set sizes, minhash uses set
+    minima (parity pinned in tests). Docs shorter than ``n`` tokens get
+    an empty ``sh`` and are filtered exactly like ``shingle_table``."""
+    import numpy as np
+
+    params = _perm_params(num_perm)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def build(batches):
+        a_params = np.array([p[0] for p in params], dtype=np.int64)
+        b_params = np.array([p[1] for p in params], dtype=np.int64)
+        p31 = np.int64(_MERSENNE_P31)
+        for b in batches:
+            ids = b[b.columns[0]].to_numpy()
+            th_vals = b[b.columns[1]].to_numpy()
+            n_docs = len(th_vals)
+            sh_out: list = [None] * n_docs
+            sig_out: list = [None] * n_docs
+            seg_arrays = []
+            seg_doc = []
+            for i, th in enumerate(th_vals):
+                arr = np.asarray(th, dtype=np.int64)
+                if len(arr) < n:
+                    sh_out[i] = []
+                    sig_out[i] = []
+                    continue
+                seg_arrays.append(arr)
+                seg_doc.append(i)
+            if seg_arrays:
+                # every doc contributes its count[k] shingle positions to
+                # each offset column IN DOC ORDER, so position p of the
+                # three columns is shingle p's (t0, t1, t2) triple
+                counts = np.array([len(a) - (n - 1) for a in seg_arrays])
+                cols = [
+                    np.concatenate([a[j : len(a) - (n - 1) + j] for a in seg_arrays])
+                    for j in range(n)
+                ]
+                h = np.full(len(cols[0]), 42, dtype=np.uint32)
+                for col in cols:
+                    h = _mm3_mix_long(col, h)
+                hashes = h.view(np.int32).astype(np.int64)
+                starts = np.zeros(len(counts), dtype=np.int64)
+                starts[1:] = np.cumsum(counts)[:-1]
+                hmod = ((hashes % p31) + p31) % p31
+                perms = (
+                    a_params[:, None] * hmod[None, :] + b_params[:, None]
+                ) % p31  # (num_perm, total)
+                mins = np.minimum.reduceat(perms, starts, axis=1)  # (perm, docs)
+                for k, i in enumerate(seg_doc):
+                    lo, hi = starts[k], starts[k] + counts[k]
+                    sh_out[i] = np.unique(hashes[lo:hi]).tolist()
+                    sig_out[i] = mins[:, k].tolist()
+            yield pd.DataFrame({"id": ids, "sh": sh_out, "sig": sig_out})
+
+    toks = _spread(df).select(
+        F.col(id_col).alias("id"), token_hashes(text_col).alias("th")
+    )
+    tbl = toks.mapInPandas(
+        build, f"id {id_type}, sh array<long>, sig array<long>"
+    )
+    return _materialize(tbl).where(F.size("sh") > 0)
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -178,9 +300,14 @@ def minhash_candidate_pairs(
     bands: int = 4,
     shingle_df: DataFrame | None = None,
     max_bucket_size: int | None = None,
+    table_df: DataFrame | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands, hash each band,
     bucket-join → candidate pairs (id_a < id_b, distinct).
+
+    ``table_df`` (a ``minhash_table`` result) supplies ready signatures —
+    no second materialization; ``shingle_df`` keeps the legacy two-stage
+    path for callers that already built a shingle table.
 
     The only shuffle is the band-bucket exchange; pair blow-up is bounded by
     bucket sizes, not corpus size.
@@ -195,8 +322,14 @@ def minhash_candidate_pairs(
     sees the w² explosion. The bucket-size table this filters on is
     aggregated (distinct buckets, not rows) and the filter is a semi-join.
     """
-    sh = shingle_df if shingle_df is not None else shingle_table(df, id_col, text_col, n)
-    sig_df = _materialize(sh.select("id", _minhash_from_hashes(F.col("sh"), num_perm).alias("sig")))
+    if table_df is not None:
+        sig_df = table_df.select("id", "sig")
+    elif shingle_df is not None:
+        sig_df = _materialize(
+            shingle_df.select("id", _minhash_from_hashes(F.col("sh"), num_perm).alias("sig"))
+        )
+    else:
+        sig_df = minhash_table(df, id_col, text_col, n, num_perm).select("id", "sig")
     banded = sig_df.select(
         "id", F.posexplode(band_hashes(F.col("sig"), num_perm, bands)).alias("band_id", "bh")
     )
@@ -233,10 +366,13 @@ def minhash_near_dups(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verify on the
     (hashed) shingle sets → pairs with jaccard ≥ threshold. See
-    minhash_candidate_pairs for the ``max_bucket_size`` skew guard."""
-    sh = shingle_table(df, id_col, text_col, n)
+    minhash_candidate_pairs for the ``max_bucket_size`` skew guard.
+    Shingles and signatures come from ONE fused Arrow pass
+    (``minhash_table``) — one materialization barrier instead of two."""
+    tbl = minhash_table(df, id_col, text_col, n, num_perm)
+    sh = tbl.select("id", "sh")
     cands = minhash_candidate_pairs(
-        df, id_col, text_col, n, num_perm, bands, shingle_df=sh,
+        df, id_col, text_col, n, num_perm, bands, table_df=tbl,
         max_bucket_size=max_bucket_size,
     )
     return (
@@ -391,7 +527,17 @@ def simhash_near_dups(
     guarantee differs by design."""
     n_bands = bands if bands is not None else max_hamming + 1
     width = 64 // n_bands
-    sig = _materialize(with_simhash(df, id_col, text_col))
+    sig_plan = with_simhash(df, id_col, text_col)
+    if max_block_size is None:
+        # the dup-ratio gate needs one aggregate over the signatures
+        # anyway — let THAT job fill a persisted cache instead of paying
+        # a separate eager-checkpoint job first (the lazy-cache race the
+        # _materialize docstring warns about needs concurrent first
+        # readers; here the gate aggregate fills the cache alone before
+        # any self-join branch reads it)
+        sig = sig_plan.persist()
+    else:
+        sig = _materialize(sig_plan)
     # band i = bits [i*width, (i+1)*width) of the signature, as a separate
     # blocking key per band index (shiftright + mask keeps it JVM-side;
     # the last band absorbs any remainder bits)

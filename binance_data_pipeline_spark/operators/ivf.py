@@ -35,7 +35,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
-from .similarity import _spread, cosine
+from .similarity import _spread, cosine, pair_cosine_udf
 
 from ..session import local_rows
 
@@ -409,7 +409,9 @@ def _ivf_query_join(
     scored = cells.join(F.broadcast(q_cells), "cell_id")
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
-    scored = scored.withColumn("sim", F.round(cosine(F.col("qv"), F.col("cv")), 4))
+    scored = scored.withColumn(
+        "sim", F.round(pair_cosine_udf()(F.col("qv"), F.col("cv")), 4)
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w).cast("long"))

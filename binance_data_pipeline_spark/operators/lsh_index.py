@@ -45,7 +45,7 @@ from .similarity import (
     _hyperplanes,
     _spread,
     ann_lsh_topk,
-    cosine,
+    pair_cosine_udf,
     rp_signatures_batch,
 )
 
@@ -297,7 +297,7 @@ def _lsh_query_join(
     if exclude_self:
         scored = scored.where(F.col("query_id") != F.col("neighbor_id"))
     scored = (
-        scored.withColumn("sim", F.round(cosine(F.col("qv"), F.col("v")), 4))
+        scored.withColumn("sim", F.round(pair_cosine_udf()(F.col("qv"), F.col("v")), 4))
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("sim").alias("sim"))
     )

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .bm25 import bm25_topk
-from .similarity import cosine, cosine_topk_brute
+from .similarity import cosine_topk_brute, pair_cosine_udf
 
 __all__ = ["mine_hard_negatives"]
 
@@ -90,7 +90,7 @@ def mine_hard_negatives(
     cand = (
         lex.join(F.broadcast(q_emb), "query_id")
         .join(d_emb, "doc_id")
-        .withColumn("sem_sim", F.round(cosine(F.col("qv"), F.col("dv")), 4))
+        .withColumn("sem_sim", F.round(pair_cosine_udf()(F.col("qv"), F.col("dv")), 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("rk").asc(), F.col("doc_id"))
     neg = (

@@ -41,7 +41,7 @@ from pyspark.errors import AnalysisException
 
 from .dedup import cluster_pairs
 from .ivf import _centroid_array_col, train_centroids
-from .similarity import _spread, cosine
+from .similarity import _spread, cosine, pair_cosine_udf
 
 from ..session import local_rows
 
@@ -110,7 +110,7 @@ def semantic_pairs(
     return (
         l.join(r, join_keys)
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .withColumn("sim", F.round(pair_cosine_udf()(F.col("va"), F.col("vb")), 4))
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b", "sim")
     )
@@ -275,7 +275,7 @@ def semantic_dedup_batch(
             ),
             "cell_id",
         )
-        .withColumn("sim", F.round(cosine(F.col("nv"), F.col("ov")), 4))
+        .withColumn("sim", F.round(pair_cosine_udf()(F.col("nv"), F.col("ov")), 4))
         .where(F.col("sim") >= threshold)
         .select("new_id", "old_id")
     )

@@ -347,10 +347,15 @@ def q_ngram_jaccard_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling-hash fingerprints: docs sharing a min-k
-    shingle-hash set are near-exact dups — clusters with >1 doc."""
+    shingle-hash set are near-exact dups — clusters with >1 doc.
+    Fingerprints come from the Arrow kernel (bit-identical to the Column
+    form; tokenization stays JVM) — the HOF chain was the most expensive
+    map expression in the catalog (r12 measurement)."""
     d = load_table(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", T.winnow_fingerprint("text").alias("fp"))
+        d.select(
+            "doc_id", T.winnow_fingerprint_batch()(T.tokens("text")).alias("fp")
+        )
         .groupBy("fp")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
         .where(F.col("n_docs") > 1)

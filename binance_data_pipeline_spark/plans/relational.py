@@ -89,6 +89,11 @@ def q_conditional_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("o_orderstatus") == s, F.col("o_totalprice")).otherwise(0.0)), 4
         )
 
+    # ONE percentile buffer for all three points (identical
+    # interpolation math — the array form reads the same sorted buffer),
+    # where three scalar percentile() calls each built and sorted their
+    # own per-group value buffer (r12: 3× the dominant agg state)
+    pct = F.expr("percentile(o_totalprice, array(0.5D, 0.9D, 0.99D))")
     return o.groupBy("o_orderpriority").agg(
         F.countDistinct("o_custkey").alias("n_customers"),
         F.count(F.lit(1)).alias("n_orders"),
@@ -96,9 +101,9 @@ def q_conditional_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         status_sum("O").alias("open_total"),
         status_sum("F").alias("filled_total"),
         status_sum("P").alias("partial_total"),
-        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
-        F.round(F.expr("percentile(o_totalprice, 0.9)"), 4).alias("p90"),
-        F.round(F.expr("percentile(o_totalprice, 0.99)"), 4).alias("p99"),
+        F.round(F.element_at(pct, 1), 4).alias("p50"),
+        F.round(F.element_at(pct, 2), 4).alias("p90"),
+        F.round(F.element_at(pct, 3), 4).alias("p99"),
     )
 
 

@@ -774,6 +774,48 @@ def test_minhash_short_docs_no_ansi_fault(spark):
     assert all(r["jaccard"] == 1.0 for r in pairs)
 
 
+def test_minhash_table_parity(spark):
+    """The fused Arrow minhash kernel (r12 optimization) must reproduce
+    the legacy two-stage JVM pipeline bit-for-bit: murmur3 shingle-hash
+    SETS (order-free) and every permutation minimum."""
+    import numpy as np
+
+    # element-wise murmur3 parity against the JVM on adversarial longs
+    rng = np.random.default_rng(11)
+    a = rng.integers(-(2**63), 2**63 - 1, 500, dtype=np.int64)
+    b = rng.integers(-(2**63), 2**63 - 1, 500, dtype=np.int64)
+    c = rng.integers(-(2**63), 2**63 - 1, 500, dtype=np.int64)
+    for arr in (a, b, c):
+        arr[:4] = [0, -1, 2**63 - 1, -(2**63)]
+    h = np.full(len(a), 42, dtype=np.uint32)
+    for col in (a, b, c):
+        h = D._mm3_mix_long(col, h)
+    mine = h.view(np.int32).astype(np.int64)
+    jdf = spark.createDataFrame(
+        pd.DataFrame({"a": a, "b": b, "c": c})
+    ).select(F.hash("a", "b", "c").cast("long").alias("h"))
+    jvm = np.array([r["h"] for r in jdf.collect()])
+    assert (jvm == mine).all()
+
+    # full-table parity on the fixture corpus (plus short/empty docs)
+    d = load_table(spark, SF, "documents").select("doc_id", "text").union(
+        spark.createDataFrame(
+            [(100001, ""), (100002, "one"), (100003, "two tokens")],
+            "doc_id LONG, text STRING",
+        )
+    )
+    fused = {r["id"]: (frozenset(r["sh"]), tuple(r["sig"]))
+             for r in D.minhash_table(d).collect()}
+    sh = D.shingle_table(d)
+    legacy = {
+        r["id"]: (frozenset(r["sh"]), tuple(r["sig"]))
+        for r in sh.select(
+            "id", "sh", D._minhash_from_hashes(F.col("sh"), 16).alias("sig")
+        ).collect()
+    }
+    assert fused == legacy
+
+
 def test_minhash_hot_bucket_cap(spark):
     """The skew guard: a degenerate bucket (many docs sharing boilerplate)
     must not explode candidate generation when capped — while a genuinely
@@ -883,6 +925,69 @@ def test_materialize_dedup_corpus_job(spark, tmp_path):
     assert {r["reason"] for r in mapping.select("reason").distinct().collect()} <= {
         "kept", "exact_dup", "near_dup"
     }
+
+
+def test_cosine_kernels_match_hof_reference(spark):
+    """The r12 Arrow cosine kernels (localized matmul scan, pair UDF)
+    must reproduce the Catalyst HOF plans bit-for-bit — fast path and
+    join fallback alike, across all three exact-cosine operators."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, SF, "embeddings")
+
+    def hof_brute(df, threshold):
+        a = S._spread(df).select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = df.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        return (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn("sim", F.round(S.cosine(F.col("va"), F.col("vb")), 4))
+            .where(F.col("sim") >= threshold)
+            .select("id_a", "id_b", "sim")
+        )
+
+    def hof_topk(q, c, k):
+        qq = q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+        cc = S._spread(c).select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+        scored = (
+            F.broadcast(qq)
+            .crossJoin(cc)
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("sim", F.round(S.cosine(F.col("qv"), F.col("cv")), 4))
+        )
+        w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+        return (
+            scored.withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= k)
+            .select("query_id", "neighbor_id", "sim", "rk")
+        )
+
+    want = sorted(map(tuple, hof_brute(e, 0.3).collect()))
+    got_fast = sorted(map(tuple, S.cosine_near_dup_pairs_brute(e, threshold=0.3).collect()))
+    got_join = sorted(
+        map(tuple, S.cosine_near_dup_pairs_brute(e, threshold=0.3, max_local_corpus=0).collect())
+    )
+    assert got_fast == want and got_join == want
+
+    q = e.where(F.col("vec_id") < 7)
+    want_tk = sorted(map(tuple, hof_topk(q, e, 3).collect()))
+    got_tk = sorted(map(tuple, S.cosine_topk_brute(q, e, k=3).collect()))
+    assert got_tk == want_tk
+
+    # verify_pairs_cosine: foreign / null candidate ids drop like the
+    # inner-join fallback does
+    cands = spark.createDataFrame(
+        [(0, 1), (1, 2), (999999, 1), (None, 2)], "id_a long, id_b long"
+    )
+    fast = sorted(
+        map(tuple, S.verify_pairs_cosine(e, cands, threshold=-1.0).collect())
+    )
+    join = sorted(
+        map(
+            tuple,
+            S.verify_pairs_cosine(e, cands, threshold=-1.0, max_local_corpus=0).collect(),
+        )
+    )
+    assert fast == join and len(fast) == 2
 
 
 def test_ann_recall_vs_brute(spark):
