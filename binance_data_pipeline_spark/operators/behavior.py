@@ -39,7 +39,6 @@ def funnel_conversion(
     Monotone by construction: n_users never increases down the funnel."""
     if len(steps) < 2:
         raise ValueError("a funnel needs at least 2 steps")
-    spark = events.sparkSession
     base = events.select(
         F.col(user_col).alias("u"), F.col(event_col).alias("e"), F.col(ts_col).alias("t")
     )
@@ -50,7 +49,17 @@ def funnel_conversion(
         .agg(F.min("t").alias("t_prev"))
         .withColumn("t_entry", F.col("t_prev"))
     )
-    counts = [(0, steps[0], reached.count())]
+
+    def leg(i: int, step: str, frame: DataFrame) -> DataFrame:
+        return frame.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(i).alias("step_idx"), F.lit(step).alias("step"), "n_users"
+        )
+
+    # ONE lazy plan instead of a driver-side .count() job per step: the
+    # per-step count jobs each re-ran the whole prior chain (step 3 paid
+    # steps 1-2 again); as union legs of a single plan, ReuseExchange
+    # dedupes the shared per-user aggregates and the caller pays one job
+    legs = [leg(0, steps[0], reached)]
     for i, step in enumerate(steps[1:], start=1):
         nxt = base.where(F.col("e") == step)
         joined = nxt.join(reached, "u").where(F.col("t") > F.col("t_prev"))
@@ -60,8 +69,11 @@ def funnel_conversion(
                 <= F.lit(int(within_seconds))
             )
         reached = joined.groupBy("u", "t_entry").agg(F.min("t").alias("t_prev"))
-        counts.append((i, step, reached.count()))
-    return spark.createDataFrame(counts, "step_idx int, step string, n_users long")
+        legs.append(leg(i, step, reached))
+    out = legs[0]
+    for extra in legs[1:]:
+        out = out.unionByName(extra)
+    return out
 
 
 def cohort_retention(

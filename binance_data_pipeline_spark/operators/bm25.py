@@ -136,8 +136,16 @@ def _score_and_rank(
         F.col("tf") + k1 * (1 - b + b * F.col("doclen") / F.lit(avgdl))
     )
     qw = F.col("qw") if "qw" in cand.columns else F.lit(1.0)
+    # ONE exchange for score+rank: hash-partitioning by query_id alone
+    # satisfies both the (query_id, doc) aggregation's clustering AND the
+    # rank window's partitioning, where the default plan paid an
+    # (query_id, doc) agg exchange followed by a query_id window exchange.
+    # The window stage always clustered by query alone, so the skew
+    # exposure is unchanged; the shuffle carries term-level contribs
+    # instead of doc-level partials (short serve queries: ~same bytes).
     scored = (
-        cand.withColumn("contrib", qw * F.col("idf") * tf_part)
+        cand.repartition("query_id")
+        .withColumn("contrib", qw * F.col("idf") * tf_part)
         .groupBy("query_id", "doc")
         .agg(F.round(F.sum("contrib"), 4).alias("score"))
     )
@@ -393,8 +401,13 @@ def rrf_fuse(
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
-    fused = out.groupBy("query_id", "doc_id").agg(
-        F.sum("contrib").alias("rrf_score")
+    # one exchange for fuse+rank (same subset-clustering argument as
+    # _score_and_rank; inputs are top-k-truncated lists, so the shuffle
+    # is |Q|·k·legs rows either way)
+    fused = (
+        out.repartition("query_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum("contrib").alias("rrf_score"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("rrf_score").desc(), F.col("doc_id")

@@ -77,12 +77,28 @@ def corpus_fingerprint(corpus: DataFrame, params: str, max_status_calls: int = 1
 def _read_index_fingerprint(spark: SparkSession, index_path: str) -> str | None:
     """Fingerprint persisted beside the index, or None if absent/unreadable
     (a half-written index has no meta — meta is written LAST, so it doubles
-    as the build's commit marker)."""
+    as the build's commit marker).
+
+    Memoized per meta-dir listing (operators/metacache): every *_topk
+    serve call pays this read before any real work, and it is a full
+    Spark job for one row — a serving tier validates the index once per
+    build, not per query. Rebuilds rewrite meta.parquet, so the listing
+    key self-invalidates; an absent dir is never cached."""
+    meta_path = os.path.join(index_path, "meta.parquet")
+
+    def load() -> str | None:
+        try:
+            rows = spark.read.parquet(meta_path).collect()
+        except AnalysisException:
+            return None
+        return rows[0]["fingerprint"] if rows else None
+
     try:
-        rows = spark.read.parquet(os.path.join(index_path, "meta.parquet")).collect()
-    except AnalysisException:
+        from .metacache import cached_meta
+
+        return cached_meta(spark, meta_path, load, ns="fingerprint")
+    except Exception:  # listing failed: dir absent → index absent
         return None
-    return rows[0]["fingerprint"] if rows else None
 
 
 def _centroid_array_col(centroids: list[tuple[int, list[float]]]) -> Column:

@@ -257,7 +257,9 @@ def lsh_query(
     scored = (
         cells.mapInPandas(score, schema=out_schema)
         # one neighbor can surface from several tables — identical sims,
-        # collapse before ranking
+        # collapse before ranking; partitioning by query alone serves
+        # both this aggregate and the rank window in ONE exchange
+        .repartition("query_id")
         .groupBy("query_id", "neighbor_id")
         .agg(F.max("sim").alias("sim"))
     )

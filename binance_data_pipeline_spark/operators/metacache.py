@@ -43,26 +43,31 @@ def _listing_key(spark: SparkSession, path: str) -> tuple:
 
 
 def cached_meta(
-    spark: SparkSession, path: str, loader: Callable[[], Any]
+    spark: SparkSession, path: str, loader: Callable[[], Any], ns: str = ""
 ) -> Any:
     """``loader()``'s result memoized under ``path``'s current listing.
     The loader must return plain driver-side data (rows, dicts, ints) —
-    never a DataFrame, whose lineage would outlive the cache entry."""
+    never a DataFrame, whose lineage would outlive the cache entry.
+    ``ns`` separates different loaders over the same path (e.g. an
+    index's full meta dict vs just its fingerprint)."""
     key = _listing_key(spark, path)
-    hit = _CACHE.get(path)
+    slot = ns + "\x00" + path
+    hit = _CACHE.get(slot)
     if hit is not None and hit[0] == key:
         return hit[1]
     value = loader()
-    _CACHE[path] = (key, value)
+    _CACHE[slot] = (key, value)
     return value
 
 
 def invalidate_meta(path: str | None = None) -> None:
-    """Drop one path's entry (or everything) — test/maintenance hook."""
+    """Drop one path's entries (all namespaces) or everything —
+    test/maintenance hook."""
     if path is None:
         _CACHE.clear()
     else:
-        _CACHE.pop(path, None)
+        for slot in [s for s in _CACHE if s.endswith("\x00" + path)]:
+            _CACHE.pop(slot, None)
 
 
 def local_relation(spark: SparkSession, rows: list, schema) -> "Any":
