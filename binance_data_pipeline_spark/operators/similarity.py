@@ -226,6 +226,36 @@ def _localized(df: DataFrame, id_col: str, vec_col: str, max_rows: int):
     return out
 
 
+#: Corpus-size crossover for the top-k scoring kernel: below this the
+#: broadcast-crossJoin HOF plan is faster (Python fixed costs dominate),
+#: above it the vectorized kernel wins by an order of magnitude. Bytes of
+#: the corpus's input files — a driver-side estimate, no job.
+MIN_KERNEL_CORPUS_BYTES = int(
+    os.environ.get("BDP_MIN_KERNEL_CORPUS_BYTES", str(8 << 20))
+)
+
+
+def _corpus_bytes(df: DataFrame) -> int:
+    """Total input-file bytes behind a frame (0 for in-memory frames —
+    treated as small). Capped status calls like corpus_fingerprint."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return 0
+    total = 0
+    from .ivf import _hadoop_fs
+
+    for f in files[:100]:
+        try:
+            fs, p = _hadoop_fs(df.sparkSession, f)
+            total += fs.getFileStatus(p).getLen()
+        except Exception:
+            pass
+    if len(files) > 100 and files:
+        total = int(total * len(files) / 100)
+    return total
+
+
 def _round_margin(threshold: float) -> float:
     """Prune bound for a matmul pre-score: keep every pair whose EXACT
     sim could still round (HALF_UP, 4 dp) to ≥ threshold. The matmul
@@ -435,11 +465,19 @@ def cosine_topk_brute(
     q_type = queries.schema[id_col].dataType.simpleString()
     n_type = corpus.schema[id_col].dataType.simpleString()
     try:
-        qrows = queries.select(id_col, vec_col).limit(4097).collect()
-        if len(qrows) <= 4096:
-            # null query ids can never emit (the crossJoin plan drops
-            # them through the null-valued != predicate)
-            fast = [(r[0], r[1]) for r in qrows if r[0] is not None]
+        if _corpus_bytes(corpus) < MIN_KERNEL_CORPUS_BYTES:
+            # small corpus: the JVM crossJoin plan beats the kernel —
+            # the Python boundary's fixed cost (~0.4 s/job) exceeds the
+            # interpreted-HOF cost it removes (measured +0.19 s at
+            # sf0.1's 2000×64 corpus; the kernel wins past ~10 MB of
+            # vectors where HOF evals reach tens of millions)
+            fast = None
+        else:
+            qrows = queries.select(id_col, vec_col).limit(4097).collect()
+            if len(qrows) <= 4096:
+                # null query ids can never emit (the crossJoin plan
+                # drops them through the null-valued != predicate)
+                fast = [(r[0], r[1]) for r in qrows if r[0] is not None]
     except Exception:
         fast = None
     if fast is not None:
@@ -560,11 +598,23 @@ def cosine_topk_brute(
 
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
     c = _spread(corpus).select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # fallback scorer follows the same crossover: HOF for small corpora
+    # (no Python boundary), Arrow pair kernel once the per-pair volume
+    # pays for it (big corpus + >4096-query frames land here)
+    try:
+        big = _corpus_bytes(corpus) >= MIN_KERNEL_CORPUS_BYTES
+    except Exception:
+        big = False
+    sim_expr = (
+        pair_cosine_udf()(F.col("qv"), F.col("cv"))
+        if big
+        else cosine(F.col("qv"), F.col("cv"))
+    )
     scored = (
         F.broadcast(q)
         .crossJoin(c)
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(pair_cosine_udf()(F.col("qv"), F.col("cv")), 4))
+        .withColumn("sim", F.round(sim_expr, 4))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return (

@@ -970,8 +970,17 @@ def test_cosine_kernels_match_hof_reference(spark):
 
     q = e.where(F.col("vec_id") < 7)
     want_tk = sorted(map(tuple, hof_topk(q, e, 3).collect()))
+    # default path (small corpus → HOF plan) and the forced Arrow kernel
+    # (the big-corpus path) must both reproduce the reference
     got_tk = sorted(map(tuple, S.cosine_topk_brute(q, e, k=3).collect()))
     assert got_tk == want_tk
+    prev = S.MIN_KERNEL_CORPUS_BYTES
+    S.MIN_KERNEL_CORPUS_BYTES = 0
+    try:
+        got_kernel = sorted(map(tuple, S.cosine_topk_brute(q, e, k=3).collect()))
+    finally:
+        S.MIN_KERNEL_CORPUS_BYTES = prev
+    assert got_kernel == want_tk
 
     # verify_pairs_cosine: foreign / null candidate ids drop like the
     # inner-join fallback does
