@@ -527,17 +527,12 @@ def simhash_near_dups(
     guarantee differs by design."""
     n_bands = bands if bands is not None else max_hamming + 1
     width = 64 // n_bands
-    sig_plan = with_simhash(df, id_col, text_col)
-    if max_block_size is None:
-        # the dup-ratio gate needs one aggregate over the signatures
-        # anyway — let THAT job fill a persisted cache instead of paying
-        # a separate eager-checkpoint job first (the lazy-cache race the
-        # _materialize docstring warns about needs concurrent first
-        # readers; here the gate aggregate fills the cache alone before
-        # any self-join branch reads it)
-        sig = sig_plan.persist()
-    else:
-        sig = _materialize(sig_plan)
+    # NOTE (r12): fusing the gate aggregate with a persist()-fill (one job
+    # instead of checkpoint + aggregate) was tried and MEASURED SLOWER —
+    # 0.58 s fused vs 0.19 s checkpoint + 0.13 s aggregate at sf0.1/quiet:
+    # the cache operator's columnar encoding costs more than the extra
+    # job round-trip. The two-step barrier stays.
+    sig = _materialize(with_simhash(df, id_col, text_col))
     # band i = bits [i*width, (i+1)*width) of the signature, as a separate
     # blocking key per band index (shiftright + mask keeps it JVM-side;
     # the last band absorbs any remainder bits)
