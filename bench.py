@@ -50,6 +50,14 @@ HEADLINE = [
     "asof_purchase_click",    # as-of join
     "vwap_daily",             # weighted agg + JSON extraction
     "retrieval_hybrid",       # serving root: BM25 + IVF probes, RRF-fused
+    # --- round-13 additions (VERDICT r12 task 3: driver-verify the r12
+    # kernel wins; ADDITIONS ONLY — the 25 entries above are unchanged and
+    # keep their cross-round comparability) ---
+    "doc_winnow_fingerprint", # winnowing Arrow kernel (r12 §4)
+    "embed_near_dups_brute",  # localized-matmul O(n²) kernel (r12 §1)
+    "embed_near_dups_lsh",    # RP-LSH candidates + Arrow verify (r12 §1)
+    "behavior_funnel_cohort", # lazy-union funnel (r12 §8)
+    "conditional_distinct_agg",  # array-percentile buffer (r12 §9)
 ]
 
 
@@ -249,8 +257,57 @@ def shuffle_calibration_query(spark):
     )
 
 
+def scale_probe_query(spark):
+    """Shuffle-heavy probe at ~10× the shuffle-calibration volume
+    (VERDICT r12 task 2b): enough parallel work that its wall time
+    TRACKS the core count, unlike the sf0.1 catalog queries whose
+    sub-second walls sit on fixed scheduling floors and read flat
+    across 8 vs 32 cores. The driver's low/high-core bench pair can
+    read ``scale_probe_sec`` ratio directly as scaling evidence."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 100_000_000, 1, 64)
+    return (
+        df.repartition(64, (F.col("id") % 9973).cast("int"))
+        .select((F.col("id") % 8191).alias("g"), F.xxhash64("id").alias("h"))
+        .groupBy("g")
+        .agg(F.sum(F.col("h") % 1000003).alias("s"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+def group_task_count(sc, group: str) -> int:
+    """Total tasks of every job submitted under ``group`` (status-tracker
+    walk; UI store retains well past one bench pass). Per-query task
+    counts are the structural scaling evidence VERDICT r12 task 2b asked
+    for: a flat 8-vs-32-core wall with a 32-task job is a fixed-cost
+    floor, not an ignored core count."""
+    st = sc.statusTracker()
+    total = 0
+    for jid in st.getJobIdsForGroup(group):
+        ji = st.getJobInfo(jid)
+        if ji is None:
+            continue
+        for sid in ji.stageIds:
+            si = st.getStageInfo(sid)
+            if si is not None:
+                total += si.numTasks
+    return total
+
+
+def tmp_state() -> str:
+    """``warm`` when build-once /tmp artifacts (serving roots, ANN/LSH
+    indexes, recall evidence) predate this run, else ``wiped`` — pins the
+    wipe-or-keep protocol in the emitted JSON (VERDICT r12 issue 4)."""
+    import glob
+    import tempfile
+
+    t = tempfile.gettempdir()
+    pats = ("bdp_bench_root_*", "bdp_ivf_*", "bdp_lsh_*", "bdp_recall_*")
+    return "warm" if any(glob.glob(os.path.join(t, p)) for p in pats) else "wiped"
+
+
 def emit_result(metric, timings, sf, cal_samples, io_samples,
-                shuffle_samples, telemetry=None) -> None:
+                shuffle_samples, telemetry=None, extra=None) -> None:
     """One JSON line with every calibration axis. Normalization divides
     by the COMBINED drag — max(host_drag, io_drag) floored at 1.0
     (VERDICT r10 task 1) — so storage/memory tenancy invisible to the
@@ -296,11 +353,23 @@ def emit_result(metric, timings, sf, cal_samples, io_samples,
         "value_normalized": round(sum(normalized.values()), 3),
         "queries_normalized": normalized,
     }
+    if extra:
+        result.update(extra)
     # per-pass adjudication (VERDICT r11 task 2): quiet / cpu-tenancy /
     # io-tenancy / unattributed-band, from the calibration trio +
     # steal/PSI + the normalized sentinel legs
     result["episode"] = classify_bench_sample(result)
-    print(json.dumps(result))
+    line = json.dumps(result)
+    # durable copy beside stdout (VERDICT r12 task 2a): a truncated
+    # driver artifact capture can no longer null a round's comparison —
+    # the same one-line JSON lands in a file, written BEFORE the print
+    out_path = os.environ.get("BDP_BENCH_RESULT_PATH", "bench_result.json")
+    try:
+        with open(out_path, "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # read-only cwd: stdout remains the contract
+    print(line)
 
 
 def run_suite(spark, sf_dir, sf, queries, names, metric) -> None:
@@ -415,6 +484,7 @@ def main() -> None:
         )
         return
 
+    state = tmp_state()  # recorded BEFORE the pre-warm builds anything
     # warmup: exercise parquet reader + codegen before measuring
     force(queries["pricing_summary"](spark, sf_dir))
     # pre-warm build-once artifacts OUTSIDE the measured passes: the IVF
@@ -427,6 +497,8 @@ def main() -> None:
         "simhash_near_dups",
         "embed_ann_lsh",
         "embed_ann_ivf",
+        "embed_near_dups_lsh",   # recall evidence + localized corpus
+        "embed_near_dups_brute",  # localized-corpus memo
     ):
         force(queries[name](spark, sf_dir))
         spark.catalog.clearCache()
@@ -476,21 +548,40 @@ def main() -> None:
     time_shuffle_calibration()  # shuffle probe's own warmup, untimed
     shuffle_samples = [time_shuffle_calibration(), time_shuffle_calibration()]
     tele0 = host_telemetry()
+    sc = spark.sparkContext
     timings: dict[str, float] = {}
     for _pass in range(2):
         for name in HEADLINE:
+            if _pass == 0:
+                sc.setJobGroup(f"bench:{name}", name)
             t0 = time.time()
             force(queries[name](spark, sf_dir))
             dt = round(time.time() - t0, 3)
+            if _pass == 0:
+                sc.setJobGroup(f"bench-cleanup:{name}", name)
             if name not in timings or dt < timings[name]:
                 timings[name] = dt
             spark.catalog.clearCache()      # cached tables/DataFrames
             release_barriers(spark)         # eager localCheckpoint blocks
         cal_samples.append(time_calibration())
 
+    # scale probe: timed once, after the measured passes (its 100M-row
+    # shuffle would perturb nothing but still runs outside the windows)
+    t0 = time.time()
+    force(scale_probe_query(spark))
+    scale_probe_sec = round(time.time() - t0, 3)
+
+    extra = {
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0)
+        or sc.defaultParallelism,
+        "default_parallelism": sc.defaultParallelism,
+        "tmp_state": state,
+        "scale_probe_sec": scale_probe_sec,
+        "query_tasks": {n: group_task_count(sc, f"bench:{n}") for n in HEADLINE},
+    }
     emit_result("headline_total_wall", timings, sf, cal_samples,
                 io_samples, shuffle_samples,
-                telemetry_delta(tele0, host_telemetry()))
+                telemetry_delta(tele0, host_telemetry()), extra=extra)
 
 
 if __name__ == "__main__":

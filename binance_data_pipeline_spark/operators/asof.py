@@ -35,6 +35,19 @@ coarse time bucket to the window partition key, so a hot key splits into
 Both forms produce identical results (equality is pinned in
 tests/test_operators.py); the bucketed one trades two cheap bucket-level
 ops for bounded task size.
+
+Round-13 I/O shape (guide §2.4/§6): both phases hang off ONE explicit
+``repartition(key, bucket)`` whose identical subtrees ReuseExchange
+dedupes at execution, so the union is scanned and shuffled once — the
+earlier form re-derived phase 2 and its (key, bucket) spine from fresh
+scans (4 file scans in the committed r12 plan of asof_purchase_click).
+Phase 2 aggregates over ALL rows (max_by keyed on a null-when-left
+ordering skips left rows without a filter that would push below the
+exchange and break reuse), which also subsumes the spine: every
+(key, bucket) present in the data gets a bucket row, left-only buckets
+included. ``asof_join_union`` is the single-scan entry for the common
+case where both sides derive from the same table — the tagged union is
+built by the caller as one filtered scan instead of two.
 """
 
 from __future__ import annotations
@@ -85,6 +98,31 @@ def asof_join(
         *[F.col(c).alias(f"__r_{c}") for c in value_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
+    return asof_join_union(
+        unioned, lcols, on, ts_col, value_cols,
+        suffix=suffix, bucket_seconds=bucket_seconds,
+    )
+
+
+def asof_join_union(
+    unioned: DataFrame,
+    left_cols: list[str],
+    on: str,
+    ts_col: str,
+    value_cols: list[str],
+    suffix: str = "_asof",
+    bucket_seconds: int | None = None,
+) -> DataFrame:
+    """``asof_join`` over a caller-built tagged union — the SINGLE-SCAN
+    form for the common case where left and right rows live in the same
+    table (guide §6 I/O consolidation: one filtered scan instead of a
+    union of two scans of the same file). ``unioned`` must carry
+    ``left_cols`` (null on right rows except ``on``/``ts_col``),
+    ``__side`` (1 = left, 0 = right) and ``__r_{c}`` for each value
+    column (null on left rows). Semantics identical to ``asof_join`` —
+    that entry builds the same union from two frames and delegates
+    here."""
+    lcols = left_cols
 
     if bucket_seconds is None:
         w = (
@@ -104,6 +142,14 @@ def asof_join(
 
     # ---- bucketed two-phase form ------------------------------------
     unioned = unioned.withColumn("__asof_bucket", _bucket_expr(unioned, ts_col, bucket_seconds))
+    # ONE exchange feeds both phases: the explicit (key, bucket)
+    # repartition satisfies phase 1's window distribution AND phase 2's
+    # aggregate clustering, and because both branches reference the
+    # identical exchange subtree, ReuseExchange dedupes it at execution —
+    # the union (and the scans under it) is computed and shuffled ONCE
+    # where the previous form re-derived phase 2 and its spine from
+    # fresh scans (guide §2.4).
+    shuffled = unioned.repartition(on, "__asof_bucket")
 
     # phase 1: within-bucket carry (window partition = key × bucket)
     w = (
@@ -111,7 +157,7 @@ def asof_join(
         .orderBy(ts_col, "__side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = unioned.select(
+    carried = shuffled.select(
         *lcols,
         "__side",
         "__asof_bucket",
@@ -121,18 +167,29 @@ def asof_join(
         ],
     )
 
-    # phase 2: per-bucket last NON-NULL value of EACH column (one row per
-    # key × bucket that has right rows), then a bucket-level window per key
-    # shifted one bucket back = each bucket's carry-in. Per-column (not a
-    # single max_by over the whole value struct) so the bucketed form
-    # matches the single-window last(ignorenulls) semantics even when a
-    # right row is NULL in one value column but an earlier row has a value:
-    # max_by with a NULL-filtered ordering skips NULL-valued rows, so each
-    # column independently carries its own latest non-null. The spine
-    # unions LEFT buckets too, so buckets with no right rows still receive
-    # a carry-in.
-    rights = unioned.where(F.col("__side") == 0)
-    bucket_last = rights.groupBy(on, "__asof_bucket").agg(
+    # phase 2: per-bucket last NON-NULL value of EACH column, then a
+    # bucket-level window per key shifted one bucket back = each bucket's
+    # carry-in. Per-column (not a single max_by over the whole value
+    # struct) so the bucketed form matches the single-window
+    # last(ignorenulls) semantics even when a right row is NULL in one
+    # value column but an earlier row has a value: max_by with a
+    # NULL-filtered ordering skips NULL-valued rows, so each column
+    # independently carries its own latest non-null. Aggregating ALL rows
+    # of ``shuffled`` (no ``__side == 0`` filter) is equivalent — left
+    # rows have null ``__r_{c}``, so the null-keyed max_by ignores them —
+    # and it subsumes the old (key, bucket) spine: every bucket present
+    # in the data gets a row (null-valued when it holds no right rows),
+    # so left-only buckets still receive a carry-in.
+    #
+    # Column pruning intentionally specializes this branch below the
+    # repartition (it reads only key/bucket/ts/values), so the two
+    # branches keep separate, NARROWER exchanges instead of one reused
+    # wide one. Measured both at sf0.1: forcing a fully shared subtree
+    # (phase 2 re-aggregating phase 1's window output) re-runs the
+    # window sort per branch and lost ~0.2-0.4 s/query vs this shape;
+    # the pruned second scan+exchange is the cheaper duplicate — and at
+    # scale a 4-column pushed-filter scan beats re-sorting the union.
+    bucket_last = shuffled.groupBy(on, "__asof_bucket").agg(
         *[
             F.max_by(
                 F.col(f"__r_{c}"),
@@ -141,20 +198,16 @@ def asof_join(
             for c in value_cols
         ]
     )
-    spine = unioned.select(on, "__asof_bucket").distinct()
     wb = Window.partitionBy(on).orderBy("__asof_bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    carry_in = (
-        spine.join(bucket_last, [on, "__asof_bucket"], "left")
-        .select(
-            on,
-            "__asof_bucket",
-            *[
-                F.last(f"__last_{c}", ignorenulls=True).over(wb).alias(f"__carry_{c}")
-                for c in value_cols
-            ],
-        )
+    carry_in = bucket_last.select(
+        on,
+        "__asof_bucket",
+        *[
+            F.last(f"__last_{c}", ignorenulls=True).over(wb).alias(f"__carry_{c}")
+            for c in value_cols
+        ],
     )
 
     # phase 3: stitch — within-bucket value wins, else the carry-in.

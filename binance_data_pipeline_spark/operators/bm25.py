@@ -126,28 +126,35 @@ def build_bm25_index(
 
 
 def _score_and_rank(
-    cand: DataFrame, n_docs: int, avgdl: float, k: int, k1: float, b: float
+    cand: DataFrame, n_docs: int, avgdl: float, k: int, k1: float, b: float,
+    serve_sized: bool = True,
 ) -> DataFrame:
     """cand: (query_id, doc, term, tf, doclen, idf[, qw]) → per-query
     top-k; an optional ``qw`` column weights each query term's
     contribution (1.0 ≡ classic BM25 — used by the RM3 expansion in
-    operators/retrieval.py)."""
+    operators/retrieval.py).
+
+    ``serve_sized`` picks the exchange shape (VERDICT r12 task 8):
+
+    - True (a bounded probe batch — the serving contract): ONE exchange,
+      hash-partitioning by query_id alone satisfies both the
+      (query_id, doc) aggregation's clustering AND the rank window's
+      partitioning; the shuffle carries term-level contribs instead of
+      doc-level partials (~same bytes for short serve queries).
+    - False (batch scoring, e.g. an over-cap probe that kept the
+      distributed plan): the classic two-exchange shape whose FIRST
+      exchange pre-aggregates map-side per (query_id, doc) — at millions
+      of queries the partial_sum shrinks the shuffle far below the
+      term-level row volume the fused shape would ship."""
     tf_part = (F.col("tf") * (k1 + 1)) / (
         F.col("tf") + k1 * (1 - b + b * F.col("doclen") / F.lit(avgdl))
     )
     qw = F.col("qw") if "qw" in cand.columns else F.lit(1.0)
-    # ONE exchange for score+rank: hash-partitioning by query_id alone
-    # satisfies both the (query_id, doc) aggregation's clustering AND the
-    # rank window's partitioning, where the default plan paid an
-    # (query_id, doc) agg exchange followed by a query_id window exchange.
-    # The window stage always clustered by query alone, so the skew
-    # exposure is unchanged; the shuffle carries term-level contribs
-    # instead of doc-level partials (short serve queries: ~same bytes).
-    scored = (
-        cand.repartition("query_id")
-        .withColumn("contrib", qw * F.col("idf") * tf_part)
-        .groupBy("query_id", "doc")
-        .agg(F.round(F.sum("contrib"), 4).alias("score"))
+    scored = cand.withColumn("contrib", qw * F.col("idf") * tf_part)
+    if serve_sized:
+        scored = scored.repartition("query_id")
+    scored = scored.groupBy("query_id", "doc").agg(
+        F.round(F.sum("contrib"), 4).alias("score")
     )
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc"))
     return (
@@ -155,6 +162,41 @@ def _score_and_rank(
         .where(F.col("rk") <= k)
         .select("query_id", F.col("doc").alias("doc_id"), "score", "rk")
     )
+
+
+#: Localize the term dictionary (term → idf) only below this many bytes
+#: of terms.parquet — vocabulary-sized, not corpus-sized, but a 100 TB
+#: corpus can still carry a vocabulary too big to hold on the driver.
+MAX_LOCAL_TERMS_BYTES = int(
+    os.environ.get("BDP_MAX_LOCAL_TERMS_BYTES", str(64 << 20))
+)
+
+
+def _cached_term_idf(spark: SparkSession, index_path: str) -> dict | None:
+    """term → idf for the whole dictionary, memoized per terms-dir
+    listing (operators/metacache — appends rewrite terms.parquet, so the
+    memo self-invalidates), or None when the dictionary exceeds
+    ``MAX_LOCAL_TERMS_BYTES`` (the distributed idf join stays).
+
+    A serving tier resolves probe-term idf driver-side from this map, so
+    the serve plan loses the terms scan AND its BroadcastExchange — the
+    idf values are the same doubles the scan would read, attached to the
+    probe's local relation instead of joined in (guide §2.4; the
+    centroid-table discipline applied to the lexical leg)."""
+    terms_path = os.path.join(index_path, "terms.parquet")
+
+    def load():
+        fs, p = _hadoop_fs(spark, terms_path)
+        if fs.getContentSummary(p).getLength() > MAX_LOCAL_TERMS_BYTES:
+            return None  # decision memoized too: re-checked only on rewrite
+        return {
+            r["term"]: r["idf"]
+            for r in spark.read.parquet(terms_path).select("term", "idf").collect()
+        }
+
+    from .metacache import cached_meta
+
+    return cached_meta(spark, terms_path, load, ns="idf")
 
 
 def _query_terms(
@@ -221,20 +263,19 @@ def bm25_query(
 
     n_buckets = _index_buckets(spark, index_path)
     probe_cap = 100_000
-    qt = None
-    if weighted_terms is not None:
+    # probe rows as (query_id, term[, qw], tb) tuples when the batch
+    # localizes; None → over-cap batch, keep the distributed plan
+    probe: list[tuple] | None = None
+    has_qw = weighted_terms is not None
+    if has_qw:
         qt_plan = weighted_terms.select("query_id", "term", "qw")
         qt_b = qt_plan.withColumn(
             "tb", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
         )
         probe_rows = qt_b.limit(probe_cap + 1).collect()
         if len(probe_rows) <= probe_cap:
-            probe_rows = [tuple(r) for r in probe_rows]
-            buckets = sorted({r[-1] for r in probe_rows})
-            qt = local_relation(spark, probe_rows, qt_b.schema).drop("tb")
-        else:
-            qt = qt_plan
-            buckets = [r["tb"] for r in qt_b.select("tb").distinct().collect()]
+            probe = [tuple(r) for r in probe_rows]
+        qid_type = weighted_terms.schema["query_id"].dataType.simpleString()
     else:
         q2 = queries.select(F.col(query_id_col), F.col(query_text_col))
         qrows = q2.limit(probe_cap + 1).collect()
@@ -262,20 +303,70 @@ def bm25_query(
                     if key not in seen:
                         # python % on the signed hash == Spark pmod
                         seen[key] = int(e["h"]) % n_buckets
-            probe_rows = [(q, t, tb) for (q, t), tb in seen.items()]
-            buckets = sorted(set(seen.values()))
-            qt = local_relation(
-                spark,
-                probe_rows,
-                f"query_id {qid_type}, term string, tb int",
-            ).drop("tb")
+                if len(seen) > probe_cap:
+                    break  # term volume over cap: distributed plan below
+            if len(seen) <= probe_cap:
+                # the cap bounds (query, term) ROWS, not just queries — a
+                # small batch of very long texts must not fold millions
+                # of term structs driver-side (ADVICE r12)
+                probe = [(q, t, tb) for (q, t), tb in seen.items()]
+
+    if probe is not None:
+        idf_map = _cached_term_idf(spark, index_path)
+        if idf_map is not None:
+            # serve fast path: idf resolved driver-side from the memoized
+            # dictionary — terms absent from the index contribute nothing
+            # (exactly the inner idf join), and their buckets are never
+            # probed; the plan drops the terms scan + one BroadcastExchange
+            if has_qw:
+                kept = [
+                    (q, t, w, idf_map[t], tb)
+                    for (q, t, w, tb) in probe if t in idf_map
+                ]
+                schema = (
+                    f"query_id {qid_type}, term string, qw double,"
+                    " idf double, tb int"
+                )
+                cols = ["query_id", "doc", "term", "tf", "doclen", "idf", "qw"]
+            else:
+                kept = [
+                    (q, t, idf_map[t], tb)
+                    for (q, t, tb) in probe if t in idf_map
+                ]
+                schema = f"query_id {qid_type}, term string, idf double, tb int"
+                cols = ["query_id", "doc", "term", "tf", "doclen", "idf"]
+            buckets = sorted({r[-1] for r in kept})
+            qt = local_relation(spark, kept, schema).drop("tb")
+            postings = spark.read.parquet(
+                os.path.join(index_path, "postings.parquet")
+            ).where(F.col("tb").isin(buckets))
+            cand = postings.join(F.broadcast(qt), "term").select(*cols)
+            return _score_and_rank(cand, n_docs, avgdl, k, k1, b)
+        # dictionary too big to localize: probe local relation + idf join
+        buckets = sorted({r[-1] for r in probe})
+        if has_qw:
+            schema = f"query_id {qid_type}, term string, qw double, tb int"
+        else:
+            schema = f"query_id {qid_type}, term string, tb int"
+        qt = local_relation(spark, probe, schema).drop("tb")
+        serve_sized = True
+    else:
+        if has_qw:
+            qt = weighted_terms.select("query_id", "term", "qw")
+            qt_b = qt.withColumn(
+                "tb", F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int")
+            )
         else:
             qt = _query_terms(queries, query_id_col, query_text_col, tokenizer)
             qt_b = qt.withColumn(
                 "tb",
                 F.pmod(F.xxhash64(F.col("term")), F.lit(n_buckets)).cast("int"),
             )
-            buckets = [r["tb"] for r in qt_b.select("tb").distinct().collect()]
+        buckets = [r["tb"] for r in qt_b.select("tb").distinct().collect()]
+        # over-cap batch scoring: keep the pre-aggregating two-exchange
+        # shape (VERDICT r12 task 8 — partial sums beat the fused
+        # single exchange once the shuffle is millions of term rows)
+        serve_sized = False
     postings = spark.read.parquet(os.path.join(index_path, "postings.parquet")).where(
         F.col("tb").isin(buckets)
     )
@@ -283,14 +374,14 @@ def bm25_query(
         F.col("tb").isin(buckets)
     )
     cols = ["query_id", "doc", "term", "tf", "doclen", "idf"]
-    if weighted_terms is not None:
+    if has_qw:
         cols.append("qw")
     cand = (
         postings.join(F.broadcast(qt), "term")
         .join(F.broadcast(terms.select("term", "idf")), "term")
         .select(*cols)
     )
-    return _score_and_rank(cand, n_docs, avgdl, k, k1, b)
+    return _score_and_rank(cand, n_docs, avgdl, k, k1, b, serve_sized=serve_sized)
 
 
 def _index_buckets(spark: SparkSession, index_path: str) -> int:

@@ -83,7 +83,12 @@ def _read_index_fingerprint(spark: SparkSession, index_path: str) -> str | None:
     serve call pays this read before any real work, and it is a full
     Spark job for one row — a serving tier validates the index once per
     build, not per query. Rebuilds rewrite meta.parquet, so the listing
-    key self-invalidates; an absent dir is never cached."""
+    key self-invalidates; an absent dir is never cached.
+
+    Only a MISSING path reads as "index absent" (ADVICE r12): any other
+    listing/loader failure (corrupt meta, transient FS/RPC error)
+    propagates instead of silently triggering a rebuild over a live
+    index."""
     meta_path = os.path.join(index_path, "meta.parquet")
 
     def load() -> str | None:
@@ -93,12 +98,26 @@ def _read_index_fingerprint(spark: SparkSession, index_path: str) -> str | None:
             return None
         return rows[0]["fingerprint"] if rows else None
 
-    try:
-        from .metacache import cached_meta
+    from .metacache import cached_meta
 
+    try:
         return cached_meta(spark, meta_path, load, ns="fingerprint")
-    except Exception:  # listing failed: dir absent → index absent
-        return None
+    except Exception as e:  # the listing's FileNotFound path only
+        if _is_missing_path_error(e):
+            return None
+        raise
+
+
+def _is_missing_path_error(e: Exception) -> bool:
+    """True iff ``e`` is the JVM FileNotFoundException surfacing through
+    py4j (the listStatus of an absent directory)."""
+    je = getattr(e, "java_exception", None)
+    while je is not None:
+        name = je.getClass().getName()
+        if name.endswith("FileNotFoundException"):
+            return True
+        je = je.getCause()
+    return "FileNotFoundException" in str(e)
 
 
 def _centroid_array_col(centroids: list[tuple[int, list[float]]]) -> Column:

@@ -114,7 +114,18 @@ def pair_cosine_udf():
     kernel for candidate pairs whose vectors a join already attached
     (candidates-sized, the scale-safe shape). NULL in, NULL out, exactly
     like the HOF expression (a null or length-mismatched pair yields a
-    null sim there via zip_with's null padding)."""
+    null sim there via zip_with's null padding).
+
+    Null/NaN semantics at the Arrow boundary (measured, r13): pandas →
+    Arrow converts float64 NaN to SQL NULL, so (a) vectors with null
+    ELEMENTS — which Arrow → pandas hands the kernel as NaN — score NULL,
+    the same NULL the HOF's null propagation yields; (b) vectors whose
+    exact sim is genuinely NaN (zero norms, NaN data) ALSO score NULL,
+    where the HOF yields NaN — NULL ranks last in desc windows and fails
+    ``>= threshold`` while NaN ranks first and passes. The kernels are
+    therefore conservative for degenerate vectors: they exclude what the
+    HOF would top-rank. No testdata vector is degenerate (oracle-pinned);
+    documented as the one intentional divergence (ADVICE r12)."""
     import numpy as np
     from pyspark.sql.pandas.functions import pandas_udf
 
@@ -160,17 +171,30 @@ def pair_cosine_udf():
 #: production knob, not a local[32] tuning.
 MAX_LOCAL_CORPUS = int(os.environ.get("BDP_MAX_LOCAL_CORPUS", "200000"))
 
-#: corpus fingerprint -> (ids, V, norms) numpy triple (see _localized).
+#: corpus fingerprint -> (ids, V, norms, broadcast) — see _localized.
 _LOCAL_VEC_MEMO: dict[str, tuple] = {}
+
+#: File-byte pre-gate for localization: parquet float32 vectors expand
+#: ~2-3× into the float64 driver matrix, so corpora whose INPUT FILES
+#: already exceed this never even start the collect (ADVICE r12: the
+#: row cap alone let a high-dim corpus materialize GBs driver-side
+#: before the post-collect byte ceiling rejected it).
+MAX_LOCAL_CORPUS_FILE_BYTES = int(
+    os.environ.get("BDP_MAX_LOCAL_CORPUS_FILE_BYTES", str(512 << 20))
+)
 
 
 def _localized(df: DataFrame, id_col: str, vec_col: str, max_rows: int):
-    """Corpus collected to (sorted ids, float64 matrix, exact norms), or
-    None when the fast path doesn't apply: over ``max_rows``, non-numeric
-    or duplicate ids, null/ragged vectors (those shapes keep the exact
-    join plan). Memoized per corpus fingerprint for file-backed frames —
-    a serving tier localizes a static corpus once, not per query call.
-    The collect is BOUNDED by ``max_rows`` (the ivf_query discipline)."""
+    """Corpus collected to (sorted ids, float64 matrix, exact norms,
+    spark broadcast of that triple), or None when the fast path doesn't
+    apply: over ``max_rows`` / the file-byte pre-gate, non-numeric or
+    duplicate ids, null/ragged vectors or null ELEMENTS (those shapes
+    keep the exact join plan). Memoized per corpus fingerprint for
+    file-backed frames — a serving tier localizes AND broadcasts a
+    static corpus once, not per query call (ADVICE r12: per-call
+    broadcasts of up to 512 MB accumulated until GC); evicting an entry
+    unpersists its broadcast. The collect is BOUNDED by ``max_rows``
+    (the ivf_query discipline)."""
     import numpy as np
 
     from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
@@ -197,6 +221,8 @@ def _localized(df: DataFrame, id_col: str, vec_col: str, max_rows: int):
         fp = None
     if fp is not None and fp in _LOCAL_VEC_MEMO:
         return _LOCAL_VEC_MEMO[fp]
+    if _corpus_bytes(df) > MAX_LOCAL_CORPUS_FILE_BYTES:
+        return None  # pre-gate: reject BEFORE collecting anything
 
     rows = df.select(id_col, vec_col).limit(max_rows + 1).collect()
     if len(rows) > max_rows:
@@ -213,14 +239,25 @@ def _localized(df: DataFrame, id_col: str, vec_col: str, max_rows: int):
     dim = len(vecs[0])
     if any(len(v) != dim for v in vecs):
         return None
-    V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+    try:
+        V = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+    except (TypeError, ValueError):
+        # null ELEMENTS inside vectors: the HOF plan yields NULL sims for
+        # such rows — fall back to it rather than silently scoring NaN
+        return None
     if V.size * 8 > 512 << 20:  # hard byte ceiling regardless of row cap
         return None
     order = np.argsort(ids)
     ids, V = ids[order], V[order]
     norms = np.sqrt(_seq_sum(V * V))
-    out = (ids, V, norms)
+    bc = df.sparkSession.sparkContext.broadcast((ids, V, norms))
+    out = (ids, V, norms, bc)
     if fp is not None:
+        for _stale in _LOCAL_VEC_MEMO.values():  # ≤1 entry by construction
+            try:
+                _stale[3].unpersist()
+            except Exception:
+                pass
         _LOCAL_VEC_MEMO.clear()  # keep at most one corpus resident
         _LOCAL_VEC_MEMO[fp] = out
     return out
@@ -288,8 +325,7 @@ def cosine_near_dup_pairs_brute(
     cap = MAX_LOCAL_CORPUS if max_local_corpus is None else max_local_corpus
     loc = _localized(df, id_col, vec_col, cap)
     if loc is not None:
-        ids, V, norms = loc
-        bc = df.sparkSession.sparkContext.broadcast(loc)
+        bc = loc[3]  # memoized broadcast (one per corpus, not per call)
         margin = _round_margin(threshold)
         id_type = df.schema[id_col].dataType.simpleString()
 
@@ -392,7 +428,7 @@ def verify_pairs_cosine(
     cap = MAX_LOCAL_CORPUS if max_local_corpus is None else max_local_corpus
     loc = _localized(df, id_col, vec_col, cap)
     if loc is not None:
-        bc = df.sparkSession.sparkContext.broadcast(loc)
+        bc = loc[3]  # memoized broadcast (one per corpus, not per call)
         id_type = df.schema[id_col].dataType.simpleString()
 
         def score(batches):

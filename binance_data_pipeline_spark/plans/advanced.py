@@ -14,23 +14,33 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
-from ..operators.asof import asof_join
+from ..operators.asof import asof_join_union
 
 
 def q_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join on the events stream: for each purchase, the user's most
     recent click at or before it (trade×quote shape). Runs the bucketed
     two-phase form (daily buckets) so a hot key's history is split across
-    (key × bucket) tasks — see operators/asof.py."""
+    (key × bucket) tasks — see operators/asof.py.
+
+    Both sides live in the SAME events table, so the tagged union is
+    built as ONE filtered scan (guide §6: the r12 plan decoded
+    events.parquet four times — two scans per union reference); the
+    projected columns are exactly what asof_join's two-frame entry
+    would union."""
     e = load_table(spark, sf_dir, "events")
-    purchases = e.where(F.col("event_type") == "purchase").select(
-        "user_id", F.col("event_id").alias("purchase_id"), "ts", F.col("value").alias("purchase_value")
+    is_p = F.col("event_type") == "purchase"
+    unioned = e.where(F.col("event_type").isin("purchase", "click")).select(
+        "user_id",
+        F.when(is_p, F.col("event_id")).alias("purchase_id"),
+        "ts",
+        F.when(is_p, F.col("value")).alias("purchase_value"),
+        F.when(is_p, F.lit(1)).otherwise(F.lit(0)).alias("__side"),
+        F.when(~is_p, F.col("value")).alias("__r_click_value"),
     )
-    clicks = e.where(F.col("event_type") == "click").select(
-        "user_id", "ts", F.col("value").alias("click_value")
-    )
-    out = asof_join(
-        purchases, clicks, on="user_id", ts_col="ts", value_cols=["click_value"],
+    out = asof_join_union(
+        unioned, ["user_id", "purchase_id", "ts", "purchase_value"],
+        on="user_id", ts_col="ts", value_cols=["click_value"],
         bucket_seconds=86_400,
     )
     return out.select(

@@ -21,7 +21,6 @@ from ..operators import similarity as S
 from ..operators import text as T
 from ..operators.text import STOPWORDS
 
-from ..session import local_rows
 
 
 def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -130,12 +129,15 @@ def _with_recall(
     The summary is BUILD-ONCE per (sf_dir, query, params, corpus
     fingerprint) — same amortization contract as the IVF index: recall over
     a static corpus is a property of the corpus, so it is computed on first
-    touch, persisted as one fingerprint-guarded parquet row, and every
+    touch, persisted as one fingerprint-guarded JSON sidecar, and every
     later call (including bench re-passes and repeat driver runs) serves
     the cached row and skips the exact-side computation entirely. A
     regenerated corpus changes the fingerprint and forces a rebuild. The
-    miss-path exact side is always sample-bounded, never full-corpus O(n²);
-    the 1-row collect is bounded metadata, not a data path.
+    miss-path exact side is always sample-bounded, never full-corpus O(n²).
+    The sidecar is plain driver-side file I/O (tempdir is local by
+    construction), so a warm serve pays ZERO Spark jobs — the r12 shape
+    read a one-row parquet back through a full Spark job per no-oracle
+    query per process (VERDICT r12 task 5).
 
     STRICT BY DEFAULT: a recall below the floor RAISES instead of just
     flagging ``recall_ok=false`` — the evidence column is an assertion,
@@ -144,9 +146,8 @@ def _with_recall(
     are checked too). Set ``BDP_STRICT_RECALL=0`` to opt back down to
     flag-only (exploratory parameter sweeps)."""
     import hashlib
+    import json
     import tempfile
-
-    from pyspark.errors import AnalysisException
 
     from ..operators.ivf import corpus_fingerprint
 
@@ -154,19 +155,20 @@ def _with_recall(
     key = hashlib.sha1(
         f"{os.path.abspath(sf_dir)}|{qname}|{params}".encode()
     ).hexdigest()[:16]
-    cache = os.path.join(tempfile.gettempdir(), f"bdp_recall_{key}")
-    # in-process memo in front of the parquet cache (fp-validated, so a
-    # regenerated corpus still invalidates); saves the cache-read job on
+    cache = os.path.join(tempfile.gettempdir(), f"bdp_recall_{key}.json")
+    # in-process memo in front of the sidecar (fp-validated, so a
+    # regenerated corpus still invalidates); saves even the file read on
     # repeat calls in one session (bench pass 2, repeated driver runs)
     memo = _RECALL_MEMO.get(key)
     cached_row = memo[1] if memo is not None and memo[0] == fp else None
     if cached_row is None:
         try:
-            rows = spark.read.parquet(cache).collect()
-            if rows and rows[0]["fingerprint"] == fp:
-                cached_row = (rows[0]["recall_vs_exact"], rows[0]["recall_ok"])
-        except AnalysisException:
-            pass
+            with open(cache) as f:
+                d = json.load(f)
+            if d.get("fingerprint") == fp:
+                cached_row = (float(d["recall_vs_exact"]), bool(d["recall_ok"]))
+        except (OSError, ValueError, KeyError, TypeError):
+            pass  # absent/corrupt sidecar: recompute below
     if cached_row is None:
         exact = exact_fn()
         hit = exact.join(approx, keys, "left_semi")
@@ -185,10 +187,17 @@ def _with_recall(
             .collect()[0]
         )
         cached_row = (row["recall_vs_exact"], row["recall_ok"])
-        local_rows(
-            spark, [cached_row + (fp,)],
-            "recall_vs_exact double, recall_ok boolean, fingerprint string",
-        ).write.mode("overwrite").parquet(cache)
+        tmp = f"{cache}.tmp.{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "recall_vs_exact": float(cached_row[0]),
+                    "recall_ok": bool(cached_row[1]),
+                    "fingerprint": fp,
+                },
+                f,
+            )
+        os.replace(tmp, cache)  # atomic: a concurrent reader never sees half
     _RECALL_MEMO[key] = (fp, cached_row)
     strict = os.environ.get("BDP_STRICT_RECALL", "1").lower() not in (
         "0",

@@ -3,11 +3,17 @@
 
 Usage: python scripts/capture_plans.py <suffix> [query ...]
 
-Writes /root/repo/plans/r12/<query>_<suffix>.txt (suffix = before|after).
-With no query list, captures every headline query. The judge reads these
-files to check plan claims (Exchange counts, join strategies, pushed
-filters) against the code, so the capture is the plain formatted plan,
-unedited.
+Writes $BDP_PLANS_DIR (default plans/r13)/<query>_<suffix>.txt
+(suffix = before|after). With no query list, captures every headline
+query. The judge reads these files to check plan claims (Exchange
+counts, join strategies, pushed filters) against the code, so the
+capture is the plain formatted plan, unedited.
+
+BDP_EXECUTE_PLANS=1 additionally writes <query>_<suffix>_executed.txt:
+the FINAL adaptive plan after running the query (collect), which is
+where AQE's ReusedExchange/AQEShuffleRead nodes become visible — the
+static capture of an AdaptiveSparkPlan shows duplicated exchange
+subtrees that execution dedupes.
 """
 
 from __future__ import annotations
@@ -20,8 +26,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from binance_data_pipeline_spark.plans import all_queries  # noqa: E402
 from binance_data_pipeline_spark.session import get_spark  # noqa: E402
 
-OUT_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12"
+OUT_DIR = os.environ.get(
+    "BDP_PLANS_DIR",
+    os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13"
+    ),
 )
 
 
@@ -79,6 +88,18 @@ def main() -> None:
         with open(path, "w") as f:
             f.write(plan)
         print(f"wrote {path} ({plan.count('Exchange')} Exchange refs)")
+        if os.environ.get("BDP_EXECUTE_PLANS") == "1":
+            df.collect()  # finalize the adaptive plan
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            epath = os.path.join(OUT_DIR, f"{name}_{suffix}_executed.txt")
+            with open(epath, "w") as f:
+                f.write(plan)
+            print(
+                f"wrote {epath} ({plan.count('ReusedExchange')} ReusedExchange,"
+                f" {plan.count('Scan parquet')} scan refs)"
+            )
 
 
 if __name__ == "__main__":

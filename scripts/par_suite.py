@@ -144,6 +144,7 @@ def main() -> int:
             SPARK_GRAFT_CPUS=str(cpus_each),
             SPARK_DRIVER_MEMORY=mem_each,
             SPARK_WAREHOUSE_DIR=base + "_wh",
+            BDP_FULL_SUITE="1",  # the full gate runs the slow tier too
         )
         cmd = [sys.executable, "-m", "pytest", "-q", "-p", "no:cacheprovider",
                "--durations=0", f"--basetemp={base}",
