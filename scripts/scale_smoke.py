@@ -173,6 +173,24 @@ def main() -> None:
     )
     smoke("simhash_near_dups", lambda: {"pairs": D.simhash_near_dups(docs).count()})
 
+    # 2b. winnowing fingerprint map pass (r12's Arrow kernel; VERDICT r12
+    # task 7 asks for its growth factor at 10×, not just the sf0.1 wall)
+    from binance_data_pipeline_spark.operators import text as T
+
+    smoke(
+        "winnow_fingerprint",
+        lambda: {
+            "clusters": docs.select(
+                "doc_id",
+                T.winnow_fingerprint_batch()(T.tokens("text")).alias("fp"),
+            )
+            .groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > 1)
+            .count()
+        },
+    )
+
     # 3. IVF build + serve
     from binance_data_pipeline_spark.operators.ivf import build_ivf_index, ivf_query
 

@@ -300,3 +300,96 @@ def test_streaming_bm25_append_exactly_once(spark, tmp_path):
     assert spark.read.parquet(os.path.join(idx, "stats.parquet")).first()["n_docs"] == 6
     postings = spark.read.parquet(os.path.join(idx, "postings.parquet"))
     assert postings.where(F.col("doc") == "s1").count() == len(set("a telescope watches the cat".split()))
+
+
+def test_serve_plan_drops_terms_scan_and_pins_exchange_shapes(spark, tmp_path):
+    """Round-13 serve-path pins: (a) a localized probe resolves idf from
+    the memoized term dictionary, so the serve plan reads ONLY the
+    postings table (no terms.parquet scan, one BroadcastExchange); (b)
+    the score+rank exchange shape follows the batch size — one
+    query_id-only exchange for serve-sized probes, the pre-aggregating
+    (query_id, doc) exchange + window exchange for batch scoring
+    (VERDICT r12 task 8)."""
+    from binance_data_pipeline_spark.operators.bm25 import (
+        _cached_term_idf,
+        _score_and_rank,
+    )
+
+    docs = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    queries = spark.createDataFrame([("q", "cat mat")], "query_id string, text string")
+    idx = str(tmp_path / "bm25_idx_r13")
+    bm25_topk(queries, docs, k=3, index_path=idx, n_buckets=16).collect()
+
+    idf_map = _cached_term_idf(spark, idx)
+    assert idf_map is not None and "cat" in idf_map
+
+    text = plan_text(bm25_query(spark, idx, queries, k=3))
+    assert "terms.parquet" not in text, text
+    assert text.count("BroadcastExchange") == 1, text
+    # exactly one shuffle exchange, keyed by query_id alone
+    shuffles = [
+        l for l in text.splitlines()
+        if "hashpartitioning" in l and "Broadcast" not in l
+    ]
+    assert len(shuffles) == 1 and "query_id" in shuffles[0], text
+    assert "doc#" not in shuffles[0].split("hashpartitioning")[1].split(")")[0], text
+
+    # both _score_and_rank shapes, pinned directly
+    cand = (
+        spark.read.parquet(os.path.join(idx, "postings.parquet"))
+        # data-derived query_id: a literal would constant-fold the very
+        # exchanges this test pins
+        .withColumn("query_id", F.concat(F.lit("q"), (F.col("tf") % 2).cast("string")))
+        .withColumn("idf", F.lit(1.0))
+        .select("query_id", "doc", "term", "tf", "doclen", "idf")
+    )
+    serve = plan_text(_score_and_rank(cand, 4, 6.0, 3, 1.2, 0.75, serve_sized=True))
+    batch = plan_text(_score_and_rank(cand, 4, 6.0, 3, 1.2, 0.75, serve_sized=False))
+
+    def shuffle_keys(text):
+        out = []
+        for l in text.splitlines():
+            if "hashpartitioning" in l and "Broadcast" not in l:
+                inner = l.split("hashpartitioning(")[1]
+                out.append(("query_id" in inner, "doc#" in inner.split(", 8")[0]))
+        return out
+
+    assert shuffle_keys(serve) == [(True, False)], serve  # one, query_id only
+    bkeys = shuffle_keys(batch)
+    assert len(bkeys) == 2 and (True, True) in bkeys, batch  # pre-agg + window
+
+    # scoring equality between the two shapes
+    a = {(r["query_id"], r["doc_id"], r["score"], r["rk"])
+         for r in _score_and_rank(cand, 4, 6.0, 3, 1.2, 0.75, serve_sized=True).collect()}
+    b = {(r["query_id"], r["doc_id"], r["score"], r["rk"])
+         for r in _score_and_rank(cand, 4, 6.0, 3, 1.2, 0.75, serve_sized=False).collect()}
+    assert a == b
+
+
+def test_memoized_idf_invalidates_on_append(spark, tmp_path):
+    """The term-dictionary memo keys on the terms-dir listing: an append
+    rewrites terms.parquet, so the NEXT serve call must score with the
+    re-merged df/idf (not the stale map)."""
+    from binance_data_pipeline_spark.operators.bm25 import (
+        _cached_term_idf,
+        append_to_bm25_index,
+    )
+
+    docs = spark.createDataFrame(CORPUS, "doc_id string, text string")
+    queries = spark.createDataFrame([("q", "cat")], "query_id string, text string")
+    idx = str(tmp_path / "bm25_idx_append")
+    bm25_topk(queries, docs, k=4, index_path=idx, n_buckets=8).collect()
+    idf_before = _cached_term_idf(spark, idx)["cat"]
+
+    new = spark.createDataFrame(
+        [("d5", "another cat appears"), ("d6", "no feline here")],
+        "doc_id string, text string",
+    )
+    append_to_bm25_index(spark, idx, new)
+    idf_after = _cached_term_idf(spark, idx)["cat"]
+    assert idf_after != idf_before  # df 3->4, N 4->6: idf must move
+
+    # and the served score uses the new idf (equal to a fresh ref compute)
+    n_docs, df_cat = 6, 4
+    expect_idf = math.log(1 + (n_docs - df_cat + 0.5) / (df_cat + 0.5))
+    assert abs(idf_after - expect_idf) < 1e-12

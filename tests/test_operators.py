@@ -1269,3 +1269,73 @@ def test_simhash_block_cap_keeps_identical_pairs(spark):
     # 435 identical pairs still surface
     assert len(got) == 30 * 29 // 2
     assert all(h["hamming"] == 0 for h in capped)
+
+
+def test_asof_join_union_single_scan_matches_two_frame_entry(spark):
+    """Round 13: the caller-built tagged-union entry (asof_join_union —
+    the single-scan form when both sides come from the same table) must
+    be row-identical to asof_join over the two filtered frames, bucketed
+    and unbucketed, and its plan must scan the union only through the
+    shared (key, bucket) repartition (no per-phase re-derivation of a
+    spine)."""
+    import random
+
+    from binance_data_pipeline_spark.operators.asof import asof_join_union
+
+    rng = random.Random(13)
+    rows = []
+    for i in range(300):
+        side = rng.random() < 0.5
+        rows.append((
+            "S%d" % (i % 3),
+            1000 + rng.randrange(30_000),
+            "purchase" if side else "click",
+            float(i),
+        ))
+    e = spark.createDataFrame(rows, "sym string, ts long, etype string, value double")
+    left = e.where(F.col("etype") == "purchase").select(
+        "sym", "ts", F.col("value").alias("pval")
+    )
+    right = e.where(F.col("etype") == "click").select(
+        "sym", "ts", F.col("value").alias("cval")
+    )
+    is_l = F.col("etype") == "purchase"
+    unioned = e.select(
+        "sym",
+        "ts",
+        F.when(is_l, F.col("value")).alias("pval"),
+        F.when(is_l, F.lit(1)).otherwise(F.lit(0)).alias("__side"),
+        F.when(~is_l, F.col("value")).alias("__r_cval"),
+    )
+
+    for bucket in (None, 5_000):
+        two_frame = asof_join(
+            left, right, on="sym", ts_col="ts", value_cols=["cval"],
+            bucket_seconds=bucket,
+        )
+        one_scan = asof_join_union(
+            unioned, ["sym", "ts", "pval"], on="sym", ts_col="ts",
+            value_cols=["cval"], bucket_seconds=bucket,
+        )
+        key = lambda r: (r["sym"], r["ts"], r["pval"], r["cval_asof"])
+        assert sorted(map(key, two_frame.collect())) == sorted(
+            map(key, one_scan.collect())
+        ), f"bucket={bucket}"
+
+    # bucketed plan shape: exactly one (sym, bucket) exchange expression
+    # feeds BOTH the phase-1 window and the phase-2 aggregate (the old
+    # form also shuffled a distinct spine — three (sym, bucket)-keyed
+    # exchanges in total)
+    plan = asof_join_union(
+        unioned, ["sym", "ts", "pval"], on="sym", ts_col="ts",
+        value_cols=["cval"], bucket_seconds=5_000,
+    )._jdf.queryExecution().executedPlan().toString()
+    kb = [
+        l for l in plan.splitlines()
+        if "hashpartitioning" in l and "__asof_bucket" in l
+        and "REPARTITION_BY_COL" in l
+    ]
+    # window branch + pruned aggregate branch only (the stitch join may
+    # add its own ENSURE_REQUIREMENTS exchange when AQE can't broadcast
+    # the tiny carry_in, as with these in-memory frames)
+    assert len(kb) == 2, plan

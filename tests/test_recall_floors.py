@@ -76,3 +76,59 @@ def test_strict_mode_raises_below_floor(spark, monkeypatch):
     N._RECALL_MEMO.clear()
     with pytest.raises(RuntimeError, match="below the floor"):
         run()
+
+
+def test_recall_sidecar_roundtrip_and_invalidation(spark, tmp_path, monkeypatch):
+    """Round 13: the recall evidence persists as a JSON sidecar read with
+    plain driver-side file I/O (no Spark job on the warm path). Pins:
+    first call writes the sidecar; a fresh-memo call serves the SAME
+    values from it; a corrupt sidecar or a fingerprint mismatch forces a
+    recompute instead of serving garbage."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    probe = f"sidecar-probe-{uuid.uuid4().hex[:8]}"
+    result = spark.range(3).select(F.col("id").alias("query_id"))
+    approx = result  # recall = 1.0
+
+    def run():
+        return N._with_recall(
+            spark, SF, "documents", probe, "p1",
+            result, approx,
+            lambda: spark.range(3).select(F.col("id").alias("query_id")),
+            ["query_id"], floor=0.5,
+        )
+
+    first = run().first()
+    assert first["recall_vs_exact"] == 1.0 and first["recall_ok"] is True
+    key = hashlib.sha1(
+        f"{os.path.abspath(SF)}|{probe}|p1".encode()
+    ).hexdigest()[:16]
+    cache = os.path.join(tempfile.gettempdir(), f"bdp_recall_{key}.json")
+    with open(cache) as f:
+        d = json.load(f)
+    assert d["recall_vs_exact"] == 1.0 and d["recall_ok"] is True
+    assert d["fingerprint"]
+
+    # warm path: fresh memo, sidecar serves the row
+    N._RECALL_MEMO.clear()
+    again = run().first()
+    assert again["recall_vs_exact"] == 1.0 and again["recall_ok"] is True
+
+    # corrupt sidecar: recomputed (and rewritten), not served
+    with open(cache, "w") as f:
+        f.write("{not json")
+    N._RECALL_MEMO.clear()
+    assert run().first()["recall_vs_exact"] == 1.0
+    with open(cache) as f:
+        assert json.load(f)["recall_ok"] is True
+
+    # fingerprint mismatch: stale evidence is never served
+    d = json.load(open(cache))
+    d["fingerprint"] = "stale"
+    d["recall_vs_exact"] = 0.123
+    json.dump(d, open(cache, "w"))
+    N._RECALL_MEMO.clear()
+    assert run().first()["recall_vs_exact"] == 1.0
