@@ -36,3 +36,37 @@ def test_smoke_tier_covers_every_module():
         if line.startswith("tests/test_oracle_parity.py::")
     )
     assert n_oracle > 10, "oracle-parity module must be in the tier in FULL"
+
+
+def test_fast_tier_keeps_correctness_gate_and_drops_slow():
+    """The default `pytest tests/` tier (VERDICT r12 task 1): slow-marked
+    tests are deselected so the driver's single-process run completes,
+    but the correctness gate — oracle parity and plan pins — must remain
+    in FULL, and an explicit -m expression must restore the whole
+    collection (checked by the smoke pin above running with -m)."""
+    env = {k: v for k, v in os.environ.items() if k != "BDP_FULL_SUITE"}
+    out = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
+         "-p", "no:cacheprovider"],
+        capture_output=True, text=True, cwd=REPO, timeout=300, env=env,
+    )
+    assert out.returncode == 0, out.stdout[-2000:] + out.stderr[-2000:]
+    lines = out.stdout.splitlines()
+    assert any("deselected" in l for l in lines[-3:]), lines[-3:]
+    collected = [l for l in lines if l.startswith("tests/") and "::" in l]
+    # the redundancy tiers are out of the default run...
+    assert not any(l.startswith("tests/test_differential_fuzz.py") for l in collected)
+    assert not any(l.startswith("tests/test_scale.py") for l in collected)
+    # ...but the correctness gate is untouched
+    n_oracle = sum(1 for l in collected if l.startswith("tests/test_oracle_parity.py::"))
+    n_plans = sum(1 for l in collected if l.startswith("tests/test_plans.py::"))
+    assert n_oracle > 10 and n_plans > 5, (n_oracle, n_plans)
+
+    full = subprocess.run(
+        [sys.executable, "-m", "pytest", "tests/", "--collect-only", "-q",
+         "-p", "no:cacheprovider"],
+        capture_output=True, text=True, cwd=REPO, timeout=300,
+        env={**os.environ, "BDP_FULL_SUITE": "1"},
+    )
+    assert full.returncode == 0
+    assert not any("deselected" in l for l in full.stdout.splitlines()[-3:])
