@@ -269,9 +269,22 @@ def scale_probe_query(spark):
     df = spark.range(0, 100_000_000, 1, 64)
     return (
         df.repartition(64, (F.col("id") % 9973).cast("int"))
-        .select((F.col("id") % 8191).alias("g"), F.xxhash64("id").alias("h"))
+        .select(
+            (F.col("id") % 8191).alias("g"),
+            # three hash chains per row: enough map-side compute that the
+            # wall is core-bound, not shuffle-disk-bound (measured: the
+            # single-hash form scaled only 2.0x across 8->32 cores)
+            F.xxhash64("id").alias("h1"),
+            F.xxhash64("id", F.lit(1)).alias("h2"),
+            F.xxhash64(F.xxhash64("id", F.lit(2))).alias("h3"),
+        )
         .groupBy("g")
-        .agg(F.sum(F.col("h") % 1000003).alias("s"), F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("h1") % 1000003).alias("s1"),
+            F.sum(F.col("h2") % 999983).alias("s2"),
+            F.sum(F.col("h3") % 999979).alias("s3"),
+            F.count(F.lit(1)).alias("n"),
+        )
     )
 
 
