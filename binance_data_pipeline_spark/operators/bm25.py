@@ -167,8 +167,11 @@ def _score_and_rank(
 #: Localize the term dictionary (term → idf) only below this many bytes
 #: of terms.parquet — vocabulary-sized, not corpus-sized, but a 100 TB
 #: corpus can still carry a vocabulary too big to hold on the driver.
+#: Sized against the EXPANSION, not the file: a snappy parquet of
+#: (term, df, idf) inflates ~5-8× as a Python str→float dict, so the
+#: 32 MB default bounds the resident map at a few hundred MB.
 MAX_LOCAL_TERMS_BYTES = int(
-    os.environ.get("BDP_MAX_LOCAL_TERMS_BYTES", str(64 << 20))
+    os.environ.get("BDP_MAX_LOCAL_TERMS_BYTES", str(32 << 20))
 )
 
 
